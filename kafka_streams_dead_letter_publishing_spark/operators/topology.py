@@ -1,0 +1,203 @@
+"""The dead-letter topology as a pure DataFrame → DataFrames function.
+
+This is the engine core (SURVEY §2 ops #2–#10, §3.3): one function
+``route(df, cfg)`` taking a Kafka-source-shaped DataFrame and returning the
+four sink-shaped DataFrames (output + three dead-letter channels).  Because
+it is a pure function of Column expressions it runs identically on
+
+* a batch DataFrame built from fixtures (unit tier — the analogue of the
+  reference's ``TopologyTestDriver`` tests),
+* a duckdb-oracle batch derived from /root/testdata (correctness tier),
+* each micro-batch inside ``foreachBatch`` (streaming tier).
+
+Reference topology being reproduced
+(``topology/ErrorHandlingTopology.java:28-45``)::
+
+    input ─deserialize(String,Integer)─ mapValues(wrap) ─ split(hasError)
+        ├─ error:   processValues(ErrorMessageMapper) → process-exception.DLT
+        └─ default: mapValues(mappedValue)            → output
+
+plus the two handler channels that sit outside the topology in the
+reference: consumer-side deserialization failures
+(``DeadLetterDeserializationExceptionHandler.java:29-49``) and producer-side
+failures with too-large truncation
+(``DeadLetterProductionExceptionHandler.java:26-45,59-67``).
+
+Dead-letter record contract (SURVEY §2 "contract", pinned by the reference
+tests): value = original/raw payload (empty for too-large production
+errors), key unchanged, existing headers preserved, ``error.message`` header
+appended (``"<class>: <message>"`` on the topology path, bare message on the
+handler paths).
+
+Scale posture: every channel is selects/filters off one shared scan — no
+shuffle, no UDF, full whole-stage codegen; per-partition order is preserved
+because nothing repartitions between decode and sink (SURVEY §3.4).  The
+multi-way split is two complementary filters per predicate, which Catalyst
+prunes and pushes down; in streaming the caller persists the micro-batch so
+the source is read once (see ``streaming.runner``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.config import RECORD_OVERHEAD, EngineConfig
+from kafka_streams_dead_letter_publishing_spark.operators.headers import (
+    append_error_header,
+    empty_headers,
+)
+from kafka_streams_dead_letter_publishing_spark.operators.mapper import (
+    wrap_map,
+    wrapper_error_message,
+    wrapper_has_error,
+)
+from kafka_streams_dead_letter_publishing_spark.serde import (
+    int32_deser_error_message,
+    int32be_decode,
+    int32be_encode,
+    utf8_encode,
+)
+
+#: engine-native error class for a NULL input value (Kafka's Integer
+#: deserializer passes null through; the reference mapper would then NPE and
+#: the record lands on the process DLT — we enumerate that failure mode).
+NULL_VALUE_ERROR_CLASS = "NullValueError"
+
+
+class Routed(NamedTuple):
+    """The four sink-shaped streams (key/value binary, headers, topic)."""
+
+    output: DataFrame
+    process_dlt: DataFrame
+    deser_dlt: DataFrame
+    prod_dlt: DataFrame
+
+    def union_all(self) -> DataFrame:
+        """All channels as one DataFrame (inspection/testing)."""
+        return (
+            self.output.unionByName(self.process_dlt)
+            .unionByName(self.deser_dlt)
+            .unionByName(self.prod_dlt)
+        )
+
+
+def _sink_shape(df: DataFrame, key: Column, value: Column, headers: Column, topic: str) -> DataFrame:
+    return df.select(
+        key.alias("key"),
+        value.alias("value"),
+        headers.alias("headers"),
+        F.lit(topic).alias("topic"),
+    )
+
+
+def serialized_record_size(value_len: Column, key: Column) -> Column:
+    """Estimated full serialized record size, as the Kafka producer counts it
+    for ``max.request.size``: value + key + framing overhead (see
+    ``config.RECORD_OVERHEAD``)."""
+    return value_len + F.coalesce(F.length(key), F.lit(0)) + F.lit(RECORD_OVERHEAD)
+
+
+def too_large_message(size: Column, max_request_size: int) -> Column:
+    """Shape-faithful analogue of Kafka's ``RecordTooLargeException`` text,
+    pinned by ``ErrorHandlingTopologyIntegrationTest.java:119-121``."""
+    return F.concat(
+        F.lit("The message is "),
+        size.cast("string"),
+        F.lit(" bytes when serialized which is larger than "),
+        F.lit(str(max_request_size)),
+        F.lit(", which is the value of the max.request.size configuration."),
+    )
+
+
+def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
+    """Run the full dead-letter topology over a Kafka-source-shaped batch.
+
+    ``df`` must have ``key: binary``, ``value: binary`` and may have
+    ``headers: array<struct<key string, value binary>>`` plus the usual
+    source metadata (topic/partition/offset) — metadata, when present, seeds
+    the deterministic random generator so repeated records decorrelate.
+    """
+    cfg = cfg or EngineConfig()
+
+    cols = set(df.columns)
+    if "headers" not in cols:
+        df = df.withColumn("headers", empty_headers())
+    uniq_parts = [F.col(c) for c in ("topic", "partition", "offset") if c in cols]
+    uniq = F.xxhash64(F.col("key"), *uniq_parts)
+
+    key, value, headers = F.col("key"), F.col("value"), F.col("headers")
+
+    # ── op #2: typed decode; failure ⇒ NULL ⇒ deser channel (op #9) ──────
+    n = int32be_decode(value)
+    decoded = df.withColumn("__n", n)
+    is_deser_failure = F.col("__n").isNull() & value.isNotNull()
+
+    deser_dlt = _sink_shape(
+        decoded.filter(is_deser_failure),
+        key,
+        value,  # raw bytes untouched (DeadLetterDeserializationExceptionHandler.java:38)
+        append_error_header(headers, int32_deser_error_message(value)),
+        cfg.deser_dlt,
+    )
+
+    # ── op #3/#4: error-capturing map into the wrapper struct ────────────
+    # NULL value passes Kafka's Integer deserializer but would NPE in the
+    # reference mapper ⇒ enumerate it as a process-error predicate.
+    null_wrapper = F.struct(
+        F.lit(None).cast("int").alias("original_value"),
+        F.lit(None).cast("string").alias("mapped_value"),
+        F.lit(None).cast("long").alias("mapped_len"),
+        F.lit(NULL_VALUE_ERROR_CLASS).alias("error_class"),
+        F.lit("null").alias("error_message"),
+    )
+    wrapped = (
+        decoded.filter(~is_deser_failure)
+        .withColumn(
+            "__w",
+            F.when(value.isNull(), null_wrapper).otherwise(
+                wrap_map(F.col("__n"), uniq, cfg.seed, generation_cap=cfg.max_request_size)
+            ),
+        )
+    )
+    w = F.col("__w")
+
+    # ── op #5/#6: split on hasError; error branch restores the ORIGINAL
+    #    value and appends "<class>: <message>" (ErrorMessageMapper) ───────
+    process_dlt = _sink_shape(
+        wrapped.filter(wrapper_has_error(w)),
+        key,
+        int32be_encode(w["original_value"]),  # original, pre-map value
+        append_error_header(headers, wrapper_error_message(w)),
+        cfg.process_dlt,
+    )
+
+    # ── op #7: unwrap the success branch ─────────────────────────────────
+    ok = wrapped.filter(~wrapper_has_error(w))
+    out_size = serialized_record_size(w["mapped_len"], key)
+    is_too_large = out_size > F.lit(cfg.max_request_size)
+
+    # ── op #10: pre-flight production guard — Spark's Kafka sink has no
+    #    post-hoc producer hook, so the size check runs before the write;
+    #    too-large values are truncated to EMPTY (not null) bytes
+    #    (DeadLetterProductionExceptionHandler.java:59-67) ─────────────────
+    prod_dlt = _sink_shape(
+        ok.filter(is_too_large),
+        key,
+        F.lit(b""),
+        append_error_header(headers, too_large_message(out_size, cfg.max_request_size)),
+        cfg.prod_dlt,
+    )
+
+    # ── op #8: typed serialize to the output sink ────────────────────────
+    output = _sink_shape(
+        ok.filter(~is_too_large),
+        key,
+        utf8_encode(w["mapped_value"]),
+        headers,
+        cfg.output_topic,
+    )
+
+    return Routed(output=output, process_dlt=process_dlt, deser_dlt=deser_dlt, prod_dlt=prod_dlt)
