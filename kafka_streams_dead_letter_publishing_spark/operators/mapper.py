@@ -41,14 +41,18 @@ def random_lowercase_string(n: Column, uniq: Column, seed: int) -> Column:
     ``uniq`` is any per-record expression (e.g. key/offset) that decorrelates
     records.  Pure SQL: sequence → transform(xxhash64 % 26) → char → join.
     Mirrors ``ErrorHandlingMapper.java:14-18`` (``random.ints(97, 123)``).
+
+    Note: guarded for n <= 0 because Spark's ``sequence(1, 0)`` yields a
+    *descending* [1, 0], not an empty array.
     """
-    return F.array_join(
+    gen = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.char(F.lit(97) + F.pmod(F.xxhash64(F.lit(seed), uniq, i), F.lit(26))),
         ),
         "",
     )
+    return F.when(n >= 1, gen).otherwise(F.lit(""))
 
 
 def wrap_map(n: Column, uniq: Column, seed: int, generation_cap: int = GENERATION_CAP_DEFAULT) -> Column:

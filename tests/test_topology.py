@@ -136,6 +136,13 @@ def test_mixed_batch_routes_each_channel_once(spark):
     assert routed.union_all().count() == 4
 
 
+def test_zero_length_produces_empty_string(spark):
+    """n=0 → empty string (reference: IntStream.limit(0) is empty); guards
+    against Spark's descending sequence(1, 0) == [1, 0] surprise."""
+    r = one_row(route(records_df(spark, [(b"key", int32be(0))]), CFG).output)
+    assert r.value == b""
+
+
 def test_keys_may_be_null(spark):
     routed = route(records_df(spark, [(None, int32be(3))]), CFG)
     r = one_row(routed.output)
