@@ -1,0 +1,150 @@
+"""Structured Streaming wrapper: one query, four sinks, fail-stop semantics.
+
+Reference runtime being reproduced (SURVEY §3):
+
+* ``@EnableKafkaStreams`` bootstrap → here ``run_stream`` builds the
+  ``readStream`` Kafka source and starts one streaming query.
+* Per-record depth-first processing → here micro-batches through the pure
+  ``route()`` topology inside ``foreachBatch`` (the only way a single query
+  fans out to multiple Kafka topics).
+* ``StreamsUncaughtExceptionHandler → SHUTDOWN_APPLICATION`` (reference
+  ``errorhandling/UncaughtExceptionHandlerConfig.java:19``; rationale
+  ``README.md:31``: never auto-restart, bound duplicates) → any exception in
+  the batch (including a failure to publish a dead letter) fails the query;
+  ``await_and_reraise`` re-raises it from ``awaitTermination`` and nothing
+  restarts the query.
+
+Delivery semantics: at-least-once, same as the reference (its DLT handler
+producers sit outside Kafka Streams transactions; our checkpointed offsets
+re-attempt a failed batch on restart).  Per-partition input order is
+preserved on the happy path because ``route`` never repartitions.
+
+Scale posture (SURVEY §4.3): ``maxOffsetsPerTrigger`` bounds a micro-batch
+(backpressure), ``minPartitions`` lets a 1000-executor cluster split hot
+topic partitions, and the micro-batch is persisted once and read by all four
+sinks instead of four source scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_streams_dead_letter_publishing_spark.config import EngineConfig
+from kafka_streams_dead_letter_publishing_spark.operators.topology import Routed, route
+
+SinkWriter = Callable[[DataFrame, str], None]
+
+
+def kafka_source(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
+    """``spark.readStream.format("kafka")`` with headers, matching the
+    reference's consumer edge (``ErrorHandlingTopology.java:30``)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+        .option("subscribe", cfg.input_topic)
+        .option("includeHeaders", "true")
+        .option("startingOffsets", "earliest")
+        # fail-stop, not silently-skip, if offsets were aged out — the
+        # reference never silently drops records
+        .option("failOnDataLoss", "true")
+    )
+    if cfg.max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(cfg.max_offsets_per_trigger))
+    if cfg.min_partitions:
+        reader = reader.option("minPartitions", str(cfg.min_partitions))
+    for k, v in cfg.extra_kafka_options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def kafka_sink_writer(cfg: EngineConfig) -> SinkWriter:
+    """Writer publishing a sink-shaped DataFrame to its Kafka topic.
+
+    A raised exception here (e.g. DLT publish failure) propagates out of
+    ``foreachBatch`` → the query dies → ``FAIL``/``SHUTDOWN_APPLICATION``
+    semantics (``DeadLetterDeserializationExceptionHandler.java:47``).
+    """
+
+    def write(df: DataFrame, topic: str) -> None:
+        (
+            df.select("key", "value", "headers", "topic")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+            .option("kafka.max.request.size", str(cfg.max_request_size))
+            .option("includeHeaders", "true")
+            .save()
+        )
+
+    return write
+
+
+def parquet_sink_writer(base_dir: str) -> SinkWriter:
+    """Broker-free sink for integration tests / local runs: one parquet
+    directory per topic."""
+
+    def write(df: DataFrame, topic: str) -> None:
+        df.write.mode("append").parquet(f"{base_dir}/{topic}")
+
+    return write
+
+
+class DeadLetterStream:
+    """Composes source → pure topology → four sinks into one streaming query."""
+
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        sink: SinkWriter,
+        topology: Callable[[DataFrame, EngineConfig], Routed] = route,
+    ) -> None:
+        self.cfg = cfg
+        self.sink = sink
+        self.topology = topology
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body — also callable directly on a batch
+        DataFrame (unit tier).  Persists the micro-batch so the four sink
+        writes share one source read (SURVEY §4.2 "single read, multi-sink")."""
+        batch.persist()
+        try:
+            routed = self.topology(batch, self.cfg)
+            # Dead letters first: if a DLT publish fails we die *before*
+            # emitting output, bounding duplicate output records on retry —
+            # same motivation as the reference's shutdown-on-DLT-failure.
+            self.sink(routed.deser_dlt, self.cfg.deser_dlt)
+            self.sink(routed.process_dlt, self.cfg.process_dlt)
+            self.sink(routed.prod_dlt, self.cfg.prod_dlt)
+            self.sink(routed.output, self.cfg.output_topic)
+        finally:
+            batch.unpersist()
+
+    def start(self, source: DataFrame, trigger: dict[str, Any] | None = None) -> StreamingQuery:
+        writer = (
+            source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.cfg.checkpoint_dir)
+            .queryName(self.cfg.application_id)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+
+def run_stream(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    sink: SinkWriter | None = None,
+    trigger: dict[str, Any] | None = None,
+) -> StreamingQuery:
+    """Engine entrypoint: Kafka in → dead-letter topology → Kafka out."""
+    stream = DeadLetterStream(cfg, sink or kafka_sink_writer(cfg))
+    return stream.start(kafka_source(spark, cfg), trigger)
+
+
+def await_and_reraise(query: StreamingQuery) -> None:
+    """Block until the query ends; re-raise its exception — the engine's
+    ``SHUTDOWN_APPLICATION`` policy: no catch-and-restart loop, ever."""
+    query.awaitTermination()

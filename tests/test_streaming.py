@@ -1,0 +1,102 @@
+"""Streaming-tier tests — no broker in this container, so the integration
+smoke runs the real ``foreachBatch`` machinery over a file-based stream
+(kafka-source-shaped parquet) with parquet sinks.  The topology code path is
+byte-identical to the Kafka path; only source/sink formats differ.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from kafka_streams_dead_letter_publishing_spark.config import EngineConfig
+from kafka_streams_dead_letter_publishing_spark.sources.records import (
+    KAFKA_SOURCE_SCHEMA,
+    int32be,
+    records_df,
+)
+from kafka_streams_dead_letter_publishing_spark.streaming.runner import (
+    DeadLetterStream,
+    parquet_sink_writer,
+)
+
+
+def _await_no_backlog(query, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def test_stream_routes_all_channels(spark, tmp_path):
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sinks")
+
+    records_df(
+        spark,
+        [
+            (b"k1", int32be(6)),
+            (b"k2", int32be(-1)),
+            (b"k3", b"oop"),
+            (b"k4", int32be(2_000_000)),
+        ],
+    ).write.parquet(src_dir)
+
+    source = spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir)
+    stream = DeadLetterStream(cfg, parquet_sink_writer(sink_dir))
+    query = stream.start(source)
+    try:
+        _await_no_backlog(query)
+    finally:
+        query.stop()
+
+    out = spark.read.parquet(f"{sink_dir}/{cfg.output_topic}")
+    assert out.count() == 1 and len(out.collect()[0].value) == 6
+    proc = spark.read.parquet(f"{sink_dir}/{cfg.process_dlt}")
+    assert proc.collect()[0].value == int32be(-1)
+    deser = spark.read.parquet(f"{sink_dir}/{cfg.deser_dlt}")
+    assert deser.collect()[0].value == b"oop"
+    prod = spark.read.parquet(f"{sink_dir}/{cfg.prod_dlt}")
+    assert prod.collect()[0].value == b""
+
+
+def test_stream_resumes_from_checkpoint_exactly_once_per_record(spark, tmp_path):
+    """Restarting against the same checkpoint must not re-route processed
+    records (offset tracking replaces consumer-group commits)."""
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sinks")
+    records_df(spark, [(b"k1", int32be(3))]).write.parquet(src_dir)
+
+    source = spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir)
+    stream = DeadLetterStream(cfg, parquet_sink_writer(sink_dir))
+    q1 = stream.start(source)
+    q1.processAllAvailable()
+    q1.stop()
+
+    # second run, same checkpoint: no new input ⇒ no new rows
+    q2 = stream.start(spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir))
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(f"{sink_dir}/{cfg.output_topic}").count() == 1
+
+
+def test_sink_failure_fails_the_query(spark, tmp_path):
+    """A dead-letter publish failure must kill the query (the reference's
+    FAIL → SHUTDOWN_APPLICATION policy), not be swallowed."""
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    src_dir = str(tmp_path / "src")
+    records_df(spark, [(b"k2", int32be(-1))]).write.parquet(src_dir)
+
+    def failing_sink(df, topic):
+        if topic == cfg.process_dlt and df.count() > 0:
+            raise RuntimeError("broker unreachable")
+
+    source = spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir)
+    query = DeadLetterStream(cfg, failing_sink).start(source)
+    with pytest.raises(Exception, match="broker unreachable"):
+        query.processAllAvailable()
+    assert not query.isActive
