@@ -1,0 +1,235 @@
+"""Reference-parity query family: the dead-letter topology under oracle check.
+
+Strategy: derive a deterministic Kafka-record stream from the driver's
+``events`` table (same derivation spec on both sides), run the records
+through the REAL engine path on the Spark side — int32be/UTF-8 serde encode,
+``route()`` topology, serde decode of the results — and have the DuckDB
+oracle compute the *expected* routing/contract purely logically.  Any
+divergence in serde, routing predicates, header construction, size
+accounting, or value preservation shows up as a hash mismatch.
+
+Derivation spec (must stay identical in Spark code and oracle SQL):
+
+    key_str  = user_id || '-' || event_id          (record key, UTF-8)
+    deser?   = event_type = 'error'                → value bytes = UTF-8(props)
+    n        = CASE WHEN user_id % 7  = 0 THEN -(floor(value)::int) - 1
+                    WHEN user_id % 11 = 0 THEN 1100000 + (event_id % 500000)::int
+                    ELSE (floor(value * 10)::int) % 4096 END
+               (non-deser value bytes = int32-big-endian(n))
+
+Expected channels (the reference contract, SURVEY §2.3):
+    deser    → raw bytes + "Size of data received by int32 deserializer is
+               <len>, expected 4" header
+    process  → n < 0: original int + "NegativeLengthError: <n>" header
+    prod     → n + len(key) + 88 > 1048576: empty value + RecordTooLarge-
+               shaped header naming the size and limit
+    output   → everything else, value length == n
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.config import (
+    DEFAULT_MAX_REQUEST_SIZE,
+    ERROR_HEADER,
+    RECORD_OVERHEAD,
+    EngineConfig,
+)
+from kafka_streams_dead_letter_publishing_spark.operators.headers import get_header
+from kafka_streams_dead_letter_publishing_spark.operators.topology import route
+from kafka_streams_dead_letter_publishing_spark.plans.registry import query
+from kafka_streams_dead_letter_publishing_spark.serde import int32be_decode, int32be_encode
+from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+MAX = DEFAULT_MAX_REQUEST_SIZE
+OVH = RECORD_OVERHEAD
+
+# ── shared derivation, Spark side ────────────────────────────────────────
+
+
+def derived_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Kafka-source-shaped records per the derivation spec."""
+    ev = load_table(spark, sf_dir, "events")
+    key_str = F.concat_ws("-", F.col("user_id"), F.col("event_id"))
+    n = (
+        F.when(F.col("user_id") % 7 == 0, (-F.floor(F.col("value")).cast("int")) - F.lit(1))
+        .when(
+            F.col("user_id") % 11 == 0,
+            (F.lit(1_100_000) + (F.col("event_id") % 500_000)).cast("int"),
+        )
+        .otherwise(F.pmod(F.floor(F.col("value") * 10).cast("int"), F.lit(4096)))
+    )
+    is_deser = F.col("event_type") == "error"
+    return ev.select(
+        F.encode(key_str, "UTF-8").alias("key"),
+        F.when(is_deser, F.encode(F.col("props"), "UTF-8"))
+        .otherwise(int32be_encode(n))
+        .alias("value"),
+        F.lit("input").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+
+
+# ── shared derivation, oracle side (DuckDB SQL CTE) ──────────────────────
+
+_ORACLE_BASE = f"""
+WITH derived AS (
+    SELECT
+        CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR) AS key_str,
+        (event_type = 'error') AS is_deser,
+        props,
+        CASE WHEN user_id % 7 = 0 THEN -CAST(FLOOR("value") AS INTEGER) - 1
+             WHEN user_id % 11 = 0 THEN CAST(1100000 + (event_id % 500000) AS INTEGER)
+             ELSE CAST(FLOOR("value" * 10) AS INTEGER) % 4096
+        END AS n
+    FROM events
+),
+routed AS (
+    SELECT *,
+        CASE WHEN is_deser THEN 'deserialization-exception.DLT'
+             WHEN n < 0 THEN 'process-exception.DLT'
+             WHEN n + LENGTH(key_str) + {OVH} > {MAX} THEN 'production-exception.DLT'
+             ELSE 'output'
+        END AS topic
+    FROM derived
+)
+"""
+
+
+def _routed(spark: SparkSession, sf_dir: str):
+    return route(derived_records(spark, sf_dir), EngineConfig())
+
+
+_ERR = get_header(F.col("headers"), ERROR_HEADER)
+
+
+# ── queries ──────────────────────────────────────────────────────────────
+
+
+@query(
+    "dlt_route_counts",
+    _ORACLE_BASE + "SELECT topic, COUNT(*) AS cnt FROM routed GROUP BY topic",
+    doc="Four-way split totals: every record lands on exactly one channel "
+    "(ops #1,#2,#5,#9,#10 — ErrorHandlingTopology.java:32-44).",
+    tags=("reference", "flagship"),
+)
+def dlt_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed(spark, sf_dir)
+    return routed.union_all().groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "dlt_output_lengths",
+    _ORACLE_BASE
+    + "SELECT key_str, CAST(n AS BIGINT) AS out_len FROM routed WHERE topic = 'output'",
+    doc="Happy path: generated value length equals the requested n for every "
+    "record (ops #3,#4,#7,#8 — ErrorHandlingMapper.java:12-27); content is "
+    "random by contract so the oracle pins lengths, as the reference's own "
+    "tests do.",
+    tags=("reference",),
+)
+def dlt_output_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed(spark, sf_dir)
+    return routed.output.select(
+        F.col("key").cast("string").alias("key_str"),
+        F.length("value").cast("bigint").alias("out_len"),
+    )
+
+
+@query(
+    "dlt_process_channel",
+    _ORACLE_BASE
+    + """
+    SELECT key_str,
+           n AS original_value,
+           'NegativeLengthError: ' || CAST(n AS VARCHAR) AS err
+    FROM routed WHERE topic = 'process-exception.DLT'
+    """,
+    doc="Process-error channel: ORIGINAL int value restored (round-tripped "
+    "through int32be serde) + '<class>: <message>' header "
+    "(ErrorMessageMapper.java:27-38).",
+    tags=("reference",),
+)
+def dlt_process_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed(spark, sf_dir)
+    return routed.process_dlt.select(
+        F.col("key").cast("string").alias("key_str"),
+        int32be_decode(F.col("value")).alias("original_value"),
+        _ERR.alias("err"),
+    )
+
+
+@query(
+    "dlt_deser_channel",
+    _ORACLE_BASE
+    + f"""
+    SELECT key_str,
+           props AS raw_value,
+           'Size of data received by int32 deserializer is '
+             || CAST(LENGTH(props) AS VARCHAR) || ', expected 4' AS err
+    FROM routed WHERE topic = 'deserialization-exception.DLT'
+    """,
+    doc="Deserialization-error channel: raw bytes preserved untouched + "
+    "size-shaped header (DeadLetterDeserializationExceptionHandler.java:29-49).",
+    tags=("reference",),
+)
+def dlt_deser_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed(spark, sf_dir)
+    return routed.deser_dlt.select(
+        F.col("key").cast("string").alias("key_str"),
+        F.col("value").cast("string").alias("raw_value"),
+        _ERR.alias("err"),
+    )
+
+
+@query(
+    "dlt_prod_channel",
+    _ORACLE_BASE
+    + f"""
+    SELECT key_str,
+           CAST(0 AS BIGINT) AS value_len,
+           'The message is ' || CAST(n + LENGTH(key_str) + {OVH} AS VARCHAR)
+             || ' bytes when serialized which is larger than {MAX}, which is'
+             || ' the value of the max.request.size configuration.' AS err
+    FROM routed WHERE topic = 'production-exception.DLT'
+    """,
+    doc="Production-error channel: value truncated to EMPTY, header names the "
+    "serialized size and limit (DeadLetterProductionExceptionHandler.java:26-67).",
+    tags=("reference",),
+)
+def dlt_prod_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _routed(spark, sf_dir)
+    return routed.prod_dlt.select(
+        F.col("key").cast("string").alias("key_str"),
+        F.length("value").cast("bigint").alias("value_len"),
+        _ERR.alias("err"),
+    )
+
+
+@query(
+    "serde_roundtrip_int32",
+    _ORACLE_BASE + "SELECT key_str, n AS n_in, n AS n_back FROM derived",
+    doc="int32 big-endian codec round-trip over the full derived value range "
+    "(negative / huge / small), matching Kafka's IntegerSerializer wire "
+    "format (SURVEY §1.2).",
+    tags=("reference", "serde"),
+)
+def serde_roundtrip_int32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key_str = F.concat_ws("-", F.col("user_id"), F.col("event_id"))
+    n = (
+        F.when(F.col("user_id") % 7 == 0, (-F.floor(F.col("value")).cast("int")) - F.lit(1))
+        .when(
+            F.col("user_id") % 11 == 0,
+            (F.lit(1_100_000) + (F.col("event_id") % 500_000)).cast("int"),
+        )
+        .otherwise(F.pmod(F.floor(F.col("value") * 10).cast("int"), F.lit(4096)))
+    )
+    return ev.select(
+        key_str.alias("key_str"),
+        n.alias("n_in"),
+        int32be_decode(int32be_encode(n)).alias("n_back"),
+    )

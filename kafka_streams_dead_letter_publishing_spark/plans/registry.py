@@ -1,0 +1,49 @@
+"""Query registry machinery.
+
+Each entry pairs a Spark implementation (DataFrame code — the engine surface)
+with an equivalent ANSI-SQL oracle string DuckDB can run over the same
+parquet tables.  Column names are aligned on both sides because the driver's
+comparator sorts columns by name before hashing values.
+
+Determinism policy (so order-insensitive value hashes match across engines):
+
+* no raw ``sum()`` over doubles — every monetary/double aggregate goes
+  through an exact DECIMAL cast, is summed exactly, and only then cast back
+  to double (both engines produce the *same* exact decimal, so the same
+  IEEE double);
+* top-k always carries a unique tie-break key in its ordering;
+* random content is never hashed — the dead-letter family checks lengths,
+  counts and error messages, not generated string bytes (the reference's own
+  tests do the same: ``ErrorHandlingTopologyTest.java:42-48``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, doc: str, tags: tuple[str, ...] = ()):
+    """Register a Spark query implementation with its DuckDB oracle."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco

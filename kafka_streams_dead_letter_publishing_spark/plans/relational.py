@@ -1,0 +1,448 @@
+"""Relational query family: joins / aggregations / windows / set ops /
+event-time windows / sessionization / JSON columns.
+
+The reference has none of these (stateless-by-design, reference
+``README.md:159,377-380``); they are [EXT] coverage mandated by the driver's
+oracle (SURVEY §2.2, §7 M6) and the place where the 100 TB posture shows:
+broadcast joins for the star dimensions, partial aggregation via groupBy,
+AQE-friendly declarative plans, no UDFs anywhere.
+
+Determinism policy: monetary aggregates go through pinned DECIMAL casts
+(exact in both engines → identical doubles after the final cast); top-k
+orderings always carry a unique tie-break.  Arithmetic fragments are shared
+*verbatim* between the Spark side (``F.expr``) and the DuckDB oracle so the
+semantics cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.plans.registry import query
+from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+# ── shared arithmetic fragments (valid in BOTH Spark SQL and DuckDB) ─────
+
+QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+DISC = "CAST(l_discount AS DECIMAL(8,4))"
+TAX = "CAST(l_tax AS DECIMAL(8,4))"
+ONE_MINUS_DISC = f"CAST(1 - {DISC} AS DECIMAL(11,4))"
+ONE_PLUS_TAX = f"CAST(1 + {TAX} AS DECIMAL(11,4))"
+DISC_PRICE = f"CAST({PRICE} * {ONE_MINUS_DISC} AS DECIMAL(24,6))"
+CHARGE = f"({DISC_PRICE} * {ONE_PLUS_TAX})"
+TOTALPRICE = "CAST(o_totalprice AS DECIMAL(18,2))"
+EVENT_VALUE = 'CAST("value" AS DECIMAL(18,2))'
+
+_DBL = "double"
+
+
+# ── TPC-H-shaped aggregation ─────────────────────────────────────────────
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sq AS DOUBLE) AS sum_qty,
+           CAST(sbp AS DOUBLE) AS sum_base_price,
+           CAST(sdp AS DOUBLE) AS sum_disc_price,
+           CAST(sc AS DOUBLE) AS sum_charge,
+           CAST(sq AS DOUBLE) / cnt AS avg_qty,
+           CAST(sbp AS DOUBLE) / cnt AS avg_price,
+           CAST(sd AS DOUBLE) / cnt AS avg_disc,
+           cnt AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               SUM({QTY}) AS sq, SUM({PRICE}) AS sbp,
+               SUM({DISC_PRICE}) AS sdp, SUM({CHARGE}) AS sc,
+               SUM({DISC}) AS sd, COUNT(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    )
+    """,
+    doc="TPC-H Q1-shaped pricing summary: scan-filter-aggregate with partial "
+    "(map-side) aggregation; exact DECIMAL accumulation.",
+    tags=("relational", "aggregation", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.expr("l_shipdate <= DATE '1998-09-01'"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr(QTY)).alias("sq"),
+        F.sum(F.expr(PRICE)).alias("sbp"),
+        F.sum(F.expr(DISC_PRICE)).alias("sdp"),
+        F.sum(F.expr(CHARGE)).alias("sc"),
+        F.sum(F.expr(DISC)).alias("sd"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast(_DBL).alias("sum_qty"),
+        F.col("sbp").cast(_DBL).alias("sum_base_price"),
+        F.col("sdp").cast(_DBL).alias("sum_disc_price"),
+        F.col("sc").cast(_DBL).alias("sum_charge"),
+        (F.col("sq").cast(_DBL) / F.col("cnt")).alias("avg_qty"),
+        (F.col("sbp").cast(_DBL) / F.col("cnt")).alias("avg_price"),
+        (F.col("sd").cast(_DBL) / F.col("cnt")).alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate > DATE '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: selective dimension filter, "
+    "3-way join (customer broadcast), top-k with unique tie-break.",
+    tags=("relational", "join", "topk", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < DATE '1998-03-15'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.expr("l_shipdate > DATE '1998-03-15'"))
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("rev").cast(_DBL).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    f"""
+    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped star join: five joins with every dimension "
+    "broadcast; only the lineitem fact shuffles for the final aggregation.",
+    tags=("relational", "join", "bench"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    dims = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    joined = (
+        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev"))
+        .select("n_name", F.col("rev").cast(_DBL).alias("revenue"))
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({TOTALPRICE}) AS DOUBLE) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 25
+    """,
+    doc="Join + aggregate + top-k: customers ranked by lifetime spend.",
+    tags=("relational", "join", "topk"),
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.expr(TOTALPRICE)).alias("ts"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("ts").cast(_DBL).alias("total_spent"),
+            "n_orders",
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+# ── window functions ─────────────────────────────────────────────────────
+
+
+@query(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Ranking window functions: top-3 orders per customer "
+    "(row_number/rank/dense_rank over a partitioned sort).",
+    tags=("relational", "window"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    by_price_only = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(by_price).alias("rn"),
+            F.rank().over(by_price_only).alias("rnk"),
+            F.dense_rank().over(by_price_only).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({TOTALPRICE}) OVER w AS DOUBLE) AS running_spent,
+           COUNT(*) OVER w AS running_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Analytic frame: per-customer running spend over order history "
+    "(rowsBetween unboundedPreceding→currentRow).",
+    tags=("relational", "window"),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.expr(TOTALPRICE)).over(w).cast(_DBL).alias("running_spent"),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+# ── grouping sets / rollup, set operations ───────────────────────────────
+
+
+@query(
+    "rollup_order_stats",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM({TOTALPRICE}) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical aggregate: ROLLUP(status, priority) with grand total.",
+    tags=("relational", "aggregation"),
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(F.expr(TOTALPRICE)).alias("t"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.col("t").cast(_DBL).alias("total"),
+        )
+    )
+
+
+@query(
+    "setop_finished_partial_not_open",
+    """
+    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="Set operations: customers with both finished and partial orders but "
+    "no open ones (INTERSECT + EXCEPT, distinct semantics).",
+    tags=("relational", "setop"),
+)
+def setop_finished_partial_not_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(status: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    return keys("F").intersect(keys("P")).exceptAll(keys("O")).distinct()
+
+
+# ── event-time windows / sessionization / JSON ───────────────────────────
+
+
+@query(
+    "events_hourly_stats",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM({EVENT_VALUE}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling event-time window (1 hour) per event type — the batch "
+    "shape of the streaming `window()` aggregation; exact DECIMAL sums.",
+    tags=("events", "window", "streaming-shape", "bench"),
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.expr(EVENT_VALUE)).alias("tv"))
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "cnt",
+            F.col("tv").cast(_DBL).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="Sessionization with a 30-minute inactivity gap — Spark side uses the "
+    "native session_window operator; oracle reproduces it with "
+    "gaps-and-islands SQL (streaming shape: session_window + watermark).",
+    tags=("events", "session", "streaming-shape", "bench"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@query(
+    "events_json_kpis",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON column extraction (from_json on events.props) + integer "
+    "aggregation — the multimodal/JSON [EXT] column surface.",
+    tags=("events", "json"),
+)
+def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "sql_customers_per_nation",
+    """
+    SELECT n_name, r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    doc="SQL entry point: the same engine tables exposed as temp views and "
+    "queried through spark.sql (Catalyst parser surface).",
+    tags=("relational", "sql"),
+)
+def sql_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name, r_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+        """
+    )

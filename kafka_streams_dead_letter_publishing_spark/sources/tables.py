@@ -12,6 +12,7 @@ pushdown, column pruning and partition pruning all apply unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,6 +32,20 @@ BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+        # outright; read the raw int64 nanos and rebuild a TIMESTAMP_NTZ at
+        # microsecond precision.  The NTZ arithmetic (anchored at the NTZ
+        # epoch, not via timestamp_micros) keeps the conversion independent
+        # of the session timezone, and the integer `div 1000` truncation
+        # matches how DuckDB reads the same column — so oracle comparisons
+        # agree to the microsecond.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
