@@ -57,23 +57,132 @@ def minhash_value(shingle_col: Column, j: int) -> Column:
     return F.array_min(F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
 
 
-def band_keys(shingle_col: Column) -> Column:
-    """LSH band keys (N_BANDS entries, r=2 minhashes per band): two docs are
-    near-dup candidates iff they share at least one band key."""
-    return F.array(
+#: sentinel greater than any md5 hex string ('~' > 'f' in ASCII)
+_MINHASH_SENTINEL = "~"
+
+
+def minhash_array(shingle_col: Column) -> Column:
+    """All N_MINHASH minhashes in ONE pass over the shingle set.
+
+    Per shingle: N_MINHASH md5 calls folded with element-wise ``least`` —
+    versus N_MINHASH separate array traversals for ``minhash_value``.
+    Higher-order functions don't get codegen subexpression elimination, so
+    the fold shape is what keeps this O(shingles × hashes) instead of
+    O(shingles × hashes × re-evaluations).  Empty set ⇒ all sentinels.
+    """
+    init = F.array_repeat(F.lit(_MINHASH_SENTINEL), N_MINHASH)
+    hashes = lambda s: F.array(  # noqa: E731
+        *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(N_MINHASH)]
+    )
+    return F.aggregate(
+        shingle_col, init, lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b))
+    )
+
+
+def band_keys_from_minhash(mh: Column, n_shingles: Column) -> Column:
+    """LSH band keys from a precomputed minhash array (see ``band_keys``).
+
+    IMPORTANT: pass ``mh`` as a *materialized column from a previous
+    select* — this expression references it 2×N_BANDS times, and Spark's
+    CollapseProject declines to inline non-cheap producer expressions, so
+    staging keeps the minhash fold evaluated once per row.
+    """
+    keys = F.array(
         *[
-            F.concat_ws(
-                "|", minhash_value(shingle_col, 2 * b), minhash_value(shingle_col, 2 * b + 1)
+            F.concat(
+                F.lit(f"{b}:"),
+                F.element_at(mh, 2 * b + 1),
+                F.lit("|"),
+                F.element_at(mh, 2 * b + 2),
             )
             for b in range(N_BANDS)
         ]
     )
+    return F.when(n_shingles > 0, keys).otherwise(F.array().cast("array<string>"))
+
+
+def band_keys(shingle_col: Column) -> Column:
+    """LSH band keys (N_BANDS entries, r=2 minhashes per band): two docs are
+    near-dup candidates iff they share at least one band key.
+
+    Each key embeds its band index (``"<b>:<mh>|<mh>"``) so exploded keys
+    from different bands can never collide, and docs with NO shingles (< k
+    tokens) get an empty array — otherwise Spark's NULL-skipping
+    ``concat_ws`` would give every tiny doc the same key and fabricate a
+    quadratic candidate blow-up.
+    """
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                minhash_value(shingle_col, 2 * b),
+                F.lit("|"),
+                minhash_value(shingle_col, 2 * b + 1),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return F.when(F.size(shingle_col) > 0, keys).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_hash60(shingle: Column) -> Column:
     """First 15 md5 hex chars → 60-bit non-negative long (portable to the
     oracle, which parses the same hex)."""
     return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+SIMHASH_HEX_BITS = 32  # one bit per md5 hex digit (its high bit)
+
+#: hex digits whose high bit is set — shared with the oracle SQL verbatim
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash32(shingle_col: Column) -> Column:
+    """32-bit SimHash over a shingle set, engine-portable by construction.
+
+    Bit *b* of a shingle's hash is the HIGH bit of md5 hex digit *b+1* —
+    trivially identical in any engine with md5 + substring, avoiding
+    bigint-hex parsing differences.  The document's bit *b* is set iff a
+    strict majority of shingles have it set (ties → 0); NULL for empty
+    shingle sets.
+
+    Single pass: per shingle, ``translate`` maps the 32 md5 hex digits to
+    their high bits ('0'-'7' → 0, '8'-'f' → 1) and a fold accumulates the
+    32 per-bit counts — one md5 per shingle, not one per (shingle, bit)
+    (the naive per-bit-filter shape measured 60× slower: higher-order
+    functions get no codegen subexpression elimination).
+    """
+    n_sh = F.size(shingle_col)
+    bits = lambda s: F.transform(  # noqa: E731
+        F.split(F.translate(F.md5(s), "0123456789abcdef", "0000000011111111"), ""),
+        lambda c: c.cast("int"),
+    )
+    counts = F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(0), SIMHASH_HEX_BITS),
+        lambda acc, s: F.zip_with(acc, bits(s), lambda a, b: a + b),
+    )
+    powers = F.array(*[F.lit(2**b).cast("long") for b in range(SIMHASH_HEX_BITS)])
+    weighted = F.zip_with(
+        counts, powers, lambda c, p: F.when(c * 2 > n_sh, p).otherwise(F.lit(0).cast("long"))
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    return F.when(n_sh > 0, total)
+
+
+def simhash32_sql(shingles_sql: str) -> str:
+    """DuckDB SQL reproducing :func:`simhash32` over a list expression."""
+    hi = ", ".join(f"'{h}'" for h in _HI_HEX)
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({shingles_sql}, "
+        f"s -> substring(md5(s), {b + 1}, 1) IN ({hi}))) "
+        f"> len({shingles_sql}) THEN {2**b} ELSE 0 END)"
+        for b in range(SIMHASH_HEX_BITS)
+    )
+    return (
+        f"(CASE WHEN len({shingles_sql}) > 0 THEN CAST({terms} AS BIGINT) "
+        f"ELSE NULL END)"
+    )
 
 
 def stopword_count(toks: Column) -> Column:

@@ -9,15 +9,22 @@ Integer *n*, produce a random string of *n* chars drawn uniformly from
 
 Spark-first translation (SURVEY §2 ops #3/#4): Kafka Streams catches *any*
 exception record-at-a-time; Spark expressions fail the whole task, so the
-known failure mode is enumerated as a predicate and the per-record try/catch
-becomes one CASE WHEN producing a wrapper *struct column*.  The whole thing
-is expression-only → whole-stage codegen, no Python in the hot path.
+known failure modes are enumerated as predicates and the per-record
+try/catch becomes CASE WHEN expressions.  The wrapper is kept as FLAT
+columns (``error_class`` / ``error_message`` / ``mapped_len``) rather than
+one struct so Catalyst column pruning works: a routing-count query must
+never pay for string generation (struct-field pruning does not reach
+through CASE-WHEN-of-structs — measured 54 s → sub-second at sf0.1).
 
 Determinism: the reference uses an unseeded ``java.util.Random``; its own
 tests therefore assert only length and charset (``ErrorHandlingTopologyTest
-.java:42-48``).  Our generator is *seeded* and hash-based (xxhash64 of
-(seed, partition-key, position)), which keeps the uniform a-z contract while
-making golden tests and oracle runs reproducible.
+.java:42-48``).  Our generator is *seeded* and hash-based, which keeps the
+uniform a-z contract while making golden tests and oracle runs reproducible.
+
+Scale note on generation cost: one xxhash64 yields 63 random bits; we
+extract CHARS_PER_HASH = 12 base-26 digits per hash (26^12 < 2^63) via
+``conv(…, 10, 26)`` + ``translate`` — O(n/12) hash calls instead of O(n),
+all JVM-side whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -26,76 +33,75 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 NEGATIVE_LENGTH_ERROR_CLASS = "NegativeLengthError"
+NULL_VALUE_ERROR_CLASS = "NullValueError"
 
-# Strings longer than the producer limit can never be emitted (the pre-flight
-# production guard truncates them to empty, reference
-# ``DeadLetterProductionExceptionHandler.java:59-67``), so we never *generate*
-# more than this many chars — carries the length instead.  Keeps a
-# ("key", 2_000_000) record from materializing a 2 MB string per row.
-GENERATION_CAP_DEFAULT = 2**21
+#: chars extracted per 63-bit hash: 26**12 = 9.54e16 < 2**63
+CHARS_PER_HASH = 12
+_BASE26_MAX = 26**CHARS_PER_HASH
+#: Spark's conv(x, 10, 26) digit alphabet for base 26 …
+_CONV_DIGITS = "0123456789ABCDEFGHIJKLMNOP"
+#: … mapped onto the reference's a-z charset (ErrorHandlingMapper.java:14-18)
+_AZ = "abcdefghijklmnopqrstuvwxyz"
 
 
 def random_lowercase_string(n: Column, uniq: Column, seed: int) -> Column:
     """Deterministic random string of ``n`` chars in ``[a-z]``.
 
-    ``uniq`` is any per-record expression (e.g. key/offset) that decorrelates
-    records.  Pure SQL: sequence → transform(xxhash64 % 26) → char → join.
-    Mirrors ``ErrorHandlingMapper.java:14-18`` (``random.ints(97, 123)``).
+    ``uniq`` is any per-record expression (e.g. key/offset hash) that
+    decorrelates records.  Pure SQL, chunked: one xxhash64 per 12 output
+    chars; each hash becomes 12 base-26 digits (``conv`` renders them as
+    ``0-9A-P``) translated to ``a-z``.  Mirrors
+    ``ErrorHandlingMapper.java:14-18`` (``random.ints(97, 123)``).
 
     Note: guarded for n <= 0 because Spark's ``sequence(1, 0)`` yields a
     *descending* [1, 0], not an empty array.
     """
-    gen = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.char(F.lit(97) + F.pmod(F.xxhash64(F.lit(seed), uniq, i), F.lit(26))),
+    n_blocks = F.floor((n.cast("long") + F.lit(CHARS_PER_HASH - 1)) / F.lit(CHARS_PER_HASH))
+    block = lambda b: F.translate(  # noqa: E731
+        F.lpad(
+            F.conv(
+                F.pmod(F.xxhash64(F.lit(seed), uniq, b), F.lit(_BASE26_MAX)).cast("string"),
+                10,
+                26,
+            ),
+            CHARS_PER_HASH,
+            "0",
         ),
-        "",
+        _CONV_DIGITS,
+        _AZ,
     )
-    return F.when(n >= 1, gen).otherwise(F.lit(""))
+    gen = F.array_join(F.transform(F.sequence(F.lit(1), n_blocks.cast("int")), block), "")
+    return F.when(n >= 1, gen.substr(F.lit(1), n.cast("int"))).otherwise(F.lit(""))
 
 
-def wrap_map(n: Column, uniq: Column, seed: int, generation_cap: int = GENERATION_CAP_DEFAULT) -> Column:
-    """Error-capturing map: int column → MessageWrapper struct column.
+def map_error_class(n: Column, value: Column) -> Column:
+    """Enumerated failure modes of the reference mapper, as a flat column.
 
-    Struct fields (SURVEY §1.2 ``MessageWrapper`` mapping):
-      original_value int      — always the pre-map value
-      mapped_value  string    — NULL on failure; NULL (length carried in
-                                mapped_len) when n exceeds generation_cap
-      mapped_len    long      — serialized length of the mapped value, valid
-                                even when the string itself was not
-                                materialized; NULL on failure
-      error_class   string    — NULL on success
-      error_message string    — NULL on success
+    NULL value passes Kafka's Integer deserializer (null→null) but the
+    reference mapper would NPE ⇒ ``NullValueError``; negative *n* raises
+    ``IllegalArgumentException`` in ``IntStream.limit`` ⇒
+    ``NegativeLengthError`` (``ErrorHandlingMapper.java:22-25``).
+    NULL ⇒ success.
     """
-    failure = F.struct(
-        n.alias("original_value"),
-        F.lit(None).cast("string").alias("mapped_value"),
-        F.lit(None).cast("long").alias("mapped_len"),
-        F.lit(NEGATIVE_LENGTH_ERROR_CLASS).alias("error_class"),
-        # The reference's exception message is just the offending value
-        # (``IllegalArgumentException: -1`` — SURVEY §2.3).
-        n.cast("string").alias("error_message"),
+    return (
+        F.when(value.isNull(), F.lit(NULL_VALUE_ERROR_CLASS))
+        .when(n < 0, F.lit(NEGATIVE_LENGTH_ERROR_CLASS))
+        .otherwise(F.lit(None).cast("string"))
     )
-    success = F.struct(
-        n.alias("original_value"),
-        F.when(n <= F.lit(generation_cap), random_lowercase_string(n, uniq, seed)).alias(
-            "mapped_value"
-        ),
-        n.cast("long").alias("mapped_len"),
-        F.lit(None).cast("string").alias("error_class"),
-        F.lit(None).cast("string").alias("error_message"),
+
+
+def map_error_message(n: Column, value: Column) -> Column:
+    """The reference's exception message is just the offending value
+    (``IllegalArgumentException: -1`` — SURVEY §2.3); ``"null"`` for the
+    NPE-analogue case."""
+    return (
+        F.when(value.isNull(), F.lit("null"))
+        .when(n < 0, n.cast("string"))
+        .otherwise(F.lit(None).cast("string"))
     )
-    return F.when(n < 0, failure).otherwise(success)
 
 
-def wrapper_has_error(wrapper: Column) -> Column:
-    """The reference's branch predicate ``MessageWrapper.hasError()`` ==
-    ``exception != null`` (``errorhandling/MessageWrapper.java:5-7``)."""
-    return wrapper["error_class"].isNotNull()
-
-
-def wrapper_error_message(wrapper: Column) -> Column:
+def error_header_text(error_class: Column, error_message: Column) -> Column:
     """Flatten to ``"<class>: <message>"`` exactly as the reference does
     (``ErrorMessageMapper.java:27-30``)."""
-    return F.concat_ws(": ", wrapper["error_class"], wrapper["error_message"])
+    return F.concat_ws(": ", error_class, error_message)

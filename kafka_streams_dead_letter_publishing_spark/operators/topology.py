@@ -32,9 +32,13 @@ handler paths).
 Scale posture: every channel is selects/filters off one shared scan — no
 shuffle, no UDF, full whole-stage codegen; per-partition order is preserved
 because nothing repartitions between decode and sink (SURVEY §3.4).  The
-multi-way split is two complementary filters per predicate, which Catalyst
-prunes and pushes down; in streaming the caller persists the micro-batch so
-the source is read once (see ``streaming.runner``).
+routing predicates are FLAT columns (decoded int, error class, value
+length), so Catalyst prunes the expensive generated string out of every
+channel that doesn't emit it — only the output sink pays for generation,
+and only for records that will actually be produced (too-large records are
+size-checked on the *declared* length and never materialized).  In
+streaming the caller persists the micro-batch so the source is read once
+(see ``streaming.runner``).
 """
 
 from __future__ import annotations
@@ -50,9 +54,10 @@ from kafka_streams_dead_letter_publishing_spark.operators.headers import (
     empty_headers,
 )
 from kafka_streams_dead_letter_publishing_spark.operators.mapper import (
-    wrap_map,
-    wrapper_error_message,
-    wrapper_has_error,
+    error_header_text,
+    map_error_class,
+    map_error_message,
+    random_lowercase_string,
 )
 from kafka_streams_dead_letter_publishing_spark.serde import (
     int32_deser_error_message,
@@ -61,10 +66,10 @@ from kafka_streams_dead_letter_publishing_spark.serde import (
     utf8_encode,
 )
 
-#: engine-native error class for a NULL input value (Kafka's Integer
-#: deserializer passes null through; the reference mapper would then NPE and
-#: the record lands on the process DLT — we enumerate that failure mode).
-NULL_VALUE_ERROR_CLASS = "NullValueError"
+# re-exported for compatibility (historical home of the constant)
+from kafka_streams_dead_letter_publishing_spark.operators.mapper import (  # noqa: F401
+    NULL_VALUE_ERROR_CLASS,
+)
 
 
 class Routed(NamedTuple):
@@ -131,9 +136,9 @@ def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
     key, value, headers = F.col("key"), F.col("value"), F.col("headers")
 
     # ── op #2: typed decode; failure ⇒ NULL ⇒ deser channel (op #9) ──────
-    n = int32be_decode(value)
-    decoded = df.withColumn("__n", n)
-    is_deser_failure = F.col("__n").isNull() & value.isNotNull()
+    n = F.col("__n")
+    decoded = df.withColumn("__n", int32be_decode(value))
+    is_deser_failure = n.isNull() & value.isNotNull()
 
     deser_dlt = _sink_shape(
         decoded.filter(is_deser_failure),
@@ -143,45 +148,37 @@ def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
         cfg.deser_dlt,
     )
 
-    # ── op #3/#4: error-capturing map into the wrapper struct ────────────
-    # NULL value passes Kafka's Integer deserializer but would NPE in the
-    # reference mapper ⇒ enumerate it as a process-error predicate.
-    null_wrapper = F.struct(
-        F.lit(None).cast("int").alias("original_value"),
-        F.lit(None).cast("string").alias("mapped_value"),
-        F.lit(None).cast("long").alias("mapped_len"),
-        F.lit(NULL_VALUE_ERROR_CLASS).alias("error_class"),
-        F.lit("null").alias("error_message"),
-    )
+    # ── op #3: error-capturing map — failure modes as FLAT columns so
+    #    routing-only consumers never pay for string generation ────────────
     wrapped = (
         decoded.filter(~is_deser_failure)
-        .withColumn(
-            "__w",
-            F.when(value.isNull(), null_wrapper).otherwise(
-                wrap_map(F.col("__n"), uniq, cfg.seed, generation_cap=cfg.max_request_size)
-            ),
-        )
+        .withColumn("__error_class", map_error_class(n, value))
+        .withColumn("__error_message", map_error_message(n, value))
     )
-    w = F.col("__w")
+    has_error = F.col("__error_class").isNotNull()
 
     # ── op #5/#6: split on hasError; error branch restores the ORIGINAL
     #    value and appends "<class>: <message>" (ErrorMessageMapper) ───────
     process_dlt = _sink_shape(
-        wrapped.filter(wrapper_has_error(w)),
+        wrapped.filter(has_error),
         key,
-        int32be_encode(w["original_value"]),  # original, pre-map value
-        append_error_header(headers, wrapper_error_message(w)),
+        int32be_encode(n),  # original, pre-map value
+        append_error_header(
+            headers, error_header_text(F.col("__error_class"), F.col("__error_message"))
+        ),
         cfg.process_dlt,
     )
 
-    # ── op #7: unwrap the success branch ─────────────────────────────────
-    ok = wrapped.filter(~wrapper_has_error(w))
-    out_size = serialized_record_size(w["mapped_len"], key)
+    # ── op #7: success branch; mapped length == n by construction, so the
+    #    size check needs no materialized string ──────────────────────────
+    ok = wrapped.filter(~has_error)
+    out_size = serialized_record_size(n.cast("long"), key)
     is_too_large = out_size > F.lit(cfg.max_request_size)
 
     # ── op #10: pre-flight production guard — Spark's Kafka sink has no
     #    post-hoc producer hook, so the size check runs before the write;
-    #    too-large values are truncated to EMPTY (not null) bytes
+    #    too-large values are truncated to EMPTY (not null) bytes and the
+    #    oversized string is NEVER generated
     #    (DeadLetterProductionExceptionHandler.java:59-67) ─────────────────
     prod_dlt = _sink_shape(
         ok.filter(is_too_large),
@@ -191,11 +188,11 @@ def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
         cfg.prod_dlt,
     )
 
-    # ── op #8: typed serialize to the output sink ────────────────────────
+    # ── op #4/#8: generate + typed serialize, output sink only ───────────
     output = _sink_shape(
         ok.filter(~is_too_large),
         key,
-        utf8_encode(w["mapped_value"]),
+        utf8_encode(random_lowercase_string(n, uniq, cfg.seed)),
         headers,
         cfg.output_topic,
     )

@@ -6,6 +6,7 @@ from kafka_streams_dead_letter_publishing_spark.plans.registry import QUERIES, Q
 # importing the family modules populates the registry
 from kafka_streams_dead_letter_publishing_spark.plans import (  # noqa: E402,F401
     dead_letter,
+    multimodal,
     relational,
     similarity,
     text,

@@ -11,11 +11,17 @@ accounting, or value preservation shows up as a hash mismatch.
 Derivation spec (must stay identical in Spark code and oracle SQL):
 
     key_str  = user_id || '-' || event_id          (record key, UTF-8)
-    deser?   = event_type = 'error'                → value bytes = UTF-8(props)
+    deser?   = event_type = 'error' AND props IS NOT NULL
+               AND length(props) <> 4              → value bytes = UTF-8(props)
+               (the guard keeps the derivation aligned with the engine's
+               byte-length routing: a NULL or exactly-4-byte props would
+               otherwise route differently in engine vs oracle)
     n        = CASE WHEN user_id % 7  = 0 THEN -(floor(value)::int) - 1
                     WHEN user_id % 11 = 0 THEN 1100000 + (event_id % 500000)::int
-                    ELSE (floor(value * 10)::int) % 4096 END
-               (non-deser value bytes = int32-big-endian(n))
+                    ELSE pmod(floor(value * 10)::int, 4096) END
+               (non-deser value bytes = int32-big-endian(n); pmod — always
+               non-negative — is emulated in the oracle since DuckDB's %
+               follows the dividend's sign)
 
 Expected channels (the reference contract, SURVEY §2.3):
     deser    → raw bytes + "Size of data received by int32 deserializer is
@@ -28,7 +34,7 @@ Expected channels (the reference contract, SURVEY §2.3):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.config import (
@@ -49,11 +55,12 @@ OVH = RECORD_OVERHEAD
 # ── shared derivation, Spark side ────────────────────────────────────────
 
 
-def derived_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → Kafka-source-shaped records per the derivation spec."""
-    ev = load_table(spark, sf_dir, "events")
-    key_str = F.concat_ws("-", F.col("user_id"), F.col("event_id"))
-    n = (
+def _derived_key() -> Column:
+    return F.concat_ws("-", F.col("user_id"), F.col("event_id"))
+
+
+def _derived_n() -> Column:
+    return (
         F.when(F.col("user_id") % 7 == 0, (-F.floor(F.col("value")).cast("int")) - F.lit(1))
         .when(
             F.col("user_id") % 11 == 0,
@@ -61,7 +68,27 @@ def derived_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.pmod(F.floor(F.col("value") * 10).cast("int"), F.lit(4096)))
     )
-    is_deser = F.col("event_type") == "error"
+
+
+def _is_deser() -> Column:
+    # Guarded so the oracle's event_type-based routing provably agrees with
+    # the engine's byte-length-based routing (ADVICE r1): NULL props would
+    # produce a NULL value (→ process channel in the engine), 4-byte props
+    # would decode as an int — both excluded from the deser arm on BOTH
+    # sides of the comparison.
+    return (
+        (F.col("event_type") == "error")
+        & F.col("props").isNotNull()
+        & (F.length("props") != 4)
+    )
+
+
+def derived_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Kafka-source-shaped records per the derivation spec."""
+    ev = load_table(spark, sf_dir, "events")
+    key_str = _derived_key()
+    n = _derived_n()
+    is_deser = _is_deser()
     return ev.select(
         F.encode(key_str, "UTF-8").alias("key"),
         F.when(is_deser, F.encode(F.col("props"), "UTF-8"))
@@ -79,11 +106,11 @@ _ORACLE_BASE = f"""
 WITH derived AS (
     SELECT
         CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR) AS key_str,
-        (event_type = 'error') AS is_deser,
+        (event_type = 'error' AND props IS NOT NULL AND LENGTH(props) <> 4) AS is_deser,
         props,
         CASE WHEN user_id % 7 = 0 THEN -CAST(FLOOR("value") AS INTEGER) - 1
              WHEN user_id % 11 = 0 THEN CAST(1100000 + (event_id % 500000) AS INTEGER)
-             ELSE CAST(FLOOR("value" * 10) AS INTEGER) % 4096
+             ELSE ((CAST(FLOOR("value" * 10) AS INTEGER) % 4096) + 4096) % 4096
         END AS n
     FROM events
 ),
@@ -103,7 +130,10 @@ def _routed(spark: SparkSession, sf_dir: str):
     return route(derived_records(spark, sf_dir), EngineConfig())
 
 
-_ERR = get_header(F.col("headers"), ERROR_HEADER)
+def _err() -> Column:
+    """Lazy: Column construction needs an active SparkContext, and the
+    registry must be importable before any session exists (ADVICE r1)."""
+    return get_header(F.col("headers"), ERROR_HEADER)
 
 
 # ── queries ──────────────────────────────────────────────────────────────
@@ -158,7 +188,7 @@ def dlt_process_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.process_dlt.select(
         F.col("key").cast("string").alias("key_str"),
         int32be_decode(F.col("value")).alias("original_value"),
-        _ERR.alias("err"),
+        _err().alias("err"),
     )
 
 
@@ -181,7 +211,7 @@ def dlt_deser_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.deser_dlt.select(
         F.col("key").cast("string").alias("key_str"),
         F.col("value").cast("string").alias("raw_value"),
-        _ERR.alias("err"),
+        _err().alias("err"),
     )
 
 
@@ -205,7 +235,7 @@ def dlt_prod_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.prod_dlt.select(
         F.col("key").cast("string").alias("key_str"),
         F.length("value").cast("bigint").alias("value_len"),
-        _ERR.alias("err"),
+        _err().alias("err"),
     )
 
 
@@ -219,17 +249,9 @@ def dlt_prod_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def serde_roundtrip_int32(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    key_str = F.concat_ws("-", F.col("user_id"), F.col("event_id"))
-    n = (
-        F.when(F.col("user_id") % 7 == 0, (-F.floor(F.col("value")).cast("int")) - F.lit(1))
-        .when(
-            F.col("user_id") % 11 == 0,
-            (F.lit(1_100_000) + (F.col("event_id") % 500_000)).cast("int"),
-        )
-        .otherwise(F.pmod(F.floor(F.col("value") * 10).cast("int"), F.lit(4096)))
-    )
+    n = _derived_n()
     return ev.select(
-        key_str.alias("key_str"),
+        _derived_key().alias("key_str"),
         n.alias("n_in"),
         int32be_decode(int32be_encode(n)).alias("n_back"),
     )

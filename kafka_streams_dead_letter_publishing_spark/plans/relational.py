@@ -33,7 +33,12 @@ ONE_PLUS_TAX = f"CAST(1 + {TAX} AS DECIMAL(11,4))"
 DISC_PRICE = f"CAST({PRICE} * {ONE_MINUS_DISC} AS DECIMAL(24,6))"
 CHARGE = f"({DISC_PRICE} * {ONE_PLUS_TAX})"
 TOTALPRICE = "CAST(o_totalprice AS DECIMAL(18,2))"
-EVENT_VALUE = 'CAST("value" AS DECIMAL(18,2))'
+# `value` is a reserved-ish column name: DuckDB needs double quotes (an
+# identifier) while Spark SQL would read '"value"' as a STRING LITERAL and
+# fail the cast — so this one fragment exists in two dialect spellings
+# (r1 verdict bug: CAST_INVALID_INPUT at materialization time).
+EVENT_VALUE_SQL = 'CAST("value" AS DECIMAL(18,2))'
+EVENT_VALUE_SPARK = "CAST(`value` AS DECIMAL(18,2))"
 
 _DBL = "double"
 
@@ -45,13 +50,13 @@ _DBL = "double"
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sq AS DOUBLE) AS sum_qty,
-           CAST(sbp AS DOUBLE) AS sum_base_price,
-           CAST(sdp AS DOUBLE) AS sum_disc_price,
-           CAST(sc AS DOUBLE) AS sum_charge,
-           CAST(sq AS DOUBLE) / cnt AS avg_qty,
-           CAST(sbp AS DOUBLE) / cnt AS avg_price,
-           CAST(sd AS DOUBLE) / cnt AS avg_disc,
+           CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sbp AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sdp AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sc AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sq AS VARCHAR) AS DOUBLE) / cnt AS avg_qty,
+           CAST(CAST(sbp AS VARCHAR) AS DOUBLE) / cnt AS avg_price,
+           CAST(CAST(sd AS VARCHAR) AS DOUBLE) / cnt AS avg_disc,
            cnt AS count_order
     FROM (
         SELECT l_returnflag, l_linestatus,
@@ -95,7 +100,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     f"""
     SELECT o_orderkey, o_orderdate, o_orderpriority,
-           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+           CAST(CAST(SUM({DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -116,8 +121,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderdate < DATE '1998-03-15'")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.expr("l_shipdate > DATE '1998-03-15'"))
+    # broadcast only the true dimension (customer); orders is fact-sized at
+    # scale, so its join with lineitem is left to AQE (100 TB posture —
+    # force-broadcasting it would OOM executors beyond toy SFs)
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -137,7 +145,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_region_revenue",
     f"""
-    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(CAST(SUM({DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM region
     JOIN nation ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -148,8 +156,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5-shaped star join: five joins with every dimension "
-    "broadcast; only the lineitem fact shuffles for the final aggregation.",
+    doc="TPC-H Q5-shaped star join: five joins with the true dimensions "
+    "broadcast and the lineitem-orders fact join left to AQE.",
     tags=("relational", "join", "bench"),
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,12 +170,15 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
 
+    # broadcast only the true dimensions (region/nation/customer/supplier);
+    # orders is fact-sized at scale — its join with lineitem shuffles on the
+    # order key and AQE picks the physical strategy (100 TB posture)
     dims = (
         customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     joined = (
-        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
@@ -186,7 +197,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({TOTALPRICE}) AS DOUBLE) AS total_spent,
+           CAST(CAST(SUM({TOTALPRICE}) AS VARCHAR) AS DOUBLE) AS total_spent,
            COUNT(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
@@ -257,7 +268,7 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM({TOTALPRICE}) OVER w AS DOUBLE) AS running_spent,
+           CAST(CAST(SUM({TOTALPRICE}) OVER w AS VARCHAR) AS DOUBLE) AS running_spent,
            COUNT(*) OVER w AS running_orders
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -290,7 +301,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM({TOTALPRICE}) AS DOUBLE) AS total
+           CAST(CAST(SUM({TOTALPRICE}) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -341,7 +352,7 @@ def setop_finished_partial_not_open(spark: SparkSession, sf_dir: str) -> DataFra
     f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS cnt,
-           CAST(SUM({EVENT_VALUE}) AS DOUBLE) AS total_value
+           CAST(CAST(SUM({EVENT_VALUE_SQL}) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -353,7 +364,7 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.expr(EVENT_VALUE)).alias("tv"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.expr(EVENT_VALUE_SPARK)).alias("tv"))
         .select(
             F.col("w.start").alias("hour"),
             "event_type",
@@ -401,7 +412,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -423,7 +434,7 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_customers_per_nation",
     """
     SELECT n_name, r_name, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey

@@ -1,0 +1,137 @@
+"""Vector-similarity query family ([EXT], SURVEY §7 M5): approximate-
+nearest-neighbor search over ``embeddings.embedding`` (array<float>, d=64).
+
+Two tiers, per the driver's north star:
+
+* **brute-force cosine top-k** against a broadcast literal query vector —
+  the exact baseline; O(N·d) with no shuffle (embarrassingly parallel scan
+  + a single top-k reduce), fine at any corpus size for a small query set;
+* **random-hyperplane LSH** — bucket the corpus once (narrow, O(N·d·p)),
+  then candidate-join WITHIN buckets only; the standard scale path above
+  ~10⁶ vectors where any all-pairs product is impossible.
+
+Determinism: both engines fold the dot product strictly left-to-right over
+per-element double casts (see functions/similarity.py), so cosine scores
+are bit-identical IEEE doubles and value-hash comparison is exact.  The
+query vector and hyperplanes are seeded module-level literals embedded
+verbatim into both engines' plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+    EMBEDDING_DIM,
+    cosine,
+    cosine_sql,
+    lsh_bucket,
+    lsh_bucket_sql,
+)
+from kafka_streams_dead_letter_publishing_spark.plans.registry import query
+from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+# Deterministic literal query vector (seed ≠ the hyperplane seed).
+QUERY_VECTOR: list[float] = [
+    float(x) for x in np.random.default_rng(11).standard_normal(EMBEDDING_DIM)
+]
+
+def _qv() -> F.Column:
+    # lazy — Column construction needs an active SparkContext
+    return F.array(*[F.lit(x) for x in QUERY_VECTOR])
+
+
+def _qv_sql() -> str:
+    """DuckDB literal list, same repr→double parse as Spark's F.lit."""
+    elems = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in QUERY_VECTOR)
+    return f"[{elems}]"
+
+
+@query(
+    "emb_cosine_topk",
+    f"""
+    WITH qv AS (SELECT {_qv_sql()} AS v)
+    SELECT vec_id, label, cos
+    FROM (
+        SELECT vec_id, label, {cosine_sql("embedding", "v")} AS cos
+        FROM embeddings, qv
+    )
+    ORDER BY cos DESC, vec_id
+    LIMIT 20
+    """,
+    doc="[EXT] Brute-force cosine top-k: exact ANN baseline — one scan, "
+    "per-row fold dot product (zip_with/aggregate, no UDF), single top-k "
+    "reduce; the query vector is a broadcast literal.",
+    tags=("similarity", "topk", "bench"),
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", cosine(F.col("embedding"), _qv()).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "emb_lsh_bucket_histogram",
+    f"""
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM (SELECT {lsh_bucket_sql("embedding")} AS bucket, vec_id FROM embeddings)
+    GROUP BY bucket
+    """,
+    doc="[EXT] Random-hyperplane LSH bucketing (6 planes → 64 buckets): the "
+    "corpus-side index build of the ANN scale path — one narrow pass, one "
+    "shuffle on the bucket key.",
+    tags=("similarity", "lsh"),
+)
+def emb_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@query(
+    "emb_ann_bucket_pairs",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket
+        FROM embeddings
+    )
+    SELECT vec_a, vec_b, cos
+    FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cosine_sql("a.embedding", "b.embedding")} AS cos
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    ORDER BY cos DESC, vec_a, vec_b
+    LIMIT 50
+    """,
+    doc="[EXT] LSH-gated ANN candidate pairs: exact cosine computed ONLY "
+    "within shared buckets (equi-join on bucket key — no all-pairs product), "
+    "then global top-50; the full approximate-similarity-search pipeline.",
+    tags=("similarity", "lsh", "join", "bench"),
+)
+def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+    )

@@ -1,0 +1,338 @@
+"""Text-analysis / dedup query family ([EXT], SURVEY §2.2, §7 M5) — the
+LLM-data-pipeline surface over the ``documents`` table.
+
+The raw corpus has no exact duplicates, so the dedup queries run over a
+*derived* corpus that plants deterministic duplicates (same derivation spec
+on both engines):
+
+    corpus      = documents
+                ∪ {doc_id + 100000: upper(text) with doubled spaces,
+                   for doc_id % 3 = 0}          (formatting-noise exact dups)
+    nd_corpus   = documents
+                ∪ {doc_id + 100000: text minus its first token,
+                   for doc_id % 4 = 1}          (planted NEAR dups)
+
+All hot-path logic is Column expressions; md5 is the hash everywhere because
+DuckDB computes byte-identical values (portability — see functions/text.py).
+
+Scale posture (100 TB): fingerprint/dedup is one narrow hash + one shuffle
+on the hash key; near-dup candidates come from an equi-join on LSH band
+keys (never an all-pairs product); language ID / quality stats are per-row
+narrow expressions.  The planted-dup UNION is test scaffolding only — the
+operators themselves take any DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    band_keys_from_minhash,
+    fingerprint,
+    lang_guess,
+    minhash_array,
+    shingles,
+    simhash32,
+    simhash32_sql,
+    stopword_count,
+    tokens,
+)
+from kafka_streams_dead_letter_publishing_spark.plans.registry import query
+from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+# ── derivation: planted-duplicate corpora (identical on both sides) ──────
+
+PLANT_OFFSET = 100_000
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ formatting-noise copies of every 3rd doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.replace(F.upper("text"), F.lit(" "), F.lit("  ")).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_CORPUS_EXACT_SQL = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+           replace(upper(text), ' ', '  ') AS text
+    FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+
+def _corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ first-token-dropped copies of every 4th doc (near dups)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_CORPUS_NEARDUP_SQL = f"""
+nd_corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+           substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id % 4 = 1
+)
+"""
+
+# Normalization shared by fingerprint/shingling: lowercase + collapse
+# whitespace (matches functions.text.fingerprint's normalization).
+_NORM_SQL = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_FP_SQL = f"md5({_NORM_SQL})"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _norm(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+# DuckDB shingle list for k=3 over a token-list SQL fragment; [] below k.
+def _shingles_sql(toks_sql: str, k: int = 3) -> str:
+    return (
+        f"(CASE WHEN len({toks_sql}) >= {k} THEN list_distinct("
+        f"[array_to_string(({toks_sql})[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({toks_sql}) - {k - 1})]) "
+        f"ELSE [] END)"
+    )
+
+
+# ── exact dedup ──────────────────────────────────────────────────────────
+
+
+@query(
+    "docs_exact_dup_groups",
+    "WITH " + _CORPUS_EXACT_SQL
+    + f"""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM (SELECT {_FP_SQL} AS fp, doc_id FROM corpus)
+    GROUP BY fp
+    HAVING COUNT(*) >= 2
+    """,
+    doc="[EXT] Exact dedup grouping: md5 fingerprint of normalized text "
+    "(lowercase, collapsed whitespace) groups formatting-noise duplicates; "
+    "one hash + one shuffle on the fingerprint key — the 100 TB-safe exact "
+    "dedup shape.",
+    tags=("text", "dedup", "bench"),
+)
+def docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_exact(spark, sf_dir)
+    return (
+        corpus.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "docs_dedup_pick_first",
+    "WITH " + _CORPUS_EXACT_SQL
+    + f"""
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id, {_FP_SQL} AS fp FROM corpus)
+    ) WHERE rn = 1
+    """,
+    doc="[EXT] The dedup OPERATOR: keep the lowest doc_id per fingerprint "
+    "(deterministic pick-first via row_number — the distributed analogue of "
+    "dropDuplicates with a defined winner). Survivors = the original corpus.",
+    tags=("text", "dedup"),
+)
+def docs_dedup_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_exact(spark, sf_dir)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        corpus.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "docs_distinct_lang_source",
+    "SELECT DISTINCT lang, source FROM documents",
+    doc="[EXT] dropDuplicates over full rows (= DISTINCT, deterministic): "
+    "the Spark-native exact-dedup primitive on the (lang, source) domain.",
+    tags=("text", "dedup"),
+)
+def docs_distinct_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("lang", "source").dropDuplicates()
+
+
+# ── near-dup (minhash + LSH banding) ─────────────────────────────────────
+
+
+@query(
+    "docs_neardup_candidates",
+    "WITH " + _CORPUS_NEARDUP_SQL
+    + f""",
+    banded AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(sh) > 0 THEN [
+                CAST(b AS VARCHAR) || ':' ||
+                list_aggregate([md5(CAST(2 * b AS VARCHAR) || ':' || s) for s in sh], 'min')
+                || '|' ||
+                list_aggregate([md5(CAST(2 * b + 1 AS VARCHAR) || ':' || s) for s in sh], 'min')
+                for b in generate_series(0, 7)
+            ] ELSE [] END
+        ) AS bk
+        FROM (SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+    doc="[EXT] Near-dup candidate pairs via MinHash + LSH banding (8 bands "
+    "× 2 rows): docs sharing ≥1 band key. The join is an EQUI-join on band "
+    "key — candidates only, never an all-pairs product (the 100 TB shape); "
+    "planted near dups (first token dropped) must surface as candidates.",
+    tags=("text", "dedup", "lsh", "bench"),
+)
+def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_neardup(spark, sf_dir)
+    # staged selects: shingles → minhash fold → band keys, each materialized
+    # once per row (CollapseProject won't inline non-cheap multi-referenced
+    # expressions — see functions.text.band_keys_from_minhash)
+    banded = (
+        corpus.select("doc_id", shingles(tokens(_norm(F.col("text")))).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh"))
+        .select(
+            "doc_id",
+            F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "docs_simhash",
+    f"""
+    SELECT doc_id, {simhash32_sql("sh")} AS simhash
+    FROM (SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM documents)
+    """,
+    doc="[EXT] 32-bit SimHash document signature over 3-token shingles "
+    "(per-bit majority vote); near-dup docs differ in few bits — the "
+    "constant-size fingerprint for Hamming-distance dedup at scale.",
+    tags=("text", "dedup"),
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shingles(tokens(_norm(F.col("text")))).alias("sh")
+    ).select("doc_id", simhash32(F.col("sh")).alias("simhash"))
+
+
+# ── language ID / quality / token counting ───────────────────────────────
+
+
+def _marker_count_sql(toks_sql: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({toks_sql}, t -> t IN ({lst})))"
+
+
+@query(
+    "docs_lang_distribution",
+    f"""
+    SELECT lang, lang_guessed, COUNT(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE WHEN en > es AND en > de THEN 'en'
+                    WHEN es > en AND es > de THEN 'es'
+                    WHEN de > en AND de > es THEN 'de'
+                    ELSE 'und' END AS lang_guessed
+        FROM (
+            SELECT lang,
+                   {_marker_count_sql("toks", LANG_MARKERS["en"])} AS en,
+                   {_marker_count_sql("toks", LANG_MARKERS["es"])} AS es,
+                   {_marker_count_sql("toks", LANG_MARKERS["de"])} AS de
+            FROM (SELECT lang, {_TOKS_SQL} AS toks FROM documents)
+        )
+    )
+    GROUP BY lang, lang_guessed
+    """,
+    doc="[EXT] Language ID (marker-vocabulary n-gram heuristic, strict "
+    "majority) cross-tabulated against the labeled lang column.",
+    tags=("text", "langid"),
+)
+def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_guess(tokens(_norm(F.col("text")))).alias("lang_guessed"))
+        .groupBy("lang", "lang_guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "docs_quality_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           {_marker_count_sql("toks", STOPWORDS)} AS n_stopwords,
+           CAST({_marker_count_sql("toks", STOPWORDS)} AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           length(text) AS n_chars_actual
+    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    """,
+    doc="[EXT] Per-document quality scoring: token count, stopword count / "
+    "ratio, character length — the standard LLM-corpus quality filters as "
+    "narrow per-row expressions.",
+    tags=("text", "quality", "bench"),
+)
+def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(_norm(F.col("text")))
+    n_stop = stopword_count(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "docs_token_counts",
+    f"""
+    SELECT source,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS re_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    doc="[EXT] Token counting per source: whitespace tokenization vs a "
+    "BPE-ish regex lexer ([a-z]+ | digit runs | single symbols) — corpus "
+    "size accounting in both conventions.",
+    tags=("text", "tokens"),
+)
+def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(tokens(_norm(F.col("text"))))).alias("ws_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        ).alias("re_tokens"),
+    )
