@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Everything is backed by the declared-query registry
+(``kafka_streams_dead_letter_publishing_spark.plans.QUERIES``): one entry per implemented
+operator from SURVEY.md §2 plus the [EXT] LLM-pipeline families, each
+pairing a Spark DataFrame implementation with an equivalent DuckDB oracle
+(column names aligned on both sides — the comparator sorts columns by name
+before hashing values).
 """
 
 from __future__ import annotations
@@ -13,26 +19,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+FLAGSHIP = "dlt_route_counts"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the reference-parity core: the four-way dead-letter
+    split over a derived Kafka-shaped record stream (SURVEY §2 ops
+    #1,#2,#5,#9,#10).
+    """
+    return QUERIES[FLAGSHIP].spark(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ [EXT])."""
+    return {name: q.spark for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every query that is SQL-expressible
+    (currently all of them — even the mapInPandas multimodal family has a
+    byte-level SQL oracle)."""
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

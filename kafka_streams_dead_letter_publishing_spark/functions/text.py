@@ -36,7 +36,13 @@ def tokens(text: Column) -> Column:
 def shingles(toks: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (k-grams) as an array<string>; empty when
     the doc has fewer than k tokens.  1-based element_at keeps the index
-    convention identical to the oracle's DuckDB list indexing."""
+    convention identical to the oracle's DuckDB list indexing.
+
+    PERF: pass ``toks`` as a *materialized column from a previous select*,
+    never an inline expression — the lambda references it 3 times per
+    shingle position, and an inlined split/regexp chain gets re-evaluated
+    on every reference (no codegen subexpression elimination inside
+    higher-order functions; measured ~10× on the near-dup pipeline)."""
     gram = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),

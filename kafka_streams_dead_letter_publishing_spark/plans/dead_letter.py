@@ -144,11 +144,18 @@ def _err() -> Column:
     _ORACLE_BASE + "SELECT topic, COUNT(*) AS cnt FROM routed GROUP BY topic",
     doc="Four-way split totals: every record lands on exactly one channel "
     "(ops #1,#2,#5,#9,#10 — ErrorHandlingTopology.java:32-44).",
-    tags=("reference", "flagship"),
+    tags=("reference", "flagship", "bench"),
 )
 def dlt_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = _routed(spark, sf_dir)
-    return routed.union_all().groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
+    # project each channel to its topic BEFORE the union: Catalyst does not
+    # push the pruning projection below Union here, and a count must not pay
+    # for header/value construction (measured ~2.6× at sf0.1)
+    chans = [df.select("topic") for df in routed]
+    union = chans[0]
+    for c in chans[1:]:
+        union = union.unionByName(c)
+    return union.groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @query(
@@ -159,7 +166,7 @@ def dlt_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "record (ops #3,#4,#7,#8 — ErrorHandlingMapper.java:12-27); content is "
     "random by contract so the oracle pins lengths, as the reference's own "
     "tests do.",
-    tags=("reference",),
+    tags=("reference", "bench"),
 )
 def dlt_output_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = _routed(spark, sf_dir)

@@ -210,7 +210,8 @@ def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per row (CollapseProject won't inline non-cheap multi-referenced
     # expressions — see functions.text.band_keys_from_minhash)
     banded = (
-        corpus.select("doc_id", shingles(tokens(_norm(F.col("text")))).alias("sh"))
+        corpus.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
         .select("doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh"))
         .select(
             "doc_id",
@@ -238,9 +239,11 @@ def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", shingles(tokens(_norm(F.col("text")))).alias("sh")
-    ).select("doc_id", simhash32(F.col("sh")).alias("simhash"))
+    return (
+        docs.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+        .select("doc_id", simhash32(F.col("sh")).alias("simhash"))
+    )
 
 
 # ── language ID / quality / token counting ───────────────────────────────

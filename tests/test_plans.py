@@ -1,0 +1,55 @@
+"""Registry smoke tests — the r1 failure class (unimportable registry,
+import-time Column construction, unwired driver contract) must never ship
+silently again."""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+SMOKE_SF = "/root/testdata/sf0.001"
+
+
+def test_registry_imports_without_spark_session():
+    """The driver imports the registry BEFORE building a session: importing
+    plans must not touch the JVM (no Column construction at import time)."""
+    code = (
+        "import kafka_streams_dead_letter_publishing_spark.plans as p; "
+        "import __spark_entry__ as e; "
+        "assert len(p.QUERIES) >= 25, len(p.QUERIES); "
+        "q = e.queries(); o = e.oracle_sql(); "
+        "assert set(o) <= set(q); "
+        "assert len(q) == len(p.QUERIES)"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, check=True, capture_output=True, timeout=120
+    )
+
+
+def test_every_query_has_aligned_oracle_metadata():
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    for name, q in QUERIES.items():
+        assert q.doc, name
+        assert q.oracle is None or "SELECT" in q.oracle.upper(), name
+
+
+def test_all_queries_execute_at_smoke_sf(spark):
+    """Every registered query runs end-to-end at sf0.001 (plan validity +
+    executability; value correctness is the sf0.01 oracle gate)."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    for qname, q in QUERIES.items():
+        assert q.spark(spark, SMOKE_SF).count() >= 0, qname
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
