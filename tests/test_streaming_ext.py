@@ -1,0 +1,132 @@
+"""Streaming [EXT] operator tests: watermark-bounded dedup and event-time
+windowed aggregation over a file-based stream (no broker in this
+container; the operators are source-agnostic)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+from kafka_streams_dead_letter_publishing_spark.streaming.dedup import (
+    dedup_within_watermark,
+    windowed_type_counts,
+)
+
+SMOKE_SF = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + datetime.timedelta(minutes=5), "a-dup"),  # dup within delay → dropped
+        (2, t0 + datetime.timedelta(minutes=10), "b"),
+        (2, t0 + datetime.timedelta(minutes=11), "b-dup"),
+        (3, t0 + datetime.timedelta(hours=3), "c"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        dedup_within_watermark(stream, ["event_id"], ts_col="ts", delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.event_id, r.payload) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Windows the watermark has passed must emit exactly the batch
+    aggregation's values (append mode finalizes per watermark)."""
+    # watermarks require TIMESTAMP (tz-aware); the loader yields NTZ
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        windowed_type_counts(stream, ts_col="ts", window="1 hour", delay="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()  # second pass: watermark advances, windows emit
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(out)
+    assert emitted.count() > 0
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    joined = emitted.alias("e").join(
+        batch.alias("b"),
+        ["window_start", "event_type"],
+        "left",
+    )
+    mismatches = joined.filter(
+        F.col("b.cnt").isNull() | (F.col("e.cnt") != F.col("b.cnt"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_multimodal_map_in_pandas_features(spark):
+    """The Arrow-batched mapInPandas feature extractor matches a driver-side
+    Python recomputation byte-for-byte (plumbing check for the multimodal
+    column surface)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        CHECKSUM_MOD,
+        CHECKSUM_PREFIX,
+        FRAME_BYTES,
+        extract_features,
+        with_payload,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents").limit(20)
+    got = {r.doc_id: r for r in extract_features(with_payload(docs)).collect()}
+    plan = extract_features(with_payload(docs))._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+    for row in docs.select("doc_id", "text").collect():
+        b = row.text.encode("utf-8")
+        r = got[row.doc_id]
+        assert r.n_bytes == len(b)
+        assert r.checksum == sum(b[:CHECKSUM_PREFIX]) % CHECKSUM_MOD
+        assert r.n_frames == len(b) // FRAME_BYTES
