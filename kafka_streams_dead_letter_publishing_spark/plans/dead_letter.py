@@ -247,6 +247,43 @@ def dlt_prod_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dlt_udf_safe_map",
+    _ORACLE_BASE
+    + """
+    SELECT key_str,
+           CASE WHEN n >= 0 THEN SQRT(CAST(n AS DOUBLE)) END AS result,
+           CASE WHEN n < 0 THEN 'ValueError: math domain error' END AS err
+    FROM derived
+    """,
+    doc="General per-record error capture for ARBITRARY Python transforms "
+    "(the un-enumerable failure-mode form of ErrorHandlingMapper.java:22-25): "
+    "math.sqrt over the derived ints through an Arrow-batched pandas_udf "
+    "wrapper — negative inputs become (error_class, error_message) data "
+    "instead of task failures; oracle recomputes both channels in SQL.",
+    tags=("reference", "udf"),
+)
+def dlt_udf_safe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from kafka_streams_dead_letter_publishing_spark.operators.mapper import error_header_text
+    from kafka_streams_dead_letter_publishing_spark.operators.safe_map import safe_map
+
+    ev = load_table(spark, sf_dir, "events")
+    wrapped = ev.select(
+        _derived_key().alias("key_str"), safe_map(math.sqrt)(_derived_n()).alias("w")
+    )
+    w = F.col("w")
+    return wrapped.select(
+        "key_str",
+        w["result"].alias("result"),
+        F.when(
+            w["error_class"].isNotNull(),
+            error_header_text(w["error_class"], w["error_message"]),
+        ).alias("err"),
+    )
+
+
+@query(
     "serde_roundtrip_int32",
     _ORACLE_BASE + "SELECT key_str, n AS n_in, n AS n_back FROM derived",
     doc="int32 big-endian codec round-trip over the full derived value range "

@@ -344,6 +344,155 @@ def setop_finished_partial_not_open(spark: SparkSession, sf_dir: str) -> DataFra
     return keys("F").intersect(keys("P")).exceptAll(keys("O")).distinct()
 
 
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                              ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE)
+               AS promo_revenue,
+           CAST(CAST(SUM({DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                              ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM({DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+    doc="TPC-H Q14-shaped promo revenue share: fact-dimension join (part "
+    "broadcast) with conditional exact-DECIMAL aggregation; the share is a "
+    "double division of two exactly-accumulated sums.",
+    tags=("relational", "join", "aggregation"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'")
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = f"CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(24,6)) END"
+    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.sum(F.expr(promo)).alias("pr"), F.sum(F.expr(DISC_PRICE)).alias("tr")
+    )
+    return agg.select(
+        F.col("pr").cast(_DBL).alias("promo_revenue"),
+        F.col("tr").cast(_DBL).alias("total_revenue"),
+        (F.col("pr").cast(_DBL) / F.col("tr").cast(_DBL)).alias("promo_share"),
+    )
+
+
+@query(
+    "anti_customers_no_open_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers with no open orders — the "
+    "anti-join physical shape over a filtered build side.",
+    tags=("relational", "join", "anti"),
+)
+def anti_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "semi_promo_parts_shipped",
+    """
+    SELECT p_partkey, p_brand
+    FROM part p
+    WHERE p_type = 'PROMO' AND EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+    )
+    """,
+    doc="LEFT SEMI join (EXISTS): promo parts that actually shipped — "
+    "semi-join keeps the probe row once regardless of match multiplicity.",
+    tags=("relational", "join", "semi"),
+)
+def semi_promo_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "distinct_counts_per_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregation: per-priority distinct-customer and "
+    "distinct-status counts alongside plain counts (expand + two-phase "
+    "distinct aggregation).",
+    tags=("relational", "aggregation", "distinct"),
+)
+def distinct_counts_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+           AS n_within_100
+FROM orders
+"""
+
+
+@query(
+    "window_range_frame",
+    _RANGE_FRAME_SQL,
+    doc="Value-RANGE window frame (vs the ROWS frame of "
+    "window_running_total): per customer, how many of their orders price "
+    "within $100 below each order — frame bounds defined by value distance, "
+    "so no tie-break is needed.  Spark side runs through spark.sql "
+    "(identical SQL text in both engines).",
+    tags=("relational", "window"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RANGE_FRAME_SQL)
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot: order-status counts spread to columns per priority (Spark "
+    "groupBy().pivot() with pinned values ⇔ conditional-filter aggregates).",
+    tags=("relational", "aggregation", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
 # ── event-time windows / sessionization / JSON ───────────────────────────
 
 

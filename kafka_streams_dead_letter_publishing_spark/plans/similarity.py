@@ -97,6 +97,49 @@ def emb_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_label_centroids",
+    f"""
+    WITH per AS (
+        SELECT label,
+               list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+               COUNT(*) AS n
+        FROM embeddings GROUP BY label
+    )
+    SELECT label, n,
+           [x / n FOR x IN list_reduce(vs,
+               (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, {EMBEDDING_DIM})])]
+               AS centroid
+    FROM per
+    """,
+    doc="[EXT] Per-label centroid vectors (the IVF index build step of ANN "
+    "search): element-wise mean over each label's embeddings.  Summation is "
+    "an order-PINNED fold (sorted by vec_id) so both engines produce "
+    "bit-identical doubles — at corpus scale you would trade this for "
+    "commutative per-partition partial sums and tolerance-compare instead.",
+    tags=("similarity", "aggregation"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    agg = emb.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    zero = F.array_repeat(F.lit(0.0), EMBEDDING_DIM)
+    summed = F.aggregate(
+        F.transform(F.col("vs"), lambda s: s["e"]),
+        zero,
+        lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+    )
+    return agg.select(
+        "label",
+        "n",
+        F.transform(summed, lambda x: x / F.col("n")).alias("centroid"),
+    )
+
+
+@query(
     "emb_ann_bucket_pairs",
     f"""
     WITH bucketed AS (
