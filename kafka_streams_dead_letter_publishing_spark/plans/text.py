@@ -227,6 +227,137 @@ def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_neardup_verified",
+    "WITH " + _CORPUS_NEARDUP_SQL
+    + f""",
+    sh_tbl AS (
+        SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus
+    ),
+    banded AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(sh) > 0 THEN [
+                CAST(b AS VARCHAR) || ':' ||
+                list_aggregate([md5(CAST(2 * b AS VARCHAR) || ':' || s) for s in sh], 'min')
+                || '|' ||
+                list_aggregate([md5(CAST(2 * b + 1 AS VARCHAR) || ':' || s) for s in sh], 'min')
+                for b in generate_series(0, 7)
+            ] ELSE [] END
+        ) AS bk
+        FROM sh_tbl
+    ),
+    cands AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.sh, y.sh)) AS n_common,
+           len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
+    FROM cands
+    JOIN sh_tbl x ON x.doc_id = doc_a
+    JOIN sh_tbl y ON y.doc_id = doc_b
+    WHERE len(list_intersect(x.sh, y.sh)) * 10
+          >= len(list_distinct(list_concat(x.sh, y.sh))) * 6
+    """,
+    doc="[EXT] The VERIFY stage of near-dup detection: exact shingle-set "
+    "Jaccard (n-gram Jaccard) computed ONLY for LSH candidate pairs, kept "
+    "at >= 0.6 — integer cross-multiplication instead of a float ratio so "
+    "the threshold is exact on both engines.  Candidates→verify is the "
+    "complete scalable near-dup pipeline (never an all-pairs product).",
+    tags=("text", "dedup", "lsh"),
+)
+def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_neardup(spark, sf_dir)
+    sh_tbl = corpus.select(
+        "doc_id", tokens(_norm(F.col("text"))).alias("toks")
+    ).select("doc_id", shingles(F.col("toks")).alias("sh"))
+    banded = sh_tbl.select(
+        "doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh")
+    ).select(
+        "doc_id",
+        F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        cands.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+        )
+        .filter(F.col("n_common") * 10 >= F.col("n_union") * 6)
+    )
+
+
+@query(
+    "docs_cdc_chunks",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(generate_series(1, length(text) - 7),
+                    i -> substring(md5(substring(text, i, 8)), 1, 1) = '0'))
+                AS BIGINT) AS n_boundaries,
+           COALESCE(CAST(list_min(list_filter(generate_series(1, length(text) - 7),
+                    i -> substring(md5(substring(text, i, 8)), 1, 1) = '0'))
+                AS BIGINT), CAST(0 AS BIGINT)) AS first_boundary
+    FROM documents
+    """,
+    doc="[EXT] Content-defined chunking fingerprint (rolling-hash family): "
+    "a position is a chunk boundary when the hash of its 8-char window "
+    "starts with '0' (expected rate 1/16) — the dedup-friendly chunking "
+    "scheme whose boundaries survive insertions/deletions, md5-windowed "
+    "for engine portability.",
+    tags=("text", "fingerprint"),
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # guard: Spark's sequence(1, n) is DESCENDING for n < 1, not empty
+    positions = F.when(
+        F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    staged = docs.select(
+        "doc_id",
+        F.filter(
+            positions,
+            lambda i: F.substring(F.md5(F.col("text").substr(i, F.lit(8))), 1, 1) == "0",
+        ).alias("bounds"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("bounds").cast("bigint").alias("n_boundaries"),
+        F.coalesce(F.array_min("bounds").cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "first_boundary"
+        ),
+    )
+
+
+@query(
+    "events_approx_distinct_users",
+    None,  # HLL sketches are engine-specific: rows-only check by design
+    doc="[EXT] approx_count_distinct (HyperLogLog++) users per event type — "
+    "sketch values are engine-specific so there is deliberately no value "
+    "oracle; the driver records the weaker rows-only check.",
+    tags=("events", "approx"),
+)
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "docs_simhash",
     f"""
     SELECT doc_id, {simhash32_sql("sh")} AS simhash
