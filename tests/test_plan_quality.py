@@ -1,0 +1,72 @@
+"""Physical-plan quality gates (the 100 TB posture, SURVEY §4.3): filters
+reach the scan, dimensions broadcast, candidate joins are equi-joins, and
+row-at-a-time Python never appears.  These assertions are what `.explain`
+iteration produced — pinned so regressions can't ship silently."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name].spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan_and_columns_pruned(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # unused columns must not be read
+    assert "l_quantity" in read_schema
+
+
+def test_star_joins_broadcast_dimensions_only(spark):
+    for name in ("q3_shipping_priority", "q5_region_revenue", "q14_promo_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+    # The CODE must not force-broadcast the fact-sized orders table: at toy
+    # SF the optimizer may still auto-broadcast it (stats-based, correct —
+    # at scale it exceeds the threshold and AQE picks a shuffle join), so
+    # the assertion is on the *requested hints* in the analyzed plan: none
+    # of them may sit directly on the orders relation.
+    q5 = QUERIES["q5_region_revenue"].spark(spark, SF)
+    analyzed = q5._jdf.queryExecution().analyzed().toString()
+    hinted = [
+        seg.split("Relation [", 1)[1][:12]
+        for seg in analyzed.split("ResolvedHint")[1:]
+        if "Relation [" in seg
+    ]
+    assert hinted, "expected broadcast hints on the dimension subtrees"
+    # first relation under each hint must be a dimension, never orders/lineitem
+    for first_scan in hinted:
+        assert not first_scan.startswith(("o_orderkey", "l_orderkey")), hinted
+
+
+def test_semi_anti_joins_use_semi_anti_physical_ops(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_promo_parts_shipped")
+    assert "LeftAnti" in plan_of(spark, "anti_customers_no_open_orders")
+
+
+def test_candidate_joins_are_never_cartesian(spark):
+    for name in ("docs_neardup_candidates", "docs_neardup_verified", "emb_ann_bucket_pairs"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name  # Arrow-batched only
+
+
+@pytest.mark.parametrize("name", ["dlt_route_counts"])
+def test_route_counts_never_generates_strings(spark, name):
+    plan = plan_of(spark, name)
+    assert "translate" not in plan  # generation pruned out of the count path
