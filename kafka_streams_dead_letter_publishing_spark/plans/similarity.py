@@ -163,6 +163,9 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # no join hint: rows carry the 64-float embedding, so forcing a shuffle
+    # join costs more than the optimizer's stats-based choice (measured);
+    # at corpus scale AQE picks the shuffle join on its own
     bucketed = emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
