@@ -67,6 +67,14 @@ def kafka_sink_writer(cfg: EngineConfig) -> SinkWriter:
     A raised exception here (e.g. DLT publish failure) propagates out of
     ``foreachBatch`` → the query dies → ``FAIL``/``SHUTDOWN_APPLICATION``
     semantics (``DeadLetterDeserializationExceptionHandler.java:47``).
+
+    HONESTY NOTE: this container has no Kafka broker, so this exact writer
+    has never executed against one — the integration tier substitutes
+    ``parquet_sink_writer`` over the byte-identical sink-shaped DataFrames
+    (``tests/test_streaming.py``).  The column contract (key/value binary,
+    headers array, topic string) is the documented Spark Kafka sink schema;
+    wire-level behavior (serialization, max.request.size enforcement) is
+    pinned logically by the pre-flight guard tests instead.
     """
 
     def write(df: DataFrame, topic: str) -> None:

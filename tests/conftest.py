@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -13,6 +15,8 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # saveAsTable targets (bucketing tests) must not land in the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-"))
         .getOrCreate()
     )
     yield spark
