@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 NEGATIVE_LENGTH_ERROR_CLASS = "NegativeLengthError"
 NULL_VALUE_ERROR_CLASS = "NullValueError"
 
-#: chars extracted per 63-bit hash: 26**12 = 9.54e16 < 2**63
-CHARS_PER_HASH = 12
+#: chars extracted per 63-bit hash: 26**13 = 2.48e18 < 2**63 = 9.22e18
+CHARS_PER_HASH = 13
 _BASE26_MAX = 26**CHARS_PER_HASH
 #: Spark's conv(x, 10, 26) digit alphabet for base 26 …
 _CONV_DIGITS = "0123456789ABCDEFGHIJKLMNOP"

@@ -131,7 +131,11 @@ def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
     if "headers" not in cols:
         df = df.withColumn("headers", empty_headers())
     uniq_parts = [F.col(c) for c in ("topic", "partition", "offset") if c in cols]
-    uniq = F.xxhash64(F.col("key"), *uniq_parts)
+    # materialized as a column: the generator's per-block lambda references
+    # it once per 13 output chars, and higher-order functions re-evaluate
+    # inlined (non-attribute) expressions on every reference
+    df = df.withColumn("__uniq", F.xxhash64(F.col("key"), *uniq_parts))
+    uniq = F.col("__uniq")
 
     key, value, headers = F.col("key"), F.col("value"), F.col("headers")
 
