@@ -100,6 +100,10 @@ def parquet_sink_writer(base_dir: str) -> SinkWriter:
     return write
 
 
+#: metrics callback: (batch_id, {topic: routed_record_count})
+MetricsHook = Callable[[int, dict[str, int]], None]
+
+
 class DeadLetterStream:
     """Composes source → pure topology → four sinks into one streaming query."""
 
@@ -108,10 +112,12 @@ class DeadLetterStream:
         cfg: EngineConfig,
         sink: SinkWriter,
         topology: Callable[[DataFrame, EngineConfig], Routed] = route,
+        metrics: MetricsHook | None = None,
     ) -> None:
         self.cfg = cfg
         self.sink = sink
         self.topology = topology
+        self.metrics = metrics
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """The foreachBatch body — also callable directly on a batch
@@ -127,6 +133,20 @@ class DeadLetterStream:
             self.sink(routed.process_dlt, self.cfg.process_dlt)
             self.sink(routed.prod_dlt, self.cfg.prod_dlt)
             self.sink(routed.output, self.cfg.output_topic)
+            if self.metrics is not None:
+                # per-channel routed counts — the engine's analogue of the
+                # reference handlers' per-failure logging
+                # (DeadLetterDeserializationExceptionHandler.java:37); counts
+                # run over the persisted batch, topic-only projections
+                self.metrics(
+                    batch_id,
+                    {
+                        self.cfg.deser_dlt: routed.deser_dlt.select("topic").count(),
+                        self.cfg.process_dlt: routed.process_dlt.select("topic").count(),
+                        self.cfg.prod_dlt: routed.prod_dlt.select("topic").count(),
+                        self.cfg.output_topic: routed.output.select("topic").count(),
+                    },
+                )
         finally:
             batch.unpersist()
 

@@ -1,0 +1,79 @@
+"""Property-based invariants of the dead-letter topology (hypothesis).
+
+The reference pins four golden scenarios; these properties hold for ANY
+record batch (SURVEY §5 notes the reference has no property tier — this is
+engine-side hardening):
+
+* partition property: every input record lands on exactly one channel;
+* key preservation: the multiset of keys is conserved end-to-end;
+* DLT value contract: process-DLT carries the original int bytes, deser-DLT
+  the raw bytes, prod-DLT empty bytes;
+* output lengths equal the decoded input ints.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_dead_letter_publishing_spark.config import EngineConfig
+from kafka_streams_dead_letter_publishing_spark.operators.topology import route
+from kafka_streams_dead_letter_publishing_spark.sources.records import int32be, records_df
+
+CFG = EngineConfig()
+
+# happy-path strings stay small for speed; sampled extremes exercise the
+# negative (process), oversize (production), and boundary paths
+int_values = st.one_of(
+    st.integers(min_value=-50, max_value=3000),
+    st.sampled_from([0, -1, 1_100_000, 2_000_000, -(2**31), 2**31 - 1]),
+)
+value_strategy = st.one_of(
+    st.none(),
+    int_values.map(int32be),  # well-formed int32
+    st.binary(min_size=0, max_size=9).filter(lambda b: len(b) != 4),  # deser garbage
+)
+record_strategy = st.tuples(
+    st.one_of(st.none(), st.binary(min_size=0, max_size=16)), value_strategy
+)
+
+
+@given(st.lists(record_strategy, min_size=1, max_size=30))
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_topology_invariants(spark, records):
+    routed = route(records_df(spark, records), CFG)
+    out = routed.output.collect()
+    proc = routed.process_dlt.collect()
+    deser = routed.deser_dlt.collect()
+    prod = routed.prod_dlt.collect()
+
+    # exactly-one-channel partition
+    assert len(out) + len(proc) + len(deser) + len(prod) == len(records)
+
+    # key multiset conserved
+    in_keys = sorted((r[0] or b"").hex() for r in records)
+    out_keys = sorted((r.key or b"").hex() for rows in (out, proc, deser, prod) for r in rows)
+    assert in_keys == out_keys
+
+    def decoded(v):
+        return struct.unpack(">i", v)[0] if v is not None and len(v) == 4 else None
+
+    in_by_decoded: dict[str, list] = {}
+    for k, v in records:
+        in_by_decoded.setdefault((k or b"").hex(), []).append(v)
+
+    for r in out:
+        assert r.value is not None and all(97 <= c <= 122 for c in r.value)
+        # some input for this key decodes to exactly this length
+        assert any(
+            decoded(v) == len(r.value) for v in in_by_decoded[(r.key or b"").hex()]
+        )
+    for r in deser:
+        assert r.value is not None and len(r.value) != 4  # raw bytes, untouched
+    for r in proc:
+        # original value restored: NULL stays NULL, else the original int bytes
+        assert r.value is None or decoded(r.value) is not None
+    for r in prod:
+        assert r.value == b""  # truncated to empty, never null

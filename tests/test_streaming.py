@@ -84,6 +84,33 @@ def test_stream_resumes_from_checkpoint_exactly_once_per_record(spark, tmp_path)
     assert spark.read.parquet(f"{sink_dir}/{cfg.output_topic}").count() == 1
 
 
+def test_metrics_hook_reports_per_channel_counts(spark, tmp_path):
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    src_dir = str(tmp_path / "src")
+    records_df(
+        spark,
+        [(b"k1", int32be(2)), (b"k2", int32be(9)), (b"k3", int32be(-1)), (b"k4", b"zz")],
+    ).write.parquet(src_dir)
+
+    seen: dict[int, dict[str, int]] = {}
+    stream = DeadLetterStream(
+        cfg,
+        parquet_sink_writer(str(tmp_path / "sinks")),
+        metrics=lambda bid, counts: seen.__setitem__(bid, counts),
+    )
+    q = stream.start(spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    (counts,) = seen.values()
+    assert counts[cfg.output_topic] == 2
+    assert counts[cfg.process_dlt] == 1
+    assert counts[cfg.deser_dlt] == 1
+    assert counts[cfg.prod_dlt] == 0
+
+
 def test_sink_failure_fails_the_query(spark, tmp_path):
     """A dead-letter publish failure must kill the query (the reference's
     FAIL → SHUTDOWN_APPLICATION policy), not be swallowed."""
