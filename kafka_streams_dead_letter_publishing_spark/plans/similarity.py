@@ -139,6 +139,65 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTROID_SQL = f"""
+    cent AS (
+        SELECT label,
+               [x / n FOR x IN list_reduce(vs,
+                   (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, {EMBEDDING_DIM})])]
+                   AS centroid
+        FROM (
+            SELECT label,
+                   list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+                   COUNT(*) AS n
+            FROM embeddings GROUP BY label
+        )
+    )
+"""
+
+
+@query(
+    "emb_ivf_probe_topk",
+    f"""
+    WITH qv AS (SELECT {_qv_sql()} AS v),
+    {_CENTROID_SQL},
+    best AS (
+        SELECT label FROM (
+            SELECT label, {cosine_sql("centroid", "v")} AS c FROM cent, qv
+        ) ORDER BY c DESC, label LIMIT 1
+    )
+    SELECT vec_id, label, cos
+    FROM (
+        SELECT e.vec_id, e.label, {cosine_sql("e.embedding", "v")} AS cos
+        FROM embeddings e, qv, best b
+        WHERE e.label = b.label
+    )
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+    doc="[EXT] IVF probe: route the query vector to its nearest centroid "
+    "(coarse quantizer over the label partitions), then exact cosine top-k "
+    "ONLY within that inverted list — the two-stage IVF search that scans "
+    "1/nlist of the corpus; composes emb_label_centroids with the "
+    "brute-force scorer.",
+    tags=("similarity", "topk", "ivf"),
+)
+def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = emb_label_centroids(spark, sf_dir).select("label", "centroid")
+    best = (
+        cent.select("label", cosine(F.col("centroid"), _qv()).alias("c"))
+        .orderBy(F.desc("c"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.join(F.broadcast(best), "label")
+        .select("vec_id", "label", cosine(F.col("embedding"), _qv()).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query(
     "emb_ann_bucket_pairs",
     f"""
