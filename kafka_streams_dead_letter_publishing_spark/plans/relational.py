@@ -493,6 +493,38 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_salted_type_counts",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-resistant SALTED two-phase aggregation: the engine groups by "
+    "(event_type, salt) first — spreading a hot key over 16 reducers — then "
+    "re-aggregates per event_type; results are provably identical to the "
+    "plain GROUP BY the oracle runs.  The pattern that keeps a single hot "
+    "key from serializing a 1000-executor aggregation.",
+    tags=("relational", "aggregation", "skew"),
+)
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # phase 1: spread each hot event_type over 16 salt buckets
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("user_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(F.count(F.lit(1)).alias("c"))
+    counts = partial.groupBy("event_type").agg(F.sum("c").alias("cnt"))
+    # distinct users: dedup on the compound key first (shuffles on BOTH
+    # columns — naturally skew-spread), then a plain count
+    users = (
+        ev.select("event_type", "user_id")
+        .dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return counts.join(users, "event_type").select("event_type", "cnt", "n_users")
+
+
 # ── event-time windows / sessionization / JSON ───────────────────────────
 
 

@@ -63,6 +63,44 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """Dedup state lives in the checkpointed state store: a restarted query
+    must still drop duplicates of keys seen before the restart."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            dedup_within_watermark(stream, ["event_id"], ts_col="ts", delay="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame([(1, t0, "a"), (2, t0, "b")], EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    # second run, same checkpoint: a late duplicate of key 1 plus a new key
+    spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=30), "a-dup"), (3, t0, "c")], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted((r.event_id, r.payload) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     """Windows the watermark has passed must emit exactly the batch
     aggregation's values (append mode finalizes per watermark)."""
