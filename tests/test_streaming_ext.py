@@ -145,6 +145,39 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert mismatches == 0
 
 
+def test_stream_static_join_enriches_records(spark, tmp_path):
+    """Stream-static join: each micro-batch joins against a static
+    dimension (the broadcast enrichment pattern — dimension re-read per
+    batch, no state required)."""
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod("user_id", F.lit(3)).cast("int"))
+    )
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream.join(F.broadcast(dim), "user_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # inner join loses nothing: dim covers all users
+    assert got.filter(F.col("tier") != F.pmod("user_id", F.lit(3))).count() == 0
+
+
 def test_multimodal_map_in_pandas_features(spark):
     """The Arrow-batched mapInPandas feature extractor matches a driver-side
     Python recomputation byte-for-byte (plumbing check for the multimodal
