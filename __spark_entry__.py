@@ -15,11 +15,18 @@ before hashing values).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+# importable regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from kafka_streams_dead_letter_publishing_spark.plans import QUERIES  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "dlt_route_counts"

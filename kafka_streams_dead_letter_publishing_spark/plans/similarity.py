@@ -27,6 +27,8 @@ from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     EMBEDDING_DIM,
     cosine,
     cosine_sql,
+    dot,
+    dot_sql,
     lsh_bucket,
     lsh_bucket_sql,
 )
@@ -202,13 +204,14 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_ann_bucket_pairs",
     f"""
     WITH bucketed AS (
-        SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket
+        SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket,
+               SQRT({dot_sql("embedding", "embedding")}) AS nrm
         FROM embeddings
     )
     SELECT vec_a, vec_b, cos
     FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {cosine_sql("a.embedding", "b.embedding")} AS cos
+               {dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
@@ -217,7 +220,9 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="[EXT] LSH-gated ANN candidate pairs: exact cosine computed ONLY "
     "within shared buckets (equi-join on bucket key — no all-pairs product), "
-    "then global top-50; the full approximate-similarity-search pipeline.",
+    "then global top-50; the full approximate-similarity-search pipeline. "
+    "Norms are precomputed per VECTOR in the index stage (1 fold per pair "
+    "instead of 3 — same expressions, so doubles stay bit-identical).",
     tags=("similarity", "lsh", "join", "bench"),
 )
 def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +230,12 @@ def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no join hint: rows carry the 64-float embedding, so forcing a shuffle
     # join costs more than the optimizer's stats-based choice (measured);
     # at corpus scale AQE picks the shuffle join on its own
-    bucketed = emb.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -235,7 +245,10 @@ def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
