@@ -323,6 +323,64 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregate: all 2^2 grouping combinations of (status, "
+    "priority) including both partial totals and the grand total.",
+    tags=("relational", "aggregation"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "scalar_function_showcase",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           length(o_orderpriority) AS prio_len,
+           substring(o_orderpriority, 1, 1) AS prio_code,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           abs(o_totalprice - 150000.0) AS price_gap,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k,
+           sqrt(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,
+           (o_orderpriority LIKE '1%') AS is_urgent
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="Scalar function library over one projection: string "
+    "(upper/length/substring/LIKE), date (EXTRACT, interval arithmetic), "
+    "math (abs/floor/sqrt — IEEE-exact operations only; no transcendentals "
+    "or half-up rounding whose libm behavior differs across engines).",
+    tags=("relational", "scalar"),
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_date"),
+        F.abs(F.col("o_totalprice") - 150000.0).alias("price_gap"),
+        F.floor(F.col("o_totalprice") / 1000.0).alias("price_k"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("key_sqrt"),
+        F.col("o_orderpriority").like("1%").alias("is_urgent"),
+    )
+
+
+@query(
     "setop_finished_partial_not_open",
     """
     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
