@@ -381,6 +381,40 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    """,
+    doc="Unpivot/melt: wide measure columns to (measure, value) rows — "
+    "Spark's unpivot operator ⇔ the oracle's stacked UNION ALL (values are "
+    "copied verbatim, no arithmetic, so the comparison is exact).",
+    tags=("relational", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [("l_quantity"), ("l_discount"), ("l_tax")],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
     "setop_finished_partial_not_open",
     """
     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

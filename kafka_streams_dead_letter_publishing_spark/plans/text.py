@@ -453,6 +453,31 @@ def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_wordcount_top20",
+    f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    doc="[EXT] The canonical explode-group-count (wordcount): flatten every "
+    "document's tokens to rows, count global frequencies, top-20 with "
+    "lexicographic tie-break — the lateral-view/explode operator surface.",
+    tags=("text", "tokens", "explode"),
+)
+def docs_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(_norm(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
     "docs_token_counts",
     f"""
     SELECT source,
