@@ -178,6 +178,56 @@ def test_stream_static_join_enriches_records(spark, tmp_path):
     assert got.filter(F.col("tier") != F.pmod("user_id", F.lit(3))).count() == 0
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks joined to impressions within
+    a 10-minute window — both sides keep watermark-bounded state."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    imp_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("imp_ts", TimestampType())]
+    )
+    clk_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("clk_ts", TimestampType())]
+    )
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(
+        [(1, t0), (2, t0 + datetime.timedelta(minutes=5)), (3, t0)], imp_schema
+    ).coalesce(1).write.parquet(imp_src)
+    spark.createDataFrame(
+        [
+            (1, t0 + datetime.timedelta(minutes=4)),  # within window → joins
+            (2, t0 + datetime.timedelta(minutes=30)),  # too late → dropped
+            (4, t0),  # no matching impression
+        ],
+        clk_schema,
+    ).coalesce(1).write.parquet(clk_src)
+
+    imp = spark.readStream.schema(imp_schema).parquet(imp_src).withWatermark("imp_ts", "1 hour")
+    clk = spark.readStream.schema(clk_schema).parquet(clk_src).withWatermark("clk_ts", "1 hour")
+    joined = imp.join(
+        clk,
+        (imp.ad_id == clk.ad_id)
+        & (clk.clk_ts >= imp.imp_ts)
+        & (clk.clk_ts <= imp.imp_ts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(imp.ad_id, "imp_ts", "clk_ts")
+
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [(r.ad_id,) for r in spark.read.parquet(out).collect()]
+    assert got == [(1,)]
+
+
 def test_multimodal_map_in_pandas_features(spark):
     """The Arrow-batched mapInPandas feature extractor matches a driver-side
     Python recomputation byte-for-byte (plumbing check for the multimodal
