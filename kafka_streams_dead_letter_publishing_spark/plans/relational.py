@@ -744,6 +744,32 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_props_map",
+    """
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_vals
+    FROM events
+    WHERE event_id % 7 = 0 AND props IS NOT NULL
+    """,
+    doc="MAP column surface: props parsed as map<string,bigint>, keys and "
+    "values extracted as arrays (map_keys/map_values ⇔ json_keys + typed "
+    "extraction in the oracle).",
+    tags=("events", "json", "map"),
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") % 7 == 0) & F.col("props").isNotNull()
+    )
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_vals"),
+    )
+
+
+@query(
     "sql_customers_per_nation",
     """
     SELECT n_name, r_name, COUNT(*) AS n_customers,
