@@ -106,21 +106,34 @@ def emb_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
                COUNT(*) AS n
         FROM embeddings GROUP BY label
+    ),
+    cent AS (
+        SELECT label, n,
+               [x / n FOR x IN list_reduce(vs,
+                   (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, {EMBEDDING_DIM})])]
+                   AS centroid
+        FROM per
     )
-    SELECT label, n,
-           [x / n FOR x IN list_reduce(vs,
-               (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, {EMBEDDING_DIM})])]
-               AS centroid
-    FROM per
+    SELECT label, n, CAST(i AS INT) - 1 AS dim, centroid[i] AS val
+    FROM cent, generate_series(1, {EMBEDDING_DIM}) g(i)
     """,
     doc="[EXT] Per-label centroid vectors (the IVF index build step of ANN "
-    "search): element-wise mean over each label's embeddings.  Summation is "
-    "an order-PINNED fold (sorted by vec_id) so both engines produce "
+    "search): element-wise mean over each label's embeddings, emitted as "
+    "(label, dim, val) rows so the comparator sees only scalars.  Summation "
+    "is an order-PINNED fold (sorted by vec_id) so both engines produce "
     "bit-identical doubles — at corpus scale you would trade this for "
     "commutative per-partition partial sums and tolerance-compare instead.",
     tags=("similarity", "aggregation"),
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _centroids(spark, sf_dir)
+    return agg.select(
+        "label", "n", F.posexplode("centroid").alias("dim", "val")
+    ).select("label", "n", F.col("dim").cast("int").alias("dim"), "val")
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n, centroid array<double>) with order-pinned summation."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -184,7 +197,7 @@ _CENTROID_SQL = f"""
     tags=("similarity", "topk", "ivf"),
 )
 def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cent = emb_label_centroids(spark, sf_dir).select("label", "centroid")
+    cent = _centroids(spark, sf_dir).select("label", "centroid")
     best = (
         cent.select("label", cosine(F.col("centroid"), _qv()).alias("c"))
         .orderBy(F.desc("c"), F.asc("label"))
