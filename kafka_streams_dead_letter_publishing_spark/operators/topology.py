@@ -117,6 +117,32 @@ def too_large_message(size: Column, max_request_size: int) -> Column:
     )
 
 
+def route_topic_label(df: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Single-pass routing DECISION: each record labeled with the topic
+    ``route`` would send it to, without materializing the four channels.
+
+    Same predicates as :func:`route` in the same precedence order (deser →
+    process-error → too-large → output) — use for routing counts and
+    monitoring where a 4-way union would re-scan the source once per
+    channel (the per-channel contracts themselves are pinned by ``route``'s
+    outputs and their oracle queries).
+    """
+    cfg = cfg or EngineConfig()
+    key, value = F.col("key"), F.col("value")
+    decoded = df.withColumn("__n", int32be_decode(value))
+    n = F.col("__n")
+    is_deser_failure = n.isNull() & value.isNotNull()
+    has_error = map_error_class(n, value).isNotNull()
+    is_too_large = serialized_record_size(n.cast("long"), key) > F.lit(cfg.max_request_size)
+    return decoded.select(
+        F.when(is_deser_failure, F.lit(cfg.deser_dlt))
+        .when(has_error, F.lit(cfg.process_dlt))
+        .when(is_too_large, F.lit(cfg.prod_dlt))
+        .otherwise(F.lit(cfg.output_topic))
+        .alias("topic")
+    )
+
+
 def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
     """Run the full dead-letter topology over a Kafka-source-shaped batch.
 

@@ -127,7 +127,18 @@ routed AS (
 
 
 def _routed(spark: SparkSession, sf_dir: str):
-    return route(derived_records(spark, sf_dir), EngineConfig())
+    recs = derived_records(spark, sf_dir)
+    # The tiny single-file events parquet scans as ONE partition, which
+    # would serialize the whole expression-heavy topology on one core; fan
+    # out to the session's parallelism first (a real Kafka source arrives
+    # partitioned — this stands in for topic partitioning, and the oracle
+    # comparison is order-insensitive). Measured 1.5× at sf0.1.
+    # hash-repartition on the record key (NOT round-robin: round-robin
+    # exchanges are non-deterministic so Catalyst refuses to reuse them —
+    # the 4-channel union would shuffle 4 times; hash exchanges dedupe to
+    # one via ReuseExchange)
+    recs = recs.repartition(spark.sparkContext.defaultParallelism, F.col("key"))
+    return route(recs, EngineConfig())
 
 
 def _err() -> Column:
@@ -147,15 +158,14 @@ def _err() -> Column:
     tags=("reference", "flagship", "bench"),
 )
 def dlt_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    routed = _routed(spark, sf_dir)
-    # project each channel to its topic BEFORE the union: Catalyst does not
-    # push the pruning projection below Union here, and a count must not pay
-    # for header/value construction (measured ~2.6× at sf0.1)
-    chans = [df.select("topic") for df in routed]
-    union = chans[0]
-    for c in chans[1:]:
-        union = union.unionByName(c)
-    return union.groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
+    # single-pass routing decision (same predicates as route(), one scan)
+    # instead of a 4-channel union that re-derives the stream per channel;
+    # the per-channel value/header contracts are pinned by the four channel
+    # queries below, which DO go through route()
+    from kafka_streams_dead_letter_publishing_spark.operators.topology import route_topic_label
+
+    labeled = route_topic_label(derived_records(spark, sf_dir), EngineConfig())
+    return labeled.groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @query(

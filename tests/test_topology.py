@@ -160,6 +160,38 @@ def test_boundary_size_passes_exactly_at_limit(spark):
     assert routed2.output.count() == 0 and routed2.prod_dlt.count() == 1
 
 
+def test_route_topic_label_agrees_with_route(spark):
+    """The single-pass routing decision must agree with the materialized
+    4-way split for every failure mode (they share predicates; this pins
+    that they never drift)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.topology import route_topic_label
+
+    records = [
+        (b"k1", int32be(5)),
+        (b"k2", int32be(-1)),
+        (b"k3", b"xx"),
+        (b"k4", int32be(2_000_000)),
+        (b"k5", None),
+        (b"k6", int32be(0)),
+    ]
+    df = records_df(spark, records)
+    routed = route(df, CFG)
+    split_counts = {
+        CFG.output_topic: routed.output.count(),
+        CFG.process_dlt: routed.process_dlt.count(),
+        CFG.deser_dlt: routed.deser_dlt.count(),
+        CFG.prod_dlt: routed.prod_dlt.count(),
+    }
+    label_counts = {
+        r.topic: r.cnt
+        for r in route_topic_label(df, CFG)
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {k: v for k, v in split_counts.items() if v} == label_counts
+
+
 def test_plan_is_udf_free_and_codegen(spark, routed_happy):
     """The reference-parity path must stay whole-stage-codegen (SURVEY §4.2):
     no BatchEvalPython / python UDF nodes in any channel's plan."""
