@@ -33,7 +33,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     lsh_bucket_sql,
 )
 from kafka_streams_dead_letter_publishing_spark.plans.registry import query
-from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
 
 # Deterministic literal query vector (seed ≠ the hyperplane seed).
 QUERY_VECTOR: list[float] = [

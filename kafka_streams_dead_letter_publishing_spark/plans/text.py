@@ -41,7 +41,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.text import (
     tokens,
 )
 from kafka_streams_dead_letter_publishing_spark.plans.registry import query
-from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
 
 # ── derivation: planted-duplicate corpora (identical on both sides) ──────
 
@@ -210,7 +210,8 @@ def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per row (CollapseProject won't inline non-cheap multi-referenced
     # expressions — see functions.text.band_keys_from_minhash)
     banded = (
-        corpus.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+        fan_out(corpus, "doc_id")
+        .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
         .select("doc_id", shingles(F.col("toks")).alias("sh"))
         .select("doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh"))
         .select(
@@ -272,9 +273,11 @@ def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_neardup(spark, sf_dir)
-    sh_tbl = corpus.select(
-        "doc_id", tokens(_norm(F.col("text"))).alias("toks")
-    ).select("doc_id", shingles(F.col("toks")).alias("sh"))
+    sh_tbl = (
+        fan_out(corpus, "doc_id")
+        .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+    )
     banded = sh_tbl.select(
         "doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh")
     ).select(
@@ -376,7 +379,8 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
         .select("doc_id", shingles(F.col("toks")).alias("sh"))
         .select("doc_id", simhash32(F.col("sh")).alias("simhash"))
     )

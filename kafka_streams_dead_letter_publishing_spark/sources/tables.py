@@ -49,6 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition to the session's parallelism before an
+    expression-heavy stage.
+
+    The toy test tables are single parquet files, so their scans yield ONE
+    partition and everything narrow downstream runs on one core; at real
+    scale the scan is already thousands of partitions and this shuffle is a
+    no-op to skip.  Hash (not round-robin) partitioning so Catalyst can
+    dedupe the exchange across self-join branches (round-robin exchanges
+    are non-deterministic and never reused).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
