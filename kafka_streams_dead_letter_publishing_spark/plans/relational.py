@@ -626,6 +626,47 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interval_self_join",
+    """
+    SELECT a.event_id AS first_id, b.event_id AS next_id,
+           a.user_id AS user_id, a.event_type AS first_type,
+           b.event_type AS next_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    doc="Interval (range) join: per-user event pairs within a 5-minute "
+    "horizon — the BATCH shape of the watermarked stream-stream join "
+    "(tests/test_streaming_ext.py runs the streaming form); equi-join on "
+    "user_id with a range residual, never a cross product.",
+    tags=("events", "join", "interval", "streaming-shape"),
+)
+def events_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("first_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("first_type"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .select("first_id", "next_id", "user_id", "first_type", "next_type")
+    )
+
+
+@query(
     "events_salted_type_counts",
     """
     SELECT event_type, COUNT(*) AS cnt,
