@@ -626,6 +626,36 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_price_quantiles",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           arg_max(o_orderkey,
+                   CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+               AS top_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Ordered-statistics aggregates: exact interpolated percentiles "
+    "(both engines use linear interpolation over the sorted set — verified "
+    "bit-identical) and argmax with a uniqueness-composed ordering key so "
+    "price ties cannot make the winner nondeterministic.",
+    tags=("relational", "aggregation", "percentile"),
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    combined = "CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey"
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.expr(f"max_by(o_orderkey, {combined})").alias("top_order"),
+    )
+
+
+@query(
     "events_interval_self_join",
     """
     SELECT a.event_id AS first_id, b.event_id AS next_id,
