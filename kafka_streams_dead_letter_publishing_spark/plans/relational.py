@@ -340,6 +340,30 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@query(
+    "grouping_sets_order_stats",
+    _GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS (disjoint from rollup/cube): status-only "
+    "and priority-only totals in one pass, with GROUPING() flags "
+    "disambiguating the padding NULLs.  Spark side runs the identical SQL "
+    "text through spark.sql.",
+    tags=("relational", "aggregation"),
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @query(
     "scalar_function_showcase",
     """
