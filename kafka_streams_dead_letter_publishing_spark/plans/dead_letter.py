@@ -84,8 +84,17 @@ def _is_deser() -> Column:
 
 
 def derived_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → Kafka-source-shaped records per the derivation spec."""
-    ev = load_table(spark, sf_dir, "events")
+    """events → Kafka-source-shaped records per the derivation spec.
+
+    The events scan is fanned out BEFORE the serde-encode derivation so
+    both the encoding and everything downstream run at session parallelism
+    (the single-file scan would otherwise serialize them on one core; a
+    real Kafka source arrives partitioned — this stands in for topic
+    partitioning, and the oracle comparison is order-insensitive).
+    """
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     key_str = _derived_key()
     n = _derived_n()
     is_deser = _is_deser()
@@ -127,18 +136,8 @@ routed AS (
 
 
 def _routed(spark: SparkSession, sf_dir: str):
-    recs = derived_records(spark, sf_dir)
-    # The tiny single-file events parquet scans as ONE partition, which
-    # would serialize the whole expression-heavy topology on one core; fan
-    # out to the session's parallelism first (a real Kafka source arrives
-    # partitioned — this stands in for topic partitioning, and the oracle
-    # comparison is order-insensitive). Measured 1.5× at sf0.1.
-    # hash-repartition on the record key (NOT round-robin: round-robin
-    # exchanges are non-deterministic so Catalyst refuses to reuse them —
-    # the 4-channel union would shuffle 4 times; hash exchanges dedupe to
-    # one via ReuseExchange)
-    recs = recs.repartition(spark.sparkContext.defaultParallelism, F.col("key"))
-    return route(recs, EngineConfig())
+    # parallelism comes from the fan_out inside derived_records
+    return route(derived_records(spark, sf_dir), EngineConfig())
 
 
 def _err() -> Column:
