@@ -457,6 +457,73 @@ def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_clean_corpus_pipeline",
+    "WITH " + _CORPUS_EXACT_SQL
+    + f""",
+    scored AS (
+        SELECT doc_id, text, {_FP_SQL} AS fp,
+               len({_TOKS_SQL}) AS n_tokens,
+               {_marker_count_sql(_TOKS_SQL, STOPWORDS)} AS n_stop,
+               {_marker_count_sql(_TOKS_SQL, LANG_MARKERS["en"])} AS en,
+               {_marker_count_sql(_TOKS_SQL, LANG_MARKERS["es"])} AS es,
+               {_marker_count_sql(_TOKS_SQL, LANG_MARKERS["de"])} AS de
+        FROM corpus
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 20
+          AND n_stop * 100 >= n_tokens * 5
+          AND en > es AND en > de
+    ),
+    deduped AS (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM deduped
+    """,
+    doc="[EXT] The composed corpus-cleaning pipeline in ONE declarative "
+    "query — quality filter (length + stopword-ratio via integer "
+    "cross-multiplication), marker-majority language filter (en), exact "
+    "dedup pick-first — i.e. the standard LLM training-data prep flow; "
+    "Catalyst fuses all per-row stages into one pass before the dedup "
+    "shuffle.",
+    tags=("text", "dedup", "quality", "pipeline"),
+)
+def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_exact(spark, sf_dir)
+    toks = F.col("toks")
+    scored = (
+        fan_out(corpus, "doc_id")
+        .select("doc_id", "text", tokens(_norm(F.col("text"))).alias("toks"))
+        .select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            F.size(toks).alias("n_tokens"),
+            stopword_count(toks).alias("n_stop"),
+            lang_guess(toks).alias("lang_guessed"),
+        )
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_stop") * 100 >= F.col("n_tokens") * 5)
+        & (F.col("lang_guessed") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
     "docs_wordcount_top20",
     f"""
     SELECT token, COUNT(*) AS freq
