@@ -293,6 +293,64 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(CAST(SUM({DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'PROMO'   AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_type = 'ECONOMY' AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_size >= 40 AND l_discount < 0.02)
+    """,
+    doc="TPC-H Q19-shaped disjunctive predicate: OR-of-ANDs mixing join-side "
+    "and probe-side columns — the optimizer must still push the common "
+    "equi-join key and evaluate the residual disjunction post-join.",
+    tags=("relational", "join", "predicate"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_type") == "ECONOMY") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_size") >= 40) & (F.col("l_discount") < 0.02))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev"), F.count(F.lit(1)).alias("n_lines"))
+        .select(F.col("rev").cast(_DBL).alias("revenue"), "n_lines")
+    )
+
+
+@query(
+    "window_lag_lead_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_orderkey) OVER w AS first_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Navigation window functions: lag/lead/first_value over a uniquely "
+    "ordered per-customer frame (orderdate + key tie-break, so offsets are "
+    "deterministic).",
+    tags=("relational", "window"),
+)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
 # ── grouping sets / rollup, set operations ───────────────────────────────
 
 
