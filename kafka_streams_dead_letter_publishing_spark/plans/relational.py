@@ -924,6 +924,35 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NULL_SEMANTICS_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN nullif(o_orderpriority, '1-URGENT')
+                          IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent_nulled,
+       CAST(COUNT(nullif(o_orderpriority, '1-URGENT')) AS BIGINT) AS n_nonnull,
+       COUNT(*) AS n_total,
+       CAST(COUNT(DISTINCT nullif(o_orderpriority, '1-URGENT')) AS BIGINT)
+           AS n_distinct_nonnull,
+       coalesce(MIN(nullif(o_orderpriority, '1-URGENT')), 'none') AS min_other
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "null_semantics_counts",
+    _NULL_SEMANTICS_SQL,
+    doc="NULL semantics pinned: nullif-injected NULLs through null-safe "
+    "comparison (IS NOT DISTINCT FROM), null-skipping COUNT(expr) and "
+    "COUNT(DISTINCT expr), null-ignoring MIN, and coalesce — identical SQL "
+    "text on both engines via spark.sql.",
+    tags=("relational", "nulls", "sql"),
+)
+def null_semantics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NULL_SEMANTICS_SQL)
+
+
 @query(
     "sql_customers_per_nation",
     """
