@@ -84,6 +84,24 @@ def test_stream_resumes_from_checkpoint_exactly_once_per_record(spark, tmp_path)
     assert spark.read.parquet(f"{sink_dir}/{cfg.output_topic}").count() == 1
 
 
+def test_empty_batch_is_harmless(spark, tmp_path):
+    """Idle triggers deliver EMPTY micro-batches; the router must handle
+    them without errors and without emitting rows."""
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    sink_dir = str(tmp_path / "sinks")
+    written = []
+
+    def recording_sink(df, topic):
+        n = df.count()
+        if n:
+            written.append((topic, n))
+
+    stream = DeadLetterStream(cfg, recording_sink)
+    empty = records_df(spark, [(b"k", int32be(1))]).limit(0)
+    stream.process_batch(empty, batch_id=0)
+    assert written == []
+
+
 def test_metrics_hook_reports_per_channel_counts(spark, tmp_path):
     cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
     src_dir = str(tmp_path / "src")
