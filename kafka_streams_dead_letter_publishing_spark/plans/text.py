@@ -366,6 +366,92 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_simhash_hamming_pairs",
+    "WITH " + _CORPUS_NEARDUP_SQL
+    + f""",
+    sims AS MATERIALIZED (
+        SELECT doc_id, {simhash32_sql("sh")} AS sim
+        FROM (SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus)
+    ),
+    banded AS MATERIALIZED (
+        SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS chunk
+        FROM sims, generate_series(0, 3) g(b)
+        WHERE sim IS NOT NULL
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sim, b.sim)) AS hd
+    FROM banded a JOIN banded b
+      ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    GROUP BY doc_a, doc_b, hd
+    """,
+    doc="[EXT] SimHash Hamming-distance near-dup: pigeonhole banding (4 "
+    "byte-chunks of the 32-bit simhash — any pair within Hamming distance "
+    "3 must share at least one unchanged chunk) gates an equi-join, then "
+    "exact bit_count(xor) verification ≤ 3.  The constant-size-fingerprint "
+    "dedup path: no shingle sets at pair time, pure bitwise ops.",
+    tags=("text", "dedup", "simhash"),
+)
+def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_neardup(spark, sf_dir)
+    # no isNotNull filter here: predicate pushdown would substitute the
+    # whole simhash expression into a Filter BELOW the projection (computed
+    # twice per row); a NULL sim yields NULL chunks which can never satisfy
+    # the equi-join, so the filter is implicit
+    sims = (
+        fan_out(corpus, "doc_id")
+        .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+        .select("doc_id", simhash32(F.col("sh")).alias("sim"))
+    )
+    # chunk is COALESCEd non-null: the join-key IsNotNull constraint the
+    # optimizer infers would otherwise be pushed below the projections by
+    # substitution — evaluating the entire simhash pipeline again inside a
+    # scan-level Filter on both join sides (measured 30s → 3s). A NULL sim
+    # (impossible here: every doc has ≥3 tokens) would band as -1 and any
+    # such pair is still dropped by the NULL-propagating hd residual.
+    banded = sims.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.coalesce(
+                            F.shiftright("sim", 8 * b).bitwiseAND(F.lit(255)), F.lit(-1)
+                        ).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "sim", F.col("bc.b").alias("b"), F.col("bc.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hd = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    # the filter is NULL-TOLERANT (coalesce to an over-threshold sentinel):
+    # a bare `hd <= 3` lets the optimizer infer IsNotNull(sim) and push it
+    # below the projections BY SUBSTITUTION — re-evaluating the entire
+    # simhash pipeline inside scan-level Filters on both join sides
+    # (measured 40s → 4s for the same result)
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.coalesce(hd, F.lit(4)) <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hd.alias("hd"),
+        )
+        .distinct()
+    )
+
+
+@query(
     "docs_simhash",
     f"""
     SELECT doc_id, {simhash32_sql("sh")} AS simhash
