@@ -145,6 +145,55 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert mismatches == 0
 
 
+def test_streaming_corpus_cleaning_pipeline(spark, tmp_path):
+    """The LLM-ingest flow in STREAMING form: per-row quality filter +
+    watermarked exact dedup on the content fingerprint, composed into one
+    query — duplicates and junk dropped as documents arrive."""
+    from kafka_streams_dead_letter_publishing_spark.functions.text import fingerprint
+
+    t0 = datetime.datetime(2024, 1, 1)
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [
+        (1, t0, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, t0, "THE  QUICK  BROWN  FOX jumps over the lazy dog again and again"),  # dup of 1
+        (3, t0, "too short"),  # junk: fails the length filter
+        (4, t0, "a completely different document with enough words to pass the filter"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    cleaned = (
+        stream.filter(F.size(F.split(F.col("text"), r"\s+")) >= 10)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    out = str(tmp_path / "out")
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 3 not in survivors  # junk filtered
+    assert len(survivors & {1, 2}) == 1  # formatting-noise dups collapsed
+    assert 4 in survivors
+
+
 def test_stream_static_join_enriches_records(spark, tmp_path):
     """Stream-static join: each micro-batch joins against a static
     dimension (the broadcast enrichment pattern — dimension re-read per
