@@ -708,6 +708,42 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_purchase_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="AS-OF join (the canonical operator Spark's API lacks): each "
+    "purchase attributed to the user's most recent prior click — "
+    "implemented as union + last-ignore-nulls window (one key shuffle, one "
+    "ordered pass, no range explosion; operators/asof.py), checked against "
+    "DuckDB's NATIVE ASOF JOIN.",
+    tags=("events", "join", "asof", "streaming-shape"),
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+    ).select("purchase_id", "user_id", "click_id", "click_ts")
+
+
+@query(
     "orders_price_quantiles",
     """
     SELECT o_orderstatus,
