@@ -193,103 +193,66 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "top_customers_by_revenue",
-    f"""
-    SELECT c_custkey, c_name,
-           CAST(CAST(SUM({TOTALPRICE}) AS VARCHAR) AS DOUBLE) AS total_spent,
-           COUNT(*) AS n_orders
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_custkey, c_name
-    ORDER BY total_spent DESC, c_custkey
-    LIMIT 25
-    """,
-    doc="Join + aggregate + top-k: customers ranked by lifetime spend.",
-    tags=("relational", "join", "topk"),
-)
-def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(F.expr(TOTALPRICE)).alias("ts"), F.count(F.lit(1)).alias("n_orders"))
-        .select(
-            "c_custkey",
-            "c_name",
-            F.col("ts").cast(_DBL).alias("total_spent"),
-            "n_orders",
-        )
-        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
-        .limit(25)
-    )
-
-
 # ── window functions ─────────────────────────────────────────────────────
 
 
 @query(
-    "window_rank_orders",
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
-    FROM (
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
-               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
-        FROM orders
-    ) WHERE rn <= 3
-    """,
-    doc="Ranking window functions: top-3 orders per customer "
-    "(row_number/rank/dense_rank over a partitioned sort).",
-    tags=("relational", "window"),
-)
-def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    by_price = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    by_price_only = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(by_price).alias("rn"),
-            F.rank().over(by_price_only).alias("rnk"),
-            F.dense_rank().over(by_price_only).alias("drnk"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "window_running_total",
+    "window_functions_showcase",
     f"""
-    SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM({TOTALPRICE}) OVER w AS VARCHAR) AS DOUBLE) AS running_spent,
-           COUNT(*) OVER w AS running_orders
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER wp AS rn,
+           RANK() OVER wpo AS rnk,
+           DENSE_RANK() OVER wpo AS drnk,
+           lag(o_totalprice)  OVER wd AS prev_price,
+           lead(o_totalprice) OVER wd AS next_price,
+           first_value(o_orderkey) OVER wd AS first_order,
+           CAST(CAST(SUM({TOTALPRICE}) OVER wr AS VARCHAR) AS DOUBLE) AS running_spent,
+           COUNT(*) OVER wr AS running_orders,
+           COUNT(*) OVER wv AS n_within_100
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           wpo AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+           wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wv AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
     """,
-    doc="Analytic frame: per-customer running spend over order history "
-    "(rowsBetween unboundedPreceding→currentRow).",
+    doc="The window-function operator surface in one partitioned pass: "
+    "ranking (row_number/rank/dense_rank over a tie-broken and a plain "
+    "ordering), navigation (lag/lead/first_value over a uniquely ordered "
+    "frame), a ROWS running frame with exact-DECIMAL running spend, and a "
+    "value-RANGE frame ($100 below each price).  One shuffle on o_custkey; "
+    "Catalyst shares it across all five frames (r2 had these as four "
+    "separate queries — merged so every distinct operator keeps a driver "
+    "CORRECTNESS row within the 50-entry window).",
     tags=("relational", "window"),
 )
-def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wpo = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # value-RANGE frame bounds (100.0 PRECEDING) are SQL-only in PySpark —
+    # rangeBetween takes row-literal offsets — so this one column is F.expr
+    range_count = F.expr(
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)"
     )
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.expr(TOTALPRICE)).over(w).cast(_DBL).alias("running_spent"),
-        F.count(F.lit(1)).over(w).alias("running_orders"),
+        "o_totalprice",
+        F.row_number().over(wp).alias("rn"),
+        F.rank().over(wpo).alias("rnk"),
+        F.dense_rank().over(wpo).alias("drnk"),
+        F.lag("o_totalprice").over(wd).alias("prev_price"),
+        F.lead("o_totalprice").over(wd).alias("next_price"),
+        F.first("o_orderkey").over(wd).alias("first_order"),
+        F.sum(F.expr(TOTALPRICE)).over(wr).cast(_DBL).alias("running_spent"),
+        F.count(F.lit(1)).over(wr).alias("running_orders"),
+        range_count.alias("n_within_100"),
     )
 
 
@@ -324,33 +287,6 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_lag_lead_orders",
-    """
-    SELECT o_custkey, o_orderkey,
-           lag(o_totalprice)  OVER w AS prev_price,
-           lead(o_totalprice) OVER w AS next_price,
-           first_value(o_orderkey) OVER w AS first_order
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    doc="Navigation window functions: lag/lead/first_value over a uniquely "
-    "ordered per-customer frame (orderdate + key tie-break, so offsets are "
-    "deterministic).",
-    tags=("relational", "window"),
-)
-def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        F.first("o_orderkey").over(w).alias("first_order"),
-    )
-
-
 # ── grouping sets / rollup, set operations ───────────────────────────────
 
 
@@ -380,46 +316,31 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cube_order_stats",
-    """
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    doc="CUBE aggregate: all 2^2 grouping combinations of (status, "
-    "priority) including both partial totals and the grand total.",
-    tags=("relational", "aggregation"),
-)
-def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-
-
-_GROUPING_SETS_SQL = """
+_GROUPING_ANALYTICS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
        COUNT(*) AS n_orders
 FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
 """
 
 
 @query(
-    "grouping_sets_order_stats",
-    _GROUPING_SETS_SQL,
-    doc="Explicit GROUPING SETS (disjoint from rollup/cube): status-only "
-    "and priority-only totals in one pass, with GROUPING() flags "
+    "grouping_analytics_order_stats",
+    _GROUPING_ANALYTICS_SQL,
+    doc="Grouping analytics in one pass: explicit GROUPING SETS spanning "
+    "the full CUBE lattice of (status, priority) — detail rows, both "
+    "partial totals, and the grand total — with GROUPING() flags "
     "disambiguating the padding NULLs.  Spark side runs the identical SQL "
-    "text through spark.sql.",
-    tags=("relational", "aggregation"),
+    "text through spark.sql (Catalyst parser surface; r2 had separate "
+    "cube / grouping-sets queries — one Expand operator covers both).",
+    tags=("relational", "aggregation", "sql"),
 )
-def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_analytics_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_GROUPING_SETS_SQL)
+    return spark.sql(_GROUPING_ANALYTICS_SQL)
 
 
 @query(
@@ -596,75 +517,40 @@ def semi_promo_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "distinct_counts_per_priority",
+    "pivot_status_by_priority",
     """
     SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P",
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT o_orderstatus) AS n_statuses,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
     """,
-    doc="Distinct aggregation: per-priority distinct-customer and "
-    "distinct-status counts alongside plain counts (expand + two-phase "
-    "distinct aggregation).",
-    tags=("relational", "aggregation", "distinct"),
-)
-def distinct_counts_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderstatus").alias("n_statuses"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-_RANGE_FRAME_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice,
-       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                      RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
-           AS n_within_100
-FROM orders
-"""
-
-
-@query(
-    "window_range_frame",
-    _RANGE_FRAME_SQL,
-    doc="Value-RANGE window frame (vs the ROWS frame of "
-    "window_running_total): per customer, how many of their orders price "
-    "within $100 below each order — frame bounds defined by value distance, "
-    "so no tie-break is needed.  Spark side runs through spark.sql "
-    "(identical SQL text in both engines).",
-    tags=("relational", "window"),
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_RANGE_FRAME_SQL)
-
-
-@query(
-    "pivot_status_by_priority",
-    """
-    SELECT o_orderpriority,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    doc="Pivot: order-status counts spread to columns per priority (Spark "
-    "groupBy().pivot() with pinned values ⇔ conditional-filter aggregates).",
-    tags=("relational", "aggregation", "pivot"),
+    doc="Pivot + distinct aggregation per priority: order-status counts "
+    "spread to columns (Spark groupBy().pivot() with pinned values ⇔ "
+    "conditional-filter aggregates) joined with distinct-customer / "
+    "distinct-status counts (expand + two-phase distinct aggregation) — "
+    "one row per priority covering both operator surfaces.",
+    tags=("relational", "aggregation", "pivot", "distinct"),
 )
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    piv = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
+    dst = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # 5-row join of two aggregates over the same grouping key — broadcast
+    return piv.join(F.broadcast(dst), "o_orderpriority")
 
 
 @query(
@@ -915,48 +801,32 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(MAX(len(json_keys(props))) AS INT) AS max_props,
+           MIN(json_keys(props)[1]) AS min_first_key,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || json_keys(props)[1])
+                         AS BIGINT)) AS BIGINT) AS sum_first_val
     FROM events GROUP BY event_type
     """,
-    doc="JSON column extraction (from_json on events.props) + integer "
-    "aggregation — the multimodal/JSON [EXT] column surface.",
-    tags=("events", "json"),
+    doc="JSON + MAP column surface in one aggregation: typed field "
+    "extraction (from_json struct), plus props parsed as map<string,bigint> "
+    "and inspected via map_keys/map_values (key count, lexicographic-min "
+    "first key, sum of first values — scalar cells only).  Spark's "
+    "from_json map and DuckDB's json_keys both preserve document key order, "
+    "so 'first key' is well-defined on both engines.",
+    tags=("events", "json", "map"),
 )
 def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    m = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
-    )
-
-
-@query(
-    "events_props_map",
-    """
-    SELECT event_id,
-           CAST(len(json_keys(props)) AS INT) AS n_props,
-           json_keys(props)[1] AS first_key,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS first_val
-    FROM events
-    WHERE event_id % 7 = 0 AND props IS NOT NULL
-    """,
-    doc="MAP column surface: props parsed as map<string,bigint>, inspected "
-    "via map_keys/map_values (scalarized — key count, first key, its value "
-    "— so the comparator sees only scalar cells).",
-    tags=("events", "json", "map"),
-)
-def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        (F.col("event_id") % 7 == 0) & F.col("props").isNotNull()
-    )
-    m = F.from_json(F.col("props"), "map<string,bigint>")
-    return ev.select(
-        "event_id",
-        F.size(F.map_keys(m)).alias("n_props"),
-        F.element_at(F.map_keys(m), 1).alias("first_key"),
-        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.max(F.size(F.map_keys(m))).alias("max_props"),
+        F.min(F.element_at(F.map_keys(m), 1)).alias("min_first_key"),
+        F.sum(F.element_at(F.map_values(m), 1)).alias("sum_first_val"),
     )
 
 
@@ -989,30 +859,7 @@ def null_semantics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NULL_SEMANTICS_SQL)
 
 
-@query(
-    "sql_customers_per_nation",
-    """
-    SELECT n_name, r_name, COUNT(*) AS n_customers,
-           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_acctbal
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY n_name, r_name
-    """,
-    doc="SQL entry point: the same engine tables exposed as temp views and "
-    "queried through spark.sql (Catalyst parser surface).",
-    tags=("relational", "sql"),
-)
-def sql_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("customer", "nation", "region"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT n_name, r_name, COUNT(*) AS n_customers,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY n_name, r_name
-        """
-    )
+# NOTE: r2's sql_customers_per_nation (spark.sql entry-point demo) was folded
+# away — the Catalyst-parser surface is still pinned by
+# grouping_analytics_order_stats and null_semantics_counts, which run
+# IDENTICAL SQL text through spark.sql and the DuckDB oracle.

@@ -77,25 +77,10 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_lsh_bucket_histogram",
-    f"""
-    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
-    FROM (SELECT {lsh_bucket_sql("embedding")} AS bucket, vec_id FROM embeddings)
-    GROUP BY bucket
-    """,
-    doc="[EXT] Random-hyperplane LSH bucketing (6 planes → 64 buckets): the "
-    "corpus-side index build of the ANN scale path — one narrow pass, one "
-    "shuffle on the bucket key.",
-    tags=("similarity", "lsh"),
-)
-def emb_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
-    )
+# NOTE: r2's emb_lsh_bucket_histogram (bucket-occupancy listing) was folded
+# away per the r2 verdict — the bucketing operator stays oracled end-to-end
+# through emb_ann_bucket_pairs, and bucket-occupancy balance is now pinned
+# by tests/test_plan_quality.py's occupancy gate instead of a registry row.
 
 
 @query(
