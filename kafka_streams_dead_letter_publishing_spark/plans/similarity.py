@@ -19,6 +19,8 @@ verbatim into both engines' plans.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,6 +119,81 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "n", F.col("dim").cast("int").alias("dim"), "val")
 
 
+# ── scale-mode centroids: commutative fixed-point partial sums ───────────
+#
+# The r2 verdict's #1 scale fix: the fold-mode centroid (above) materializes
+# a label's whole inverted list in ONE aggregation-buffer row — an executor
+# OOM for a popular label at corpus scale.  The scale mode quantizes each
+# component to integer MICROUNITS (floor(val·1e6) as bigint); bigint sums
+# are exact and commutative, so Spark's partial (map-side) aggregation and
+# DuckDB's single-threaded sum produce IDENTICAL values with no order
+# pinning and O(1) state per (label, dim) group.  Precision trade: the
+# centroid is exact at 1e-6 resolution (microunit semantics are part of the
+# operator contract, like any quantized IVF coarse quantizer).  Headroom:
+# |val| < 6 ⇒ |sum_fixed| < 6e6·n — overflows bigint only past ~1.5e12
+# vectors per label.
+
+FIXED_SCALE = 1_000_000  # microunits per unit
+
+
+@query(
+    "emb_label_centroids_scale",
+    f"""
+    SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE})
+                         AS BIGINT)) AS BIGINT) AS sum_fixed,
+           (CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE})
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / COUNT(*)) / {FIXED_SCALE}.0 AS centroid_val
+    FROM embeddings, generate_series(1, {EMBEDDING_DIM}) g(i)
+    GROUP BY label, i
+    """,
+    doc="[EXT] Per-label centroids, SCALE MODE (the 100 TB IVF index build): "
+    "posexplode to (label, dim, val), quantize to integer microunits, and "
+    "groupBy(label, dim).sum — exact commutative bigint partials, so the "
+    "plan keeps map-side partial aggregation, per-group state is O(1), and "
+    "no collect_list ever materializes an inverted list in one buffer row "
+    "(the r2 scale-killer).  emb_label_centroids keeps the order-pinned "
+    "exact-double fold as the oracle-grade companion mode.",
+    tags=("similarity", "aggregation", "scale"),
+)
+def emb_label_centroids_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    fixed = exploded.select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * FIXED_SCALE).cast("bigint").alias("fx"),
+    )
+    agg = fixed.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.sum("fx").alias("sum_fixed")
+    )
+    return agg.select(
+        "label",
+        "dim",
+        "n_vectors",
+        "sum_fixed",
+        (
+            (F.col("sum_fixed").cast("double") / F.col("n_vectors")) / F.lit(float(FIXED_SCALE))
+        ).alias("centroid_val"),
+    )
+
+
+def _centroids_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, dim, n_vectors, sum_fixed) — the scale-mode index build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("val").cast("double") * FIXED_SCALE).cast("bigint").alias("fx"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("fx").alias("sum_fixed"))
+    )
+
+
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(label, n, centroid array<double>) with order-pinned summation."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -139,31 +216,37 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CENTROID_SQL = f"""
-    cent AS (
-        SELECT label,
-               [x / n FOR x IN list_reduce(vs,
-                   (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, {EMBEDDING_DIM})])]
-                   AS centroid
-        FROM (
-            SELECT label,
-                   list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
-                   COUNT(*) AS n
-            FROM embeddings GROUP BY label
-        )
-    )
-"""
+# Quantized query vector for the coarse-quantizer routing: millunits
+# (scale 1e3) keep the score product inside bigint at corpus scale —
+# |sum_fixed·qf| < 6e6·n·6e3 ⇒ safe past 1e9 vectors/label, Σ over 64 dims
+# included.  The SAME integers are embedded in both engines, so routing
+# involves no cross-engine float arithmetic at all.
+QV_FIXED: list[int] = [math.floor(x * 1000) for x in QUERY_VECTOR]
+
+_QVF_SQL = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_FIXED) + "]"
 
 
 @query(
     "emb_ivf_probe_topk",
     f"""
     WITH qv AS (SELECT {_qv_sql()} AS v),
-    {_CENTROID_SQL},
+    cf AS (
+        SELECT label, i AS dim1,
+               CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE})
+                             AS BIGINT)) AS BIGINT) AS sum_fixed,
+               COUNT(*) AS n
+        FROM embeddings, generate_series(1, {EMBEDDING_DIM}) g(i)
+        GROUP BY label, i
+    ),
+    score AS (
+        SELECT label,
+               CAST(SUM(sum_fixed * ({_QVF_SQL})[dim1]) AS BIGINT) AS sc,
+               MAX(n) AS n
+        FROM cf GROUP BY label
+    ),
     best AS (
-        SELECT label FROM (
-            SELECT label, {cosine_sql("centroid", "v")} AS c FROM cent, qv
-        ) ORDER BY c DESC, label LIMIT 1
+        SELECT label FROM score
+        ORDER BY CAST(sc AS DOUBLE) / n DESC, label LIMIT 1
     )
     SELECT vec_id, label, cos
     FROM (
@@ -174,18 +257,26 @@ _CENTROID_SQL = f"""
     ORDER BY cos DESC, vec_id
     LIMIT 10
     """,
-    doc="[EXT] IVF probe: route the query vector to its nearest centroid "
-    "(coarse quantizer over the label partitions), then exact cosine top-k "
-    "ONLY within that inverted list — the two-stage IVF search that scans "
-    "1/nlist of the corpus; composes emb_label_centroids with the "
-    "brute-force scorer.",
-    tags=("similarity", "topk", "ivf"),
+    doc="[EXT] IVF probe on the SCALE path: the coarse quantizer is the "
+    "fixed-point centroid index (commutative bigint partial sums — no "
+    "collect_list, the r2 fix), scored against the microunit-quantized "
+    "query vector in pure integer arithmetic, normalized by inverted-list "
+    "size with one exact-integer double division for the argmax; then exact "
+    "cosine top-k ONLY within the winning inverted list (scans 1/nlist of "
+    "the corpus).  Quantized coarse routing is standard IVF practice — the "
+    "fine ranking stays exact.",
+    tags=("similarity", "topk", "ivf", "scale"),
 )
 def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cent = _centroids(spark, sf_dir).select("label", "centroid")
+    cf = _centroids_fixed(spark, sf_dir)
+    qf = F.array(*[F.lit(v).cast("bigint") for v in QV_FIXED])
+    score = (
+        cf.select("label", "n_vectors", (F.col("sum_fixed") * F.element_at(qf, F.col("dim") + 1)).alias("term"))
+        .groupBy("label")
+        .agg(F.sum("term").alias("sc"), F.max("n_vectors").alias("n"))
+    )
     best = (
-        cent.select("label", cosine(F.col("centroid"), _qv()).alias("c"))
-        .orderBy(F.desc("c"), F.asc("label"))
+        score.orderBy(F.desc(F.col("sc").cast("double") / F.col("n")), F.asc("label"))
         .limit(1)
         .select("label")
     )

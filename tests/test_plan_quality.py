@@ -70,3 +70,13 @@ def test_no_row_at_a_time_python_anywhere(spark):
 def test_route_counts_never_generates_strings(spark, name):
     plan = plan_of(spark, name)
     assert "translate" not in plan  # generation pruned out of the count path
+
+
+def test_scale_centroids_use_partial_aggregation_not_collect(spark):
+    """The r2 verdict's #1 scale fix: centroid/IVF index builds must never
+    materialize a label's inverted list in one aggregation buffer — the
+    plan must show map-side partial sums and no collect_list."""
+    for name in ("emb_label_centroids_scale", "emb_ivf_probe_topk"):
+        plan = plan_of(spark, name)
+        assert "collect_list" not in plan, name
+        assert "partial_sum" in plan, name
