@@ -26,7 +26,6 @@ LANG_MARKERS = {
 
 N_MINHASH = 16  # minhash functions; banded as N_BANDS × 2 rows
 N_BANDS = 8
-SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long exactly
 
 
 def tokens(text: Column) -> Column:
@@ -131,44 +130,66 @@ def band_keys(shingle_col: Column) -> Column:
     return F.when(F.size(shingle_col) > 0, keys).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_hash60(shingle: Column) -> Column:
-    """First 15 md5 hex chars → 60-bit non-negative long (portable to the
-    oracle, which parses the same hex)."""
-    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
-
-
-SIMHASH_HEX_BITS = 32  # one bit per md5 hex digit (its high bit)
+SIMHASH64_BITS = 64  # two bits per md5 hex digit: its high bit + its low bit
+SIMHASH_CHUNK_BITS = 16  # pigeonhole banding: 4 chunks × 16 bits
+SIMHASH_N_CHUNKS = SIMHASH64_BITS // SIMHASH_CHUNK_BITS  # = 4 → Hamming ≤ 3 safe
 
 #: hex digits whose high bit is set — shared with the oracle SQL verbatim
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+#: hex digits whose LOW bit is set
+_LO_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+#: translate() maps for one-char-per-digit bit extraction
+_HI_MAP = "0000000011111111"
+_LO_MAP = "0101010101010101"
 
 
-def simhash32(shingle_col: Column) -> Column:
-    """32-bit SimHash over a shingle set, engine-portable by construction.
+def _simhash_weight(b: int) -> int:
+    """Weight of simhash bit *b* in the signed-64 encoding: 2^b, except bit
+    63 which lands on the sign bit — encoded as −2^63 so the final signed
+    long carries the exact 64-bit two's-complement pattern (xor/bit_count
+    on it behave identically in Spark and DuckDB)."""
+    return -(2**63) if b == 63 else 2**b
 
-    Bit *b* of a shingle's hash is the HIGH bit of md5 hex digit *b+1* —
-    trivially identical in any engine with md5 + substring, avoiding
-    bigint-hex parsing differences.  The document's bit *b* is set iff a
-    strict majority of shingles have it set (ties → 0); NULL for empty
-    shingle sets.
 
-    Single pass: per shingle, ``translate`` maps the 32 md5 hex digits to
-    their high bits ('0'-'7' → 0, '8'-'f' → 1) and a fold accumulates the
-    32 per-bit counts — one md5 per shingle, not one per (shingle, bit)
-    (the naive per-bit-filter shape measured 60× slower: higher-order
-    functions get no codegen subexpression elimination).
+def simhash64(shingle_col: Column) -> Column:
+    """64-bit SimHash over a shingle set, engine-portable by construction.
+
+    Bits 0–31 of a shingle's hash are the HIGH bits of md5 hex digits 1–32;
+    bits 32–63 are their LOW bits — trivially identical in any engine with
+    md5 + substring, avoiding bigint-hex parsing differences.  The
+    document's bit *b* is set iff a strict majority of shingles have it set
+    (ties → 0); NULL for empty shingle sets.  Bit 63 is encoded with weight
+    −2^63 so the value is the exact 64-bit pattern as a signed long.
+
+    Single pass: per shingle, two ``translate`` calls map the 32 md5 hex
+    digits to their high/low bits and one fold accumulates all 64 per-bit
+    counts — one md5 per shingle, not one per (shingle, bit) (the naive
+    per-bit-filter shape measured 60× slower: higher-order functions get no
+    codegen subexpression elimination).
+
+    Upgraded from the r2 32-bit/8-bit-chunk variant: 4×16-bit pigeonhole
+    chunks give a 4×65536-key band space, so the candidate join stays
+    bucketed (≈N²/262144 pairs) instead of degenerating toward all-pairs at
+    1e8+ docs (the r2 verdict's scale fix #3).
     """
     n_sh = F.size(shingle_col)
     bits = lambda s: F.transform(  # noqa: E731
-        F.split(F.translate(F.md5(s), "0123456789abcdef", "0000000011111111"), ""),
+        F.split(
+            F.concat(
+                F.translate(F.md5(s), "0123456789abcdef", _HI_MAP),
+                F.translate(F.md5(s), "0123456789abcdef", _LO_MAP),
+            ),
+            "",
+        ),
         lambda c: c.cast("int"),
     )
     counts = F.aggregate(
         shingle_col,
-        F.array_repeat(F.lit(0), SIMHASH_HEX_BITS),
+        F.array_repeat(F.lit(0), SIMHASH64_BITS),
         lambda acc, s: F.zip_with(acc, bits(s), lambda a, b: a + b),
     )
-    powers = F.array(*[F.lit(2**b).cast("long") for b in range(SIMHASH_HEX_BITS)])
+    powers = F.array(*[F.lit(_simhash_weight(b)).cast("long") for b in range(SIMHASH64_BITS)])
     weighted = F.zip_with(
         counts, powers, lambda c, p: F.when(c * 2 > n_sh, p).otherwise(F.lit(0).cast("long"))
     )
@@ -176,14 +197,16 @@ def simhash32(shingle_col: Column) -> Column:
     return F.when(n_sh > 0, total)
 
 
-def simhash32_sql(shingles_sql: str) -> str:
-    """DuckDB SQL reproducing :func:`simhash32` over a list expression."""
+def simhash64_sql(shingles_sql: str) -> str:
+    """DuckDB SQL reproducing :func:`simhash64` over a list expression."""
     hi = ", ".join(f"'{h}'" for h in _HI_HEX)
+    lo = ", ".join(f"'{h}'" for h in _LO_HEX)
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter({shingles_sql}, "
-        f"s -> substring(md5(s), {b + 1}, 1) IN ({hi}))) "
-        f"> len({shingles_sql}) THEN {2**b} ELSE 0 END)"
-        for b in range(SIMHASH_HEX_BITS)
+        f"s -> substring(md5(s), {(b % 32) + 1}, 1) IN ({hi if b < 32 else lo}))) "
+        f"> len({shingles_sql}) THEN CAST({_simhash_weight(b)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH64_BITS)
     )
     return (
         f"(CASE WHEN len({shingles_sql}) > 0 THEN CAST({terms} AS BIGINT) "

@@ -29,14 +29,16 @@ from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.functions.text import (
     LANG_MARKERS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_N_CHUNKS,
     STOPWORDS,
     band_keys_from_minhash,
     fingerprint,
     lang_guess,
     minhash_array,
     shingles,
-    simhash32,
-    simhash32_sql,
+    simhash64,
+    simhash64_sql,
     stopword_count,
     tokens,
 )
@@ -365,11 +367,11 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH " + _CORPUS_NEARDUP_SQL
     + f""",
     sims AS MATERIALIZED (
-        SELECT doc_id, {simhash32_sql("sh")} AS sim
+        SELECT doc_id, {simhash64_sql("sh")} AS sim
         FROM (SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus)
     ),
     banded AS MATERIALIZED (
-        SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS chunk
+        SELECT doc_id, sim, b, (sim >> (16 * b)) & 65535 AS chunk
         FROM sims, generate_series(0, 3) g(b)
         WHERE sim IS NOT NULL
     )
@@ -381,10 +383,12 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_a, doc_b, hd
     """,
     doc="[EXT] SimHash Hamming-distance near-dup: pigeonhole banding (4 "
-    "byte-chunks of the 32-bit simhash — any pair within Hamming distance "
+    "16-bit chunks of the 64-bit simhash — any pair within Hamming distance "
     "3 must share at least one unchanged chunk) gates an equi-join, then "
     "exact bit_count(xor) verification ≤ 3.  The constant-size-fingerprint "
-    "dedup path: no shingle sets at pair time, pure bitwise ops.",
+    "dedup path: no shingle sets at pair time, pure bitwise ops.  The "
+    "4×65536-key band space keeps candidates ≈N²/262144 (the r2 32-bit/"
+    "8-bit variant had only 1024 keys — quadratic by 1e8 docs).",
     tags=("text", "dedup", "simhash"),
 )
 def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +401,7 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(corpus, "doc_id")
         .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
         .select("doc_id", shingles(F.col("toks")).alias("sh"))
-        .select("doc_id", simhash32(F.col("sh")).alias("sim"))
+        .select("doc_id", simhash64(F.col("sh")).alias("sim"))
     )
     # chunk is COALESCEd non-null: the join-key IsNotNull constraint the
     # optimizer infers would otherwise be pushed below the projections by
@@ -405,6 +409,8 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-level Filter on both join sides (measured 30s → 3s). A NULL sim
     # (impossible here: every doc has ≥3 tokens) would band as -1 and any
     # such pair is still dropped by the NULL-propagating hd residual.
+    # shiftright is arithmetic (sign-extending) but the & 65535 mask keeps
+    # exactly bits 16b..16b+15, so negative sims (bit 63 set) band correctly.
     banded = sims.select(
         "doc_id",
         "sim",
@@ -414,10 +420,13 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("b"),
                         F.coalesce(
-                            F.shiftright("sim", 8 * b).bitwiseAND(F.lit(255)), F.lit(-1)
+                            F.shiftright("sim", SIMHASH_CHUNK_BITS * b).bitwiseAND(
+                                F.lit(65535)
+                            ),
+                            F.lit(-1),
                         ).alias("chunk"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_N_CHUNKS)
                 ]
             )
         ).alias("bc"),
