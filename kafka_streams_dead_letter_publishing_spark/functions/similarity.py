@@ -21,13 +21,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMBEDDING_DIM = 64
-N_HYPERPLANES = 6  # 2^6 = 64 buckets
+
+#: Plane count for the ORACLE-registered query (the oracle SQL string is
+#: static, so the registry pins one value): 2^8 = 256 buckets — candidate
+#: pairs ≈ N²/512.  r2 shipped 6 planes (64 buckets), which was already the
+#: slowest bench entry and quadratic death at the module's own ≥1e6-vector
+#: target; the operator API below scales the count with corpus size.
+N_HYPERPLANES = 8
+
+#: Upper bound of the deterministic plane pool (2^24 buckets ≈ 16M — enough
+#: for ~4e9 vectors at the default target occupancy).
+MAX_HYPERPLANES = 24
 
 # Deterministic hyperplanes, shared verbatim with the oracle SQL literals.
 _rng = np.random.default_rng(7)
 HYPERPLANES: list[list[float]] = [
-    [float(x) for x in _rng.standard_normal(EMBEDDING_DIM)] for _ in range(N_HYPERPLANES)
+    [float(x) for x in _rng.standard_normal(EMBEDDING_DIM)] for _ in range(MAX_HYPERPLANES)
 ]
+
+
+def n_hyperplanes_for(n_vectors: int, target_occupancy: int = 256) -> int:
+    """Plane count that keeps expected bucket occupancy ≈ constant as the
+    corpus grows: planes ≈ log2(N / target_occupancy), floored at the
+    oracle default and capped by the plane pool.  Candidate-pair work per
+    bucket is then O(target_occupancy²) regardless of N — the knob that
+    keeps the LSH join linear-ish at 100 TB instead of quadratic."""
+    import math
+
+    if n_vectors <= 0:
+        return N_HYPERPLANES
+    needed = math.ceil(math.log2(max(n_vectors / target_occupancy, 1.0)))
+    return min(MAX_HYPERPLANES, max(N_HYPERPLANES, needed))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -49,11 +73,44 @@ def plane_dot(emb: Column, plane: list[float]) -> Column:
     return acc
 
 
-def lsh_bucket(emb: Column) -> Column:
+def lsh_bucket(emb: Column, n_planes: int = N_HYPERPLANES) -> Column:
     """Random-hyperplane LSH bucket id: the sign-bit string of the plane
-    dot products ('010011' for 6 planes)."""
-    bits = [F.when(plane_dot(emb, p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in HYPERPLANES]
-    return F.concat(*bits)
+    dot products ('01001101' for the default 8 planes).  Pass
+    ``n_planes=n_hyperplanes_for(corpus_size)`` to hold bucket occupancy
+    constant as the corpus grows.
+
+    Shape: the plane matrix is a nested array literal that ConstantFolding
+    collapses into ONE Literal node, and the per-plane dot is a zip_with/
+    aggregate fold — the expression tree stays O(1) in (planes × dim).  The
+    r2 unrolled-literal chain was ~4 s of driver-side analysis + codegen
+    per run at 8×64 terms (measured), dwarfing the actual row work; the
+    fold matches its strict left-to-right summation bit-for-bit, so the
+    unrolled oracle SQL (plane_dot_sql) is unchanged."""
+    # one expr-string parse (single py4j roundtrip) instead of ~n_planes×dim
+    # Column constructions; CAST('repr' AS DOUBLE) is the same repr→double
+    # conversion F.lit(float) performs, and ConstantFolding collapses the
+    # whole matrix into one Literal
+    planes = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in p) + ")"
+            for p in HYPERPLANES[:n_planes]
+        )
+        + ")"
+    )
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(p, emb, lambda w, x: w * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 # ── oracle-side SQL generators (DuckDB dialect: 1-based l[i] indexing) ───
@@ -79,8 +136,9 @@ def plane_dot_sql(emb: str, plane: list[float]) -> str:
     return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
-def lsh_bucket_sql(emb: str) -> str:
+def lsh_bucket_sql(emb: str, n_planes: int = N_HYPERPLANES) -> str:
     bits = " || ".join(
-        f"(CASE WHEN {plane_dot_sql(emb, p)} >= 0 THEN '1' ELSE '0' END)" for p in HYPERPLANES
+        f"(CASE WHEN {plane_dot_sql(emb, p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in HYPERPLANES[:n_planes]
     )
     return f"({bits})"

@@ -311,7 +311,12 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within shared buckets (equi-join on bucket key — no all-pairs product), "
     "then global top-50; the full approximate-similarity-search pipeline. "
     "Norms are precomputed per VECTOR in the index stage (1 fold per pair "
-    "instead of 3 — same expressions, so doubles stay bit-identical).",
+    "instead of 3 — same expressions, so doubles stay bit-identical).  The "
+    "registered query pins 8 planes (256 buckets) to match its static "
+    "oracle; the operator API (functions.similarity.n_hyperplanes_for) "
+    "scales the plane count with corpus size so bucket occupancy — and "
+    "per-bucket pair work — stays constant at 100 TB (r2 fix #4; the "
+    "occupancy gate lives in tests/test_plan_quality.py).",
     tags=("similarity", "lsh", "join", "bench"),
 )
 def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

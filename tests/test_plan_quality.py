@@ -72,6 +72,34 @@ def test_route_counts_never_generates_strings(spark, name):
     assert "translate" not in plan  # generation pruned out of the count path
 
 
+def test_lsh_bucket_occupancy_stays_bounded(spark):
+    """r2 fix #4: the ANN bucket join is only sub-quadratic if buckets stay
+    small.  At sf0.1 (the bench SF) the default 8-plane bucketing must keep
+    every bucket far below corpus size, and the plane count must grow with
+    the corpus so occupancy holds at scale."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_bucket,
+        n_hyperplanes_for,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    occ = (
+        emb.select(lsh_bucket(F.col("embedding")).alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert occ <= 64, occ  # measured 23 at sf0.1; alarm well before quadratic
+    # occupancy-constant scaling: 2^planes grows linearly with the corpus
+    assert n_hyperplanes_for(10**6) >= 12
+    assert n_hyperplanes_for(10**9) >= 21
+    assert n_hyperplanes_for(0) == 8
+
+
 def test_scale_centroids_use_partial_aggregation_not_collect(spark):
     """The r2 verdict's #1 scale fix: centroid/IVF index builds must never
     materialize a label's inverted list in one aggregation buffer — the
