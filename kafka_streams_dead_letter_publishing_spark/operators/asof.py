@@ -4,8 +4,13 @@ built-ins: union + last-ignore-nulls window, no UDF.
 
 Semantics (matching DuckDB's native ``ASOF JOIN``, which serves as the
 oracle): for every left row, attach the single right row with the LARGEST
-``right_ts <= left_ts`` for the same key; left rows with no earlier right
-row are dropped (inner as-of).
+``right_ts <= left_ts`` for the same key.  ``how="inner"`` drops left rows
+with no such right row; ``how="left"`` keeps them with NULL payload.  A
+``tolerance`` bound additionally requires ``left_ts - right_ts <=
+tolerance`` — and because the as-of match is already the LATEST eligible
+right row, a stale match means no earlier row could qualify either, so
+staleness simply nulls/drops the match (exactly DuckDB ``ASOF LEFT JOIN``
++ a staleness CASE).
 
 Distributed shape: one shuffle on the key (the window partition); within
 each partition a single ordered pass carries the latest right payload
@@ -13,8 +18,12 @@ forward — O(n log n) for the sort, no self-join, no range explosion.  At
 100 TB this is the standard event-attribution join (each side can be
 petabyte-scale; only the per-key timeline must fit a window partition).
 
-Tie rule: a right row at exactly ``left_ts`` matches (``>=``), implemented
-by ordering right rows before left rows at equal timestamps.
+Tie rules: a right row at exactly ``left_ts`` matches (``>=``), implemented
+by ordering right rows before left rows at equal timestamps.  Multiple
+right rows at the SAME (key, ts) are tie-broken deterministically by their
+payload struct (largest wins) — the window ordering is total, so repeated
+runs can't flip the winner (r2 advice fix; DuckDB's native ASOF picks
+arbitrarily, but the test corpora carry no tied rows).
 """
 
 from __future__ import annotations
@@ -24,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_RESERVED = ("__ts", "__side", "__pay", "__match")
+
 
 def as_of_join(
     left: DataFrame,
@@ -32,28 +43,56 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
+    how: str = "inner",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Inner as-of join: left rows + the latest right payload at-or-before
-    each left timestamp, per key.
+    """As-of join: left rows + the latest right payload at-or-before each
+    left timestamp, per key.
+
+    Parameters
+    ----------
+    how:
+        ``"inner"`` (drop unmatched lefts) or ``"left"`` (keep them with
+        NULL payload columns).
+    tolerance:
+        optional SQL interval expression (e.g. ``"INTERVAL 2 HOUR"``):
+        a match older than ``left_ts - tolerance`` does not count.
 
     Returns all ``left`` columns plus ``right_payload`` columns (right's
-    timestamp can be included in the payload if wanted).
+    timestamp can be included in the payload if wanted).  Payload names
+    must not collide with left column names.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on)
+    collisions = set(right_payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_payload names collide with left columns: {sorted(collisions)}; "
+            "alias the right-side columns before joining"
+        )
+    for df, side in ((left, "left"), (right, "right")):
+        bad = set(_RESERVED) & set(df.columns)
+        if bad:
+            raise ValueError(f"{side} side uses reserved column names {sorted(bad)}")
+
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    # the matched right's own timestamp rides along for the tolerance check,
+    # even when the caller's payload doesn't include it
+    pay = F.struct(F.col(right_ts).alias("__rts"), payload_struct.alias("__data"))
 
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),  # rights sort BEFORE lefts at equal ts (>= semantics)
-        payload_struct.alias("__payload"),
+        pay.alias("__pay"),
     )
     left_cols = [c for c in left.columns]
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(tagged_right.schema["__payload"].dataType).alias("__payload"),
+        F.lit(None).cast(tagged_right.schema["__pay"].dataType).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     # align schemas: right side lacks the left columns
@@ -61,16 +100,28 @@ def as_of_join(
         tagged_right = tagged_right.withColumn(f"__l_{c}", F.lit(None).cast(left.schema[c].dataType))
 
     unioned = tagged_left.unionByName(tagged_right)
+    # __pay as the final sort key makes the ordering TOTAL for right rows:
+    # among rights tied on (key, ts) the largest payload struct wins,
+    # deterministically (left rows all carry NULL __pay and are already
+    # uniquely placed by __side)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__pay"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-    return (
-        carried.filter((F.col("__side") == 1) & F.col("__match").isNotNull())
-        .select(
-            *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-            *[F.col("__match")[c].alias(c) for c in right_payload],
-        )
+    carried = unioned.withColumn("__match", F.last("__pay", ignorenulls=True).over(w))
+
+    if tolerance is not None:
+        fresh = F.col("__match.__rts") >= F.col("__ts") - F.expr(tolerance)
+    else:
+        fresh = F.lit(True)
+    match = F.when(F.col("__match").isNotNull() & fresh, F.col("__match"))
+    carried = carried.withColumn("__match", match)
+
+    out = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        *[F.col("__match")["__data"][c].alias(c) for c in right_payload],
     )

@@ -630,6 +630,47 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_left_tolerance",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.event_id END AS click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="LEFT-OUTER as-of join with a max-staleness bound: every purchase "
+    "kept, attributed to the user's most recent prior click only when it is "
+    "at most 2 hours old (staleness NULLs the payload — and since the as-of "
+    "match is the LATEST eligible row, no earlier row could qualify either, "
+    "so the bound composes exactly with DuckDB's native ASOF LEFT JOIN + "
+    "CASE).  Same union + last-ignore-nulls window shape as the inner "
+    "variant: one key shuffle, one ordered pass, no range explosion.",
+    tags=("events", "join", "asof", "streaming-shape"),
+)
+def events_asof_left_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        how="left",
+        tolerance="INTERVAL 2 HOUR",
+    ).select("purchase_id", "user_id", "click_id", "click_ts")
+
+
+@query(
     "orders_price_quantiles",
     """
     SELECT o_orderstatus,

@@ -37,6 +37,63 @@ def test_asof_picks_latest_at_or_before(spark):
     assert got == {"p1": "c-tie", "p2": "c-mid"}  # p3: no earlier click; p4: no key 3
 
 
+def test_asof_left_keeps_unmatched_with_null_payload(spark):
+    left = spark.createDataFrame(
+        [(1, T(10), "p1"), (2, T(5), "p3")], "user_id long, ts timestamp, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, T(5), "c1"), (2, T(6), "c-after")], "user_id long, cts timestamp, cid string"
+    )
+    got = {
+        r.pid: r.cid
+        for r in as_of_join(
+            left, right, ["user_id"], "ts", "cts", ["cid"], how="left"
+        ).collect()
+    }
+    assert got == {"p1": "c1", "p3": None}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, T(10), "fresh"), (1, T(50), "stale")], "user_id long, ts timestamp, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, T(8), "c1")], "user_id long, cts timestamp, cid string"
+    )
+    res = as_of_join(
+        left, right, ["user_id"], "ts", "cts", ["cid"],
+        how="left", tolerance="INTERVAL 10 MINUTE",
+    )
+    got = {r.pid: r.cid for r in res.collect()}
+    assert got == {"fresh": "c1", "stale": None}  # 42 min old > 10 min bound
+    # inner mode drops the stale row entirely
+    inner = as_of_join(
+        left, right, ["user_id"], "ts", "cts", ["cid"],
+        tolerance="INTERVAL 10 MINUTE",
+    )
+    assert [r.pid for r in inner.collect()] == ["fresh"]
+
+
+def test_asof_tied_right_rows_break_deterministically(spark):
+    left = spark.createDataFrame([(1, T(10), "p")], "user_id long, ts timestamp, pid string")
+    right = spark.createDataFrame(
+        [(1, T(5), "a"), (1, T(5), "z"), (1, T(5), "m")],
+        "user_id long, cts timestamp, cid string",
+    )
+    for _ in range(3):  # total window order → same winner every run
+        rows = as_of_join(left, right, ["user_id"], "ts", "cts", ["cid"]).collect()
+        assert [r.cid for r in rows] == ["z"]  # largest payload struct wins
+
+
+def test_asof_rejects_payload_name_collisions(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, T(1), "x")], "user_id long, ts timestamp, cid string")
+    right = spark.createDataFrame([(1, T(0), "c")], "user_id long, cts timestamp, cid string")
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, ["user_id"], "ts", "cts", ["cid"])
+
+
 def test_asof_plan_has_single_key_shuffle_no_join(spark):
     left = spark.createDataFrame([(1, T(1), "x")], "user_id long, ts timestamp, pid string")
     right = spark.createDataFrame([(1, T(0), "c")], "user_id long, cts timestamp, cid string")
