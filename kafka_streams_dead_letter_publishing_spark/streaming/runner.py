@@ -30,7 +30,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_streams_dead_letter_publishing_spark.config import EngineConfig
@@ -126,26 +127,35 @@ class DeadLetterStream:
         batch.persist()
         try:
             routed = self.topology(batch, self.cfg)
+            channels = [
+                (routed.deser_dlt, self.cfg.deser_dlt),
+                (routed.process_dlt, self.cfg.process_dlt),
+                (routed.prod_dlt, self.cfg.prod_dlt),
+                (routed.output, self.cfg.output_topic),
+            ]
+            # Per-channel routed counts ride the sink writes as observe()
+            # accumulators — zero extra jobs (r2 ran four count() jobs per
+            # batch on top of the writes).  The engine's analogue of the
+            # reference handlers' per-failure logging
+            # (DeadLetterDeserializationExceptionHandler.java:37).
+            observations: list[tuple[str, Observation]] = []
+            if self.metrics is not None:
+                instrumented = []
+                for df, topic in channels:
+                    obs = Observation()
+                    observations.append((topic, obs))
+                    instrumented.append((df.observe(obs, F.count(F.lit(1)).alias("n")), topic))
+                channels = instrumented
             # Dead letters first: if a DLT publish fails we die *before*
             # emitting output, bounding duplicate output records on retry —
             # same motivation as the reference's shutdown-on-DLT-failure.
-            self.sink(routed.deser_dlt, self.cfg.deser_dlt)
-            self.sink(routed.process_dlt, self.cfg.process_dlt)
-            self.sink(routed.prod_dlt, self.cfg.prod_dlt)
-            self.sink(routed.output, self.cfg.output_topic)
+            for df, topic in channels:
+                self.sink(df, topic)
             if self.metrics is not None:
-                # per-channel routed counts — the engine's analogue of the
-                # reference handlers' per-failure logging
-                # (DeadLetterDeserializationExceptionHandler.java:37); counts
-                # run over the persisted batch, topic-only projections
+                # Observation.get blocks until the observing action ran;
+                # the sink writes above already completed it
                 self.metrics(
-                    batch_id,
-                    {
-                        self.cfg.deser_dlt: routed.deser_dlt.select("topic").count(),
-                        self.cfg.process_dlt: routed.process_dlt.select("topic").count(),
-                        self.cfg.prod_dlt: routed.prod_dlt.select("topic").count(),
-                        self.cfg.output_topic: routed.output.select("topic").count(),
-                    },
+                    batch_id, {topic: int(obs.get["n"]) for topic, obs in observations}
                 )
         finally:
             batch.unpersist()
