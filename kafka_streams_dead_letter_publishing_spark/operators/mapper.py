@@ -22,8 +22,8 @@ tests therefore assert only length and charset (``ErrorHandlingTopologyTest
 uniform a-z contract while making golden tests and oracle runs reproducible.
 
 Scale note on generation cost: one xxhash64 yields 63 random bits; we
-extract CHARS_PER_HASH = 12 base-26 digits per hash (26^12 < 2^63) via
-``conv(…, 10, 26)`` + ``translate`` — O(n/12) hash calls instead of O(n),
+extract CHARS_PER_HASH = 13 base-26 digits per hash (26^13 < 2^63) via
+``conv(…, 10, 26)`` + ``translate`` — O(n/13) hash calls instead of O(n),
 all JVM-side whole-stage codegen.
 """
 
@@ -48,8 +48,8 @@ def random_lowercase_string(n: Column, uniq: Column, seed: int) -> Column:
     """Deterministic random string of ``n`` chars in ``[a-z]``.
 
     ``uniq`` is any per-record expression (e.g. key/offset hash) that
-    decorrelates records.  Pure SQL, chunked: one xxhash64 per 12 output
-    chars; each hash becomes 12 base-26 digits (``conv`` renders them as
+    decorrelates records.  Pure SQL, chunked: one xxhash64 per 13 output
+    chars; each hash becomes 13 base-26 digits (``conv`` renders them as
     ``0-9A-P``) translated to ``a-z``.  Mirrors
     ``ErrorHandlingMapper.java:14-18`` (``random.ints(97, 123)``).
 

@@ -126,6 +126,11 @@ WITH derived AS (
 routed AS (
     SELECT *,
         CASE WHEN is_deser THEN 'deserialization-exception.DLT'
+             -- NULL n ⇒ NULL value bytes ⇒ the engine's NullValueError
+             -- process route (operators/mapper.py map_error_class); without
+             -- this arm a NULL would fall through WHEN n < 0 (false for
+             -- NULL) into 'output' and diverge from the engine
+             WHEN n IS NULL THEN 'process-exception.DLT'
              WHEN n < 0 THEN 'process-exception.DLT'
              WHEN n + LENGTH(key_str) + {OVH} > {MAX} THEN 'production-exception.DLT'
              ELSE 'output'
@@ -191,7 +196,8 @@ def dlt_output_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT key_str,
            n AS original_value,
-           'NegativeLengthError: ' || CAST(n AS VARCHAR) AS err
+           CASE WHEN n IS NULL THEN 'NullValueError: null'
+                ELSE 'NegativeLengthError: ' || CAST(n AS VARCHAR) END AS err
     FROM routed WHERE topic = 'process-exception.DLT'
     """,
     doc="Process-error channel: ORIGINAL int value restored (round-tripped "
@@ -261,7 +267,8 @@ def dlt_prod_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT key_str,
            CASE WHEN n >= 0 THEN SQRT(CAST(n AS DOUBLE)) END AS result,
-           CASE WHEN n < 0 THEN 'ValueError: math domain error' END AS err
+           CASE WHEN n IS NULL THEN 'TypeError: must be real number, not NoneType'
+                WHEN n < 0 THEN 'ValueError: math domain error' END AS err
     FROM derived
     """,
     doc="General per-record error capture for ARBITRARY Python transforms "

@@ -845,7 +845,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            CAST(MAX(len(json_keys(props))) AS INT) AS max_props,
            MIN(json_keys(props)[1]) AS min_first_key,
-           CAST(SUM(CAST(json_extract_string(props, '$.' || json_keys(props)[1])
+           -- key QUOTED in the path: a bare '$.' || key builds a wrong or
+           -- invalid path for keys containing '.', quotes or brackets,
+           -- while Spark's map_values reads the entry directly (r3 ADVICE)
+           CAST(SUM(CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"')
                          AS BIGINT)) AS BIGINT) AS sum_first_val
     FROM events GROUP BY event_type
     """,

@@ -216,11 +216,16 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Quantized query vector for the coarse-quantizer routing: millunits
-# (scale 1e3) keep the score product inside bigint at corpus scale —
-# |sum_fixed·qf| < 6e6·n·6e3 ⇒ safe past 1e9 vectors/label, Σ over 64 dims
-# included.  The SAME integers are embedded in both engines, so routing
-# involves no cross-engine float arithmetic at all.
+# Quantized query vector for the coarse-quantizer routing (millunits,
+# scale 1e3).  The SAME integers are embedded in both engines, so routing
+# involves no cross-engine float arithmetic at all.  Overflow headroom
+# (r3 ADVICE corrected the r2 claim): a single term |sum_fixed·qf| <
+# 6e6·n·6e3 and the 64-dim score sum reaches ~2.3e12·n — PAST BIGINT at
+# n ≈ 4e6 vectors per label, exactly the regime the scale path targets,
+# and Spark would wrap silently where DuckDB raises.  The score therefore
+# accumulates in exact wide-integer arithmetic on both engines —
+# DECIMAL(38,0) on Spark, HUGEINT on DuckDB — good to n ≈ 1e25, far past
+# the 1.5e12 bound where sum_fixed itself leaves bigint.
 QV_FIXED: list[int] = [math.floor(x * 1000) for x in QUERY_VECTOR]
 
 _QVF_SQL = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_FIXED) + "]"
@@ -240,7 +245,7 @@ _QVF_SQL = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_FIXED) + "]"
     ),
     score AS (
         SELECT label,
-               CAST(SUM(sum_fixed * ({_QVF_SQL})[dim1]) AS BIGINT) AS sc,
+               SUM(CAST(sum_fixed AS HUGEINT) * ({_QVF_SQL})[dim1]) AS sc,
                MAX(n) AS n
         FROM cf GROUP BY label
     ),
@@ -260,7 +265,9 @@ _QVF_SQL = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_FIXED) + "]"
     doc="[EXT] IVF probe on the SCALE path: the coarse quantizer is the "
     "fixed-point centroid index (commutative bigint partial sums — no "
     "collect_list, the r2 fix), scored against the microunit-quantized "
-    "query vector in pure integer arithmetic, normalized by inverted-list "
+    "query vector in exact wide-integer arithmetic (DECIMAL(38,0) on "
+    "Spark, HUGEINT on DuckDB — bigint wraps at ~4e6 vectors/label, r3 "
+    "ADVICE), normalized by inverted-list "
     "size with one exact-integer double division for the argmax; then exact "
     "cosine top-k ONLY within the winning inverted list (scans 1/nlist of "
     "the corpus).  Quantized coarse routing is standard IVF practice — the "
@@ -271,7 +278,17 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = _centroids_fixed(spark, sf_dir)
     qf = F.array(*[F.lit(v).cast("bigint") for v in QV_FIXED])
     score = (
-        cf.select("label", "n_vectors", (F.col("sum_fixed") * F.element_at(qf, F.col("dim") + 1)).alias("term"))
+        cf.select(
+            "label",
+            "n_vectors",
+            # DECIMAL(38,0): exact wide-integer accumulation — the bigint
+            # product would wrap silently at ~4e6 vectors/label (see the
+            # QV_FIXED headroom note); decimal partials stay commutative
+            (
+                F.col("sum_fixed").cast("decimal(38,0)")
+                * F.element_at(qf, F.col("dim") + 1)
+            ).alias("term"),
+        )
         .groupBy("label")
         .agg(F.sum("term").alias("sc"), F.max("n_vectors").alias("n"))
     )

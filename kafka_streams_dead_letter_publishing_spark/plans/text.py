@@ -353,8 +353,10 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── gear-hash CDC (the incremental production variant) ───────────────────
 #
 # Gear table: 256 deterministic 24-bit constants derived from md5 so both
-# engines embed the SAME literals.  Rolling hash h ← (2·h + gear[byte])
-# mod 2³², boundary when (h & GEAR_MASK) == 0 — the mask's 6 bits are
+# engines embed the SAME literals.  Rolling hash h ← (2·h + gear[cp % 256])
+# mod 2³² where cp is the character's Unicode codepoint (mod 256 keeps the
+# lookup in-table for non-ASCII text — both engines index identically),
+# boundary when (h & GEAR_MASK) == 0 — the mask's 6 bits are
 # SPREAD across bits 8..28 (real gear-CDC practice): with a low mask the
 # shift-by-1 would make the decision depend on only the last log2(mask)
 # bytes.  2³² windowing identity: since 2^j ≡ 0 (mod 2³²) for j ≥ 32,
@@ -386,7 +388,7 @@ _GEAR_WINDOW_SUM = " + ".join(
     f"""
     WITH ag AS (
         SELECT doc_id,
-               [({_GEAR_SQL})[ord(substring(text, p, 1)) + 1]
+               [({_GEAR_SQL})[ord(substring(text, p, 1)) % 256 + 1]
                 for p in generate_series(1, length(text))] AS g
         FROM documents
     ),
@@ -430,7 +432,13 @@ def docs_cdc_gear_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(acc, c):
-        nh = F.pmod(acc["h"] * 2 + F.element_at(gear, F.ascii(c) + 1), F.lit(_TWO32))
+        # gear index = codepoint mod 256 on BOTH engines: ascii()/ord()
+        # return the full Unicode codepoint, and an un-modded lookup past
+        # index 256 is NULL — which would poison the rolling hash for the
+        # rest of the document on the Spark side only (oracle's per-position
+        # window recovers after 32 chars), silently losing every later
+        # boundary on any non-ASCII document (r3 ADVICE)
+        nh = F.pmod(acc["h"] * 2 + F.element_at(gear, F.pmod(F.ascii(c), F.lit(256)) + 1), F.lit(_TWO32))
         bound = nh.bitwiseAND(F.lit(GEAR_MASK)) == 0
         return F.struct(
             nh.alias("h"),

@@ -27,16 +27,29 @@ sinks instead of four source scans.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
+
+_LOG = logging.getLogger(__name__)
 
 from kafka_streams_dead_letter_publishing_spark.config import EngineConfig
 from kafka_streams_dead_letter_publishing_spark.operators.topology import Routed, route
 
+#: Sink contract: ``write(df, topic)`` MUST execute at least one FULL Spark
+#: action over ``df`` (a write, a count — anything that runs every
+#: partition).  The metrics path rides ``df.observe()`` accumulators, which
+#: only publish when an action over the observed frame completes — a writer
+#: that short-circuits (e.g. returns early on ``isEmpty``, or a no-op test
+#: stub) would otherwise leave ``Observation.get`` blocked forever (r3
+#: ADVICE).  ``process_batch`` guards the metrics read with a non-blocking
+#: check + fallback count, so a contract-violating sink costs one extra job
+#: per channel instead of a hang — but the write-path semantics (dead
+#: letters PUBLISHED before output) still require the sink to actually run.
 SinkWriter = Callable[[DataFrame, str], None]
 
 
@@ -138,13 +151,14 @@ class DeadLetterStream:
             # batch on top of the writes).  The engine's analogue of the
             # reference handlers' per-failure logging
             # (DeadLetterDeserializationExceptionHandler.java:37).
-            observations: list[tuple[str, Observation]] = []
+            observations: list[tuple[str, Observation, DataFrame]] = []
             if self.metrics is not None:
                 instrumented = []
                 for df, topic in channels:
                     obs = Observation()
-                    observations.append((topic, obs))
-                    instrumented.append((df.observe(obs, F.count(F.lit(1)).alias("n")), topic))
+                    watched = df.observe(obs, F.count(F.lit(1)).alias("n"))
+                    observations.append((topic, obs, watched))
+                    instrumented.append((watched, topic))
                 channels = instrumented
             # Dead letters first: if a DLT publish fails we die *before*
             # emitting output, bounding duplicate output records on retry —
@@ -152,13 +166,39 @@ class DeadLetterStream:
             for df, topic in channels:
                 self.sink(df, topic)
             if self.metrics is not None:
-                # Observation.get blocks until the observing action ran;
-                # the sink writes above already completed it
                 self.metrics(
-                    batch_id, {topic: int(obs.get["n"]) for topic, obs in observations}
+                    batch_id,
+                    {
+                        topic: self._observed_count(obs, watched)
+                        for topic, obs, watched in observations
+                    },
                 )
         finally:
             batch.unpersist()
+
+    @staticmethod
+    def _observed_count(obs: Observation, watched: DataFrame) -> int:
+        """Routed-count metric for one channel, hang-proof.
+
+        ``Observation.get`` BLOCKS until an action over the observed frame
+        completes; a SinkWriter that violated its run-one-full-action
+        contract (see the ``SinkWriter`` doc) would hang the micro-batch
+        here with no error.  The JVM Observation exposes a non-blocking
+        ``getOrEmpty``; when it is empty the sink demonstrably ran no
+        action, so fall back to an explicit count job (which is also the
+        honest number: nothing was written, but this is what WOULD have
+        been routed)."""
+        try:  # non-public accessor — probed defensively across versions
+            jmap = obs._jo.getOrEmpty()
+            if not jmap.isEmpty():
+                return int(obs.get["n"])  # completed: non-blocking now
+        except Exception:  # noqa: BLE001
+            # Spark 4.1's getOrEmpty NPEs when the observation has not run
+            # yet (measured) — same meaning as an empty map; any other
+            # JVM/API mismatch also lands here and pays one count job
+            # rather than hanging
+            pass
+        return watched.count()
 
     def start(self, source: DataFrame, trigger: dict[str, Any] | None = None) -> StreamingQuery:
         writer = (
@@ -169,6 +209,50 @@ class DeadLetterStream:
         if trigger:
             writer = writer.trigger(**trigger)
         return writer.start()
+
+
+class TerminationLoggingListener(StreamingQueryListener):
+    """Query-termination observability (SURVEY §2 op #11 parity polish).
+
+    The reference's uncaught-exception handler LOGS the failure before
+    shutting the application down
+    (``errorhandling/UncaughtExceptionHandlerConfig.java:15-26``: "Exception
+    … occurred. Shutting down the application" → SHUTDOWN_APPLICATION).  The
+    Spark analogue is a ``StreamingQueryListener``: ``onQueryTerminated``
+    fires exactly once per query death and carries the terminating
+    exception string; combined with ``await_and_reraise`` (no restart loop)
+    the behavior matches the reference — log, then stay down.
+
+    Register with ``spark.streams.addListener(listener)``.  Events arrive on
+    Spark's listener-bus thread, so ``terminated`` is populated
+    asynchronously — tests poll it.
+    """
+
+    def __init__(self) -> None:
+        #: (query_id, exception_message | None), appended per termination
+        self.terminated: list[tuple[str, str | None]] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 — Spark API names
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        exc = event.exception
+        self.terminated.append((str(event.id), exc))
+        if exc is not None:
+            _LOG.error(
+                "Streaming query %s terminated with exception: %s — "
+                "shutting down, no restart (SHUTDOWN_APPLICATION policy)",
+                event.id,
+                exc,
+            )
+        else:
+            _LOG.info("Streaming query %s terminated cleanly", event.id)
 
 
 def run_stream(

@@ -1,0 +1,211 @@
+"""Engine-vs-oracle agreement on inputs the driver's synthetic data never
+produces — the r2/r3 ADVICE latent-divergence classes, pinned BY
+CONSTRUCTION instead of by dataset luck:
+
+* NULL ``events.value`` / NULL ``props`` through the dead-letter derivation
+  (the engine routes NULL values to the process channel as NullValueError;
+  the oracle CTE needs its explicit NULL arm to agree);
+* non-ASCII documents through the gear-hash CDC (codepoint-mod-256 gear
+  indexing must match on both engines — an un-modded lookup NULL-poisons
+  the Spark rolling hash for the rest of the document);
+* JSON props keys containing '.' (the oracle's JSONPath must quote the key
+  where Spark reads the map entry directly).
+
+Each test writes a tiny synthetic parquet table and runs the REGISTERED
+query + its REGISTERED oracle over it — the same comparison the driver's
+correctness gate performs, on adversarial rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import struct
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return struct.pack(">d", v).hex()  # floats compare bitwise
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> list:
+    q = QUERIES[name]
+    sdf = q.spark(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        for t in ("events", "documents"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        odf = con.sql(q.oracle).df()
+    finally:
+        con.close()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns), name
+    srows = sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in sdf.to_dict("records")), key=repr
+    )
+    orows = sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in odf.to_dict("records")), key=repr
+    )
+    assert srows == orows, f"{name}: first diff {next((a, b) for a, b in zip(srows, orows) if a != b) if len(srows) == len(orows) else (len(srows), len(orows))}"
+    return srows
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    # ts as TIMESTAMP(NANOS) to mirror the driver's events.parquet (the
+    # loader reads nanos-as-long and rebuilds microsecond NTZ)
+    base = datetime.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(minutes=i) for i in range(len(rows))],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def _write_documents(path: str, rows: list[dict]) -> None:
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["test"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r["text"]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.fixture()
+def null_events_dir(tmp_path):
+    """Events rows exercising every routing arm INCLUDING NULL value/props —
+    the class of input the driver's corpus never contains (r2/r3 ADVICE)."""
+    rows = [
+        # happy path: n = pmod(floor(value*10), 4096)
+        {"event_id": 1, "user_id": 3, "event_type": "click", "value": 12.5, "props": '{"k": 1}'},
+        # NULL value, default branch → n NULL → NullValueError process route
+        {"event_id": 2, "user_id": 3, "event_type": "click", "value": None, "props": '{"k": 2}'},
+        # NULL value on the %7 branch → still NULL n
+        {"event_id": 3, "user_id": 7, "event_type": "click", "value": None, "props": '{"k": 3}'},
+        # NULL value on the %11 branch: n does NOT depend on value → prod route
+        {"event_id": 4, "user_id": 11, "event_type": "click", "value": None, "props": '{"k": 4}'},
+        # NULL props + event_type=error: NOT the deser arm (props IS NULL) —
+        # value = int32be(n), normal routing
+        {"event_id": 5, "user_id": 3, "event_type": "error", "value": 7.0, "props": None},
+        # NULL props AND NULL value together
+        {"event_id": 6, "user_id": 5, "event_type": "error", "value": None, "props": None},
+        # deser route: error + props of length != 4
+        {"event_id": 7, "user_id": 2, "event_type": "error", "value": 3.0, "props": '{"k": 77}'},
+        # negative n (%7 branch, value >= 0)
+        {"event_id": 8, "user_id": 14, "event_type": "click", "value": 5.0, "props": '{"k": 8}'},
+        # too-large n (%11 branch)
+        {"event_id": 9, "user_id": 22, "event_type": "click", "value": 1.0, "props": '{"k": 9}'},
+    ]
+    _write_events(str(tmp_path / "events.parquet"), rows)
+    _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
+    return str(tmp_path)
+
+
+NULL_SENSITIVE_QUERIES = (
+    "dlt_route_counts",
+    "dlt_output_lengths",
+    "dlt_process_channel",
+    "dlt_deser_channel",
+    "dlt_prod_channel",
+    "dlt_udf_safe_map",
+    "serde_roundtrip_int32",
+)
+
+
+@pytest.mark.parametrize("name", NULL_SENSITIVE_QUERIES)
+def test_dead_letter_oracles_agree_on_null_values(spark, null_events_dir, name):
+    assert_query_matches_oracle(spark, null_events_dir, name)
+
+
+def test_null_values_route_to_process_channel(spark, null_events_dir):
+    """The three NULL-n rows (event 2, 3, 6) must land on the process
+    channel as NullValueError — not fall through to output (the exact
+    divergence the oracle's NULL arm now prevents by construction)."""
+    rows = QUERIES["dlt_process_channel"].spark(spark, null_events_dir).collect()
+    null_rows = [r for r in rows if r.err == "NullValueError: null"]
+    assert sorted(r.key_str for r in null_rows) == ["3-2", "5-6", "7-3"]
+    assert all(r.original_value is None for r in null_rows)
+
+
+@pytest.fixture()
+def non_ascii_docs_dir(tmp_path):
+    """Documents with codepoints far past U+00FF, placed EARLY so most of
+    the rolling hash runs after them (the r3 ADVICE failure mode: an
+    un-modded gear lookup NULLs the hash for the rest of the document)."""
+    long_tail = " ".join(f"token{i} payload{i * 7}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": f"héllo wörld — caffè naïve {long_tail}"},
+        {"doc_id": 2, "text": f"日本語テキスト и русский текст {long_tail}"},
+        {"doc_id": 3, "text": f"plain ascii document {long_tail}"},
+        {"doc_id": 4, "text": "ü"},  # single non-ASCII char, shorter than any window
+    ]
+    _write_documents(str(tmp_path / "documents.parquet"), rows)
+    _write_events(str(tmp_path / "events.parquet"), [])
+    return str(tmp_path)
+
+
+def test_gear_cdc_agrees_on_non_ascii_text(spark, non_ascii_docs_dir):
+    rows = assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_cdc_gear_chunks")
+    # guard against vacuous agreement: the non-ASCII docs must still find
+    # boundaries AFTER the non-ASCII prefix (a NULL-poisoned hash would
+    # report 0 silently)
+    by_id = {r[0]: r for r in rows}  # cols sorted: doc_id, first_boundary, n_boundaries
+    assert by_id[1][2] > 0 and by_id[2][2] > 0
+
+
+def test_md5_cdc_agrees_on_non_ascii_text(spark, non_ascii_docs_dir):
+    assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_cdc_chunks")
+
+
+@pytest.fixture()
+def dotted_key_events_dir(tmp_path):
+    """props whose FIRST key contains '.' — a bare '$.' || key JSONPath
+    would silently read the wrong thing on the oracle side (r3 ADVICE)."""
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.0, "props": '{"a.b": 7, "k": 1}'},
+        {"event_id": 2, "user_id": 2, "event_type": "click", "value": 2.0, "props": '{"a.b": 5}'},
+        {"event_id": 3, "user_id": 3, "event_type": "view", "value": 3.0, "props": '{"k": 11, "x": 2}'},
+    ]
+    _write_events(str(tmp_path / "events.parquet"), rows)
+    _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
+    return str(tmp_path)
+
+
+def test_json_kpis_agree_on_dotted_first_key(spark, dotted_key_events_dir):
+    rows = assert_query_matches_oracle(spark, dotted_key_events_dir, "events_json_kpis")
+    # the dotted-key group must actually sum the dotted values (7 + 5 = 12):
+    # cols sorted = cnt, event_type, max_k, max_props, min_first_key, sum_first_val, sum_k
+    click = next(r for r in rows if r[1] == "click")
+    assert click[5] == 12 and click[4] == "a.b"

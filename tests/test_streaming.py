@@ -18,6 +18,7 @@ from kafka_streams_dead_letter_publishing_spark.sources.records import (
 )
 from kafka_streams_dead_letter_publishing_spark.streaming.runner import (
     DeadLetterStream,
+    TerminationLoggingListener,
     parquet_sink_writer,
 )
 
@@ -127,6 +128,61 @@ def test_metrics_hook_reports_per_channel_counts(spark, tmp_path):
     assert counts[cfg.process_dlt] == 1
     assert counts[cfg.deser_dlt] == 1
     assert counts[cfg.prod_dlt] == 0
+
+
+def test_metrics_survive_contract_violating_noop_sink(spark, tmp_path):
+    """A SinkWriter that runs NO action over the frame violates its
+    contract; the metrics path must fall back to a count instead of
+    blocking forever on Observation.get (r3 ADVICE)."""
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    seen: dict[int, dict[str, int]] = {}
+
+    def noop_sink(df, topic):  # never executes an action
+        pass
+
+    stream = DeadLetterStream(
+        cfg, noop_sink, metrics=lambda bid, counts: seen.__setitem__(bid, counts)
+    )
+    batch = records_df(
+        spark, [(b"k1", int32be(2)), (b"k2", int32be(-1)), (b"k3", b"zz")]
+    )
+    stream.process_batch(batch, batch_id=7)  # must return, not hang
+
+    assert seen[7][cfg.output_topic] == 1
+    assert seen[7][cfg.process_dlt] == 1
+    assert seen[7][cfg.deser_dlt] == 1
+    assert seen[7][cfg.prod_dlt] == 0
+
+
+def test_termination_listener_records_the_fatal_exception(spark, tmp_path):
+    """SURVEY §2 op #11 observability parity: like the reference's uncaught
+    handler (UncaughtExceptionHandlerConfig.java:15-26), the listener must
+    log/record the terminating exception when the query dies."""
+    listener = TerminationLoggingListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+        src_dir = str(tmp_path / "src")
+        records_df(spark, [(b"k", int32be(1))]).write.parquet(src_dir)
+
+        def failing_sink(df, topic):
+            raise RuntimeError("broker unreachable")
+
+        source = spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir)
+        query = DeadLetterStream(cfg, failing_sink).start(source)
+        with pytest.raises(Exception, match="broker unreachable"):
+            query.processAllAvailable()
+
+        # listener events arrive on Spark's listener-bus thread — poll
+        deadline = time.time() + 30
+        while time.time() < deadline and not listener.terminated:
+            time.sleep(0.2)
+        assert listener.terminated, "onQueryTerminated never fired"
+        qid, exc = listener.terminated[-1]
+        assert qid == str(query.id)
+        assert exc is not None and "broker unreachable" in exc
+    finally:
+        spark.streams.removeListener(listener)
 
 
 def test_sink_failure_fails_the_query(spark, tmp_path):
