@@ -33,6 +33,19 @@ N_HYPERPLANES = 8
 #: for ~4e9 vectors at the default target occupancy).
 MAX_HYPERPLANES = 24
 
+#: Multi-table (OR-amplified) LSH configuration — the RECALL-viable ANN
+#: path.  Sign-LSH is AND-amplification: every extra plane multiplies the
+#: collision probability (1 - θ/π) in, so a SINGLE table at 8 planes keeps
+#: only 0.06 of the true top-50 cosine pairs at sf0.1 (measured; their
+#: cosines are 0.48–0.60 ⇒ p ≈ 0.67/plane ⇒ p⁸ ≈ 0.04).  OR-ing L smaller
+#: tables recovers it: recall = 1-(1-p^b)^L.  6 tables × 4 planes from
+#: DISJOINT slices of the 24-plane pool measures 0.64 recall at ~39% of the
+#: brute-force pair work on this corpus (the gate in test_plan_quality
+#: pins the measured floor).  The b/L knobs trade candidate volume for
+#: recall; b still follows n_hyperplanes_for as the corpus grows.
+N_TABLES = 6
+PLANES_PER_TABLE = 4
+
 # Deterministic hyperplanes, shared verbatim with the oracle SQL literals.
 _rng = np.random.default_rng(7)
 HYPERPLANES: list[list[float]] = [
@@ -86,20 +99,24 @@ def lsh_bucket(emb: Column, n_planes: int = N_HYPERPLANES) -> Column:
     per run at 8×64 terms (measured), dwarfing the actual row work; the
     fold matches its strict left-to-right summation bit-for-bit, so the
     unrolled oracle SQL (plane_dot_sql) is unchanged."""
+    return _sign_bit_string(emb, HYPERPLANES[:n_planes])
+
+
+def _sign_bit_string(emb: Column, planes: list[list[float]]) -> Column:
     # one expr-string parse (single py4j roundtrip) instead of ~n_planes×dim
     # Column constructions; CAST('repr' AS DOUBLE) is the same repr→double
     # conversion F.lit(float) performs, and ConstantFolding collapses the
     # whole matrix into one Literal
-    planes = F.expr(
+    planes_lit = F.expr(
         "array("
         + ", ".join(
             "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in p) + ")"
-            for p in HYPERPLANES[:n_planes]
+            for p in planes
         )
         + ")"
     )
     bits = F.transform(
-        planes,
+        planes_lit,
         lambda p: F.when(
             F.aggregate(
                 F.zip_with(p, emb, lambda w, x: w * x.cast("double")),
@@ -111,6 +128,31 @@ def lsh_bucket(emb: Column, n_planes: int = N_HYPERPLANES) -> Column:
         ).otherwise(F.lit("0")),
     )
     return F.array_join(bits, "")
+
+
+def lsh_table_keys(
+    emb: Column, n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE
+) -> Column:
+    """Multi-table LSH index keys: array of ``"<table>:<sign bits>"``, one
+    per hash table, planes drawn from DISJOINT slices of the pool (tables
+    must be independent for the OR-amplified recall math to hold).  Explode
+    + equi-join on the key ≡ candidates colliding in ANY table."""
+    if n_tables * planes_per_table > MAX_HYPERPLANES:
+        raise ValueError(
+            f"{n_tables}×{planes_per_table} planes exceed the deterministic "
+            f"pool of {MAX_HYPERPLANES}"
+        )
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                _sign_bit_string(
+                    emb, HYPERPLANES[t * planes_per_table : (t + 1) * planes_per_table]
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 # ── oracle-side SQL generators (DuckDB dialect: 1-based l[i] indexing) ───
@@ -142,3 +184,18 @@ def lsh_bucket_sql(emb: str, n_planes: int = N_HYPERPLANES) -> str:
         for p in HYPERPLANES[:n_planes]
     )
     return f"({bits})"
+
+
+def lsh_table_keys_sql(
+    emb: str, n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE
+) -> str:
+    """DuckDB list expression mirroring :func:`lsh_table_keys` verbatim."""
+    keys = []
+    for t in range(n_tables):
+        planes = HYPERPLANES[t * planes_per_table : (t + 1) * planes_per_table]
+        bits = " || ".join(
+            f"(CASE WHEN {plane_dot_sql(emb, p)} >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        keys.append(f"('{t}:' || {bits})")
+    return "[" + ", ".join(keys) + "]"

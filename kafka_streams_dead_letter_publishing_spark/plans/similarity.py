@@ -31,8 +31,8 @@ from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     cosine_sql,
     dot,
     dot_sql,
-    lsh_bucket,
-    lsh_bucket_sql,
+    lsh_table_keys,
+    lsh_table_keys_sql,
 )
 from kafka_streams_dead_letter_publishing_spark.plans.registry import query
 from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
@@ -53,35 +53,98 @@ def _qv_sql() -> str:
     return f"[{elems}]"
 
 
-@query(
-    "emb_cosine_topk",
-    f"""
-    WITH qv AS (SELECT {_qv_sql()} AS v)
-    SELECT vec_id, label, cos
-    FROM (
-        SELECT vec_id, label, {cosine_sql("embedding", "v")} AS cos
-        FROM embeddings, qv
+# NOTE: r3's emb_cosine_topk (ONE literal query vector) was folded into
+# emb_multi_query_topk per the r3 verdict — the single-query brute-force
+# baseline is the Q=1 special case of the batch-serving shape below, and
+# query 0 of the batch IS the original QUERY_VECTOR, so the operator keeps
+# oracle coverage through the generalized row.
+
+#: Serving-shaped query batch: query 0 is the original QUERY_VECTOR (r1–r3
+#: continuity), plus three more deterministic vectors.
+N_QUERIES = 4
+TOPK_PER_QUERY = 10
+QUERY_BATCH: list[list[float]] = [QUERY_VECTOR] + [
+    [float(x) for x in np.random.default_rng(13 + i).standard_normal(EMBEDDING_DIM)]
+    for i in range(N_QUERIES - 1)
+]
+
+
+def _query_batch_expr() -> F.Column:
+    """Nested literal matrix, ConstantFolding-collapsed (same shape trick
+    as the LSH plane matrix — one Literal node, O(1) expression tree)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in q) + ")"
+            for q in QUERY_BATCH
+        )
+        + ")"
     )
-    ORDER BY cos DESC, vec_id
-    LIMIT 20
+
+
+def _query_batch_values_sql() -> str:
+    return ", ".join(
+        f"({i}, [" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in q) + "])"
+        for i, q in enumerate(QUERY_BATCH)
+    )
+
+
+@query(
+    "emb_multi_query_topk",
+    f"""
+    WITH queries(query_id, qv) AS (VALUES {_query_batch_values_sql()}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {cosine_sql("e.embedding", "q.qv")} AS cos
+        FROM embeddings e CROSS JOIN queries q
+    )
+    SELECT CAST(query_id AS INT) AS query_id, vec_id, cos, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TOPK_PER_QUERY}
     """,
-    doc="[EXT] Brute-force cosine top-k: exact ANN baseline — one scan, "
-    "per-row fold dot product (zip_with/aggregate, no UDF), single top-k "
-    "reduce; the query vector is a broadcast literal.",
+    doc="[EXT] Brute-force cosine top-k for a BATCH of Q query vectors — "
+    "the real ANN serving shape (r3 verdict #5).  The batch rides the plan "
+    "as one folded literal (posexplode fans each embedding to Q scored "
+    "rows — for a dynamic query table this would be a Q-row broadcast); "
+    "top-k per query is TWO-PHASE: a partition-local row_number over "
+    "(partition_id, query_id) keeps ≤k rows per partition per query, so "
+    "the final per-query window ranks only k·P rows — never a full "
+    "N·Q-row shuffle into Q reducers (the skew trap of a naive "
+    "window-per-query at corpus scale).  Exact same fold-ordered doubles "
+    "as the oracle's per-query rank.",
     tags=("similarity", "topk", "bench"),
 )
-def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select("vec_id", "label", cosine(F.col("embedding"), _qv()).alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(20)
+def emb_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    scored = emb.select(
+        "vec_id", F.posexplode(_query_batch_expr()).alias("query_id", "qv"), "embedding"
+    ).select(
+        "query_id", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos")
+    )
+    # phase 1: local top-k per (physical partition, query) — any global
+    # top-k member is necessarily a local top-k member of its partition
+    staged = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= TOPK_PER_QUERY)
+        .drop("pid", "rn")
+    )
+    # phase 2: exact rank over the ≤ k·P survivors
+    w_global = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return local.withColumn("rnk", F.row_number().over(w_global)).filter(
+        F.col("rnk") <= TOPK_PER_QUERY
     )
 
 
 # NOTE: r2's emb_lsh_bucket_histogram (bucket-occupancy listing) was folded
 # away per the r2 verdict — the bucketing operator stays oracled end-to-end
-# through emb_ann_bucket_pairs, and bucket-occupancy balance is now pinned
+# through emb_ann_multitable_pairs, and bucket-occupancy balance is pinned
 # by tests/test_plan_quality.py's occupancy gate instead of a registry row.
 
 
@@ -306,60 +369,82 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: r3's emb_ann_bucket_pairs (ONE 8-plane hash table) was folded into
+# emb_ann_multitable_pairs per the r3 verdict's recall demand: the measured
+# top-50 recall of the single table was 0.06 — sign-LSH AND-amplification
+# makes one deep table precision-only — and the multi-table query below IS
+# the single-table operator at L=1 (lsh_bucket/lsh_bucket_sql stay as the
+# per-table building block; the occupancy gate in test_plan_quality still
+# pins them).
+
+
 @query(
-    "emb_ann_bucket_pairs",
+    "emb_ann_multitable_pairs",
     f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding, {lsh_bucket_sql("embedding")} AS bucket,
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, embedding,
                SQRT({dot_sql("embedding", "embedding")}) AS nrm
         FROM embeddings
+    ),
+    keys AS MATERIALIZED (
+        SELECT vec_id, unnest({lsh_table_keys_sql("embedding")}) AS bk
+        FROM embeddings
+    ),
+    cands AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+        GROUP BY vec_a, vec_b
     )
     SELECT vec_a, vec_b, cos
     FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {dot_sql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-        FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        SELECT vec_a, vec_b,
+               {dot_sql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+        FROM cands
+        JOIN base x ON x.vec_id = vec_a
+        JOIN base y ON y.vec_id = vec_b
     )
     ORDER BY cos DESC, vec_a, vec_b
     LIMIT 50
     """,
-    doc="[EXT] LSH-gated ANN candidate pairs: exact cosine computed ONLY "
-    "within shared buckets (equi-join on bucket key — no all-pairs product), "
-    "then global top-50; the full approximate-similarity-search pipeline. "
-    "Norms are precomputed per VECTOR in the index stage (1 fold per pair "
-    "instead of 3 — same expressions, so doubles stay bit-identical).  The "
-    "registered query pins 8 planes (256 buckets) to match its static "
-    "oracle; the operator API (functions.similarity.n_hyperplanes_for) "
-    "scales the plane count with corpus size so bucket occupancy — and "
-    "per-bucket pair work — stays constant at 100 TB (r2 fix #4; the "
-    "occupancy gate lives in tests/test_plan_quality.py).",
+    doc="[EXT] Multi-table LSH ANN pairs (r3 verdict #6): vectors index "
+    "into 6 independent 4-plane hash tables (OR-amplification — measured "
+    "top-50 recall 0.64 at sf0.1 vs 0.06 for one 8-plane table, gate in "
+    "test_plan_quality); candidates = pairs colliding in ANY table, via an "
+    "equi-join on the SKINNY (vec_id, table:bits) index — never all-pairs, "
+    "never the 64-float payload through the candidate shuffle — deduped "
+    "across tables BEFORE the exact-cosine verify join-back (norms "
+    "precomputed per vector: 1 fold per pair), then global top-50.",
     tags=("similarity", "lsh", "join", "bench"),
 )
-def emb_ann_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # no join hint: rows carry the 64-float embedding, so forcing a shuffle
-    # join costs more than the optimizer's stats-based choice (measured);
-    # at corpus scale AQE picks the shuffle join on its own
-    bucketed = emb.select(
+    base = emb.select(
         "vec_id",
         "embedding",
-        lsh_bucket(F.col("embedding")).alias("bucket"),
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # skinny index rows: the candidate self-join shuffles only
+    # (vec_id, key) — shuffle_hash wins here for the same reason as the
+    # minhash band join (both sides carry the plane-fold pipeline, rows
+    # are narrow, and a broadcast of the index is impossible at scale)
+    keys = emb.select(
+        "vec_id", F.explode(lsh_table_keys(F.col("embedding"))).alias("bk")
+    ).hint("shuffle_hash")
+    a, b = keys.alias("a"), keys.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()  # a close pair collides in MANY tables — verify once
+    )
+    x = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"))
+    y = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cands.join(x, "vec_a")
+        .join(y, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cos"),
+            "vec_a",
+            "vec_b",
+            (dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)

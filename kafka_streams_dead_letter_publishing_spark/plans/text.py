@@ -177,57 +177,12 @@ def docs_dedup_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── near-dup (minhash + LSH banding) ─────────────────────────────────────
 
 
-@query(
-    "docs_neardup_candidates",
-    "WITH " + _CORPUS_NEARDUP_SQL
-    + f""",
-    banded AS (
-        SELECT doc_id, unnest(
-            CASE WHEN len(sh) > 0 THEN [
-                CAST(b AS VARCHAR) || ':' ||
-                list_aggregate([md5(CAST(2 * b AS VARCHAR) || ':' || s) for s in sh], 'min')
-                || '|' ||
-                list_aggregate([md5(CAST(2 * b + 1 AS VARCHAR) || ':' || s) for s in sh], 'min')
-                for b in generate_series(0, 7)
-            ] ELSE [] END
-        ) AS bk
-        FROM (SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b
-    """,
-    doc="[EXT] Near-dup candidate pairs via MinHash + LSH banding (8 bands "
-    "× 2 rows): docs sharing ≥1 band key. The join is an EQUI-join on band "
-    "key — candidates only, never an all-pairs product (the 100 TB shape); "
-    "planted near dups (first token dropped) must surface as candidates.",
-    tags=("text", "dedup", "lsh", "bench"),
-)
-def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus_neardup(spark, sf_dir)
-    # staged selects: shingles → minhash fold → band keys, each materialized
-    # once per row (CollapseProject won't inline non-cheap multi-referenced
-    # expressions — see functions.text.band_keys_from_minhash)
-    banded = (
-        fan_out(corpus, "doc_id")
-        .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
-        .select("doc_id", shingles(F.col("toks")).alias("sh"))
-        .select("doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh"))
-        .select(
-            "doc_id",
-            F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
-        )
-    )
-    # shuffle-hash beats the auto-chosen broadcast here (measured ~1.8x at
-    # sf0.1): both sides carry the expensive minhash pipeline, and at scale
-    # a broadcast of the banded index is impossible anyway
-    banded = banded.hint("shuffle_hash")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+# NOTE: r3's docs_neardup_candidates (the pre-verify LSH pair listing) was
+# folded away per the r3 verdict's registry budget — the candidate stage is
+# not gone: the IDENTICAL banding/equi-join logic runs (and stays
+# hash-oracled end-to-end) inside docs_neardup_verified and
+# docs_neardup_clusters, whose CTEs/plans contain it verbatim, and the
+# no-cartesian plan gate still pins it in tests/test_plan_quality.py.
 
 
 @query(
@@ -271,6 +226,13 @@ def docs_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "lsh"),
 )
 def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_verified_frame(spark, sf_dir)
+
+
+def _neardup_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_union) — LSH candidates that passed the
+    exact-Jaccard ≥ 0.6 verify; shared by docs_neardup_verified (the pair
+    listing) and docs_neardup_clusters (the connected-components stage)."""
     corpus = _corpus_neardup(spark, sf_dir)
     sh_tbl = (
         fan_out(corpus, "doc_id")
@@ -305,6 +267,122 @@ def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_common") * 10 >= F.col("n_union") * 6)
     )
+
+
+# ── near-dup cluster assignment (connected components) ───────────────────
+
+
+def label_propagation_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: label(v) ← min label over N(v)
+    (``edges`` must be symmetric and include self-loops, so v's own label
+    participates).  Exactly one equi-join + one aggregation — the 100 TB-
+    legal iteration shape (no cartesian, pinned in test_plan_quality);
+    label state is one (doc_id, lbl) row per node in a duplicate pair,
+    which is ≪ corpus size."""
+    return (
+        edges.join(labels.select(F.col("doc_id").alias("dst"), "lbl"), "dst")
+        .groupBy("src")
+        .agg(F.min("lbl").alias("lbl"))
+        .select(F.col("src").alias("doc_id"), "lbl")
+    )
+
+
+#: Propagation bound: min-label propagation reaches a fixpoint after
+#: `component diameter` rounds; the loop detects convergence (the label sum
+#: is strictly decreasing until the fixpoint) so this is a safety cap, not
+#: the expected count — planted near-dup clusters have diameter ≤ 2.
+MAX_LABEL_PROP_ITERS = 8
+
+_NEARDUP_VERIFIED_CTES = (
+    _CORPUS_NEARDUP_SQL
+    + f""",
+    sh_tbl AS MATERIALIZED (
+        SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus
+    ),
+    banded AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(sh) > 0 THEN [
+                CAST(b AS VARCHAR) || ':' ||
+                list_aggregate([md5(CAST(2 * b AS VARCHAR) || ':' || s) for s in sh], 'min')
+                || '|' ||
+                list_aggregate([md5(CAST(2 * b + 1 AS VARCHAR) || ':' || s) for s in sh], 'min')
+                for b in generate_series(0, 7)
+            ] ELSE [] END
+        ) AS bk
+        FROM sh_tbl
+    ),
+    cands AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    verified AS (
+        SELECT doc_a, doc_b
+        FROM cands
+        JOIN sh_tbl x ON x.doc_id = doc_a
+        JOIN sh_tbl y ON y.doc_id = doc_b
+        WHERE len(list_intersect(x.sh, y.sh)) * 10
+              >= len(list_distinct(list_concat(x.sh, y.sh))) * 6
+    )
+"""
+)
+
+
+@query(
+    "docs_neardup_clusters",
+    "WITH RECURSIVE "
+    + _NEARDUP_VERIFIED_CTES
+    + """,
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(src, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src
+    """,
+    doc="[EXT] The FINAL stage of corpus near-dedup (r3 verdict #2): "
+    "verified pairs collapsed into duplicate CLUSTERS via connected "
+    "components — pairs (a,b),(b,c) become one group — with the component "
+    "minimum doc_id as the deterministic cluster id / keeper.  Spark runs "
+    "iterative min-label propagation to a detected fixpoint (each round "
+    "one equi-join + one min-aggregate over the tiny label table, lineage "
+    "cut by localCheckpoint — the standard bounded-iteration graph shape; "
+    "at 100 TB the rounds grow with component diameter, which corpus "
+    "near-dup keeps small, and path-doubling is the log-diameter upgrade). "
+    "The oracle recomputes components as a recursive transitive closure.",
+    tags=("text", "dedup", "lsh", "graph", "bench"),
+)
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # checkpoint the verified pairs ONCE: every propagation round (and the
+    # symmetric-edge union) would otherwise re-execute the whole
+    # shingle→minhash→band→verify pipeline per reference
+    pairs = (
+        _neardup_verified_frame(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    nodes = fwd.select("src").unionByName(rev.select("src")).distinct()
+    edges = fwd.unionByName(rev).unionByName(
+        nodes.select("src", F.col("src").alias("dst"))  # self-loops: keep own label
+    )
+    labels = nodes.select(F.col("src").alias("doc_id"), F.col("src").alias("lbl"))
+    prev = None
+    for _ in range(MAX_LABEL_PROP_ITERS):
+        labels = label_propagation_step(edges, labels).localCheckpoint(eager=True)
+        # monotone convergence detector: labels only ever decrease, so an
+        # unchanged sum ⇔ every label unchanged ⇔ fixpoint reached
+        current = labels.agg(F.sum("lbl")).collect()[0][0]
+        if current == prev:
+            break
+        prev = current
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 
 @query(

@@ -54,10 +54,27 @@ def test_semi_anti_joins_use_semi_anti_physical_ops(spark):
 
 
 def test_candidate_joins_are_never_cartesian(spark):
-    for name in ("docs_neardup_candidates", "docs_neardup_verified", "emb_ann_bucket_pairs"):
+    for name in ("docs_neardup_verified", "emb_ann_multitable_pairs", "emb_multi_query_topk"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_label_propagation_step_is_one_equi_join_one_aggregate(spark):
+    """docs_neardup_clusters' iteration body (r3 verdict #2's plan demand):
+    each round must be an equi-join + aggregate over the label table —
+    never a cartesian, never a nested loop.  The registered query's final
+    plan is a checkpoint scan (lineage deliberately cut per round), so the
+    gate inspects the step function itself."""
+    from kafka_streams_dead_letter_publishing_spark.plans.text import label_propagation_step
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (1, 1), (2, 2)], "src long, dst long")
+    labels = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, lbl long")
+    plan = label_propagation_step(edges, labels)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "HashAggregate" in plan
+    assert "partial_min" in plan  # map-side partial agg before the shuffle
 
 
 def test_no_row_at_a_time_python_anywhere(spark):
@@ -108,3 +125,55 @@ def test_scale_centroids_use_partial_aggregation_not_collect(spark):
         plan = plan_of(spark, name)
         assert "collect_list" not in plan, name
         assert "partial_sum" in plan, name
+
+
+def _true_topk_pairs(k: int = 50) -> set[tuple[int, int]]:
+    """Ground-truth top-k cosine pairs at sf0.1, brute-forced in numpy."""
+    import duckdb
+    import numpy as np
+
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.1/embeddings.parquet'"
+    ).fetchnumpy()
+    ids = emb["vec_id"]
+    m = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    top = np.argsort(-cos[iu])[:k]
+    return {(int(ids[iu[0][t]]), int(ids[iu[1][t]])) for t in top}
+
+
+def test_multitable_ann_recall_floor(spark):
+    """r3 verdict #6: the ANN path needs a measured RECALL gate, not just
+    an occupancy gate.  Floor = 0.6 of the brute-force top-50 pairs at
+    sf0.1 (the multi-table 6×4 config measures 0.64; the r3 single-table
+    8-plane query measured 0.06 — the reason the operator is multi-table
+    now).  Anyone re-tuning b/L or the plane pool trips this first."""
+    import numpy as np
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        HYPERPLANES,
+        N_HYPERPLANES,
+    )
+
+    true_pairs = _true_topk_pairs(50)
+    got = QUERIES["emb_ann_multitable_pairs"].spark(spark, "/root/testdata/sf0.1").collect()
+    got_pairs = {(int(r.vec_a), int(r.vec_b)) for r in got}
+    recall = len(got_pairs & true_pairs) / 50
+    assert recall >= 0.6, f"multi-table recall {recall}"
+
+    # document WHY multi-table: the single deep table loses almost all
+    # moderate-similarity pairs (AND-amplification) — computed in numpy
+    # with the same plane pool the operator uses
+    import duckdb
+
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.1/embeddings.parquet'"
+    ).fetchnumpy()
+    ids = list(map(int, emb["vec_id"]))
+    m = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    signs = (m @ np.array(HYPERPLANES[:N_HYPERPLANES]).T) >= 0
+    bucket = {i: tuple(s) for i, s in zip(ids, signs)}
+    single = sum(1 for a, b in true_pairs if bucket[a] == bucket[b]) / 50
+    assert single < recall, (single, recall)
