@@ -1,0 +1,80 @@
+"""Connected components over a pair list — the cluster-assignment stage
+every near-dup family shares ([EXT], r3 verdict #2).
+
+MinHash/Jaccard pairs, SimHash Hamming pairs, and embedding-cosine ANN
+pairs all end at the same place: verified *pairs* (a, b) must collapse into
+duplicate *clusters* — (a,b), (b,c) are ONE group with one keeper — before
+a corpus can actually be deduplicated.  This module is that operator,
+generic over any symmetric pair DataFrame.
+
+Algorithm: iterative min-label propagation.  Every node starts labeled with
+itself; each round every node takes the minimum label in its neighborhood
+(self-loops keep its own label in play).  Labels are monotone
+non-increasing and reach the component-minimum after `diameter` rounds, so
+the loop detects the fixpoint by the (strictly decreasing until then)
+label sum and stops.  The component minimum doubles as the deterministic
+cluster id / keeper — no tie-breaking needed.
+
+Scale posture: each round is ONE equi-join + ONE min-aggregate
+(test-pinned: no cartesian, map-side partial_min) over the label table,
+which holds only nodes that appear in some duplicate pair — for corpus
+dedup that is a small fraction of the corpus.  Lineage is cut per round
+with ``localCheckpoint`` (the standard Spark iterative-graph pattern;
+without it every round re-executes the whole upstream candidate pipeline
+per reference).  Round count grows with component diameter — small for
+near-dup clusters by construction; path-doubling (label(x) ←
+label(label(x))) is the log-diameter upgrade if ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Safety cap, not the expected count — convergence is detected.
+MAX_LABEL_PROP_ITERS = 8
+
+
+def label_propagation_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: label(v) ← min label over N(v)
+    (``edges`` must be symmetric and include self-loops, so v's own label
+    participates).  Exactly one equi-join + one aggregation — the 100 TB-
+    legal iteration shape (no cartesian, pinned in test_plan_quality);
+    label state is one (doc_id, lbl) row per node in a duplicate pair,
+    which is ≪ corpus size."""
+    return (
+        edges.join(labels.select(F.col("doc_id").alias("dst"), "lbl"), "dst")
+        .groupBy("src")
+        .agg(F.min("lbl").alias("lbl"))
+        .select(F.col("src").alias("doc_id"), "lbl")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = MAX_LABEL_PROP_ITERS,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id of its connected component (the deterministic
+    keeper).  ``pairs`` is checkpointed once up front — pass the verified
+    pair frame directly, however expensive its lineage."""
+    pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
+    fwd = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    rev = pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst"))
+    nodes = fwd.select("src").unionByName(rev.select("src")).distinct()
+    edges = fwd.unionByName(rev).unionByName(
+        nodes.select("src", F.col("src").alias("dst"))  # self-loops: keep own label
+    )
+    labels = nodes.select(F.col("src").alias("doc_id"), F.col("src").alias("lbl"))
+    prev = None
+    for _ in range(max_iters):
+        labels = label_propagation_step(edges, labels).localCheckpoint(eager=True)
+        # monotone convergence detector: labels only ever decrease, so an
+        # unchanged sum ⇔ every label unchanged ⇔ fixpoint reached
+        current = labels.agg(F.sum("lbl")).collect()[0][0]
+        if current == prev:
+            break
+        prev = current
+    return labels.select(F.col("doc_id").alias("node"), F.col("lbl").alias("component"))

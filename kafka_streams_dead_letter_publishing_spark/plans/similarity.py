@@ -426,8 +426,10 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skinny index rows: the candidate self-join shuffles only
     # (vec_id, key) — shuffle_hash wins here for the same reason as the
     # minhash band join (both sides carry the plane-fold pipeline, rows
-    # are narrow, and a broadcast of the index is impossible at scale)
-    keys = emb.select(
+    # are narrow, and a broadcast of the index is impossible at scale);
+    # fan_out first or the 6-table sign-fold runs on the single-file
+    # scan's ONE partition on both join sides
+    keys = fan_out(emb, "vec_id").select(
         "vec_id", F.explode(lsh_table_keys(F.col("embedding"))).alias("bk")
     ).hint("shuffle_hash")
     a, b = keys.alias("a"), keys.alias("b")
@@ -436,6 +438,14 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()  # a close pair collides in MANY tables — verify once
     )
+    # AQE coalesces the deduped pairs to a handful of partitions (they are
+    # BYTE-small) — but the next stage folds a 64-dim cosine per pair, so
+    # spread the COMPUTE back to session parallelism (measured 3.9 s →
+    # 3.3 s median at sf0.1 — the remaining cost is the 651 k-pair
+    # candidate join + dedup itself, the deliberate price of 0.64 recall
+    # on a near-random corpus; at real scale pair volume keeps partitions
+    # numerous and this reshuffle of skinny rows is noise)
+    cands = fan_out(cands, "vec_a", "vec_b")
     x = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"))
     y = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"))
     return (

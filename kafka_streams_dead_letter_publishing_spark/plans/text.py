@@ -271,28 +271,6 @@ def _neardup_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ── near-dup cluster assignment (connected components) ───────────────────
 
-
-def label_propagation_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """One min-label propagation round: label(v) ← min label over N(v)
-    (``edges`` must be symmetric and include self-loops, so v's own label
-    participates).  Exactly one equi-join + one aggregation — the 100 TB-
-    legal iteration shape (no cartesian, pinned in test_plan_quality);
-    label state is one (doc_id, lbl) row per node in a duplicate pair,
-    which is ≪ corpus size."""
-    return (
-        edges.join(labels.select(F.col("doc_id").alias("dst"), "lbl"), "dst")
-        .groupBy("src")
-        .agg(F.min("lbl").alias("lbl"))
-        .select(F.col("src").alias("doc_id"), "lbl")
-    )
-
-
-#: Propagation bound: min-label propagation reaches a fixpoint after
-#: `component diameter` rounds; the loop detects convergence (the label sum
-#: is strictly decreasing until the fixpoint) so this is a safety cap, not
-#: the expected count — planted near-dup clusters have diameter ≤ 2.
-MAX_LABEL_PROP_ITERS = 8
-
 _NEARDUP_VERIFIED_CTES = (
     _CORPUS_NEARDUP_SQL
     + f""",
@@ -358,31 +336,14 @@ _NEARDUP_VERIFIED_CTES = (
     tags=("text", "dedup", "lsh", "graph", "bench"),
 )
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # checkpoint the verified pairs ONCE: every propagation round (and the
-    # symmetric-edge union) would otherwise re-execute the whole
-    # shingle→minhash→band→verify pipeline per reference
-    pairs = (
-        _neardup_verified_frame(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    from kafka_streams_dead_letter_publishing_spark.operators.components import (
+        connected_components,
     )
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    nodes = fwd.select("src").unionByName(rev.select("src")).distinct()
-    edges = fwd.unionByName(rev).unionByName(
-        nodes.select("src", F.col("src").alias("dst"))  # self-loops: keep own label
+
+    pairs = _neardup_verified_frame(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    labels = nodes.select(F.col("src").alias("doc_id"), F.col("src").alias("lbl"))
-    prev = None
-    for _ in range(MAX_LABEL_PROP_ITERS):
-        labels = label_propagation_step(edges, labels).localCheckpoint(eager=True)
-        # monotone convergence detector: labels only ever decrease, so an
-        # unchanged sum ⇔ every label unchanged ⇔ fixpoint reached
-        current = labels.agg(F.sum("lbl")).collect()[0][0]
-        if current == prev:
-            break
-        prev = current
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 
 @query(

@@ -66,7 +66,9 @@ def test_label_propagation_step_is_one_equi_join_one_aggregate(spark):
     never a cartesian, never a nested loop.  The registered query's final
     plan is a checkpoint scan (lineage deliberately cut per round), so the
     gate inspects the step function itself."""
-    from kafka_streams_dead_letter_publishing_spark.plans.text import label_propagation_step
+    from kafka_streams_dead_letter_publishing_spark.operators.components import (
+        label_propagation_step,
+    )
 
     edges = spark.createDataFrame([(1, 2), (2, 1), (1, 1), (2, 2)], "src long, dst long")
     labels = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, lbl long")
