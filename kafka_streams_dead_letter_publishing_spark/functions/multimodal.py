@@ -70,3 +70,71 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column:
     byte length, prefix checksum, frame-sample count."""
     return df.select("doc_id", "payload").mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+# ── frame sampling (1 payload row → N frame rows) ────────────────────────
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_checksum bigint"
+
+#: bytes kept per sampled frame (a real video path would decode the frame
+#: here; the slice stands in for the decoded buffer — same schema, same
+#: batch shape, same fan-out)
+FRAME_SAMPLE_LEN = 16
+
+
+def _frame_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        frames: list[bytes] = []
+        sums: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i in range(len(payload) // FRAME_BYTES):
+                frame = bytes(payload[i * FRAME_BYTES : i * FRAME_BYTES + FRAME_SAMPLE_LEN])
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                frames.append(frame)
+                sums.append(sum(frame) % CHECKSUM_MOD)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame": frames, "frame_checksum": sums}
+        )
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling: each payload fans out to one row per ``FRAME_BYTES``
+    stride, carrying the frame's leading bytes + checksum — the
+    video-keyframe-extraction shape (1→N explode INSIDE the Arrow batch,
+    so the fan-out never round-trips through a join or a generator node).
+    A real codec would decode each frame where the slice is taken; the
+    schema, partitioning and batch shape are exactly what that path needs."""
+    return df.select("doc_id", "payload").mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
+# ── resize (payload → smaller payload, metadata updated) ─────────────────
+
+RESIZE_FACTOR = 4
+
+RESIZED_SCHEMA = "doc_id bigint, payload binary, orig_bytes bigint, resized_bytes bigint"
+
+
+def _resize_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: bytes(b[::RESIZE_FACTOR]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": resized,
+                "orig_bytes": pdf["payload"].map(len),
+                "resized_bytes": resized.map(len),
+            }
+        )
+
+
+def resize_payload(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in for a codec-backed resize: keep every
+    ``RESIZE_FACTOR``-th byte (a real image path decodes, resizes,
+    re-encodes inside ``_resize_batches`` — the stub is byte-level so it
+    runs and verifies in this codec-less container).  Output keeps the
+    binary payload column plus before/after sizes, so downstream stages
+    see the same binary-plus-metadata shape they started with."""
+    return df.select("doc_id", "payload").mapInPandas(_resize_batches, RESIZED_SCHEMA)

@@ -7,23 +7,24 @@ duplicate *clusters* — (a,b), (b,c) are ONE group with one keeper — before
 a corpus can actually be deduplicated.  This module is that operator,
 generic over any symmetric pair DataFrame.
 
-Algorithm: iterative min-label propagation.  Every node starts labeled with
-itself; each round every node takes the minimum label in its neighborhood
-(self-loops keep its own label in play).  Labels are monotone
-non-increasing and reach the component-minimum after `diameter` rounds, so
-the loop detects the fixpoint by the (strictly decreasing until then)
-label sum and stops.  The component minimum doubles as the deterministic
-cluster id / keeper — no tie-breaking needed.
+Algorithm: min-label propagation WITH path doubling.  Every node starts
+labeled with itself; each round every node (a) takes the minimum label in
+its neighborhood (self-loops keep its own label in play), then (b) pointer-
+jumps: label(x) ← label(label(x)).  Labels are monotone non-increasing and
+always node ids within the component, so the jump join always hits;
+doubling makes convergence O(log diameter) rounds instead of O(diameter)
+(a planted-dup cluster converges in 2; an adversarial 1000-node chain in
+~10).  The loop detects the fixpoint by the (strictly decreasing until
+then) label sum and stops.  The component minimum doubles as the
+deterministic cluster id / keeper — no tie-breaking needed.
 
-Scale posture: each round is ONE equi-join + ONE min-aggregate
+Scale posture: each round is TWO equi-joins + ONE min-aggregate
 (test-pinned: no cartesian, map-side partial_min) over the label table,
 which holds only nodes that appear in some duplicate pair — for corpus
 dedup that is a small fraction of the corpus.  Lineage is cut per round
 with ``localCheckpoint`` (the standard Spark iterative-graph pattern;
 without it every round re-executes the whole upstream candidate pipeline
-per reference).  Round count grows with component diameter — small for
-near-dup clusters by construction; path-doubling (label(x) ←
-label(label(x))) is the log-diameter upgrade if ever needed.
+per reference).
 """
 
 from __future__ import annotations
@@ -31,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Safety cap, not the expected count — convergence is detected.
+#: Safety cap, not the expected count — convergence is detected, and with
+#: path doubling 8 rounds cover component diameters in the hundreds.
 MAX_LABEL_PROP_ITERS = 8
 
 
@@ -70,7 +72,15 @@ def connected_components(
     labels = nodes.select(F.col("src").alias("doc_id"), F.col("src").alias("lbl"))
     prev = None
     for _ in range(max_iters):
-        labels = label_propagation_step(edges, labels).localCheckpoint(eager=True)
+        labels = label_propagation_step(edges, labels)
+        # path doubling: label(x) ← label(label(x)).  Every label is a node
+        # id of the same component (labels start as self and only min over
+        # member ids), so the inner join always finds its row.
+        jump = labels.select(F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        labels = labels.join(jump, "lbl").select(
+            "doc_id", F.least("lbl", "lbl2").alias("lbl")
+        )
+        labels = labels.localCheckpoint(eager=True)
         # monotone convergence detector: labels only ever decrease, so an
         # unchanged sum ⇔ every label unchanged ⇔ fixpoint reached
         current = labels.agg(F.sum("lbl")).collect()[0][0]

@@ -327,11 +327,11 @@ _NEARDUP_VERIFIED_CTES = (
     "verified pairs collapsed into duplicate CLUSTERS via connected "
     "components — pairs (a,b),(b,c) become one group — with the component "
     "minimum doc_id as the deterministic cluster id / keeper.  Spark runs "
-    "iterative min-label propagation to a detected fixpoint (each round "
-    "one equi-join + one min-aggregate over the tiny label table, lineage "
-    "cut by localCheckpoint — the standard bounded-iteration graph shape; "
-    "at 100 TB the rounds grow with component diameter, which corpus "
-    "near-dup keeps small, and path-doubling is the log-diameter upgrade). "
+    "min-label propagation WITH path doubling to a detected fixpoint "
+    "(each round two equi-joins + one min-aggregate over the tiny label "
+    "table, lineage cut by localCheckpoint — the standard bounded-"
+    "iteration graph shape, O(log diameter) rounds so even adversarial "
+    "chain components converge inside the cap). "
     "The oracle recomputes components as a recursive transitive closure.",
     tags=("text", "dedup", "lsh", "graph", "bench"),
 )

@@ -77,3 +77,37 @@ def test_topology_invariants(spark, records):
         assert r.value is None or decoded(r.value) is not None
     for r in prod:
         assert r.value == b""  # truncated to empty, never null
+
+
+# random pair lists over a small id space force chains, cycles, self-pairs
+# and duplicate edges — the shapes the planted-dup fixtures never produce
+pair_strategy = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=1, max_size=40
+)
+
+
+@given(pair_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_match_union_find(spark, pairs):
+    from kafka_streams_dead_letter_publishing_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(v: int) -> int:
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
