@@ -41,6 +41,35 @@ def test_empty_pairs_yield_empty_components(spark):
     assert connected_components(df).count() == 0
 
 
+def test_cluster_keepers_dedup_the_corpus(spark):
+    """The actual DEDUP action a user performs with the cluster table:
+    anti-join the corpus against non-keeper cluster members.  Exactly one
+    doc (the keeper = component min) survives per cluster, and docs in no
+    cluster pass through untouched."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.plans.text import _corpus_neardup
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _corpus_neardup(spark, sf)
+    clusters = QUERIES["docs_neardup_clusters"].spark(spark, sf)
+    non_keepers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = corpus.join(non_keepers, "doc_id", "left_anti")
+
+    n_corpus = corpus.count()
+    n_non_keepers = non_keepers.count()
+    assert n_non_keepers > 0, "fixture regression: no planted near-dups"
+    assert survivors.count() == n_corpus - n_non_keepers
+    # each cluster keeps exactly its minimum member
+    rows = clusters.collect()
+    keepers_per_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        keepers_per_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    surviving_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    for cid, members in keepers_per_cluster.items():
+        assert min(members) == cid
+        assert set(members) & surviving_ids == {cid}
+
+
 def test_embedding_cosine_neardup_dedup_end_to_end(spark):
     """The embedding-cosine near-dup family: multi-table LSH candidates →
     exact-cosine threshold → connected components → min-vec_id keeper.
