@@ -53,3 +53,30 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_approx_distinct_within_hll_error_bounds(spark):
+    """events_approx_distinct_users is deliberately rows-only in the driver
+    gate (HLL sketches are engine-specific) — so pin its SEMANTICS here:
+    each per-type estimate must sit within 3× the default HLL++ relative
+    standard deviation (rsd 0.05) of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["events_approx_distinct_users"].spark(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(3, 3 * 0.05 * n), (etype, approx[etype], n)
