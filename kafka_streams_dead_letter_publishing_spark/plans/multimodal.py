@@ -6,8 +6,8 @@ no image/audio codecs — ``functions.multimodal.decode_image`` is the
 documented stub), but the Spark-side plumbing is the real thing: binary
 column, metadata struct, ``mapInPandas`` with an explicit output schema over
 Arrow record batches.  The oracle reproduces the byte-level features in SQL
-(the corpus is pure ASCII, verified: length == octet_length for every row),
-so this family gets a full hash check despite the Python stage.
+at the UTF-8 BYTE level (octet_length + a hex-pair walk), so the hash check
+holds for any text, ASCII or not, despite the Python stage.
 
 Scale posture: ``mapInPandas`` is a narrow transformation over Arrow batches
 — no shuffle, no per-row Python; 100 TB of media shards across executors
@@ -31,19 +31,26 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 
 @query(
     "docs_payload_features",
+    # byte-exact for ANY text: the engine's features are over UTF-8 payload
+    # BYTES, so the oracle walks hex(encode(text)) two nibbles at a time —
+    # the earlier unicode(char)-based oracle was only right because the
+    # driver corpus is pure ASCII (char == byte), the same latent-divergence
+    # class as the r3 gear-CDC finding
     f"""
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum([unicode(substring(text, i, 1))
-                          for i in generate_series(1, least(length(text), {CHECKSUM_PREFIX}))])
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(
+                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(encode(text)),
+                                                       {CHECKSUM_PREFIX}))]), 0)
                 % {CHECKSUM_MOD} AS BIGINT) AS checksum,
-           CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames
+           CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames
     FROM documents
     """,
     doc="[EXT] Multimodal feature extraction: binary payload column → "
     "Arrow-batched mapInPandas computing byte length, prefix checksum and "
-    "frame-sample count; the oracle recomputes the same byte-level features "
-    "in SQL (ASCII corpus ⇒ unicode(char) == byte).",
+    "frame-sample count; the oracle recomputes the same features at the "
+    "UTF-8 BYTE level (hex-pair walk), exact for non-ASCII text too.",
     tags=("multimodal",),
 )
 def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:

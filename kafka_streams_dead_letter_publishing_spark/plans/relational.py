@@ -838,19 +838,46 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_json_kpis",
+    # obj guard: Spark's from_json yields NULL for NULL / malformed /
+    # non-OBJECT props across every derived column, while unguarded DuckDB
+    # json_keys returns [] for arrays (max_props 0 vs skipped-NULL) and
+    # RAISES on malformed JSON — one bad row would flip the whole oracle
+    # to err.  Key QUOTED in the path: a bare '$.' || key builds a
+    # wrong/invalid path for keys containing '.', quotes or brackets,
+    # while Spark's map_values reads the entry directly (r3 ADVICE).
+    # Two guards because Spark has TWO parse semantics (both measured):
+    # the k STRUCT parse is per-FIELD lenient (k must be an integral JSON
+    # number — strings like "7" and floats like 5.5 yield NULL, other bad
+    # fields don't matter), while the map<string,bigint> parse nulls the
+    # ENTIRE map if ANY value is non-integral-non-null.  Type checks, not
+    # TRY_CAST: DuckDB's TRY_CAST('5.5' AS BIGINT) rounds to 6.
     """
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                         AND json_type(props) = 'OBJECT' THEN props END AS obj
+        FROM events
+    ),
+    typed AS (
+        SELECT event_type,
+               CASE WHEN json_type(obj, '$.k') IN ('BIGINT', 'UBIGINT')
+                    THEN CAST(json_extract_string(obj, '$.k') AS BIGINT) END AS k_val,
+               CASE WHEN obj IS NOT NULL AND len(
+                        [x for x in json_keys(obj)
+                         if json_type(obj, '$."' || x || '"')
+                            NOT IN ('BIGINT', 'UBIGINT', 'NULL')]) = 0
+                    THEN obj END AS m
+        FROM j
+    )
     SELECT event_type,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           CAST(MAX(len(json_keys(props))) AS INT) AS max_props,
-           MIN(json_keys(props)[1]) AS min_first_key,
-           -- key QUOTED in the path: a bare '$.' || key builds a wrong or
-           -- invalid path for keys containing '.', quotes or brackets,
-           -- while Spark's map_values reads the entry directly (r3 ADVICE)
-           CAST(SUM(CAST(json_extract_string(props, '$."' || json_keys(props)[1] || '"')
+           CAST(SUM(k_val) AS BIGINT) AS sum_k,
+           MAX(k_val) AS max_k,
+           CAST(MAX(len(json_keys(m))) AS INT) AS max_props,
+           MIN(json_keys(m)[1]) AS min_first_key,
+           CAST(SUM(CAST(json_extract_string(m, '$."' || json_keys(m)[1] || '"')
                          AS BIGINT)) AS BIGINT) AS sum_first_val
-    FROM events GROUP BY event_type
+    FROM typed GROUP BY event_type
     """,
     doc="JSON + MAP column surface in one aggregation: typed field "
     "extraction (from_json struct), plus props parsed as map<string,bigint> "

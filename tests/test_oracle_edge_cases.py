@@ -189,23 +189,56 @@ def test_md5_cdc_agrees_on_non_ascii_text(spark, non_ascii_docs_dir):
     assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_cdc_chunks")
 
 
+def test_payload_features_agree_on_non_ascii_text(spark, non_ascii_docs_dir):
+    """Engine features are over UTF-8 payload BYTES; the oracle must count
+    bytes (octet_length + hex-pair checksum), not characters — chars ≠
+    bytes on every doc in this fixture."""
+    rows = assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_payload_features")
+    by_id = {r[1]: r for r in rows}  # cols sorted: checksum, doc_id, n_bytes, n_frames
+    assert by_id[4][2] == 2  # "ü" is one char but two UTF-8 bytes
+
+
 @pytest.fixture()
 def dotted_key_events_dir(tmp_path):
-    """props whose FIRST key contains '.' — a bare '$.' || key JSONPath
-    would silently read the wrong thing on the oracle side (r3 ADVICE)."""
+    """Adversarial props: dotted first keys (a bare '$.' || key JSONPath
+    would silently read the wrong thing, r3 ADVICE), plus NULL / malformed
+    / array / scalar / non-numeric-value props — Spark's from_json NULLs
+    them all, while unguarded DuckDB json functions return [] for arrays
+    and RAISE on malformed input."""
     rows = [
         {"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.0, "props": '{"a.b": 7, "k": 1}'},
         {"event_id": 2, "user_id": 2, "event_type": "click", "value": 2.0, "props": '{"a.b": 5}'},
         {"event_id": 3, "user_id": 3, "event_type": "view", "value": 3.0, "props": '{"k": 11, "x": 2}'},
+        {"event_id": 4, "user_id": 4, "event_type": "view", "value": 4.0, "props": None},
+        {"event_id": 5, "user_id": 5, "event_type": "view", "value": 5.0, "props": "not json at all"},
+        {"event_id": 6, "user_id": 6, "event_type": "view", "value": 6.0, "props": "[1, 2, 3]"},
+        {"event_id": 7, "user_id": 7, "event_type": "view", "value": 7.0, "props": "42"},
+        {"event_id": 8, "user_id": 8, "event_type": "signup", "value": 8.0, "props": '{"k": "oops"}'},
+        # numeric STRING k: struct parse yields NULL (no string→int coercion)
+        {"event_id": 9, "user_id": 9, "event_type": "view", "value": 9.0, "props": '{"k": "7"}'},
+        # json-null value: the map stays VALID (unlike a bad value)
+        {"event_id": 10, "user_id": 10, "event_type": "view", "value": 10.0, "props": '{"k": null, "z": 4}'},
     ]
     _write_events(str(tmp_path / "events.parquet"), rows)
     _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
     return str(tmp_path)
 
 
-def test_json_kpis_agree_on_dotted_first_key(spark, dotted_key_events_dir):
+def _uncanon_num(v):
+    """Nullable int aggregates canonize as float bit-hex (pandas promotes
+    them to float64); map back to a number for assertions."""
+    if isinstance(v, str) and len(v) == 16 and all(c in "0123456789abcdef" for c in v):
+        return struct.unpack(">d", bytes.fromhex(v))[0]
+    return v
+
+
+def test_json_kpis_agree_on_adversarial_props(spark, dotted_key_events_dir):
     rows = assert_query_matches_oracle(spark, dotted_key_events_dir, "events_json_kpis")
     # the dotted-key group must actually sum the dotted values (7 + 5 = 12):
     # cols sorted = cnt, event_type, max_k, max_props, min_first_key, sum_first_val, sum_k
     click = next(r for r in rows if r[1] == "click")
-    assert click[5] == 12 and click[4] == "a.b"
+    assert _uncanon_num(click[5]) == 12 and click[4] == "a.b"
+    view = next(r for r in rows if r[1] == "view")
+    assert view[0] == 7  # cnt counts ALL rows, junk props included
+    assert _uncanon_num(view[6]) == 11  # sum_k: only the integral k ("7"/null don't)
+    assert _uncanon_num(view[3]) == 2  # max_props from the {"k": null, "z": 4} valid map
