@@ -808,8 +808,12 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
         SELECT user_id, ts,
+               -- STRICT >: Spark's session_window only closes when the gap
+               -- EXCEEDS the duration — an event at exactly last_ts + 30:00
+               -- still extends the session (measured; '>=' here silently
+               -- split boundary-gap sessions the engine merges)
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
+                         > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
         FROM events
     ),

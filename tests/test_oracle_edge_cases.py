@@ -133,6 +133,75 @@ def null_events_dir(tmp_path):
     return str(tmp_path)
 
 
+@pytest.fixture()
+def boundary_events_dir(tmp_path):
+    """Event-time shapes the generated corpus is vanishingly unlikely to
+    contain: inactivity gaps of EXACTLY 30:00 (the sessionization boundary
+    — session_window vs the oracle's >= INTERVAL arithmetic must agree on
+    which side starts a new session), duplicate timestamps, click/purchase
+    ties at the same instant (as-of boundary), and single-event users."""
+    base = datetime.datetime(2024, 3, 1)
+
+    def ev(eid, uid, etype, minutes, micros=0):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "event_type": etype,
+            "value": float(eid),
+            "props": '{"k": %d}' % eid,
+            "ts": base + datetime.timedelta(minutes=minutes, microseconds=micros),
+        }
+
+    rows = [
+        # user 1: gaps exactly 30:00 — every event its own session or one?
+        ev(1, 1, "click", 0),
+        ev(2, 1, "click", 30),
+        ev(3, 1, "click", 60),
+        # user 2: 29:59.999999 then 30:00.000001 gaps
+        ev(4, 2, "click", 0),
+        ev(5, 2, "click", 30, -1),
+        ev(6, 2, "view", 60, 1),
+        # user 3: duplicate timestamps + a purchase at the same instant as
+        # a click (as-of 'most recent prior or equal' boundary + tie-break)
+        ev(7, 3, "click", 0),
+        ev(8, 3, "click", 0),
+        ev(9, 3, "purchase", 0),
+        ev(10, 3, "purchase", 5),
+        # user 4: single event; user 5: purchase with NO prior click
+        ev(11, 4, "view", 0),
+        ev(12, 5, "purchase", 0),
+        ev(13, 5, "click", 10),
+    ]
+    # custom writer: ts provided explicitly per row
+    table = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
+    return str(tmp_path)
+
+
+BOUNDARY_EVENT_QUERIES = (
+    "events_sessionization",
+    "events_hourly_stats",
+    "events_asof_purchase_click",
+    "events_asof_left_tolerance",
+    "events_salted_type_counts",
+)
+
+
+@pytest.mark.parametrize("name", BOUNDARY_EVENT_QUERIES)
+def test_event_time_boundaries_agree(spark, boundary_events_dir, name):
+    assert_query_matches_oracle(spark, boundary_events_dir, name)
+
+
 NULL_SENSITIVE_QUERIES = (
     "dlt_route_counts",
     "dlt_output_lengths",
@@ -196,6 +265,50 @@ def test_payload_features_agree_on_non_ascii_text(spark, non_ascii_docs_dir):
     rows = assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_payload_features")
     by_id = {r[1]: r for r in rows}  # cols sorted: checksum, doc_id, n_bytes, n_frames
     assert by_id[4][2] == 2  # "ü" is one char but two UTF-8 bytes
+
+
+@pytest.fixture()
+def degenerate_docs_dir(tmp_path):
+    """Documents the driver corpus never contains: empty, whitespace-only,
+    sub-shingle-length, all-stopword, mixed-whitespace — the degenerate
+    shapes where tokenization/shingling/normalization semantics could
+    silently diverge between the engines."""
+    long_en = "the quick brown fox jumps over the lazy dog and then " * 4
+    rows = [
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "   "},
+        {"doc_id": 3, "text": "word"},
+        {"doc_id": 4, "text": "the the the the"},
+        {"doc_id": 5, "text": "tab\tseparated\nnewline text here"},
+        {"doc_id": 6, "text": "a b"},
+        {"doc_id": 7, "text": long_en},
+        {"doc_id": 8, "text": long_en.upper().replace(" ", "  ")},  # exact dup mod formatting
+    ]
+    _write_documents(str(tmp_path / "documents.parquet"), rows)
+    _write_events(str(tmp_path / "events.parquet"), [])
+    return str(tmp_path)
+
+
+TEXT_FAMILY_QUERIES = (
+    "docs_lang_distribution",
+    "docs_quality_stats",
+    "docs_wordcount_top20",
+    "docs_token_counts",
+    "docs_exact_dup_groups",
+    "docs_dedup_pick_first",
+    "docs_neardup_verified",
+    "docs_neardup_clusters",
+    "docs_simhash_hamming_pairs",
+    "docs_clean_corpus_pipeline",
+    "docs_cdc_chunks",
+    "docs_cdc_gear_chunks",
+    "docs_payload_features",
+)
+
+
+@pytest.mark.parametrize("name", TEXT_FAMILY_QUERIES)
+def test_text_family_agrees_on_degenerate_docs(spark, degenerate_docs_dir, name):
+    assert_query_matches_oracle(spark, degenerate_docs_dir, name)
 
 
 @pytest.fixture()
