@@ -74,7 +74,11 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """NULL when either vector has zero norm (cosine is undefined there).
+    try_divide, not `/`: under Spark's default ANSI mode a plain division
+    raises DIVIDE_BY_ZERO — ONE all-zero embedding row would kill an
+    entire 100 TB job instead of dropping out of the ranking."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def plane_dot(emb: Column, plane: list[float]) -> Column:
@@ -166,7 +170,11 @@ def dot_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
 
 
 def cosine_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
-    return f"({dot_sql(a, b, dim)} / (SQRT({dot_sql(a, a, dim)}) * SQRT({dot_sql(b, b, dim)})))"
+    # NULLIF mirrors the Spark side's try_divide: zero-norm → NULL cosine
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"NULLIF(SQRT({dot_sql(a, a, dim)}) * SQRT({dot_sql(b, b, dim)}), 0))"
+    )
 
 
 def plane_dot_sql(emb: str, plane: list[float]) -> str:

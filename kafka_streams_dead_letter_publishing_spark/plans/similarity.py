@@ -101,7 +101,7 @@ def _query_batch_values_sql() -> str:
     FROM (
         SELECT query_id, vec_id, cos,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-        FROM scored
+        FROM scored WHERE cos IS NOT NULL
     )
     WHERE rnk <= {TOPK_PER_QUERY}
     """,
@@ -121,10 +121,14 @@ def emb_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    scored = emb.select(
-        "vec_id", F.posexplode(_query_batch_expr()).alias("query_id", "qv"), "embedding"
-    ).select(
-        "query_id", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos")
+    scored = (
+        emb.select(
+            "vec_id", F.posexplode(_query_batch_expr()).alias("query_id", "qv"), "embedding"
+        )
+        .select("query_id", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        # zero-norm vectors score NULL (undefined cosine) — keep them out
+        # of the ranking so both engines' NULL-ordering never matters
+        .filter(F.col("cos").isNotNull())
     )
     # phase 1: local top-k per (physical partition, query) — any global
     # top-k member is necessarily a local top-k member of its partition
@@ -322,6 +326,7 @@ _QVF_SQL = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_FIXED) + "]"
         FROM embeddings e, qv, best b
         WHERE e.label = b.label
     )
+    WHERE cos IS NOT NULL
     ORDER BY cos DESC, vec_id
     LIMIT 10
     """,
@@ -364,6 +369,7 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(F.broadcast(best), "label")
         .select("vec_id", "label", cosine(F.col("embedding"), _qv()).alias("cos"))
+        .filter(F.col("cos").isNotNull())  # zero-norm vectors drop out
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
@@ -398,11 +404,12 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_a, vec_b, cos
     FROM (
         SELECT vec_a, vec_b,
-               {dot_sql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+               {dot_sql("x.embedding", "y.embedding")} / NULLIF(x.nrm * y.nrm, 0) AS cos
         FROM cands
         JOIN base x ON x.vec_id = vec_a
         JOIN base y ON y.vec_id = vec_b
     )
+    WHERE cos IS NOT NULL
     ORDER BY cos DESC, vec_a, vec_b
     LIMIT 50
     """,
@@ -454,8 +461,13 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            (dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+            # try_divide: a zero-norm vector in a shared bucket must drop
+            # out as NULL, not raise ANSI DIVIDE_BY_ZERO and kill the job
+            F.try_divide(
+                dot(F.col("e_a"), F.col("e_b")), F.col("n_a") * F.col("n_b")
+            ).alias("cos"),
         )
+        .filter(F.col("cos").isNotNull())
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
     )

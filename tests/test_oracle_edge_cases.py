@@ -312,6 +312,72 @@ def test_text_family_agrees_on_degenerate_docs(spark, degenerate_docs_dir, name)
 
 
 @pytest.fixture()
+def degenerate_embeddings_dir(tmp_path):
+    """Embedding shapes the generated corpus never contains: an all-zero
+    vector (cosine 0/0 → NaN — both engines must agree on NaN production
+    AND on where NaN sorts in top-k), exact duplicate vectors (cos == 1
+    ties), and a tiny label so centroid/IVF groups get n=1."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = [[float(x) for x in rng.standard_normal(64)] for _ in range(6)]
+    rows = [
+        (0, vecs[0], 0),
+        (1, vecs[1], 0),
+        (2, vecs[1], 0),      # exact duplicate of vec 1
+        (3, [0.0] * 64, 1),   # zero vector: NaN cosine against anything
+        (4, vecs[2], 1),
+        (5, vecs[3], 2),      # singleton label
+        (6, vecs[4], 0),
+        (7, vecs[5], 2),
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    _write_events(str(tmp_path / "events.parquet"), [])
+    _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
+    return str(tmp_path)
+
+
+EMB_FAMILY_QUERIES = (
+    "emb_multi_query_topk",
+    "emb_ann_multitable_pairs",
+    "emb_label_centroids",
+    "emb_label_centroids_scale",
+    "emb_ivf_probe_topk",
+)
+
+
+@pytest.mark.parametrize("name", EMB_FAMILY_QUERIES)
+def test_similarity_family_agrees_on_degenerate_vectors(spark, degenerate_embeddings_dir, name):
+    q = QUERIES[name]
+    sdf = q.spark(spark, degenerate_embeddings_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{degenerate_embeddings_dir}/embeddings.parquet'"
+        )
+        odf = con.sql(q.oracle).df()
+    finally:
+        con.close()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns), name
+    srows = sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in sdf.to_dict("records")), key=repr
+    )
+    orows = sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in odf.to_dict("records")), key=repr
+    )
+    assert srows == orows, f"{name}: {srows[:3]} vs {orows[:3]}"
+
+
+@pytest.fixture()
 def dotted_key_events_dir(tmp_path):
     """Adversarial props: dotted first keys (a bare '$.' || key JSONPath
     would silently read the wrong thing, r3 ADVICE), plus NULL / malformed
