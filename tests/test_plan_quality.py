@@ -179,3 +179,44 @@ def test_multitable_ann_recall_floor(spark):
     bucket = {i: tuple(s) for i, s in zip(ids, signs)}
     single = sum(1 for a, b in true_pairs if bucket[a] == bucket[b]) / 50
     assert single < recall, (single, recall)
+
+
+def test_ivf_multi_probe_recall_is_monotone_and_gated(spark):
+    """Multi-probe IVF (r4): the probed label set at nprobe=k is a PREFIX of
+    the coarse ranking, so the candidate pool only grows with nprobe and
+    recall@10 is monotone non-decreasing — and probing every list must
+    reproduce exact brute force.  On this corpus labels carry no cluster
+    structure, so recall ≈ nprobe/nlist is the theoretical ceiling: measured
+    0.0 / 0.3 / 1.0 at nprobe 1 / 3 / 10 (nlist=10).  The registry query
+    pins nprobe=3; anyone dropping it back to the single-probe textbook demo
+    (recall 0.0 here) trips this gate."""
+    import duckdb
+    import numpy as np
+
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        IVF_NPROBE,
+        QUERY_VECTOR,
+        ivf_probe_topk,
+    )
+
+    assert IVF_NPROBE >= 3
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM '/root/testdata/sf0.1/embeddings.parquet'"
+    ).fetchnumpy()
+    ids = emb["vec_id"]
+    m = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    q = np.array(QUERY_VECTOR)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    true10 = {int(ids[i]) for i in np.argsort(-cos)[:10]}
+
+    recalls = {}
+    for nprobe in (1, IVF_NPROBE, 10):
+        got = {
+            int(r.vec_id)
+            for r in ivf_probe_topk(spark, "/root/testdata/sf0.1", nprobe).collect()
+        }
+        recalls[nprobe] = len(got & true10) / 10
+    assert recalls[1] <= recalls[IVF_NPROBE] <= recalls[10]
+    assert recalls[IVF_NPROBE] >= 0.3, recalls
+    assert recalls[IVF_NPROBE] > recalls[1], recalls
+    assert recalls[10] == 1.0, recalls  # full probe ≡ exact brute force
