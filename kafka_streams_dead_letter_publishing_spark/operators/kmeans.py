@@ -1,0 +1,237 @@
+"""K-means coarse quantizer for IVF indexes ([EXT]): DataFrame-native
+Lloyd's iterations, the index-build step that makes inverted-file ANN real.
+
+``plans/similarity.py``'s registry IVF routes on the pre-existing ``label``
+column; on the synthetic corpus labels carry NO cluster structure, so its
+recall ceiling is nprobe/nlist (measured: 0.3 at nprobe=3, nlist=10 —
+pinned in tests/test_plan_quality.py).  A LEARNED partition concentrates a
+query's true neighbors into few cells, which is the entire point of IVF
+(tests/test_kmeans.py pins that k-means routing beats label routing at
+equal nprobe on the same corpus).
+
+Scale posture — every step is the shape that survives 100 TB:
+
+* **Assignment** is one narrow map: the k×d centroid matrix is a driver
+  literal (ConstantFolding collapses it to ONE node, the LSH-plane trick)
+  and each row folds over it ONCE, carrying ``(best_idx, best_d2)`` through
+  the fold — argmin and distance come out of a single evaluation, no
+  duplicated k×d work, no shuffle, no Python.
+* **Update** is the scale-mode centroid pattern (plans/similarity.py):
+  posexplode → groupBy(cluster, dim).agg(sum, count) — commutative partial
+  aggregation with O(1) state per group; only the k×d result (index
+  metadata, a few KB) is collected to the driver, exactly what Spark MLlib's
+  own KMeans collects per iteration.
+* **Lineage stays flat**: centroids live on the driver between iterations,
+  so iteration T's plan is always scan→assign→aggregate — no growing
+  lineage, no checkpoint needed (unlike the connected-components loop in
+  plans/text.py whose per-round frames chain).
+
+The iterative fixpoint is not expressible in one SQL query, so the operator
+is test-pinned rather than oracle-gated (same tier as the streaming ops;
+SURVEY §2.2b documents which).  Oracle-grade determinism still holds: seeded
+init (k lowest vec_ids), left-to-right folds, lowest-index tie-breaks — two
+fits on the same data produce bit-identical centroids.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _centroid_matrix_expr(centroids: list[list[float]]) -> Column:
+    """Nested array literal (k×d), one Literal node after ConstantFolding."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _nearest(centroids: list[list[float]], emb: Column) -> Column:
+    """struct(cluster int, d2 double): argmin over squared-L2 distances in a
+    SINGLE fold over the centroid matrix — index, best distance, and the
+    running position ride one accumulator, so the k×d work happens exactly
+    once per row and ties break to the lowest index deterministically."""
+    cm = _centroid_matrix_expr(centroids)
+    init = F.struct(
+        F.lit(-1).alias("cluster"),
+        F.lit(float("inf")).alias("d2"),
+        F.lit(0).alias("i"),
+    )
+    def step(acc: Column, c: Column) -> Column:
+        d2 = F.aggregate(
+            F.zip_with(
+                c, emb, lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        better = d2 < acc["d2"]
+        return F.struct(
+            F.when(better, acc["i"]).otherwise(acc["cluster"]).alias("cluster"),
+            F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
+            (acc["i"] + 1).alias("i"),
+        )
+    folded = F.aggregate(cm, init, step)
+    return F.struct(folded["cluster"].alias("cluster"), folded["d2"].alias("d2"))
+
+
+def assign_clusters(emb_df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` (int) and ``d2`` (squared L2 to its centroid) to a
+    frame with an ``embedding`` column.  Pure narrow projection."""
+    near = _nearest(centroids, F.col("embedding"))
+    return emb_df.withColumn("_n", near).select(
+        "*", F.col("_n.cluster").alias("cluster"), F.col("_n.d2").alias("d2")
+    ).drop("_n")
+
+
+@dataclass(frozen=True)
+class KMeansResult:
+    centroids: list[list[float]]  # k×d
+    wcss_history: list[float]  # per-iteration within-cluster sum of squares
+    iterations: int
+    converged: bool  # assignments reached a fixpoint before max_iter
+
+
+def kmeans_fit(
+    emb_df: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    tol: float = 0.0,
+) -> KMeansResult:
+    """Deterministic Lloyd's: init = embeddings of the k lowest ``id_col``
+    values (seeded, reproducible), then assign/update until the WCSS stops
+    improving by more than ``tol`` or ``max_iter`` is hit.  Empty clusters
+    keep their previous centroid (standard Lloyd's degeneracy handling).
+
+    Driver traffic per iteration is exactly k×d sums + k counts + one WCSS
+    double — index metadata, not data.
+    """
+    dim_row = emb_df.select(F.size("embedding").alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_fit: empty input")
+    seeds = (
+        emb_df.orderBy(F.asc(id_col))
+        .limit(k)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_fit: k={k} but only {len(seeds)} rows")
+    centroids = [list(r.e) for r in seeds]
+
+    wcss_history: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = assign_clusters(emb_df, centroids)
+        # one scan: per-(cluster, dim) partial sums AND the per-cluster d2
+        # totals ride the same exploded aggregation (grouping on dim keeps
+        # state O(1); d2 is summed once per row via the dim=0 arm)
+        stats = (
+            assigned.select(
+                "cluster", "d2", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("dim") == 0, F.col("d2"))).alias("d2sum"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        wcss = 0.0
+        for r in stats:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.s
+            counts[r.cluster] = r.n
+            if r.dim == 0 and r.d2sum is not None:
+                wcss += r.d2sum
+        wcss_history.append(wcss)
+        new_centroids = [
+            [by_cluster[c][d] / counts[c] for d in range(len(centroids[0]))]
+            if c in by_cluster
+            else centroids[c]  # empty cluster: keep previous centroid
+            for c in range(k)
+        ]
+        if new_centroids == centroids or (
+            len(wcss_history) >= 2
+            and wcss_history[-2] - wcss_history[-1] <= tol
+        ):
+            converged = True
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+    return KMeansResult(
+        centroids=centroids,
+        wcss_history=wcss_history,
+        iterations=it,
+        converged=converged,
+    )
+
+
+def route_query(
+    centroids: list[list[float]], query: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side probe routing (centroids are index metadata): the nprobe
+    cluster ids nearest the query, lowest-distance first, index tie-break."""
+    scored = sorted(
+        (sum((c - q) ** 2 for c, q in zip(cent, query)), i)
+        for i, cent in enumerate(centroids)
+    )
+    return [i for _, i in scored[:nprobe]]
+
+
+def ivf_search(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    nprobe: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve a query from a k-means IVF index: ``index_df`` is the
+    pre-assigned corpus (``assign_clusters`` output, persisted as the index
+    at build time), the probe set is routed on the driver from the k×d
+    centroid metadata, and exact cosine top-k runs ONLY over the probed
+    cells — an IN-filter the scanner can push down, nprobe/nlist of the
+    corpus, no shuffle, one top-k reduce."""
+    probes = route_query(centroids, query, nprobe)
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    dot_q = F.aggregate(
+        F.zip_with(F.col("embedding"), qcol, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("embedding"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    qnrm = math.sqrt(sum(float(x) * float(x) for x in query))
+    return (
+        index_df.filter(F.col("cluster").isin(probes))
+        .select(
+            id_col,
+            "cluster",
+            F.try_divide(dot_q, nrm * F.lit(qnrm)).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,158 @@
+"""K-means IVF index build (operators/kmeans.py) — test-pinned tier (the
+iterative fixpoint is not one SQL query; SURVEY §2.2b documents the tier).
+
+What the gates pin: Lloyd's invariants (WCSS monotone, determinism, empty-
+cluster degeneracy), the scale posture of both phases (single-fold
+assignment with no Python eval; partial-aggregation update with no
+collect_list), and the REASON the operator exists — learned routing beats
+the registry's label routing at equal nprobe on the same corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+    KMeansResult,
+    assign_clusters,
+    ivf_search,
+    kmeans_fit,
+    route_query,
+)
+from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    emb = load_table(spark, SF, "embeddings")
+    res = kmeans_fit(emb, k=10, max_iter=8)
+    index = assign_clusters(emb, res.centroids).persist()
+    index.count()
+    yield res, index
+    index.unpersist()
+
+
+def test_wcss_monotone_nonincreasing(fitted):
+    res, _ = fitted
+    hist = res.wcss_history
+    assert len(hist) >= 2
+    assert all(a >= b for a, b in zip(hist, hist[1:])), hist
+    # Lloyd's must actually improve on the seed partition, not just not-regress
+    assert hist[-1] < 0.7 * hist[0], hist
+
+
+def test_fit_is_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = kmeans_fit(emb, k=5, max_iter=2)
+    b = kmeans_fit(emb, k=5, max_iter=2)
+    assert a.centroids == b.centroids  # bit-identical, not approximately
+    assert a.wcss_history == b.wcss_history
+
+
+def test_assignment_covers_corpus_with_balanced_cells(fitted):
+    _, index = fitted
+    sizes = {
+        r.cluster: r.n
+        for r in index.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(sizes.values()) == index.count()
+    assert set(sizes) == set(range(10))  # no cell lost on this corpus
+    # isotropic corpus ⇒ no degenerate mega-cell (skew would break the
+    # nprobe/nlist scan-fraction story)
+    assert max(sizes.values()) < 3 * min(sizes.values()), sizes
+
+
+def test_duplicate_points_and_empty_cluster_degeneracy(spark):
+    """k near n with duplicated points: some cells go empty mid-iteration;
+    Lloyd's keeps the previous centroid (standard degeneracy handling) and
+    must neither crash nor emit NaN centroids."""
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0]),  # triple point
+        (3, [1.0, 1.0]), (4, [1.0, 1.0]),
+        (5, [5.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = kmeans_fit(emb, k=4, max_iter=5)
+    assert all(all(c == c for c in cent) for cent in res.centroids)  # no NaN
+    assigned = assign_clusters(emb, res.centroids)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    # duplicates land in the same cell, and the far point sits alone
+    assert got[0] == got[1] == got[2]
+    assert sum(1 for v in got.values() if v == got[5]) == 1
+
+
+def test_fit_rejects_empty_and_undersized_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=2)
+    two = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k=3"):
+        kmeans_fit(two, k=3)
+
+
+def test_learned_routing_beats_label_routing_at_equal_nprobe(spark, fitted):
+    """The operator's reason to exist: the registry's label-IVF measures
+    recall@10 = 0.3 at nprobe=3 on sf0.01 (labels are random ⇒ ceiling is
+    nprobe/nlist); the LEARNED partition measures 0.6 on the same corpus,
+    query, and probe budget."""
+    import duckdb
+    import numpy as np
+
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        QUERY_VECTOR,
+        ivf_probe_topk,
+    )
+
+    res, index = fitted
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchnumpy()
+    ids = emb["vec_id"]
+    m = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    q = np.array(QUERY_VECTOR)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    true10 = {int(ids[i]) for i in np.argsort(-cos)[:10]}
+
+    learned = {
+        int(r.vec_id)
+        for r in ivf_search(index, res.centroids, QUERY_VECTOR, nprobe=3).collect()
+    }
+    label = {int(r.vec_id) for r in ivf_probe_topk(spark, SF, nprobe=3).collect()}
+    r_learned = len(learned & true10) / 10
+    r_label = len(label & true10) / 10
+    assert r_learned >= 0.5, r_learned
+    assert r_learned > r_label, (r_learned, r_label)
+
+
+def test_route_query_prefix_property():
+    cents = [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0], [3.0, 3.0]]
+    q = [0.2, 0.1]
+    r1, r2, r3 = (route_query(cents, q, n) for n in (1, 2, 3))
+    assert r1 == r3[:1] and r2 == r3[:2]  # probe sets nest — recall monotone
+    assert r1 == [0]
+
+
+def test_kmeans_plans_stay_jvm_side_with_partial_aggregation(spark, fitted):
+    res, _ = fitted
+    emb = load_table(spark, SF, "embeddings")
+    assigned = assign_clusters(emb, res.centroids)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # assignment is a pure narrow map
+
+    update = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    uplan = update._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in uplan and "collect_list" not in uplan
+
+    search = ivf_search(assigned, res.centroids, [0.0] * 64, nprobe=3)
+    splan = search._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+    assert "TakeOrdered" in splan  # top-k reduce, not a global sort
