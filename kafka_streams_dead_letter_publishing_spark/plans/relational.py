@@ -298,8 +298,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM({TOTALPRICE}) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
-    doc="Hierarchical aggregate: ROLLUP(status, priority) with grand total.",
+    doc="Hierarchical aggregate: ROLLUP(status, priority) with grand total. "
+    "The HAVING arm pins EMPTY-INPUT semantics: the SQL standard (and "
+    "DuckDB) emit the () grand-total row even over zero rows, while Spark's "
+    "rollup emits nothing — COUNT(*) > 0 filters exactly that row and is a "
+    "no-op on any non-empty input (every real group aggregates ≥1 row).",
     tags=("relational", "aggregation"),
 )
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,7 +329,11 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 """
+# the HAVING arm is shared by BOTH engines (identical SQL text): it only
+# bites on DuckDB's standard-conformant empty-input () row, which Spark's
+# grouping-sets implementation never emits — see rollup_order_stats
 
 
 @query(

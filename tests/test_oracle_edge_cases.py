@@ -48,12 +48,14 @@ def _canon(v):
     return str(v)
 
 
-def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> list:
+def assert_query_matches_oracle(
+    spark, sf_dir: str, name: str, tables: tuple[str, ...] = ("events", "documents")
+) -> list:
     q = QUERIES[name]
     sdf = q.spark(spark, sf_dir).toPandas()
     con = duckdb.connect()
     try:
-        for t in ("events", "documents"):
+        for t in tables:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         odf = con.sql(q.oracle).df()
     finally:
@@ -421,3 +423,34 @@ def test_json_kpis_agree_on_adversarial_props(spark, dotted_key_events_dir):
     assert view[0] == 7  # cnt counts ALL rows, junk props included
     assert _uncanon_num(view[6]) == 11  # sum_k: only the integral k ("7"/null don't)
     assert _uncanon_num(view[3]) == 2  # max_props from the {"k": null, "z": 4} valid map
+
+
+# ── empty-corpus blanket: every oracled query on zero-row tables ─────────
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def empty_corpus_dir(tmp_path_factory):
+    """Zero rows in every table, exact driver schemas (copied from the
+    sf0.001 parquet footers).  The divergence classes this flushes out:
+    global aggregates over nothing (one NULL row vs no row), grouping-set
+    grand-total rows on empty input, NULL-propagating ratio arithmetic
+    (q14-style 100*sum/sum), quantiles of an empty set, and any plan that
+    ANSI-errors instead of returning empty."""
+    d = tmp_path_factory.mktemp("empty_corpus")
+    for t in ALL_TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+EMPTY_CORPUS_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", EMPTY_CORPUS_QUERIES)
+def test_every_oracled_query_agrees_on_empty_corpus(spark, empty_corpus_dir, name):
+    assert_query_matches_oracle(spark, empty_corpus_dir, name, tables=ALL_TABLES)
