@@ -196,6 +196,9 @@ BOUNDARY_EVENT_QUERIES = (
     "events_asof_purchase_click",
     "events_asof_left_tolerance",
     "events_salted_type_counts",
+    # user-3 rows give pairs at gap EXACTLY 5:00 (`<=` includes) and at
+    # the same instant (`>` excludes) — the interval join's two edges
+    "events_interval_self_join",
 )
 
 
@@ -454,3 +457,172 @@ EMPTY_CORPUS_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not N
 @pytest.mark.parametrize("name", EMPTY_CORPUS_QUERIES)
 def test_every_oracled_query_agrees_on_empty_corpus(spark, empty_corpus_dir, name):
     assert_query_matches_oracle(spark, empty_corpus_dir, name, tables=ALL_TABLES)
+
+
+# ── boundary mini-TPC-H: rows ON every relational predicate edge ─────────
+
+
+@pytest.fixture(scope="module")
+def boundary_tpch_dir(tmp_path_factory):
+    """A hand-built ~8-order corpus where ROWS SIT EXACTLY ON the
+    boundaries the generated data only straddles by luck:
+
+    * date edges: o_orderdate = 1998-03-15 (q3 `<` excludes), 1996-01-01 /
+      1998-01-01 (q5 `>=`/`<` half-open), l_shipdate = 1998-09-01 (q1 `<=`
+      includes), 1998-03-15 (q3 `>` excludes), 1997-09-01 / 1997-10-01
+      (q14 half-open month);
+    * q19 quantity bounds: PROMO 1 and 11 in, 11.5 / 12 out; ECONOMY 10
+      and 20 in, 20.5 out; discount exactly 0.02 out of the `< 0.02` arm;
+    * q17: part Brand#11/p4 lineitems {1, 1.5, 2, 25.5} ⇒ sum 30, count 4,
+      so qty=1.5 lands EXACTLY on the cross-multiplied threshold
+      (1.5·5·4 = 30, strict < excludes) while qty=1 is in;
+    * price ties (three 100.00 orders in status F) for rank/dense_rank
+      peers, argmax tie-break, and interpolated quantiles with exact
+      binary fractions (100.25, 100.50);
+    * customers covering every membership arm: c2 has F and P but no O
+      (setop hit), c3 has no orders at all, c4 only O, a PROMO part p6
+      with no lineitems (semi-join miss).
+    """
+    d = tmp_path_factory.mktemp("boundary_tpch")
+    ts = lambda s: datetime.datetime.fromisoformat(s)
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA"], pa.string()),
+    }), str(d / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["US", "JAPAN", "CHINA"], pa.string()),
+        "n_regionkey": pa.array([0, 1, 1], pa.int32()),
+    }), str(d / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(1, 6)], pa.string()),
+        "c_nationkey": pa.array([0, 1, 2, 0, 1], pa.int32()),
+        "c_acctbal": pa.array([10.0, -5.25, 0.0, 100.5, 7.75], pa.float64()),
+        "c_mktsegment": pa.array(
+            ["BUILDING", "AUTOMOBILE", "BUILDING", "MACHINERY", "BUILDING"],
+            pa.string()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["Supplier#1", "Supplier#2"], pa.string()),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+        "s_acctbal": pa.array([50.0, -1.5], pa.float64()),
+    }), str(d / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 6], pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in (1, 2, 3, 4, 6)], pa.string()),
+        "p_brand": pa.array(
+            ["Brand#11", "Brand#22", "Brand#33", "Brand#11", "Brand#66"],
+            pa.string()),
+        "p_type": pa.array(
+            ["PROMO", "ECONOMY", "STANDARD", "PROMO", "PROMO"], pa.string()),
+        "p_size": pa.array([39, 40, 45, 5, 10], pa.int32()),
+        "p_retailprice": pa.array([100.0, 200.25, 300.5, 10.0, 1.0], pa.float64()),
+    }), str(d / "part.parquet"))
+    orders = [
+        # (key, cust, status, totalprice, orderdate, priority)
+        (100, 1, "O", 100.00, "1998-03-15", "1-URGENT"),   # q3 `<` edge: OUT
+        (101, 1, "F", 100.00, "1998-03-14", "2-HIGH"),
+        (102, 1, "F", 100.25, "1996-01-01", "3-MEDIUM"),
+        (103, 2, "F", 200.00, "1998-01-01", "1-URGENT"),   # q5 `<` edge: OUT
+        (104, 2, "P", 200.00, "1997-06-01", "2-HIGH"),
+        (105, 4, "O", 300.00, "1997-01-01", "1-URGENT"),
+        (106, 5, "F", 100.00, "1995-06-30", "3-MEDIUM"),
+        (107, 2, "P", 100.50, "1996-01-01", "1-URGENT"),   # q5 `>=` edge: IN
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderstatus": pa.array([o[2] for o in orders], pa.string()),
+        "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+        "o_orderdate": pa.array([ts(o[4]) for o in orders], pa.timestamp("ms")),
+        "o_orderpriority": pa.array([o[5] for o in orders], pa.string()),
+    }), str(d / "orders.parquet"))
+    lines = [
+        # (okey, pkey, skey, ln, qty, extprice, disc, tax, rf, ls, shipdate)
+        (101, 1, 1, 1, 11.0, 110.25, 0.01, 0.02, "N", "O", "1998-03-16"),
+        (100, 1, 1, 1, 1.0, 10.50, 0.00, 0.00, "N", "O", "1998-03-15"),
+        (102, 2, 2, 1, 10.0, 100.00, 0.05, 0.01, "A", "F", "1998-09-01"),
+        (103, 2, 2, 1, 20.0, 200.25, 0.01, 0.00, "R", "F", "1998-09-02"),
+        (104, 3, 1, 1, 21.0, 210.00, 0.02, 0.03, "N", "O", "1997-08-31"),
+        (105, 3, 2, 1, 5.0, 50.75, 0.01, 0.00, "N", "O", "1997-09-01"),
+        (106, 1, 1, 1, 12.0, 120.00, 0.03, 0.01, "A", "F", "1997-10-01"),
+        (104, 3, 2, 2, 7.0, 70.25, 0.01, 0.02, "N", "O", "1997-06-15"),
+        (107, 1, 2, 1, 11.5, 115.50, 0.04, 0.00, "R", "F", "1996-02-01"),
+        (104, 1, 2, 3, 3.0, 30.00, 0.00, 0.01, "N", "O", "1997-09-15"),
+        (100, 4, 1, 2, 1.0, 10.00, 0.01, 0.00, "N", "O", "1998-01-01"),
+        (100, 4, 1, 3, 1.5, 15.25, 0.00, 0.00, "N", "O", "1998-01-02"),
+        (100, 4, 2, 4, 2.0, 20.00, 0.02, 0.01, "N", "O", "1998-01-03"),
+        (100, 4, 2, 5, 25.5, 255.00, 0.01, 0.00, "N", "O", "1998-01-04"),
+        (105, 2, 2, 2, 20.5, 205.25, 0.01, 0.02, "N", "O", "1997-01-15"),
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+        "l_partkey": pa.array([l[1] for l in lines], pa.int64()),
+        "l_suppkey": pa.array([l[2] for l in lines], pa.int64()),
+        "l_linenumber": pa.array([l[3] for l in lines], pa.int32()),
+        "l_quantity": pa.array([l[4] for l in lines], pa.float64()),
+        "l_extendedprice": pa.array([l[5] for l in lines], pa.float64()),
+        "l_discount": pa.array([l[6] for l in lines], pa.float64()),
+        "l_tax": pa.array([l[7] for l in lines], pa.float64()),
+        "l_returnflag": pa.array([l[8] for l in lines], pa.string()),
+        "l_linestatus": pa.array([l[9] for l in lines], pa.string()),
+        "l_shipdate": pa.array([ts(l[10]) for l in lines], pa.timestamp("ms")),
+    }), str(d / "lineitem.parquet"))
+    for t in ("events", "documents", "embeddings"):
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+RELATIONAL_BOUNDARY_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "rollup_order_stats",
+    "grouping_analytics_order_stats",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_measures",
+    "setop_finished_partial_not_open",
+    "semi_promo_parts_shipped",
+    "anti_customers_no_open_orders",
+    "window_functions_showcase",
+    "scalar_function_showcase",
+    "orders_price_quantiles",
+)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_BOUNDARY_QUERIES)
+def test_relational_family_agrees_on_boundary_rows(spark, boundary_tpch_dir, name):
+    assert_query_matches_oracle(spark, boundary_tpch_dir, name, tables=ALL_TABLES)
+
+
+def test_boundary_corpus_hits_the_edges(spark, boundary_tpch_dir):
+    """Guard the fixture itself: the boundary rows must actually sit on
+    both sides of each predicate, or the parametrized tests above prove
+    nothing."""
+    rows = assert_query_matches_oracle(
+        spark, boundary_tpch_dir, "q17_small_quantity_revenue", tables=ALL_TABLES
+    )
+    by_brand = {r[1]: r for r in rows}  # cols sorted: n_small, p_brand, small_revenue
+    # Brand#11 = p1 (qty 1 passes: 1·5·5 < 38.5) + p4 (only qty 1 of
+    # {1, 1.5, 2, 25.5} passes; 1.5 lands exactly on the threshold)
+    assert by_brand["Brand#11"][0] == 2, rows
+    q19 = assert_query_matches_oracle(
+        spark, boundary_tpch_dir, "q19_disjunctive_revenue", tables=ALL_TABLES
+    )
+    # PROMO in: qty 1, 11, 1, 1.5, 2, 3 (six) — 11.5, 12, 25.5 out;
+    # ECONOMY in: qty 10, 20 — 20.5 out; size-≥40 disc<0.02 arm in: p3
+    # lines disc 0.01 (qty 5, 7) plus the p2 qty-20.5 line disc 0.01 that
+    # BOTH quantity bounds reject — disc exactly 0.02 out; the p2 qty-20
+    # line satisfies ECONOMY and size arms at once but OR counts it once
+    assert q19[0][0] == 11, q19  # cols sorted: n_lines, revenue
+    setop = assert_query_matches_oracle(
+        spark, boundary_tpch_dir, "setop_finished_partial_not_open", tables=ALL_TABLES
+    )
+    assert [r[0] for r in setop] == [2]  # only c2: F and P, never O
