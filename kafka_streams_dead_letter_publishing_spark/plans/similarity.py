@@ -474,11 +474,11 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # AQE coalesces the deduped pairs to a handful of partitions (they are
     # BYTE-small) — but the next stage folds a 64-dim cosine per pair, so
-    # spread the COMPUTE back to session parallelism (measured 3.9 s →
-    # 3.3 s median at sf0.1 — the remaining cost is the 651 k-pair
-    # candidate join + dedup itself, the deliberate price of 0.64 recall
-    # on a near-random corpus; at real scale pair volume keeps partitions
-    # numerous and this reshuffle of skinny rows is noise)
+    # spread the COMPUTE back to session parallelism (r4 median 3.8 s at
+    # sf0.1 — the remaining cost is the 651 k-pair candidate join + dedup
+    # itself, the deliberate price of 0.64 recall on a near-random corpus;
+    # at real scale pair volume keeps partitions numerous and this
+    # reshuffle of skinny rows is noise)
     cands = fan_out(cands, "vec_a", "vec_b")
     x = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"))
     y = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"))
