@@ -237,13 +237,29 @@ def test_null_values_route_to_process_channel(spark, null_events_dir):
 def non_ascii_docs_dir(tmp_path):
     """Documents with codepoints far past U+00FF, placed EARLY so most of
     the rolling hash runs after them (the r3 ADVICE failure mode: an
-    un-modded gear lookup NULLs the hash for the rest of the document)."""
+    un-modded gear lookup NULLs the hash for the rest of the document).
+
+    Deliberately EXCLUDED: Turkish İ (U+0130) and Greek final-position Σ.
+    Java's conditional full case mapping (Spark ``lower``) and utf8proc's
+    simple mapping (DuckDB ``lower``) genuinely differ there — probed:
+    lower('İstanbul') is 'i̇stanbul' (combining dot) on Spark vs 'istanbul'
+    on DuckDB, lower('ΣΟΦΟΣ') ends in ς vs σ — so any lower()-derived
+    value (fingerprints, tokens) diverges BY LIBRARY SEMANTICS, not by a
+    plan bug.  Everything else (accents, CJK, Cyrillic, ligatures, astral
+    emoji, ß) maps identically and is covered below."""
     long_tail = " ".join(f"token{i} payload{i * 7}" for i in range(40))
+    near_a = "日本語テキスト и русский текст " + " ".join(f"shared{i}" for i in range(30))
     rows = [
         {"doc_id": 1, "text": f"héllo wörld — caffè naïve {long_tail}"},
-        {"doc_id": 2, "text": f"日本語テキスト и русский текст {long_tail}"},
+        {"doc_id": 2, "text": near_a},
         {"doc_id": 3, "text": f"plain ascii document {long_tail}"},
         {"doc_id": 4, "text": "ü"},  # single non-ASCII char, shorter than any window
+        # near-dup of doc 2 differing by one token — the minhash/simhash
+        # pipelines must band, verify, and cluster over non-ASCII shingles
+        {"doc_id": 5, "text": near_a.replace("shared29", "changed29")},
+        # astral-plane (surrogate-pair) codepoints: length/substring are
+        # codepoint-based on BOTH engines (probed); gear index is cp % 256
+        {"doc_id": 6, "text": f"emoji 😀🚀 prefix {long_tail}"},
     ]
     _write_documents(str(tmp_path / "documents.parquet"), rows)
     _write_events(str(tmp_path / "events.parquet"), [])
@@ -270,6 +286,20 @@ def test_payload_features_agree_on_non_ascii_text(spark, non_ascii_docs_dir):
     rows = assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_payload_features")
     by_id = {r[1]: r for r in rows}  # cols sorted: checksum, doc_id, n_bytes, n_frames
     assert by_id[4][2] == 2  # "ü" is one char but two UTF-8 bytes
+
+
+def test_text_family_agrees_on_non_ascii_docs(spark, non_ascii_docs_dir):
+    """EVERY text-family query over the non-ASCII corpus — r3 only pinned
+    the CDC pair and payload features; tokenize→minhash/simhash/lang-ID/
+    quality paths route the same multi-byte text through lower/split/md5
+    on both engines (md5 hashes UTF-8 bytes identically; \\s is the same
+    ASCII class in Java and RE2 regex)."""
+    for name in TEXT_FAMILY_QUERIES:
+        assert_query_matches_oracle(spark, non_ascii_docs_dir, name)
+    # guard against vacuous agreement: the planted non-ASCII near-dup pair
+    # (docs 2/5) must actually survive banding + Jaccard verify + clustering
+    pairs = QUERIES["docs_neardup_verified"].spark(spark, non_ascii_docs_dir).collect()
+    assert any({r.doc_a, r.doc_b} == {2, 5} for r in pairs)
 
 
 @pytest.fixture()
