@@ -119,6 +119,19 @@ def test_existing_headers_preserved(spark):
     assert header_value(routed.process_dlt) == "NegativeLengthError: -5"
 
 
+def test_duplicate_error_header_appends_second(spark):
+    """A record that ALREADY carries ``error.message`` gets a second one
+    appended, not replaced — Kafka headers allow duplicate keys and the
+    reference's ``headers().add`` (ErrorMessageMapper.java:36) appends
+    unconditionally; ``get_header`` reads the LAST (newest) occurrence."""
+    df = records_df(spark, [(b"key", int32be(-5))], headers=[(ERROR_HEADER, b"stale")])
+    routed = route(df, CFG)
+    r = one_row(routed.process_dlt)
+    assert [h.key for h in r.headers] == [ERROR_HEADER, ERROR_HEADER]
+    assert r.headers[0].value == b"stale"
+    assert header_value(routed.process_dlt) == "NegativeLengthError: -5"
+
+
 def test_mixed_batch_routes_each_channel_once(spark):
     records = [
         (b"k1", int32be(5)),
