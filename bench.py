@@ -42,6 +42,15 @@ def main() -> None:
         .appName("dead-letter-engine-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE's default 1 MB coalesce floor folds compute-DENSE stages whose
+        # rows are byte-SMALL (LSH candidate pairs: two longs per row, a
+        # 128-float cosine fold per row) onto 1-4 cores.  256 kb is the
+        # measured sweet spot at sf0.1: emb_ann_multitable_pairs 3.6 s ->
+        # 2.1 s and docs_neardup_clusters 2.8 s -> 2.5 s median, with the
+        # many-tiny-stage queries flat (a 64 kb floor over-parallelizes
+        # those: route/streaming medians +30-40%).  At real scale shuffle
+        # bytes are large and this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256kb")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
