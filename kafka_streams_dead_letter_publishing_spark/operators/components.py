@@ -29,7 +29,7 @@ per reference).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 #: Safety cap, not the expected count — convergence is detected, and with
@@ -80,10 +80,13 @@ def connected_components(
         labels = labels.join(jump, "lbl").select(
             "doc_id", F.least("lbl", "lbl2").alias("lbl")
         )
-        labels = labels.localCheckpoint(eager=True)
         # monotone convergence detector: labels only ever decrease, so an
-        # unchanged sum ⇔ every label unchanged ⇔ fixpoint reached
-        current = labels.agg(F.sum("lbl")).collect()[0][0]
+        # unchanged sum ⇔ every label unchanged ⇔ fixpoint reached.  The
+        # sum rides the checkpoint materialization as an Observation —
+        # one job per round instead of two (checkpoint + separate agg).
+        obs = Observation()
+        labels = labels.observe(obs, F.sum("lbl").alias("s")).localCheckpoint(eager=True)
+        current = obs.get["s"]
         if current == prev:
             break
         prev = current
