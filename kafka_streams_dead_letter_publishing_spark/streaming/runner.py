@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import logging
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -163,7 +164,18 @@ class DeadLetterStream:
             # Dead letters first: if a DLT publish fails we die *before*
             # emitting output, bounding duplicate output records on retry —
             # same motivation as the reference's shutdown-on-DLT-failure.
-            for df, topic in channels:
+            # The three DLT writes have no cross-channel ordering contract,
+            # so they run as CONCURRENT Spark jobs (each channel is small;
+            # sequential writes leave the cluster idle between job
+            # submissions) — output still waits for all dead letters.
+            dlt_channels, out_channels = channels[:3], channels[3:]
+            with ThreadPoolExecutor(max_workers=len(dlt_channels)) as pool:
+                futures = [
+                    pool.submit(self.sink, df, topic) for df, topic in dlt_channels
+                ]
+                for f in futures:
+                    f.result()  # re-raises the first DLT failure: fail-stop
+            for df, topic in out_channels:
                 self.sink(df, topic)
             if self.metrics is not None:
                 self.metrics(
