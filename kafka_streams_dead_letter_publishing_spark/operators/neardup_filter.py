@@ -1,0 +1,128 @@
+"""Corpus-incremental near-dup filter: drop incoming documents that are
+fuzzy duplicates of a REFERENCE corpus ([EXT], the ingest-time stage of the
+LLM-pipeline dedup story — SURVEY §2.2b).
+
+The batch registry covers near-dup dedup WITHIN a corpus
+(``docs_neardup_verified`` → ``docs_neardup_clusters``); this operator
+covers the other production shape: a stream of new documents arriving
+against an already-cleaned reference corpus, where anything
+Jaccard-similar to the corpus must be rejected at ingest.  It is a pure
+batch→batch function, so it slots directly into the engine's
+``foreachBatch`` streaming wrapper (the same batch==streaming contract as
+``operators.topology.route``): build the index once, filter every
+micro-batch against it.
+
+Scale posture mirrors the registry pipeline (``plans/text.py``):
+candidates come from an EQUI-join on LSH band keys over a SKINNY
+(band_key, ref_id) index — shingle payloads never ride the candidate
+shuffle; the exact-Jaccard verify touches candidates only; the final
+reject is a LeftAnti on doc id.  At 100 TB the index side is a bucketed
+table and every join here shuffles on uniform hash keys.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.text import (
+    band_keys_from_minhash,
+    minhash_array,
+    shingles,
+    tokens,
+)
+
+#: normalization shared with functions.text.fingerprint / plans.text._norm
+def _norm(text):  # noqa: ANN001, ANN202 - Column in, Column out
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+class NeardupIndex(NamedTuple):
+    """Prebuilt reference-corpus index.
+
+    ``bands``   — (bk string, ref_id)            : the skinny candidate side
+    ``shingles``— (ref_id, ref_sh array<string>) : verify payload, joined
+                                                   back for candidates only
+    """
+
+    bands: DataFrame
+    shingles: DataFrame
+
+
+def build_neardup_index(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> NeardupIndex:
+    """Index a reference corpus for :func:`neardup_filter`.
+
+    In a long-running stream the caller materializes both frames once
+    (persist / write to a bucketed table) and reuses them every
+    micro-batch; building is one narrow pass over the corpus.
+    """
+    sh_tbl = (
+        corpus.select(F.col(id_col).alias("ref_id"), tokens(_norm(F.col(text_col))).alias("toks"))
+        .select("ref_id", shingles(F.col("toks")).alias("ref_sh"))
+    )
+    banded = sh_tbl.select(
+        "ref_id", F.size("ref_sh").alias("n_sh"), minhash_array(F.col("ref_sh")).alias("mh")
+    ).select(
+        "ref_id",
+        F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
+    )
+    return NeardupIndex(bands=banded.select("bk", "ref_id"), shingles=sh_tbl)
+
+
+def neardup_filter(
+    batch: DataFrame,
+    index: NeardupIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """Rows of ``batch`` that are NOT near-dups of the indexed corpus.
+
+    A batch document is rejected when its shingle set has exact Jaccard
+    similarity ≥ ``threshold_pct``/100 with ANY corpus document it shares
+    an LSH band with (same banding recall as the registry pipeline — a
+    true dup missed by all 8 bands is the documented LSH miss rate, not a
+    semantic difference).  Documents with fewer tokens than one shingle
+    have no shingles, collide with nothing, and always pass — the
+    threshold is meaningless on them; callers wanting exact-dup rejection
+    of short docs compose with the fingerprint dedup stage.
+
+    Integer cross-multiplied threshold (``common * 100 >= union * pct``):
+    exact on every engine, no float epsilon.
+    """
+    staged = batch.select(
+        F.col(id_col).alias("doc_id"), tokens(_norm(F.col(text_col))).alias("toks")
+    ).select("doc_id", shingles(F.col("toks")).alias("sh"))
+    banded = staged.select(
+        "doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh")
+    ).select(
+        "doc_id",
+        F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
+    )
+    # skinny candidate pairs: batch doc × corpus doc sharing any band
+    cands = (
+        banded.join(index.bands, "bk")
+        .select("doc_id", "ref_id")
+        .distinct()
+    )
+    n_common = F.size(F.array_intersect("sh", "ref_sh"))
+    dup_ids = (
+        cands.join(staged, "doc_id")
+        .join(index.shingles, "ref_id")
+        .select(
+            "doc_id",
+            n_common.alias("n_common"),
+            (F.size("sh") + F.size("ref_sh")).alias("n_ab"),
+        )
+        .filter(
+            F.col("n_common") * 100
+            >= (F.col("n_ab") - F.col("n_common")) * threshold_pct
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
