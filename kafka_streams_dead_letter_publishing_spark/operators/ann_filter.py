@@ -1,0 +1,101 @@
+"""Corpus-incremental embedding near-dup filter: drop incoming vectors
+whose cosine similarity to a REFERENCE vector set reaches a threshold
+([EXT] — the embedding-space sibling of ``operators.neardup_filter``).
+
+Same ingest shape: build a multi-table sign-LSH index over the reference
+vectors once, then filter every incoming (micro-)batch against it —
+candidates from an EQUI-join on the skinny ``(bucket_key, ref_id)`` index,
+exact cosine verify on candidates only, LeftAnti reject.  Pure
+batch→batch, so it slots into the ``foreachBatch`` streaming wrapper
+unchanged.
+
+Recall at dup-grade thresholds is far better than the top-k-pairs regime:
+sign-LSH per-plane collision probability is ``p = 1 − θ/π``, so at
+``cos ≥ 0.9`` (θ ≈ 25.8°) ``p ≈ 0.857`` and the 6-table × 4-plane OR-index
+keeps ``1 − (1 − p⁴)⁶ ≈ 0.99`` of true near-dups — verified by the
+planted-perturbation test.  (Contrast the registry's top-50-pairs query,
+whose true cosines are only ~0.5 on the random corpus and recall is the
+measured 0.64.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+    dot,
+    lsh_table_keys,
+)
+
+
+class AnnIndex(NamedTuple):
+    """Prebuilt reference-vector index.
+
+    ``buckets`` — (bk string, ref_id)                      : candidate side
+    ``vectors`` — (ref_id, ref_emb array<float>, ref_nrm)  : verify payload
+    """
+
+    buckets: DataFrame
+    vectors: DataFrame
+
+
+def build_ann_index(
+    corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> AnnIndex:
+    """Index reference vectors for :func:`ann_filter`.  Zero-norm vectors
+    are dropped from the index — cosine against them is undefined, so they
+    can never reject anything."""
+    base = corpus.select(
+        F.col(id_col).alias("ref_id"),
+        F.col(emb_col).alias("ref_emb"),
+        F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("ref_nrm"),
+    ).filter(F.col("ref_nrm") > 0)
+    buckets = base.select(
+        "ref_id", F.explode(lsh_table_keys(F.col("ref_emb"))).alias("bk")
+    ).select("bk", "ref_id")
+    return AnnIndex(buckets=buckets, vectors=base.select("ref_id", "ref_emb", "ref_nrm"))
+
+
+def ann_filter(
+    batch: DataFrame,
+    index: AnnIndex,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """Rows of ``batch`` that are NOT cosine-near-dups of the indexed set.
+
+    A batch vector is rejected when its exact cosine with ANY reference
+    vector it shares an LSH bucket with (any of the 6 tables) reaches
+    ``min_cos``.  Zero-norm batch vectors have undefined cosine and always
+    pass.  The miss rate is the OR-amplified LSH bound above, not a
+    semantic difference.
+    """
+    staged = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    banded = staged.select(
+        "vec_id", F.explode(lsh_table_keys(F.col("emb"))).alias("bk")
+    )
+    cands = banded.join(index.buckets, "bk").select("vec_id", "ref_id").distinct()
+    dup_ids = (
+        cands.join(staged, "vec_id")
+        .join(index.vectors, "ref_id")
+        .select(
+            "vec_id",
+            F.try_divide(
+                dot(F.col("emb"), F.col("ref_emb")), F.col("nrm") * F.col("ref_nrm")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(min_cos))
+        .select("vec_id")
+        .distinct()
+    )
+    return batch.join(
+        dup_ids.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
+    )

@@ -1,0 +1,85 @@
+"""Embedding near-dup ingest filter (`operators/ann_filter.py`): planted
+perturbation recall, threshold semantics, zero-norm handling, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+    ann_filter,
+    build_ann_index,
+)
+
+DIM = 64
+
+
+def _vecs(n, seed):
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(DIM)] for _ in range(n)]
+
+
+def _perturb(v, eps, seed):
+    rng = np.random.default_rng(seed)
+    noise = rng.standard_normal(DIM)
+    out = np.array(v) + eps * noise
+    return [float(x) for x in out]
+
+
+@pytest.fixture(scope="module")
+def ref_and_batch(spark):
+    ref = _vecs(200, seed=1)
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ref)], "vec_id bigint, embedding array<float>"
+    )
+    # batch: 50 small perturbations of reference vectors (cos ≈ 0.999,
+    # unambiguous dups) + 50 fresh random vectors (cos ≈ 0 w.h.p.)
+    dups = [(1000 + i, _perturb(ref[i], 0.02, seed=100 + i)) for i in range(50)]
+    novel = [(2000 + i, v) for i, v in enumerate(_vecs(50, seed=2))]
+    batch = spark.createDataFrame(
+        dups + novel + [(3000, [0.0] * DIM)],  # zero-norm: always passes
+        "vec_id bigint, embedding array<float>",
+    )
+    return corpus, batch
+
+
+def test_planted_dups_rejected_novel_kept(spark, ref_and_batch):
+    """OR-amplified recall at cos≈0.999 is ~1-(1-p^4)^6 with p≈0.99 —
+    expect essentially every planted dup caught; every novel vector and
+    the zero-norm vector must pass."""
+    corpus, batch = ref_and_batch
+    idx = build_ann_index(corpus)
+    kept = {r.vec_id for r in ann_filter(batch, idx, min_cos=0.9).collect()}
+    novel_ids = {2000 + i for i in range(50)} | {3000}
+    assert novel_ids <= kept  # precision: nothing novel is rejected
+    missed_dups = {v for v in kept if v < 2000}
+    assert len(missed_dups) == 0  # recall at cos~0.999: all planted dups caught
+
+
+def test_threshold_above_dup_cosine_keeps_everything(spark, ref_and_batch):
+    corpus, batch = ref_and_batch
+    idx = build_ann_index(corpus)
+    # cos(perturbed, ref) < 1 strictly, so min_cos=1.0 rejects nothing
+    # (exact-equality dups would still hit 1.0 within float rounding)
+    assert ann_filter(batch, idx, min_cos=1.0).count() == batch.count()
+
+
+def test_empty_index_passes_everything(spark, ref_and_batch):
+    _, batch = ref_and_batch
+    empty = build_ann_index(
+        batch.sparkSession.createDataFrame([], "vec_id bigint, embedding array<float>")
+    )
+    assert ann_filter(batch, empty).count() == batch.count()
+
+
+def test_plan_is_equi_join_leftanti_no_python(spark, ref_and_batch):
+    corpus, batch = ref_and_batch
+    idx = build_ann_index(corpus)
+    plan = (
+        ann_filter(batch, idx)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
