@@ -73,6 +73,16 @@ def test_empty_index_passes_everything(spark, ref_and_batch):
     assert ann_filter(batch, empty).count() == batch.count()
 
 
+def test_filter_is_idempotent_and_a_subset(spark, ref_and_batch):
+    corpus, batch = ref_and_batch
+    idx = build_ann_index(corpus)
+    once = ann_filter(batch, idx)
+    kept_once = sorted(r.vec_id for r in once.collect())
+    kept_twice = sorted(r.vec_id for r in ann_filter(once, idx).collect())
+    assert kept_once == kept_twice
+    assert set(kept_once) <= {r.vec_id for r in batch.collect()}
+
+
 def test_plan_is_equi_join_leftanti_no_python(spark, ref_and_batch):
     corpus, batch = ref_and_batch
     idx = build_ann_index(corpus)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
     build_neardup_index,
@@ -80,6 +81,62 @@ def test_candidate_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_is_idempotent_and_a_subset(spark):
+    """Algebra: output ⊆ input, and filtering an already-filtered batch is
+    a no-op (survivors are by construction non-dups of the corpus)."""
+    idx = build_neardup_index(corpus_df(spark))
+    once = neardup_filter(batch_df(spark), idx)
+    twice = neardup_filter(once, idx)
+    kept_once = sorted(r.doc_id for r in once.collect())
+    kept_twice = sorted(r.doc_id for r in twice.collect())
+    assert kept_once == kept_twice
+    all_ids = {r.doc_id for r in batch_df(spark).collect()}
+    assert set(kept_once) <= all_ids
+
+
+def test_full_ingest_pipeline_foreachbatch(spark, tmp_path):
+    """The complete LLM-ingest flow in one foreachBatch body: per-row
+    quality filter → exact dedup WITHIN the batch → fuzzy reject vs the
+    reference corpus — each stage drops its own class of row."""
+    from kafka_streams_dead_letter_publishing_spark.functions.text import fingerprint
+
+    idx = build_neardup_index(corpus_df(spark))
+    rows = [
+        (20, "fresh document with plenty of distinct words to pass quality " * 2),
+        (21, "FRESH  document with plenty of distinct words to pass quality " * 2),  # exact dup of 20 mod formatting
+        (22, BASE.replace("dog", "cat")),  # near-dup of corpus doc 1
+        (23, "junk"),  # fails quality
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    def clean(batch, _id):
+        staged = batch.filter(
+            F.size(F.split(F.col("text"), r"\s+")) >= 10
+        ).withColumn("fp", fingerprint(F.col("text")))
+        exact = (
+            staged.withColumn(
+                "rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk", "fp")
+        )
+        neardup_filter(exact, idx).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src)
+        .writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(clean)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    survivors = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert survivors == [20]  # 21 exact-dup'd, 22 corpus-rejected, 23 junk
 
 
 def test_streaming_foreachbatch_matches_batch(spark, tmp_path):
