@@ -51,10 +51,18 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+def norm_text(text: Column) -> Column:
+    """Canonical normalization shared by fingerprinting, shingling, and the
+    ingest filters: lowercase + collapse whitespace.  One definition so the
+    engine and every oracle CTE (`plans/text.py` ``_NORM_SQL``) stay in
+    lockstep."""
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the lowercased, space-normalized text —
     the exact-dup key that survives formatting noise."""
-    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm_text(text))
 
 
 def minhash_value(shingle_col: Column, j: int) -> Column:

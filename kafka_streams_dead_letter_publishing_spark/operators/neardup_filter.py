@@ -30,13 +30,10 @@ from pyspark.sql import functions as F
 from kafka_streams_dead_letter_publishing_spark.functions.text import (
     band_keys_from_minhash,
     minhash_array,
+    norm_text as _norm,
     shingles,
     tokens,
 )
-
-#: normalization shared with functions.text.fingerprint / plans.text._norm
-def _norm(text):  # noqa: ANN001, ANN202 - Column in, Column out
-    return F.regexp_replace(F.lower(text), r"\s+", " ")
 
 
 class NeardupIndex(NamedTuple):

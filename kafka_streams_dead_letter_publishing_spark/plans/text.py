@@ -38,6 +38,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.text import (
     fingerprint,
     lang_guess,
     minhash_array,
+    norm_text,
     shingles,
     simhash64,
     simhash64_sql,
@@ -100,8 +101,8 @@ _FP_SQL = f"md5({_NORM_SQL})"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
-def _norm(text: Column) -> Column:
-    return F.regexp_replace(F.lower(text), r"\s+", " ")
+#: engine-side twin of _NORM_SQL — the one canonical definition
+_norm = norm_text
 
 
 # DuckDB shingle list for k=3 over a token-list SQL fragment; [] below k.
