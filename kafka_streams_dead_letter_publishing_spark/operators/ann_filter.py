@@ -27,14 +27,14 @@ from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     dot,
-    lsh_table_keys,
+    lsh_table_keys_int,
 )
 
 
 class AnnIndex(NamedTuple):
     """Prebuilt reference-vector index.
 
-    ``buckets`` — (bk string, ref_id)                      : candidate side
+    ``buckets`` — (bk long, ref_id)                        : candidate side
     ``vectors`` — (ref_id, ref_emb array<float>, ref_nrm)  : verify payload
     """
 
@@ -54,7 +54,7 @@ def build_ann_index(
         F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("ref_nrm"),
     ).filter(F.col("ref_nrm") > 0)
     buckets = base.select(
-        "ref_id", F.explode(lsh_table_keys(F.col("ref_emb"))).alias("bk")
+        "ref_id", F.explode(lsh_table_keys_int(F.col("ref_emb"))).alias("bk")
     ).select("bk", "ref_id")
     return AnnIndex(buckets=buckets, vectors=base.select("ref_id", "ref_emb", "ref_nrm"))
 
@@ -80,7 +80,7 @@ def ann_filter(
         F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
     ).filter(F.col("nrm") > 0)
     banded = staged.select(
-        "vec_id", F.explode(lsh_table_keys(F.col("emb"))).alias("bk")
+        "vec_id", F.explode(lsh_table_keys_int(F.col("emb"))).alias("bk")
     )
     cands = banded.join(index.buckets, "bk").select("vec_id", "ref_id").distinct()
     dup_ids = (

@@ -32,6 +32,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     dot,
     dot_sql,
     lsh_table_keys,
+    lsh_table_keys_int,
     lsh_table_keys_sql,
 )
 from kafka_streams_dead_letter_publishing_spark.plans.registry import query
@@ -464,7 +465,7 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out first or the 6-table sign-fold runs on the single-file
     # scan's ONE partition on both join sides
     keys = fan_out(emb, "vec_id").select(
-        "vec_id", F.explode(lsh_table_keys(F.col("embedding"))).alias("bk")
+        "vec_id", F.explode(lsh_table_keys_int(F.col("embedding"))).alias("bk")
     ).hint("shuffle_hash")
     a, b = keys.alias("a"), keys.alias("b")
     cands = (

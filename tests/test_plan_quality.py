@@ -91,6 +91,33 @@ def test_route_counts_never_generates_strings(spark, name):
     assert "translate" not in plan  # generation pruned out of the count path
 
 
+def test_int_lsh_keys_are_bijective_with_string_keys(spark):
+    """The engine-side integer band keys must induce EXACTLY the string
+    keys' bucketing (1:1 mapping) — that equivalence is what keeps the
+    candidate set identical to the oracle's string-keyed candidates."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_table_keys,
+        lsh_table_keys_int,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    paired = emb.select(
+        F.explode(
+            F.arrays_zip(
+                lsh_table_keys(F.col("embedding")).alias("sk"),
+                lsh_table_keys_int(F.col("embedding")).alias("ik"),
+            )
+        ).alias("z")
+    ).select("z.sk", "z.ik")
+    n_sk = paired.select("sk").distinct().count()
+    n_ik = paired.select("ik").distinct().count()
+    n_pairs = paired.distinct().count()
+    assert n_sk == n_ik == n_pairs  # 1:1 both ways across the corpus
+
+
 def test_lsh_bucket_occupancy_stays_bounded(spark):
     """r2 fix #4: the ANN bucket join is only sub-quadratic if buckets stay
     small.  At sf0.1 (the bench SF) the default 8-plane bucketing must keep
