@@ -438,7 +438,8 @@ def ivf_probe_topk(
     "into 6 independent 4-plane hash tables (OR-amplification — measured "
     "top-50 recall 0.64 at sf0.1 vs 0.06 for one 8-plane table, gate in "
     "test_plan_quality); candidates = pairs colliding in ANY table, via an "
-    "equi-join on the SKINNY (vec_id, table:bits) index — never all-pairs, "
+    "equi-join on the SKINNY (vec_id, key) index (long keys, bijective "
+    "with the oracle's table:bits strings) — never all-pairs, "
     "never the 64-float payload through the candidate shuffle — deduped "
     "across tables BEFORE the exact-cosine verify join-back (norms "
     "precomputed per vector: 1 fold per pair), then global top-50.",
