@@ -101,6 +101,38 @@ def main() -> None:
             shutil.rmtree(sink_dir, ignore_errors=True)
     samples["dlt_streaming_roundtrip"] = runs
 
+    # Steady state: the SAME records as four micro-batches through a real
+    # readStream query — checkpoint commits, trigger scheduling, and
+    # foreachBatch dispatch included, i.e. the per-batch overhead the
+    # single-batch entry cannot see.  Source files are written once
+    # (untimed); checkpoint + sink dirs are fresh per run.
+    stream_src = tempfile.mkdtemp(prefix="dlt-stream4-src-")
+    derived = derived_records(spark, sf_dir)
+    derived.repartition(4).write.mode("overwrite").parquet(stream_src)
+    runs = []
+    for i in range(N_RUNS):
+        work = tempfile.mkdtemp(prefix="dlt-stream4-")
+        try:
+            stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(f"{work}/sinks"))
+            reader = (
+                spark.readStream.schema(derived.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_src)
+            )
+            t0 = time.time()
+            q = (
+                reader.writeStream.option("checkpointLocation", f"{work}/ck")
+                .foreachBatch(stream.process_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            runs.append(round(time.time() - t0, 3))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(stream_src, ignore_errors=True)
+    samples["dlt_streaming_4batches"] = runs
+
     timings = {name: round(statistics.median(r), 3) for name, r in samples.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
