@@ -86,6 +86,50 @@ pair_strategy = st.lists(
 )
 
 
+vector_strategy = st.lists(
+    st.lists(
+        st.floats(-3, 3, allow_nan=False, allow_infinity=False, width=32),
+        min_size=64,
+        max_size=64,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vector_strategy)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_int_and_string_lsh_keys_yield_identical_candidates(spark, vecs):
+    """The long-key encoding must produce EXACTLY the candidate pairs the
+    oracle-mirrored string keys produce, for arbitrary vectors — the
+    bijection argument behind using long keys on the engine side."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_table_keys,
+        lsh_table_keys_int,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+
+    def cands(keyfn):
+        k = df.select("vec_id", F.explode(keyfn(F.col("embedding"))).alias("bk"))
+        a, b = k.alias("a"), k.alias("b")
+        return {
+            (r.va, r.vb)
+            for r in a.join(
+                b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+            )
+            .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+            .distinct()
+            .collect()
+        }
+
+    assert cands(lsh_table_keys) == cands(lsh_table_keys_int)
+
+
 @given(pair_strategy)
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 def test_connected_components_match_union_find(spark, pairs):
