@@ -156,3 +156,29 @@ def test_kmeans_plans_stay_jvm_side_with_partial_aggregation(spark, fitted):
     splan = search._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
     assert "TakeOrdered" in splan  # top-k reduce, not a global sort
+
+
+def test_persisted_index_probe_prunes_partitions(spark, fitted, tmp_path):
+    """The production IVF flow: write the assigned index partitionBy
+    cluster, reload, probe — the cluster IN-filter must become a PARTITION
+    filter (the scan touches nprobe/nlist directories, not the corpus),
+    and results must equal serving from the in-memory index."""
+    res, index = fitted
+    path = str(tmp_path / "ivf_index")
+    index.write.partitionBy("cluster").parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    query = [float(i % 7 - 3) for i in range(64)]
+    from_mem = ivf_search(index, res.centroids, query, nprobe=3, k=10).collect()
+    served = ivf_search(reloaded, res.centroids, query, nprobe=3, k=10)
+    from_disk = served.collect()
+    assert [(r.vec_id, r.cos) for r in from_disk] == [
+        (r.vec_id, r.cos) for r in from_mem
+    ]
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # cluster is a partition column: the probe filter must prune at the
+    # scan (PartitionFilters carries the isin), never a post-scan Filter
+    # over the full corpus
+    assert "PartitionFilters: [" in plan
+    assert "cluster" in plan.split("PartitionFilters:")[1][:200]
