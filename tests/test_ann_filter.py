@@ -73,6 +73,14 @@ def test_empty_index_passes_everything(spark, ref_and_batch):
     assert ann_filter(batch, empty).count() == batch.count()
 
 
+def test_empty_batch_yields_empty_with_schema(spark, ref_and_batch):
+    corpus, _ = ref_and_batch
+    idx = build_ann_index(corpus)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = ann_filter(empty, idx)
+    assert out.count() == 0 and out.columns == ["vec_id", "embedding"]
+
+
 def test_filter_is_idempotent_and_a_subset(spark, ref_and_batch):
     corpus, batch = ref_and_batch
     idx = build_ann_index(corpus)
