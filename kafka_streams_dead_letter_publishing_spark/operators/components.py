@@ -32,9 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-#: Safety cap, not the expected count — convergence is detected, and with
-#: path doubling 8 rounds cover component diameters in the hundreds.
-MAX_LABEL_PROP_ITERS = 8
+#: Hard safety cap, not the expected count — convergence is detected and
+#: the loop exits early, so a large cap costs nothing on real data.  With
+#: path doubling 20 rounds cover component diameters around 2^20 (~1M-node
+#: chains); any corpus needing more is pathological and the loop RAISES
+#: rather than return silently-wrong labels (r4 verdict #1).
+MAX_LABEL_PROP_ITERS = 20
 
 
 def label_propagation_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -61,7 +64,14 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id of its connected component (the deterministic
     keeper).  ``pairs`` is checkpointed once up front — pass the verified
-    pair frame directly, however expensive its lineage."""
+    pair frame directly, however expensive its lineage.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without the
+    label-sum fixpoint being observed — the function NEVER returns
+    unconverged (wrong) cluster labels.  Detection costs one extra round
+    beyond convergence (the fixpoint is seen as an *unchanged* sum), so
+    ``max_iters`` must exceed ceil(log2(diameter)) + 1; the default 20
+    covers ~million-node chain diameters."""
     pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
     fwd = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
     rev = pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst"))
@@ -71,6 +81,7 @@ def connected_components(
     )
     labels = nodes.select(F.col("src").alias("doc_id"), F.col("src").alias("lbl"))
     prev = None
+    converged = False
     for _ in range(max_iters):
         labels = label_propagation_step(edges, labels)
         # path doubling: label(x) ← label(label(x)).  Every label is a node
@@ -88,6 +99,13 @@ def connected_components(
         labels = labels.observe(obs, F.sum("lbl").alias("s")).localCheckpoint(eager=True)
         current = obs.get["s"]
         if current == prev:
+            converged = True
             break
         prev = current
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no label fixpoint within {max_iters} rounds "
+            f"(covers diameter ~2^{max_iters}); refusing to return unconverged "
+            "cluster labels — raise max_iters for pathologically deep components"
+        )
     return labels.select(F.col("doc_id").alias("node"), F.col("lbl").alias("component"))

@@ -30,10 +30,29 @@ def test_disjoint_components_keep_distinct_minima(spark):
 
 
 def test_long_path_converges_within_cap(spark):
-    # path 0-1-2-...-7: diameter 7, the worst case under MAX_ITERS=8
+    # path 0-1-2-...-7: diameter 7 — several doubling rounds, early exit
     pairs = [(i, i + 1) for i in range(7)]
     got = _cc(spark, pairs)
     assert got == {i: 0 for i in range(8)}
+
+
+def test_adversarial_deep_chain_converges_or_raises_never_wrong(spark):
+    """r4 verdict #1: a 600-edge chain (diameter 600 > 2^8) must either
+    converge to the single true component under the default cap or raise —
+    connected_components may NEVER return unconverged labels silently."""
+    pairs = [(i, i + 1) for i in range(600)]
+    got = _cc(spark, pairs)  # raises RuntimeError if the cap were too low
+    assert got == {i: 0 for i in range(601)}
+
+
+def test_cap_exhaustion_raises_instead_of_wrong_labels(spark):
+    """With max_iters forced below what the chain needs, the operator must
+    raise rather than hand back multiple cluster ids for one component."""
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(600)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="no label fixpoint"):
+        connected_components(df, max_iters=3)
 
 
 def test_empty_pairs_yield_empty_components(spark):
