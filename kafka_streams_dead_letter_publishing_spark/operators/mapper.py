@@ -22,8 +22,8 @@ tests therefore assert only length and charset (``ErrorHandlingTopologyTest
 uniform a-z contract while making golden tests and oracle runs reproducible.
 
 Scale note on generation cost: one xxhash64 yields 63 random bits; we
-extract CHARS_PER_HASH = 13 base-26 digits per hash (26^13 < 2^63) via
-``conv(…, 10, 26)`` + ``translate`` — O(n/13) hash calls instead of O(n),
+extract CHARS_PER_HASH = 12 base-26 digits per hash (26^12 < 2^63) via
+``conv(…, 10, 26)`` + ``translate`` — O(n/12) hash calls instead of O(n),
 all JVM-side whole-stage codegen.
 """
 
@@ -35,8 +35,14 @@ from pyspark.sql import functions as F
 NEGATIVE_LENGTH_ERROR_CLASS = "NegativeLengthError"
 NULL_VALUE_ERROR_CLASS = "NullValueError"
 
-#: chars extracted per 63-bit hash: 26**13 = 2.48e18 < 2**63 = 9.22e18
-CHARS_PER_HASH = 13
+#: chars extracted per 63-bit hash.  12, not 13 (r4 ADVICE): pmod(hash,
+#: 26**k) is uniform only up to the truncated final cycle of 26**k inside
+#: the 2**64 hash range.  26**13 = 2.48e18 fits just ~7.4 times into 2**64,
+#: so at k=13 the leading base-26 digit of every block would overrepresent
+#: a–k by ~14% (8 vs 7 cycles); 26**12 = 9.54e16 fits ~193 times, bounding
+#: the per-block bias at ~0.5% — an honest "uniform a-z" at ~8% more hash
+#: calls.
+CHARS_PER_HASH = 12
 _BASE26_MAX = 26**CHARS_PER_HASH
 #: Spark's conv(x, 10, 26) digit alphabet for base 26 …
 _CONV_DIGITS = "0123456789ABCDEFGHIJKLMNOP"
@@ -48,8 +54,8 @@ def random_lowercase_string(n: Column, uniq: Column, seed: int) -> Column:
     """Deterministic random string of ``n`` chars in ``[a-z]``.
 
     ``uniq`` is any per-record expression (e.g. key/offset hash) that
-    decorrelates records.  Pure SQL, chunked: one xxhash64 per 13 output
-    chars; each hash becomes 13 base-26 digits (``conv`` renders them as
+    decorrelates records.  Pure SQL, chunked: one xxhash64 per 12 output
+    chars; each hash becomes 12 base-26 digits (``conv`` renders them as
     ``0-9A-P``) translated to ``a-z``.  Mirrors
     ``ErrorHandlingMapper.java:14-18`` (``random.ints(97, 123)``).
 

@@ -33,19 +33,29 @@ BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright; read the raw int64 nanos and rebuild a TIMESTAMP_NTZ at
-        # microsecond precision.  The NTZ arithmetic (anchored at the NTZ
-        # epoch, not via timestamp_micros) keeps the conversion independent
-        # of the session timezone, and the integer `div 1000` truncation
-        # matches how DuckDB reads the same column — so oracle comparisons
-        # agree to the microsecond.
+        # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (which
+        # Spark 4 rejects outright without the legacy flag) and plain
+        # TIMESTAMP(MICROS) across testdata generations — branch on what the
+        # file actually contains.  Nanos case: read the raw int64 nanos and
+        # rebuild a TIMESTAMP_NTZ at microsecond precision; the NTZ
+        # arithmetic (anchored at the NTZ epoch, not via timestamp_micros)
+        # keeps the conversion independent of the session timezone, and the
+        # integer `div 1000` truncation matches how DuckDB reads the same
+        # column — so oracle comparisons agree to the microsecond.  Micros
+        # case: Spark already yields TIMESTAMP_NTZ (no UTC adjustment flag),
+        # identical to DuckDB's naive TIMESTAMP read — use as-is.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

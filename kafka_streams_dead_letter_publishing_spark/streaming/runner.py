@@ -51,7 +51,31 @@ from kafka_streams_dead_letter_publishing_spark.operators.topology import Routed
 #: check + fallback count, so a contract-violating sink costs one extra job
 #: per channel instead of a hang — but the write-path semantics (dead
 #: letters PUBLISHED before output) still require the sink to actually run.
+#:
+#: THREAD-SAFETY (r4 ADVICE): ``process_batch`` submits the three DLT
+#: writes from a thread pool (concurrent Spark jobs), so ``write`` may be
+#: invoked from up to 3 threads at once and MUST be reentrant — plain
+#: ``df.write`` sinks are (Spark job submission is thread-safe), but a sink
+#: wrapping shared mutable state (one producer handle, an appending test
+#: list) must synchronize internally or be wrapped with
+#: ``serialize_sink_writer`` below, which restores the pre-r4 sequential
+#: contract with one lock.
 SinkWriter = Callable[[DataFrame, str], None]
+
+
+def serialize_sink_writer(sink: SinkWriter) -> SinkWriter:
+    """Wrap a non-thread-safe ``SinkWriter`` with a lock so the concurrent
+    DLT writes in ``process_batch`` serialize (opt-out of concurrency for
+    sinks written against the sequential contract)."""
+    import threading
+
+    lock = threading.Lock()
+
+    def write(df: DataFrame, topic: str) -> None:
+        with lock:
+            sink(df, topic)
+
+    return write
 
 
 def kafka_source(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
