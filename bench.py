@@ -5,10 +5,18 @@
 Each query is fully materialized through the noop sink (forces complete
 execution of every partition — no collect, no driver materialization).
 
-Methodology (r3 verdict #4): every entry is the MEDIAN of N_RUNS=3 runs —
-single-run numbers on a shared local[32] box carry ±30% jitter, which made
-r3's round-over-round comparison unanswerable.  The medians are what lands
-in ``queries``; per-run samples are in ``samples`` for variance inspection.
+Methodology (r3 verdict #4, hardened r6 per r5 verdict #1): every batch
+entry is the MEDIAN of N_RUNS=5 runs taken in INTERLEAVED round-robin
+passes (pass 1 runs q1..qN once, pass 2 runs q1..qN again, ...), not
+back-to-back per query.  r5 showed why back-to-back fails: JVM/codegen
+warm-up and box-load transients land entirely on the first one or two runs
+of the first-scheduled queries, and a median-of-3 of monotone-decreasing
+samples reports the contaminated middle run (dlt_output_lengths recorded
+5.998/4.798/2.217 — the median was 2.2× the steady state).  Interleaving
+spreads any transient across one pass of ALL queries, and a median of 5
+discards up to two contaminated passes.  The medians land in ``queries``;
+per-pass samples are in ``samples`` (index = pass) for variance
+inspection.
 
 Also timed (r2 task #8 / r3 verdict #1): ``dlt_streaming_roundtrip`` — the
 PRODUCTION streaming entry point.  The sf-dir derived-record stream runs
@@ -28,7 +36,8 @@ import sys
 import tempfile
 import time
 
-N_RUNS = 3
+N_RUNS = 5  # batch passes (interleaved round-robin)
+N_STREAM_RUNS = 3  # streaming entries: stable across r4/r5 (±1%), runs are long
 
 
 def main() -> None:
@@ -74,22 +83,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 
-    samples: dict[str, list[float]] = {}
-    for name, q in QUERIES.items():
-        if "bench" not in q.tags:
-            continue
-        runs = []
-        for _ in range(N_RUNS):
+    bench_queries = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
+    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
+    for _ in range(N_RUNS):  # interleaved passes: each pass runs every query once
+        for name, q in bench_queries.items():
             t0 = time.time()
             q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(round(time.time() - t0, 3))
-        samples[name] = runs
+            samples[name].append(round(time.time() - t0, 3))
 
     # The streaming production path: one micro-batch through the full
     # foreachBatch body (persist + route + 4 parquet sinks).  Fresh sink
     # dirs per run so parquet append cost stays comparable across runs.
     runs = []
-    for i in range(N_RUNS):
+    for i in range(N_STREAM_RUNS):
         sink_dir = tempfile.mkdtemp(prefix="dlt-stream-bench-")
         try:
             stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(sink_dir))
@@ -110,7 +116,8 @@ def main() -> None:
     derived = derived_records(spark, sf_dir)
     derived.repartition(4).write.mode("overwrite").parquet(stream_src)
     runs = []
-    for i in range(N_RUNS):
+    stream_rates: list[dict] = []  # per-run throughput from StreamingQueryProgress
+    for i in range(N_STREAM_RUNS):
         work = tempfile.mkdtemp(prefix="dlt-stream4-")
         try:
             stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(f"{work}/sinks"))
@@ -128,10 +135,41 @@ def main() -> None:
             )
             q.awaitTermination()
             runs.append(round(time.time() - t0, 3))
+            # Throughput as a rate (r5 verdict #3): per-batch input rows and
+            # trigger duration straight from StreamingQueryProgress, so the
+            # wall-time entry above is interpretable round-over-round.
+            batches = []
+            for p in q.recentProgress:
+                n_rows = int(p.numInputRows or 0)
+                dur_ms = int(dict(p.durationMs or {}).get("triggerExecution") or 0)
+                if n_rows == 0 and dur_ms == 0:
+                    continue  # trailing empty trigger
+                batches.append({"input_rows": n_rows, "trigger_ms": dur_ms})
+            total_rows = sum(b["input_rows"] for b in batches)
+            total_ms = sum(b["trigger_ms"] for b in batches)
+            stream_rates.append(
+                {
+                    "input_rows": total_rows,
+                    "trigger_ms": total_ms,
+                    "rows_per_sec": round(total_rows / (total_ms / 1000.0), 1)
+                    if total_ms
+                    else None,
+                    "batches": batches,
+                }
+            )
         finally:
             shutil.rmtree(work, ignore_errors=True)
     shutil.rmtree(stream_src, ignore_errors=True)
     samples["dlt_streaming_4batches"] = runs
+    # Median-rate summary for the JSON line (median over per-run rates).
+    rates = [r["rows_per_sec"] for r in stream_rates if r["rows_per_sec"]]
+    streaming_summary = {
+        "dlt_streaming_4batches": {
+            "input_rows": stream_rates[0]["input_rows"] if stream_rates else 0,
+            "rows_per_sec": round(statistics.median(rates), 1) if rates else None,
+            "runs": stream_rates,
+        }
+    }
 
     timings = {name: round(statistics.median(r), 3) for name, r in samples.items()}
 
@@ -150,6 +188,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": N_RUNS,
                 "samples": samples,
+                "streaming": streaming_summary,
             }
         )
     )
