@@ -179,6 +179,120 @@ def kmeans_fit(
     )
 
 
+# ── quantized (fixed-point) k-means: the ORACLE-GRADE fit ────────────────
+#
+# kmeans_fit above is deterministic per-session (seeded init, left-to-right
+# folds) but its double arithmetic is not reproducible by a SQL engine that
+# sums in a different order.  The quantized variant makes the WHOLE fit a
+# pure function of the data in EXACT INTEGER arithmetic, so an unrolled
+# DuckDB CTE chain reproduces it bit-for-bit and the learned-IVF registry
+# row can be value-hash-gated like any relational query:
+#
+# * embeddings quantize to microunit bigints (floor(x·1e6), the same
+#   resolution contract as plans/similarity.FIXED_SCALE);
+# * distances are exact bigint sums of squared diffs (|diff| ≤ 1.2e7 ⇒
+#   per-pair d² ≤ 64·1.44e14 ≈ 9.2e15 — inside bigint);
+# * the centroid update is exact integer FLOOR division of exact sums —
+#   commutative, so Spark's partial aggregation and DuckDB's single-threaded
+#   SUM agree regardless of order (Python `//` == DuckDB floor(s/n); DuckDB's
+#   `//` operator truncates toward zero and is NOT used);
+# * ties break to the lowest cluster index in both engines.
+#
+# Quantized coarse quantizers are standard IVF practice (the fine ranking
+# stays exact cosine); determinism is the point, not a concession.
+
+QUANT_SCALE = 1_000_000  # microunits per unit
+
+
+def quantize_embedding(emb: Column) -> Column:
+    """array<bigint> microunit form of an array<float/double> embedding."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("bigint")
+    )
+
+
+def _centroid_matrix_fixed_expr(centroids: list[list[int]]) -> Column:
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def nearest_cluster_quantized(centroids: list[list[int]], qe: Column) -> Column:
+    """int cluster id: argmin over exact-bigint squared-L2 distances, single
+    fold over the centroid matrix, ties to the lowest index (strict `<`
+    keeps the earliest minimum) — the integer twin of :func:`_nearest`."""
+    cm = _centroid_matrix_fixed_expr(centroids)
+    init = F.struct(
+        F.lit(-1).alias("cluster"),
+        F.lit(2**63 - 1).cast("long").alias("d2"),
+        F.lit(0).alias("i"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        d2 = F.aggregate(
+            F.zip_with(c, qe, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        better = d2 < acc["d2"]
+        return F.struct(
+            F.when(better, acc["i"]).otherwise(acc["cluster"]).alias("cluster"),
+            F.when(better, d2).otherwise(acc["d2"]).alias("d2"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    return F.aggregate(cm, init, step)["cluster"]
+
+
+def kmeans_fit_quantized(
+    emb_df: DataFrame, k: int, iters: int, id_col: str = "vec_id"
+) -> list[list[int]]:
+    """Fixed-iteration Lloyd's in exact microunit-integer arithmetic.
+
+    Init = quantized embeddings of the min(k, n) lowest ``id_col`` values;
+    exactly ``iters`` assign/update rounds (NO early stop — the unrolled
+    SQL oracle runs the same fixed count); empty clusters keep their
+    previous centroid.  Returns the final k×d centroid matrix in microunits
+    — index metadata, a few KB of driver traffic per iteration, same as
+    :func:`kmeans_fit`.  Two engines running this on the same data produce
+    IDENTICAL integers (see the module-section comment for why)."""
+    qdf = emb_df.select(
+        F.col(id_col).alias("_id"), quantize_embedding(F.col("embedding")).alias("qe")
+    )
+    seeds = qdf.orderBy(F.asc("_id")).limit(k).select("qe").collect()
+    if not seeds:
+        raise ValueError("kmeans_fit_quantized: empty input")
+    centroids: list[list[int]] = [[int(v) for v in r.qe] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = qdf.select(
+            nearest_cluster_quantized(centroids, F.col("qe")).alias("cluster"), "qe"
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("qe").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r.cluster, {})[r.dim] = int(r.s)
+            counts[r.cluster] = r.n
+        centroids = [
+            [sums[c][d] // counts[c] for d in range(dim)]  # Python // floors
+            if c in sums
+            else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
 def route_query(
     centroids: list[list[float]], query: list[float], nprobe: int
 ) -> list[int]:

@@ -306,57 +306,16 @@ QV_FIXED: list[int] = [math.floor(x * 1000) for x in QUERY_VECTOR]
 #: on nprobe=1 against brute force.
 IVF_NPROBE = 3
 
-_QVF_SQL = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_FIXED) + "]"
-
-
-@query(
-    "emb_ivf_probe_topk",
-    f"""
-    WITH qv AS (SELECT {_qv_sql()} AS v),
-    cf AS (
-        SELECT label, i AS dim1,
-               CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE})
-                             AS BIGINT)) AS BIGINT) AS sum_fixed,
-               COUNT(*) AS n
-        FROM embeddings, generate_series(1, {EMBEDDING_DIM}) g(i)
-        GROUP BY label, i
-    ),
-    score AS (
-        SELECT label,
-               SUM(CAST(sum_fixed AS HUGEINT) * ({_QVF_SQL})[dim1]) AS sc,
-               MAX(n) AS n
-        FROM cf GROUP BY label
-    ),
-    best AS (
-        SELECT label FROM score
-        ORDER BY CAST(sc AS DOUBLE) / n DESC, label LIMIT {IVF_NPROBE}
-    )
-    SELECT vec_id, label, cos
-    FROM (
-        SELECT e.vec_id, e.label, {cosine_sql("e.embedding", "v")} AS cos
-        FROM embeddings e, qv, best b
-        WHERE e.label = b.label
-    )
-    WHERE cos IS NOT NULL
-    ORDER BY cos DESC, vec_id
-    LIMIT 10
-    """,
-    doc="[EXT] IVF probe on the SCALE path: the coarse quantizer is the "
-    "fixed-point centroid index (commutative bigint partial sums — no "
-    "collect_list, the r2 fix), scored against the microunit-quantized "
-    "query vector in exact wide-integer arithmetic (DECIMAL(38,0) on "
-    "Spark, HUGEINT on DuckDB — bigint wraps at ~4e6 vectors/label, r3 "
-    "ADVICE), normalized by inverted-list "
-    "size with one exact-integer double division for the ranking; then "
-    f"exact cosine top-k ONLY within the nprobe={IVF_NPROBE} best inverted "
-    "lists (scans nprobe/nlist of the corpus — multi-probe, the shape real "
-    "IVF serving uses: single-probe recall dies on anything the coarse "
-    "quantizer mis-routes).  Quantized coarse routing is standard IVF "
-    "practice — the fine ranking stays exact.",
-    tags=("similarity", "topk", "ivf", "scale"),
-)
-def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_probe_topk(spark, sf_dir, IVF_NPROBE)
+# NOTE (r6): emb_ivf_probe_topk — IVF routed on the pre-existing `label`
+# column — was CONSOLIDATED out of the registry in favor of the LEARNED
+# k-means row below (r4/r5 verdicts: labels carry no cluster structure on
+# this corpus, so label routing's recall ceiling is nprobe/nlist = 0.3
+# while the learned quantizer measures 0.6 at the same probe budget).  The
+# operator itself stays: ivf_probe_topk still backs the recall-comparison
+# gates in tests/test_plan_quality.py and tests/test_kmeans.py, and its
+# unique oracle ingredient (exact wide-integer centroid scoring —
+# DECIMAL(38,0) on Spark, HUGEINT on DuckDB) lives on below in the learned
+# row's all-integer fit.
 
 
 def ivf_probe_topk(
@@ -393,6 +352,176 @@ def ivf_probe_topk(
         .filter(F.col("cos").isNotNull())  # zero-norm vectors drop out
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+# ── learned IVF: k-means coarse quantizer serving the registry (r6) ──────
+#
+# The production IVF flow end-to-end as ONE oracled row: fit a coarse
+# quantizer on the corpus (operators/kmeans.kmeans_fit_quantized — Lloyd's
+# in exact microunit-integer arithmetic, so the fit is a pure deterministic
+# function of the data), persist the assigned corpus partitionBy(cluster)
+# (the inverted-file index), route the query to nprobe cells on the driver
+# from k×d centroid metadata, and serve exact cosine top-k from the probed
+# partitions only — a scan the planner prunes to nprobe/nlist of the index
+# (PartitionFilters, gated in tests/test_plan_quality.py).
+#
+# The DuckDB oracle replays the IDENTICAL fit as an unrolled CTE chain
+# (init → [assign → update] × ITERS → final assign → probe → top-k): every
+# intermediate is an exact integer in both engines (floor-div update,
+# lowest-index tie-breaks), so the learned partition — not just the final
+# ranking — is value-hash-gated.
+
+IVF_LEARNED_NLIST = 8
+IVF_LEARNED_ITERS = 3
+QV_MICRO: list[int] = [math.floor(x * FIXED_SCALE) for x in QUERY_VECTOR]
+
+#: (index_path, centroids) per sf_dir — build once, serve every call (the
+#: real serving shape; also keeps repeated correctness/test calls from
+#: leaking one temp index dir per invocation).
+_LEARNED_INDEX_CACHE: dict[str, tuple[str, list[list[int]]]] = {}
+
+
+def learned_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[int]]]:
+    """Build (or reuse) the persisted learned-IVF index for a corpus: fit
+    the quantized coarse quantizer, assign every vector, write the corpus
+    ``partitionBy(cluster)``.  Returns (parquet path, k×d microunit
+    centroid matrix)."""
+    import os
+    import tempfile
+
+    cached = _LEARNED_INDEX_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_quantized(emb, IVF_LEARNED_NLIST, IVF_LEARNED_ITERS)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_cluster_quantized(
+            cents, quantize_embedding(F.col("embedding"))
+        ).alias("cluster"),
+    )
+    path = tempfile.mkdtemp(prefix="ivf-learned-index-")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    _LEARNED_INDEX_CACHE[sf_dir] = (path, cents)
+    return path, cents
+
+
+def _ivf_learned_sql() -> str:
+    """Unrolled DuckDB replay of the quantized k-means fit + probe + top-k."""
+    k, iters, dim = IVF_LEARNED_NLIST, IVF_LEARNED_ITERS, EMBEDDING_DIM
+    qvm = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in QV_MICRO) + "]"
+
+    def assign(t: int, prev: str, keep_qe: bool) -> str:
+        cols = "vec_id, qe, cluster" if keep_qe else "vec_id, cluster"
+        return f"""a{t} AS (
+      SELECT {cols} FROM (
+        SELECT e.vec_id, e.qe, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum([(e.qe[i] - c.cent[i]) * (e.qe[i] - c.cent[i])
+                           FOR i IN generate_series(1, {dim})]) ASC,
+                 c.cluster ASC) AS rn
+        FROM eq e CROSS JOIN {prev} c)
+      WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""WITH eq AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE}) AS BIGINT)
+              FOR i IN generate_series(1, {dim})] AS qe
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             qe AS cent
+      FROM (SELECT vec_id, qe FROM eq ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign(t, f"c{t-1}", keep_qe=True))
+        # floor(s/n), NOT DuckDB's `//` (which truncates toward zero):
+        # floor matches Python's exact-integer // on the Spark driver
+        parts.append(f"""n{t} AS (
+      SELECT cluster, list(cv ORDER BY dim) AS cent FROM (
+        SELECT cluster, g.i AS dim,
+               CAST(floor(SUM(qe[g.i]) / COUNT(*)) AS BIGINT) AS cv
+        FROM a{t}, generate_series(1, {dim}) g(i)
+        GROUP BY cluster, g.i)
+      GROUP BY cluster
+    )""")
+        parts.append(f"""c{t} AS (
+      SELECT p.cluster, COALESCE(u.cent, p.cent) AS cent
+      FROM c{t-1} p LEFT JOIN n{t} u ON p.cluster = u.cluster
+    )""")
+    parts.append(assign(iters + 1, f"c{iters}", keep_qe=False))
+    parts.append(f"""probes AS (
+      SELECT cluster FROM c{iters}
+      ORDER BY list_sum([(cent[i] - ({qvm})[i]) * (cent[i] - ({qvm})[i])
+                         FOR i IN generate_series(1, {dim})]) ASC, cluster ASC
+      LIMIT {IVF_NPROBE}
+    ),
+    qv AS (SELECT {_qv_sql()} AS v)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+    SELECT vec_id, cluster, cos FROM (
+      SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+             {cosine_sql("e.embedding", "qv.v")} AS cos
+      FROM a{iters + 1} a
+      JOIN probes p ON a.cluster = p.cluster
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      CROSS JOIN qv)
+    WHERE cos IS NOT NULL
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "emb_ivf_learned_topk",
+    _ivf_learned_sql(),
+    doc="[EXT] LEARNED-quantizer IVF serving, the production ANN flow "
+    f"(r4/r5 verdict #2): k-means (k={IVF_LEARNED_NLIST}, "
+    f"{IVF_LEARNED_ITERS} fixed Lloyd's rounds) fit in exact "
+    "microunit-integer arithmetic — quantized embeddings, bigint distance "
+    "sums, floor-div centroid updates, lowest-index tie-breaks — so the "
+    "fit is a pure deterministic function of the corpus and the DuckDB "
+    "oracle replays it bit-for-bit as an unrolled CTE chain; the assigned "
+    "corpus persists partitionBy(cluster) as the inverted-file index; the "
+    f"query routes to nprobe={IVF_NPROBE} cells driver-side (k×d metadata "
+    "only) and exact cosine top-10 runs over a PARTITION-PRUNED scan of "
+    "the probed cells (nprobe/nlist of the index, PartitionFilters gate "
+    "in test_plan_quality).  Replaces label-routed emb_ivf_probe_topk "
+    "(recall 0.3 → 0.6 at the same probe budget, pinned in test_kmeans).",
+    tags=("similarity", "topk", "ivf", "scale"),
+)
+def emb_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import route_query
+
+    try:
+        path, cents = learned_ivf_index(spark, sf_dir)
+    except ValueError:
+        # empty corpus: nothing to fit or index — 0 rows, stable schema
+        return spark.createDataFrame([], "vec_id long, cluster int, cos double")
+    probes = route_query(cents, QV_MICRO, IVF_NPROBE)
+    idx = spark.read.parquet(path)
+    return (
+        idx.filter(F.col("cluster").isin(probes))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            cosine(F.col("embedding"), _qv()).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
     )
 
 

@@ -128,6 +128,49 @@ def test_learned_routing_beats_label_routing_at_equal_nprobe(spark, fitted):
     assert r_learned > r_label, (r_learned, r_label)
 
 
+def test_quantized_fit_is_deterministic_and_serves_better_than_labels(spark):
+    """The r6 registry row's reason to exist: the quantized-integer fit is
+    bit-identical across runs (it must be — the DuckDB oracle replays it),
+    and the served top-10 beats label routing against brute-force truth at
+    the same probe budget."""
+    import duckdb
+    import numpy as np
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.plans.registry import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        QUERY_VECTOR,
+        ivf_probe_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    a = kmeans_fit_quantized(emb, k=6, iters=2)
+    b = kmeans_fit_quantized(emb, k=6, iters=2)
+    assert a == b  # exact integers, not approximately
+    assert all(isinstance(v, int) for row in a for v in row)
+
+    raw = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchnumpy()
+    ids = raw["vec_id"]
+    m = np.array([np.asarray(e, dtype=np.float64) for e in raw["embedding"]])
+    q = np.array(QUERY_VECTOR)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    true10 = {int(ids[i]) for i in np.argsort(-cos)[:10]}
+
+    learned = {
+        int(r.vec_id)
+        for r in QUERIES["emb_ivf_learned_topk"].spark(spark, SF).collect()
+    }
+    label = {int(r.vec_id) for r in ivf_probe_topk(spark, SF, nprobe=3).collect()}
+    r_learned = len(learned & true10) / 10
+    r_label = len(label & true10) / 10
+    assert r_learned >= 0.5, r_learned
+    assert r_learned > r_label, (r_learned, r_label)
+
+
 def test_route_query_prefix_property():
     cents = [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0], [3.0, 3.0]]
     q = [0.2, 0.1]

@@ -384,7 +384,7 @@ EMB_FAMILY_QUERIES = (
     "emb_ann_multitable_pairs",
     "emb_label_centroids",
     "emb_label_centroids_scale",
-    "emb_ivf_probe_topk",
+    "emb_ivf_learned_topk",
 )
 
 

@@ -149,11 +149,69 @@ def test_lsh_bucket_occupancy_stays_bounded(spark):
 def test_scale_centroids_use_partial_aggregation_not_collect(spark):
     """The r2 verdict's #1 scale fix: centroid/IVF index builds must never
     materialize a label's inverted list in one aggregation buffer — the
-    plan must show map-side partial sums and no collect_list."""
-    for name in ("emb_label_centroids_scale", "emb_ivf_probe_topk"):
-        plan = plan_of(spark, name)
+    plan must show map-side partial sums and no collect_list.
+    ivf_probe_topk lost its registry row to the learned-IVF path (r6) but
+    remains the recall-comparison baseline, so its plan stays gated."""
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import ivf_probe_topk
+
+    plans = {
+        "emb_label_centroids_scale": plan_of(spark, "emb_label_centroids_scale"),
+        "ivf_probe_topk": ivf_probe_topk(spark, SF, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString(),
+    }
+    for name, plan in plans.items():
         assert "collect_list" not in plan, name
         assert "partial_sum" in plan, name
+
+
+def test_learned_ivf_serves_from_partition_pruned_scan(spark):
+    """The learned-IVF registry row's scale contract (r5 verdict #2):
+    cluster is a PARTITION column of the persisted index, and the probe
+    filter must prune at the scan — PartitionFilters carries the cluster
+    membership, so the serve reads nprobe/nlist directories, never the
+    whole index — and the quantized k-means fit itself must keep the
+    no-collect_list / partial-aggregation posture."""
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        IVF_LEARNED_NLIST,
+        IVF_NPROBE,
+    )
+
+    plan = plan_of(spark, "emb_ivf_learned_topk")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1][:250]
+    assert "cluster" in pf, pf
+    # the IN-list must name nprobe clusters, a strict subset of nlist
+    assert IVF_NPROBE < IVF_LEARNED_NLIST
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrdered" in plan  # top-k reduce, not a global sort
+
+    # fit posture: the per-iteration update aggregation (same shape the
+    # driver loop collects) uses map-side partial sums, never collect_list
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = kmeans_fit_quantized(emb, k=4, iters=1)
+    update = (
+        emb.select(
+            nearest_cluster_quantized(
+                cents, quantize_embedding(F.col("embedding"))
+            ).alias("cluster"),
+            F.posexplode(quantize_embedding(F.col("embedding"))).alias("dim", "val"),
+        )
+        .groupBy("cluster", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    uplan = update._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in uplan and "collect_list" not in uplan
 
 
 def _true_topk_pairs(k: int = 50) -> set[tuple[int, int]]:
