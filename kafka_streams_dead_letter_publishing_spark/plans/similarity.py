@@ -262,11 +262,41 @@ def _centroids_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(label, n, centroid array<double>) with order-pinned summation."""
+#: Hard cap on one label's inverted-list length in ORACLE mode (r5 verdict
+#: #4): _centroids materializes a label's whole vector list in a single
+#: aggregation-buffer row (struct(vec_id, 64 doubles) ≈ 0.5 KB/vector ⇒
+#: ~50 MB buffer at the cap) — fine for the sf-small oracle comparison it
+#: exists for, an executor OOM if ever pointed at a real corpus.  The guard
+#: fails FAST (a cheap partial-agg count scan before the buffering
+#: aggregation runs) and names emb_label_centroids_scale as the scale path.
+ORACLE_CENTROID_MAX_GROUP = 100_000
+
+
+def _centroids(
+    spark: SparkSession, sf_dir: str, max_group: int = ORACLE_CENTROID_MAX_GROUP
+) -> DataFrame:
+    """(label, n, centroid array<double>) with order-pinned summation.
+
+    ORACLE MODE ONLY — see ORACLE_CENTROID_MAX_GROUP.  Raises RuntimeError
+    before aggregating if any label's group exceeds ``max_group``."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    over = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_group)
+        .limit(1)
+        .collect()
+    )
+    if over:
+        raise RuntimeError(
+            f"_centroids is the ORACLE-grade mode: label {over[0].label!r} has "
+            f"{over[0].n} vectors (> {max_group}), which would buffer its whole "
+            "inverted list in one aggregation-buffer row. Use the "
+            "emb_label_centroids_scale path (commutative fixed-point partial "
+            "sums) for corpora at scale."
+        )
     agg = emb.groupBy("label").agg(
         F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("vs"),
         F.count(F.lit(1)).alias("n"),

@@ -143,22 +143,17 @@ def docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_dedup_pick_first",
-    "WITH " + _CORPUS_EXACT_SQL
-    + f"""
-    SELECT doc_id, fp FROM (
-        SELECT doc_id, fp,
-               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM (SELECT doc_id, {_FP_SQL} AS fp FROM corpus)
-    ) WHERE rn = 1
-    """,
-    doc="[EXT] The dedup OPERATOR: keep the lowest doc_id per fingerprint "
-    "(deterministic pick-first via row_number — the distributed analogue of "
-    "dropDuplicates with a defined winner). Survivors = the original corpus.",
-    tags=("text", "dedup"),
-)
+# NOTE (r6): docs_dedup_pick_first lost its registry registration to
+# docs_neardup_keepers (registry budget, r5 verdict #5): the exact
+# pick-first ACTION stays hash-oracled inside docs_clean_corpus_pipeline
+# (its `deduped` stage is this operator verbatim) and the near-dup keeper
+# row below makes the same "corpus in, deduped corpus out" statement at
+# the strictly harder cluster tier.  The function remains the reusable
+# operator.
 def docs_dedup_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the lowest doc_id per fingerprint (deterministic pick-first via
+    row_number — the distributed analogue of dropDuplicates with a defined
+    winner).  Survivors = the original corpus."""
     corpus = _corpus_exact(spark, sf_dir)
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
@@ -353,6 +348,72 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _neardup_verified_frame(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
+    "docs_neardup_keepers",
+    "WITH RECURSIVE "
+    + _NEARDUP_VERIFIED_CTES
+    + """,
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(src, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    clusters AS (
+        SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT c.doc_id,
+           (c.doc_id IN (SELECT cluster_id FROM clusters)) AS is_cluster_keeper
+    FROM nd_corpus c
+    WHERE c.doc_id NOT IN (
+        SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    """,
+    doc="[EXT] The near-dedup END PRODUCT, corpus in → deduped corpus out "
+    "(r5 verdict #5, promoted from tests/test_components.py): anti-join "
+    "the corpus against non-keeper cluster members (every doc whose "
+    "component label differs from its own id), so exactly the component-"
+    "minimum doc survives per near-dup cluster and docs in no cluster pass "
+    "through untouched; is_cluster_keeper marks survivors that headed a "
+    "multi-member cluster.  Scale shape: the cluster table is bounded by "
+    "nodes-with-edges (≪ corpus), both joins are equi-joins on doc_id "
+    "(LeftAnti + Left), and the corpus side never shuffles its payload — "
+    "only doc_id rides the join.  Oracle = the recursive-CTE closure with "
+    "the keeper anti-join as one NOT IN clause.",
+    tags=("text", "dedup", "lsh", "graph"),
+)
+def docs_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.components import (
+        connected_components,
+    )
+
+    corpus = _corpus_neardup(spark, sf_dir).select("doc_id")
+    pairs = _neardup_verified_frame(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    non_keepers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    keepers = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("_k", F.lit(True))
+    )
+    return (
+        corpus.join(non_keepers, "doc_id", "left_anti")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_k"), F.lit(False)).alias("is_cluster_keeper"),
+        )
     )
 
 

@@ -330,9 +330,9 @@ TEXT_FAMILY_QUERIES = (
     "docs_wordcount_top20",
     "docs_token_counts",
     "docs_exact_dup_groups",
-    "docs_dedup_pick_first",
     "docs_neardup_verified",
     "docs_neardup_clusters",
+    "docs_neardup_keepers",
     "docs_simhash_hamming_pairs",
     "docs_clean_corpus_pipeline",
     "docs_cdc_chunks",

@@ -166,6 +166,25 @@ def test_scale_centroids_use_partial_aggregation_not_collect(spark):
         assert "partial_sum" in plan, name
 
 
+def test_oracle_centroid_mode_refuses_oversized_groups(spark):
+    """r5 verdict #4: the order-pinned centroid mode buffers one label's
+    whole inverted list in a single aggregation-buffer row — a contract
+    violation at scale, not a slow path.  The guard must fail FAST (before
+    the buffering aggregation) and point at the scale mode; the real cap
+    must clear every sf the oracle runs at."""
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        ORACLE_CENTROID_MAX_GROUP,
+        _centroids,
+    )
+
+    with pytest.raises(RuntimeError, match="emb_label_centroids_scale"):
+        _centroids(spark, "/root/testdata/sf0.01", max_group=10).collect()
+    # default cap admits the oracle SFs (sf0.01 ≈ 1e3 vectors/label) with
+    # ~100× headroom, and the registry row stays green
+    assert ORACLE_CENTROID_MAX_GROUP >= 100_000
+    assert plan_of(spark, "emb_label_centroids")  # still buildable
+
+
 def test_learned_ivf_serves_from_partition_pruned_scan(spark):
     """The learned-IVF registry row's scale contract (r5 verdict #2):
     cluster is a PARTITION column of the persisted index, and the probe

@@ -201,3 +201,60 @@ def test_sink_failure_fails_the_query(spark, tmp_path):
     with pytest.raises(Exception, match="broker unreachable"):
         query.processAllAvailable()
     assert not query.isActive
+
+
+def test_serialize_sink_writer_serializes_concurrent_dlt_writes(spark):
+    """r5 verdict #6: process_batch submits the three DLT writes from a
+    thread pool, so a sink with shared mutable state needs
+    serialize_sink_writer.  Drive process_batch with a deliberately
+    non-thread-safe sink twice — bare (control: the race window really is
+    concurrent) and wrapped (contract: the lock fully serializes it) — and
+    assert the wrapper eliminates every interleaving."""
+    import threading
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.runner import (
+        serialize_sink_writer,
+    )
+
+    def make_unsafe_sink():
+        state = {"in_crit": 0, "max_in_crit": 0, "calls": []}
+        meter = threading.Lock()  # bookkeeping only — NOT protecting the sink
+
+        def sink(df, topic):
+            with meter:
+                state["in_crit"] += 1
+                state["max_in_crit"] = max(state["max_in_crit"], state["in_crit"])
+            time.sleep(0.2)  # widen the race window across the 3 DLT threads
+            df.count()  # SinkWriter contract: one full action
+            with meter:
+                state["calls"].append(topic)
+                state["in_crit"] -= 1
+
+        return sink, state
+
+    cfg = EngineConfig()
+    batch = records_df(
+        spark,
+        [
+            (b"k", int32be(7)),  # output
+            (b"k", int32be(-1)),  # process DLT
+            (b"k", b"xx"),  # deser DLT
+            (b"k", int32be(2_000_000)),  # prod DLT (too large)
+        ],
+    )
+
+    # control: without the wrapper the three DLT writes overlap
+    bare, bare_state = make_unsafe_sink()
+    DeadLetterStream(cfg, bare).process_batch(batch, 0)
+    assert bare_state["max_in_crit"] >= 2, bare_state
+
+    # contract: wrapped, the same sink never observes a second writer
+    unsafe, state = make_unsafe_sink()
+    DeadLetterStream(cfg, serialize_sink_writer(unsafe)).process_batch(batch, 1)
+    assert state["max_in_crit"] == 1, state
+    # all four channels wrote exactly once, dead letters before output
+    assert len(state["calls"]) == 4
+    assert sorted(state["calls"][:3]) == sorted(
+        [cfg.deser_dlt, cfg.process_dlt, cfg.prod_dlt]
+    )
+    assert state["calls"][3] == cfg.output_topic
