@@ -261,36 +261,44 @@ def kmeans_fit_quantized(
     — index metadata, a few KB of driver traffic per iteration, same as
     :func:`kmeans_fit`.  Two engines running this on the same data produce
     IDENTICAL integers (see the module-section comment for why)."""
+    # Quantize ONCE and persist: every Lloyd's round scans this frame, so
+    # without the persist each of the iters+1 jobs would re-read the source
+    # and redo the quantization (MLlib's KMeans caches its norm-augmented
+    # input for the same reason).
     qdf = emb_df.select(
         F.col(id_col).alias("_id"), quantize_embedding(F.col("embedding")).alias("qe")
-    )
-    seeds = qdf.orderBy(F.asc("_id")).limit(k).select("qe").collect()
-    if not seeds:
-        raise ValueError("kmeans_fit_quantized: empty input")
-    centroids: list[list[int]] = [[int(v) for v in r.qe] for r in seeds]
-    dim = len(centroids[0])
-    for _ in range(iters):
-        assigned = qdf.select(
-            nearest_cluster_quantized(centroids, F.col("qe")).alias("cluster"), "qe"
-        )
-        stats = (
-            assigned.select("cluster", F.posexplode("qe").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        sums: dict[int, dict[int, int]] = {}
-        counts: dict[int, int] = {}
-        for r in stats:
-            sums.setdefault(r.cluster, {})[r.dim] = int(r.s)
-            counts[r.cluster] = r.n
-        centroids = [
-            [sums[c][d] // counts[c] for d in range(dim)]  # Python // floors
-            if c in sums
-            else centroids[c]
-            for c in range(len(centroids))
-        ]
-    return centroids
+    ).persist()
+    try:
+        seeds = qdf.orderBy(F.asc("_id")).limit(k).select("qe").collect()
+        if not seeds:
+            raise ValueError("kmeans_fit_quantized: empty input")
+        centroids: list[list[int]] = [[int(v) for v in r.qe] for r in seeds]
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = qdf.select(
+                nearest_cluster_quantized(centroids, F.col("qe")).alias("cluster"),
+                "qe",
+            )
+            stats = (
+                assigned.select("cluster", F.posexplode("qe").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            sums: dict[int, dict[int, int]] = {}
+            counts: dict[int, int] = {}
+            for r in stats:
+                sums.setdefault(r.cluster, {})[r.dim] = int(r.s)
+                counts[r.cluster] = r.n
+            centroids = [
+                [sums[c][d] // counts[c] for d in range(dim)]  # Python // floors
+                if c in sums
+                else centroids[c]
+                for c in range(len(centroids))
+            ]
+        return centroids
+    finally:
+        qdf.unpersist()
 
 
 def route_query(

@@ -429,7 +429,12 @@ def learned_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
         quantize_embedding,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out first: the toy tables are single-row-group parquet whose scan
+    # cannot split, and both the per-iteration argmin fold and the index
+    # assignment are compute-dense narrow maps — without the repartition
+    # they run on ONE core (the same trap emb_ann_multitable_pairs guards
+    # against; a no-op to skip at real scale where the scan splits).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     cents = kmeans_fit_quantized(emb, IVF_LEARNED_NLIST, IVF_LEARNED_ITERS)
     assigned = emb.select(
         "vec_id",
@@ -529,8 +534,11 @@ def _ivf_learned_sql() -> str:
     "only) and exact cosine top-10 runs over a PARTITION-PRUNED scan of "
     "the probed cells (nprobe/nlist of the index, PartitionFilters gate "
     "in test_plan_quality).  Replaces label-routed emb_ivf_probe_topk "
-    "(recall 0.3 → 0.6 at the same probe budget, pinned in test_kmeans).",
-    tags=("similarity", "topk", "ivf", "scale"),
+    "(recall 0.3 → 0.6 at the same probe budget, pinned in test_kmeans).  "
+    "BENCH NOTE: the index caches per-process (build once, serve every "
+    "call — the real serving shape), so bench sample 1 includes the "
+    "one-time fit+persist and the median reports warm serving.",
+    tags=("similarity", "topk", "ivf", "scale", "bench"),
 )
 def emb_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.kmeans import route_query
