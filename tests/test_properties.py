@@ -155,3 +155,25 @@ def test_connected_components_match_union_find(spark, pairs):
             parent[max(ru, rv)] = min(ru, rv)
     expected = {v: find(v) for v in parent}
     assert got == expected
+
+
+@given(vector_strategy, st.integers(min_value=1, max_value=8))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_quantized_kmeans_is_partition_layout_invariant(spark, vecs, n_parts):
+    """The oracle-replayability claim behind emb_ivf_learned_topk: the
+    quantized fit is a pure function of the DATA — exact integer sums are
+    commutative, so arbitrary repartitioning (different partition counts,
+    different row orders per partition) must produce bit-identical
+    centroids.  A float-sum implementation would fail this under
+    hypothesis's adversarial vectors."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    k = min(3, len(vecs))
+    base = kmeans_fit_quantized(df, k=k, iters=2)
+    shuffled = kmeans_fit_quantized(df.repartition(n_parts), k=k, iters=2)
+    assert base == shuffled
