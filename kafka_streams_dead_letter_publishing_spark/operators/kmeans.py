@@ -313,6 +313,99 @@ def route_query(
     return [i for _, i in scored[:nprobe]]
 
 
+def ivf_search_batch(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    queries: list[list[float]],
+    nprobe: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve a BATCH of queries from ONE scan of a persisted IVF index —
+    the real ANN serving shape (amortizes the index scan the way
+    emb_multi_query_topk amortizes the brute-force scan).
+
+    Per-query probe sets are routed driver-side from the k×d centroid
+    metadata; the index scan filters to the UNION of probed cells (still a
+    partition-pruned IN-filter on the ``cluster`` partition column), and a
+    broadcast (query_id, cluster) probe table fans each scanned vector out
+    to exactly the queries that probed its cell — a vector never scores
+    against a query whose probe set excludes it, so each per-query result
+    equals its single-query :func:`ivf_search`.  Top-k per query is
+    two-phase (partition-local row_number caps k rows per partition per
+    query before the final per-query rank) — never N·Q rows into Q
+    reducers.  Returns (query_id, id_col, cluster, cos, rnk)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("ivf_search_batch: empty query batch")
+    spark = index_df.sparkSession
+    probe_pairs = [
+        (qi, c)
+        for qi, q in enumerate(queries)
+        for c in route_query(centroids, q, nprobe)
+    ]
+    union_clusters = sorted({c for _, c in probe_pairs})
+    probes = spark.createDataFrame(probe_pairs, "query_id int, cluster int")
+    qmatrix = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in q) + ")"
+            for q in queries
+        )
+        + ")"
+    )
+    qnorms = F.array(
+        *[
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in q)))
+            for q in queries
+        ]
+    )
+    qv = F.element_at(qmatrix, F.col("query_id") + 1)
+    dot_q = F.aggregate(
+        F.zip_with(F.col("embedding"), qv, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("embedding"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    scored = (
+        index_df.filter(F.col("cluster").isin(union_clusters))  # partition prune
+        .join(F.broadcast(probes), "cluster")  # fan out to probing queries only
+        .select(
+            "query_id",
+            id_col,
+            "cluster",
+            F.try_divide(
+                dot_q, nrm * F.element_at(qnorms, F.col("query_id") + 1)
+            ).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    staged = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "query_id").orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return local.withColumn("rnk", F.row_number().over(w_global)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def ivf_search(
     index_df: DataFrame,
     centroids: list[list[float]],

@@ -225,3 +225,48 @@ def test_persisted_index_probe_prunes_partitions(spark, fitted, tmp_path):
     # over the full corpus
     assert "PartitionFilters: [" in plan
     assert "cluster" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_batch_ivf_search_equals_per_query_search_and_prunes(spark, fitted, tmp_path):
+    """ivf_search_batch's contract: ONE partition-pruned index scan +
+    broadcast probe fan-out must reproduce each query's single-query result
+    bit-for-bit (same probe routing, same fold-ordered doubles), and the
+    plan must show the pruned scan, the broadcast probe join, and a top-k
+    reduce with no Python."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        ivf_search_batch,
+    )
+
+    res, index = fitted
+    path = str(tmp_path / "ivf_index")
+    index.write.partitionBy("cluster").parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    queries = [
+        [float(i % 7 - 3) for i in range(64)],
+        [float((i * 3) % 5 - 2) for i in range(64)],
+        [0.0] * 64,  # zero-norm query: cosine undefined -> no rows
+    ]
+    batch = ivf_search_batch(reloaded, res.centroids, queries, nprobe=3, k=5)
+    got = {
+        qi: [(r.vec_id, r.cos) for r in sorted(rows, key=lambda r: r.rnk)]
+        for qi, rows in __import__("itertools").groupby(
+            sorted(batch.collect(), key=lambda r: (r.query_id, r.rnk)),
+            key=lambda r: r.query_id,
+        )
+    }
+    for qi, q in enumerate(queries):
+        single = [
+            (r.vec_id, r.cos)
+            for r in ivf_search(reloaded, res.centroids, q, nprobe=3, k=5).collect()
+        ]
+        assert got.get(qi, []) == single, qi
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cluster" in plan.split("PartitionFilters:")[1][:250]
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    with pytest.raises(ValueError, match="empty query batch"):
+        ivf_search_batch(reloaded, res.centroids, [], nprobe=3)
