@@ -41,6 +41,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_dead_letter_publishing_spark.functions.similarity import dot
+
 
 def _centroid_matrix_expr(centroids: list[list[float]]) -> Column:
     """Nested array literal (k×d), one Literal node after ConstantFolding."""
@@ -58,7 +60,13 @@ def _nearest(centroids: list[list[float]], emb: Column) -> Column:
     """struct(cluster int, d2 double): argmin over squared-L2 distances in a
     SINGLE fold over the centroid matrix — index, best distance, and the
     running position ride one accumulator, so the k×d work happens exactly
-    once per row and ties break to the lowest index deterministically."""
+    once per row and ties break to the lowest index deterministically.
+
+    SENTINEL: a row whose distance to EVERY centroid is NULL/NaN (a NULL or
+    non-finite component, or a length-mismatched vector) keeps cluster=-1 —
+    it is unindexable, not assignable-by-tiebreak.  Callers building an
+    index must filter such rows up front (see plans/similarity
+    learned_ivf_index's indexable predicate, mirrored in its oracle)."""
     cm = _centroid_matrix_expr(centroids)
     init = F.struct(
         F.lit(-1).alias("cluster"),
@@ -85,11 +93,16 @@ def _nearest(centroids: list[list[float]], emb: Column) -> Column:
 
 def assign_clusters(emb_df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Add ``cluster`` (int) and ``d2`` (squared L2 to its centroid) to a
-    frame with an ``embedding`` column.  Pure narrow projection."""
+    frame with an ``embedding`` column.  Pure narrow projection; idempotent
+    (withColumn REPLACES pre-existing cluster/d2, so re-assigning an
+    already-assigned index after a refit just works)."""
     near = _nearest(centroids, F.col("embedding"))
-    return emb_df.withColumn("_n", near).select(
-        "*", F.col("_n.cluster").alias("cluster"), F.col("_n.d2").alias("d2")
-    ).drop("_n")
+    return (
+        emb_df.withColumn("_n", near)
+        .withColumn("cluster", F.col("_n.cluster"))
+        .withColumn("d2", F.col("_n.d2"))
+        .drop("_n")
+    )
 
 
 @dataclass(frozen=True)
@@ -115,68 +128,79 @@ def kmeans_fit(
     Driver traffic per iteration is exactly k×d sums + k counts + one WCSS
     double — index metadata, not data.
     """
-    dim_row = emb_df.select(F.size("embedding").alias("d")).first()
-    if dim_row is None:
-        raise ValueError("kmeans_fit: empty input")
-    seeds = (
-        emb_df.orderBy(F.asc(id_col))
-        .limit(k)
-        .select(F.col("embedding").cast("array<double>").alias("e"))
-        .collect()
-    )
-    if len(seeds) < k:
-        raise ValueError(f"kmeans_fit: k={k} but only {len(seeds)} rows")
-    centroids = [list(r.e) for r in seeds]
-
-    wcss_history: list[float] = []
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        assigned = assign_clusters(emb_df, centroids)
-        # one scan: per-(cluster, dim) partial sums AND the per-cluster d2
-        # totals ride the same exploded aggregation (grouping on dim keeps
-        # state O(1); d2 is summed once per row via the dim=0 arm)
-        stats = (
-            assigned.select(
-                "cluster", "d2", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
-            )
-            .groupBy("cluster", "dim")
-            .agg(
-                F.sum("val").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("dim") == 0, F.col("d2"))).alias("d2sum"),
-            )
+    if k < 1:
+        raise ValueError(f"kmeans_fit: k={k} must be >= 1")
+    # persist: every iteration scans the input; without this the caller's
+    # full lineage (joins, reads) would be recomputed max_iter+1 times
+    src = emb_df.persist()
+    try:
+        seeds = (
+            src.orderBy(F.asc(id_col))
+            .limit(k)
+            .select(F.col("embedding").cast("array<double>").alias("e"))
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
-        counts: dict[int, int] = {}
-        wcss = 0.0
-        for r in stats:
-            by_cluster.setdefault(r.cluster, {})[r.dim] = r.s
-            counts[r.cluster] = r.n
-            if r.dim == 0 and r.d2sum is not None:
-                wcss += r.d2sum
-        wcss_history.append(wcss)
-        new_centroids = [
-            [by_cluster[c][d] / counts[c] for d in range(len(centroids[0]))]
-            if c in by_cluster
-            else centroids[c]  # empty cluster: keep previous centroid
-            for c in range(k)
-        ]
-        if new_centroids == centroids or (
-            len(wcss_history) >= 2
-            and wcss_history[-2] - wcss_history[-1] <= tol
-        ):
-            converged = True
+        if not seeds:
+            raise ValueError("kmeans_fit: empty input")
+        if len(seeds) < k:
+            raise ValueError(f"kmeans_fit: k={k} but only {len(seeds)} rows")
+        centroids = [list(r.e) for r in seeds]
+
+        wcss_history: list[float] = []
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            assigned = assign_clusters(src, centroids)
+            # one scan: per-(cluster, dim) partial sums AND the per-cluster
+            # d2 totals ride the same exploded aggregation (grouping on dim
+            # keeps state O(1); d2 is summed once per row via the dim=0 arm)
+            stats = (
+                assigned.select(
+                    "cluster",
+                    "d2",
+                    F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                        "dim", "val"
+                    ),
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum("val").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("dim") == 0, F.col("d2"))).alias("d2sum"),
+                )
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            counts: dict[int, int] = {}
+            wcss = 0.0
+            for r in stats:
+                by_cluster.setdefault(r.cluster, {})[r.dim] = r.s
+                counts[r.cluster] = r.n
+                if r.dim == 0 and r.d2sum is not None:
+                    wcss += r.d2sum
+            wcss_history.append(wcss)
+            new_centroids = [
+                [by_cluster[c][d] / counts[c] for d in range(len(centroids[0]))]
+                if c in by_cluster
+                else centroids[c]  # empty cluster: keep previous centroid
+                for c in range(k)
+            ]
+            if new_centroids == centroids or (
+                len(wcss_history) >= 2
+                and wcss_history[-2] - wcss_history[-1] <= tol
+            ):
+                converged = True
+                centroids = new_centroids
+                break
             centroids = new_centroids
-            break
-        centroids = new_centroids
-    return KMeansResult(
-        centroids=centroids,
-        wcss_history=wcss_history,
-        iterations=it,
-        converged=converged,
-    )
+        return KMeansResult(
+            centroids=centroids,
+            wcss_history=wcss_history,
+            iterations=it,
+            converged=converged,
+        )
+    finally:
+        src.unpersist()
 
 
 # ── quantized (fixed-point) k-means: the ORACLE-GRADE fit ────────────────
@@ -192,10 +216,14 @@ def kmeans_fit(
 #   resolution contract as plans/similarity.FIXED_SCALE);
 # * distances are exact bigint sums of squared diffs (|diff| ≤ 1.2e7 ⇒
 #   per-pair d² ≤ 64·1.44e14 ≈ 9.2e15 — inside bigint);
-# * the centroid update is exact integer FLOOR division of exact sums —
-#   commutative, so Spark's partial aggregation and DuckDB's single-threaded
-#   SUM agree regardless of order (Python `//` == DuckDB floor(s/n); DuckDB's
-#   `//` operator truncates toward zero and is NOT used);
+# * the centroid update is exact integer FLOOR division of exact sums
+#   (DECIMAL(38,0) partials here ≙ HUGEINT SUM there) — commutative, so
+#   Spark's partial aggregation and DuckDB's single-threaded SUM agree
+#   regardless of order.  Python's `//` is exact floor at any magnitude;
+#   the oracle uses mod-subtraction + integer `//` on HUGEINT
+#   ((s - ((s%n)+n)%n) // n — numerator exactly divisible, so truncation
+#   IS floor and no float division ever runs; a bare floor(s/n) would
+#   round through double and drift past 2^53);
 # * ties break to the lowest cluster index in both engines.
 #
 # Quantized coarse quantizers are standard IVF practice (the fine ranking
@@ -261,6 +289,8 @@ def kmeans_fit_quantized(
     — index metadata, a few KB of driver traffic per iteration, same as
     :func:`kmeans_fit`.  Two engines running this on the same data produce
     IDENTICAL integers (see the module-section comment for why)."""
+    if k < 1:
+        raise ValueError(f"kmeans_fit_quantized: k={k} must be >= 1")
     # Quantize ONCE and persist: every Lloyd's round scans this frame, so
     # without the persist each of the iters+1 jobs would re-read the source
     # and redo the quantization (MLlib's KMeans caches its norm-augmented
@@ -279,10 +309,16 @@ def kmeans_fit_quantized(
                 nearest_cluster_quantized(centroids, F.col("qe")).alias("cluster"),
                 "qe",
             )
+            # DECIMAL(38,0) partial sums: exact to ~1e38 like the oracle's
+            # HUGEINT SUM — a plain bigint sum would wrap silently past
+            # ~1.5e12 vectors per cluster while DuckDB kept going exactly
             stats = (
                 assigned.select("cluster", F.posexplode("qe").alias("dim", "val"))
                 .groupBy("cluster", "dim")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .collect()
             )
             sums: dict[int, dict[int, int]] = {}
@@ -362,22 +398,10 @@ def ivf_search_batch(
         ]
     )
     qv = F.element_at(qmatrix, F.col("query_id") + 1)
-    dot_q = F.aggregate(
-        F.zip_with(F.col("embedding"), qv, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("embedding"),
-                lambda a, b: a.cast("double") * b.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-    )
+    # functions.similarity.dot: the ONE fold definition every cosine in the
+    # engine shares (bit-identical ordering is a correctness contract)
+    dot_q = dot(F.col("embedding"), qv)
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     scored = (
         index_df.filter(F.col("cluster").isin(union_clusters))  # partition prune
         .join(F.broadcast(probes), "cluster")  # fan out to probing queries only
@@ -422,22 +446,8 @@ def ivf_search(
     corpus, no shuffle, one top-k reduce."""
     probes = route_query(centroids, query, nprobe)
     qcol = F.array(*[F.lit(float(x)) for x in query])
-    dot_q = F.aggregate(
-        F.zip_with(F.col("embedding"), qcol, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("embedding"),
-                lambda a, b: a.cast("double") * b.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-    )
+    dot_q = dot(F.col("embedding"), qcol)
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     qnrm = math.sqrt(sum(float(x) * float(x) for x in query))
     return (
         index_df.filter(F.col("cluster").isin(probes))

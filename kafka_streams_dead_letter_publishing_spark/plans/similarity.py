@@ -413,7 +413,17 @@ IVF_LEARNED_ITERS = 3
 #: index build that scans the corpus iters+1 times and one that scans it
 #: once (plus iters scans of the sample).
 IVF_LEARNED_SAMPLE_MOD = 4
-QV_MICRO: list[int] = [math.floor(x * FIXED_SCALE) for x in QUERY_VECTOR]
+
+# The learned row's quantization resolution is operators.kmeans.QUANT_SCALE
+# (the fit runs there; the oracle SQL is generated here) — one constant, not
+# two that happen to agree.  FIXED_SCALE remains the centroid-row contract;
+# the assert pins the documented fact that both families share microunits.
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (  # noqa: E402
+    QUANT_SCALE as _QUANT_SCALE,
+)
+
+assert _QUANT_SCALE == FIXED_SCALE, "quantization contracts diverged"
+QV_MICRO: list[int] = [math.floor(x * _QUANT_SCALE) for x in QUERY_VECTOR]
 
 #: (index_path, centroids) per sf_dir — build once, serve every call (the
 #: real serving shape; also keeps repeated correctness/test calls from
@@ -425,7 +435,21 @@ def learned_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
     """Build (or reuse) the persisted learned-IVF index for a corpus: fit
     the quantized coarse quantizer, assign every vector, write the corpus
     ``partitionBy(cluster)``.  Returns (parquet path, k×d microunit
-    centroid matrix)."""
+    centroid matrix).
+
+    INDEXABLE CONTRACT: only rows whose embedding has exactly
+    EMBEDDING_DIM finite non-NULL components enter the fit and the index
+    (``abs(x) < inf`` excludes NULL, NaN and ±inf identically in both
+    engines) — a non-finite component would otherwise leave the argmin
+    fold's -1 sentinel on the Spark side while DuckDB's NULLS-LAST
+    row_number tie-breaks the row into cluster 0, breaking parity; a NaN
+    would even make DuckDB's BIGINT cast raise.  The oracle's eq CTE
+    applies the identical predicate.
+
+    CACHE: keyed by sf_dir and assumes the corpus under that path is
+    immutable for the process lifetime (true for the driver's fixed
+    testdata and per-test tmp fixtures); one temp index dir per
+    (process, sf_dir) is left behind for the OS tmp reaper."""
     import os
     import tempfile
 
@@ -443,7 +467,14 @@ def learned_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
     # assignment are compute-dense narrow maps — without the repartition
     # they run on ONE core (the same trap emb_ann_multitable_pairs guards
     # against; a no-op to skip at real scale where the scan splits).
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id").filter(
+        F.size(
+            F.filter(
+                "embedding", lambda x: F.abs(x.cast("double")) < F.lit(float("inf"))
+            )
+        )
+        == EMBEDDING_DIM
+    )
     sample = emb.filter(F.col("vec_id") % IVF_LEARNED_SAMPLE_MOD == 0)
     cents = kmeans_fit_quantized(sample, IVF_LEARNED_NLIST, IVF_LEARNED_ITERS)
     assigned = emb.select(
@@ -489,9 +520,13 @@ def _ivf_learned_sql() -> str:
     parts = [
         f"""WITH eq AS MATERIALIZED (
       SELECT vec_id,
-             [CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE}) AS BIGINT)
+             [CAST(floor(CAST(embedding[i] AS DOUBLE) * {_QUANT_SCALE}) AS BIGINT)
               FOR i IN generate_series(1, {dim})] AS qe
       FROM embeddings
+      -- indexable contract (mirrors learned_ivf_index): exactly {dim}
+      -- finite non-NULL components; abs(x) < inf excludes NULL/NaN/±inf
+      WHERE len(list_filter(embedding,
+                x -> abs(CAST(x AS DOUBLE)) < 'infinity'::DOUBLE)) = {dim}
     ),
     eqs AS MATERIALIZED (
       SELECT vec_id, qe FROM eq WHERE vec_id % {IVF_LEARNED_SAMPLE_MOD} = 0
@@ -504,12 +539,17 @@ def _ivf_learned_sql() -> str:
     ]
     for t in range(1, iters + 1):
         parts.append(assign(t, f"c{t-1}", keep_qe=True, src="eqs"))
-        # floor(s/n), NOT DuckDB's `//` (which truncates toward zero):
-        # floor matches Python's exact-integer // on the Spark driver
+        # Exact integer FLOOR division matching Python's `//` at ANY
+        # magnitude: subtract the positive modulus first so the numerator
+        # is exactly divisible, then integer `//` on HUGEINT — truncation
+        # of an exact quotient IS floor, and no float division ever runs.
+        # (A bare floor(SUM/COUNT) routes through double and drifts once
+        # |sum| > 2^53 ≈ 1.5e9 vectors/cluster at microunit scale.)
         parts.append(f"""n{t} AS (
       SELECT cluster, list(cv ORDER BY dim) AS cent FROM (
         SELECT cluster, g.i AS dim,
-               CAST(floor(SUM(qe[g.i]) / COUNT(*)) AS BIGINT) AS cv
+               CAST((SUM(qe[g.i]) - ((SUM(qe[g.i]) % COUNT(*)) + COUNT(*))
+                     % COUNT(*)) // COUNT(*) AS BIGINT) AS cv
         FROM a{t}, generate_series(1, {dim}) g(i)
         GROUP BY cluster, g.i)
       GROUP BY cluster
@@ -571,8 +611,13 @@ def emb_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         path, cents = learned_ivf_index(spark, sf_dir)
-    except ValueError:
-        # empty corpus: nothing to fit or index — 0 rows, stable schema
+    except ValueError as e:
+        if "empty input" not in str(e):
+            raise  # only the no-trainable-sample case maps to 0 rows
+        # No training sample (empty corpus, or no indexable vec_id hits the
+        # sample predicate): no quantizer → no index → 0 rows — exactly
+        # what the oracle yields (its c0 CTE is empty, so every downstream
+        # CTE including the final join is empty).  Stable schema either way.
         return spark.createDataFrame([], "vec_id long, cluster int, cos double")
     probes = route_query(cents, QV_MICRO, IVF_NPROBE)
     idx = spark.read.parquet(path)

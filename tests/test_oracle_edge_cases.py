@@ -656,3 +656,71 @@ def test_boundary_corpus_hits_the_edges(spark, boundary_tpch_dir):
         spark, boundary_tpch_dir, "setop_finished_partial_not_open", tables=ALL_TABLES
     )
     assert [r[0] for r in setop] == [2]  # only c2: F and P, never O
+
+
+@pytest.fixture()
+def unindexable_embeddings_dir(tmp_path):
+    """Rows violating the learned-IVF indexable contract: a NaN component
+    (would make DuckDB's BIGINT cast raise and leave Spark's argmin
+    sentinel at -1), a NULL element, a ±inf component, and a short vector —
+    plus clean rows.  Both engines must EXCLUDE the bad rows identically
+    and still agree on the served top-k over the clean rest."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    clean = [[float(x) for x in rng.standard_normal(64)] for _ in range(10)]
+    nan_vec = [1.0] * 64
+    nan_vec[7] = float("nan")
+    inf_vec = [1.0] * 64
+    inf_vec[3] = float("inf")
+    null_vec = [1.0] * 64
+    null_vec[5] = None
+    rows = (
+        [(i, clean[i], 0) for i in range(10)]
+        + [
+            (100, nan_vec, 1),
+            (101, inf_vec, 1),
+            (102, null_vec, 1),
+            (103, [1.0] * 63, 1),  # wrong length
+        ]
+    )
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    _write_events(str(tmp_path / "events.parquet"), [])
+    _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
+    return str(tmp_path)
+
+
+def test_learned_ivf_excludes_unindexable_rows_identically(
+    spark, unindexable_embeddings_dir
+):
+    name = "emb_ivf_learned_topk"
+    q = QUERIES[name]
+    sdf = q.spark(spark, unindexable_embeddings_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{unindexable_embeddings_dir}/embeddings.parquet'"
+        )
+        odf = con.sql(q.oracle).df()
+    finally:
+        con.close()
+    # none of the contract-violating vec_ids may be served by either engine
+    assert not ({100, 101, 102, 103} & set(sdf.vec_id)), sorted(sdf.vec_id)
+    assert not ({100, 101, 102, 103} & set(odf.vec_id)), sorted(odf.vec_id)
+    assert len(sdf) > 0  # the clean rows still serve
+    cols = sorted(sdf.columns)
+    srows = sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in sdf.to_dict("records")), key=repr
+    )
+    orows = sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in odf.to_dict("records")), key=repr
+    )
+    assert srows == orows
