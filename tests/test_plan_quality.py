@@ -51,6 +51,12 @@ def test_star_joins_broadcast_dimensions_only(spark):
 def test_semi_anti_joins_use_semi_anti_physical_ops(spark):
     assert "LeftSemi" in plan_of(spark, "semi_promo_parts_shipped")
     assert "LeftAnti" in plan_of(spark, "anti_customers_no_open_orders")
+    # the near-dup keeper's corpus dedup is an anti-join against the
+    # non-keeper cluster members — never a cartesian or NOT-IN subquery scan
+    keeper_plan = plan_of(spark, "docs_neardup_keepers")
+    assert "LeftAnti" in keeper_plan
+    assert "CartesianProduct" not in keeper_plan
+    assert "BroadcastNestedLoopJoin" not in keeper_plan
 
 
 def test_candidate_joins_are_never_cartesian(spark):
