@@ -239,6 +239,18 @@ def quantize_embedding(emb: Column) -> Column:
     )
 
 
+def indexable(emb: Column, dim: int) -> Column:
+    """True iff the embedding has exactly ``dim`` finite non-NULL
+    components — the admission contract for every IVF index path.
+    ``abs(x) < inf`` excludes NULL, NaN and ±inf in one predicate, with the
+    same semantics as the oracle's ``list_filter`` mirror (see
+    plans/similarity's learned-IVF eq CTE)."""
+    return (
+        F.size(F.filter(emb, lambda x: F.abs(x.cast("double")) < F.lit(float("inf"))))
+        == dim
+    )
+
+
 def _centroid_matrix_fixed_expr(centroids: list[list[int]]) -> Column:
     return F.expr(
         "array("
@@ -428,6 +440,40 @@ def ivf_search_batch(
     return local.withColumn("rnk", F.row_number().over(w_global)).filter(
         F.col("rnk") <= k
     )
+
+
+def ivf_append(
+    batch_df: DataFrame,
+    centroids_fixed: list[list[int]],
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF ingest: assign a micro-batch against FROZEN
+    microunit centroids and APPEND it to a persisted partitionBy(cluster)
+    index — the ``foreachBatch`` body that keeps a served index growing
+    without a rebuild (build once with plans/similarity.learned_ivf_index
+    or an explicit fit+write, then stream new vectors in).
+
+    Assignment is the same quantized argmin the index build uses, so an
+    appended row lands in EXACTLY the cell a full rebuild with the same
+    centroids would put it in (test-pinned: batch-by-batch appends ≡ one
+    all-at-once write, row for row).  Rows violating the indexable
+    contract are dropped, matching the build path.  The batch repartitions
+    on cluster before writing — appends add files-per-touched-cell, not
+    files-per-task-per-cell.  Re-fitting centroids on drifted data is a
+    REBUILD (new path), never an in-place mutation: probe routing and the
+    on-disk partition must never disagree."""
+    dim = len(centroids_fixed[0])
+    assigned = batch_df.filter(indexable(F.col("embedding"), dim)).select(
+        id_col,
+        "embedding",
+        nearest_cluster_quantized(
+            centroids_fixed, quantize_embedding(F.col("embedding"))
+        ).alias("cluster"),
+    )
+    assigned.repartition("cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(path)
 
 
 def ivf_search(

@@ -457,6 +457,7 @@ def learned_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
     if cached is not None and os.path.isdir(cached[0]):
         return cached
     from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        indexable,
         kmeans_fit_quantized,
         nearest_cluster_quantized,
         quantize_embedding,
@@ -468,12 +469,7 @@ def learned_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[
     # they run on ONE core (the same trap emb_ann_multitable_pairs guards
     # against; a no-op to skip at real scale where the scan splits).
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id").filter(
-        F.size(
-            F.filter(
-                "embedding", lambda x: F.abs(x.cast("double")) < F.lit(float("inf"))
-            )
-        )
-        == EMBEDDING_DIM
+        indexable(F.col("embedding"), EMBEDDING_DIM)
     )
     sample = emb.filter(F.col("vec_id") % IVF_LEARNED_SAMPLE_MOD == 0)
     cents = kmeans_fit_quantized(sample, IVF_LEARNED_NLIST, IVF_LEARNED_ITERS)

@@ -270,3 +270,79 @@ def test_batch_ivf_search_equals_per_query_search_and_prunes(spark, fitted, tmp_
 
     with pytest.raises(ValueError, match="empty query batch"):
         ivf_search_batch(reloaded, res.centroids, [], nprobe=3)
+
+
+def test_ivf_append_batches_equal_one_shot_build(spark, tmp_path):
+    """Incremental ingest contract: with FROZEN centroids, appending the
+    corpus batch-by-batch produces the same index rows (and therefore the
+    same search results) as one all-at-once write — and a real streaming
+    foreachBatch drive of ivf_append lands the same rows again.
+    Unindexable rows (NaN component) are dropped at ingest like at build."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        ivf_append,
+        ivf_search_batch,
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(400).persist()
+    emb.count()
+    cents = kmeans_fit_quantized(emb, k=5, iters=2)
+
+    def assigned(df):
+        return df.select(
+            "vec_id",
+            "embedding",
+            nearest_cluster_quantized(
+                cents, quantize_embedding(F.col("embedding"))
+            ).alias("cluster"),
+        )
+
+    one_shot = str(tmp_path / "one_shot")
+    assigned(emb).repartition("cluster").write.partitionBy("cluster").parquet(one_shot)
+
+    # batch-by-batch appends, plus a poisoned batch whose NaN row must drop
+    appended = str(tmp_path / "appended")
+    lo = emb.filter(F.col("vec_id") % 2 == 0)
+    hi = emb.filter(F.col("vec_id") % 2 == 1)
+    poisoned = spark.createDataFrame(
+        [(999_999, [float("nan")] * 64)], "vec_id long, embedding array<float>"
+    )
+    ivf_append(lo, cents, appended)
+    ivf_append(hi.select("vec_id", "embedding").union(poisoned), cents, appended)
+
+    def rows(path):
+        return sorted(
+            (r.vec_id, r.cluster, [float(x) for x in r.embedding])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows(appended) == rows(one_shot)
+
+    # a real streaming drive: same batches through foreachBatch
+    src = str(tmp_path / "src")
+    emb.repartition(2).write.parquet(src)
+    streamed = str(tmp_path / "streamed")
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda batch, _id: ivf_append(batch, cents, streamed))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert rows(streamed) == rows(one_shot)
+
+    # served results identical over all three physical layouts
+    queries = [[float(i % 5 - 2) for i in range(64)]]
+    serve = lambda p: [
+        (r.query_id, r.vec_id, r.cos, r.rnk)
+        for r in ivf_search_batch(
+            spark.read.parquet(p), cents, queries, nprobe=2, k=5
+        ).collect()
+    ]
+    assert serve(appended) == serve(one_shot) == serve(streamed)
+    emb.unpersist()
