@@ -476,6 +476,21 @@ def ivf_append(
     ).parquet(path)
 
 
+def ivf_compact(spark, src_path: str, dst_path: str) -> None:
+    """Compact a streamed-into IVF index: every ``ivf_append`` adds
+    files-per-touched-cell, so a long-lived streaming ingest accumulates
+    small files and the probe scan's task count grows with append count,
+    not data size.  Compaction rewrites the index with one shuffle on the
+    cluster partition column (files-per-cell collapses back to the
+    shuffle partitions holding that cell) into a NEW path — swap by
+    rename/repoint, never in place, so a concurrent reader always sees a
+    complete index.  Contents are preserved row-for-row (test-pinned)."""
+    idx = spark.read.parquet(src_path)
+    idx.repartition("cluster").write.mode("errorifexists").partitionBy(
+        "cluster"
+    ).parquet(dst_path)
+
+
 def ivf_search(
     index_df: DataFrame,
     centroids: list[list[float]],

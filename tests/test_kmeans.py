@@ -346,3 +346,42 @@ def test_ivf_append_batches_equal_one_shot_build(spark, tmp_path):
     ]
     assert serve(appended) == serve(one_shot) == serve(streamed)
     emb.unpersist()
+
+
+def test_ivf_compact_preserves_rows_and_collapses_files(spark, tmp_path):
+    """Compaction contract: after N appends a cell holds ~N files;
+    ivf_compact rewrites to one-file-per-cell (at this scale) in a NEW
+    path with contents preserved row-for-row and partition pruning intact."""
+    import glob
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        ivf_append,
+        ivf_compact,
+        kmeans_fit_quantized,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(300).persist()
+    emb.count()
+    cents = kmeans_fit_quantized(emb, k=4, iters=1)
+    path = str(tmp_path / "streamed_index")
+    for m in range(5):  # five micro-batch appends
+        ivf_append(emb.filter(F.col("vec_id") % 5 == m), cents, path)
+    files_before = len(glob.glob(f"{path}/cluster=*/*.parquet"))
+    assert files_before >= 4 * 5  # every append touched (almost) every cell
+
+    compacted = str(tmp_path / "compacted")
+    ivf_compact(spark, path, compacted)
+    files_after = len(glob.glob(f"{compacted}/cluster=*/*.parquet"))
+    assert files_after <= 4  # one file per cell at this scale
+
+    def rows(p):
+        return sorted(
+            (r.vec_id, r.cluster, [float(x) for x in r.embedding])
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(compacted) == rows(path)
+    # compacting onto an existing path must refuse (swap is by repoint)
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        ivf_compact(spark, path, compacted)
+    emb.unpersist()
