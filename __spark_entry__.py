@@ -48,7 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every query that is SQL-expressible
-    (currently all of them — even the mapInPandas multimodal family has a
-    byte-level SQL oracle)."""
+    """DuckDB-runnable oracle SQL for every query that is SQL-expressible:
+    49 of 50 — even the mapInPandas multimodal family has a byte-level SQL
+    oracle, and the learned-IVF row's oracle replays its whole quantized
+    k-means fit; the single exception is events_approx_distinct_users
+    (HLL sketches are engine-specific — rows-only by design)."""
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
