@@ -12,10 +12,13 @@ Derivation spec (must stay identical in Spark code and oracle SQL):
 
     key_str  = user_id || '-' || event_id          (record key, UTF-8)
     deser?   = event_type = 'error' AND props IS NOT NULL
-               AND length(props) <> 4              → value bytes = UTF-8(props)
+               AND octet_length(UTF-8(props)) <> 4 → value bytes = UTF-8(props)
                (the guard keeps the derivation aligned with the engine's
-               byte-length routing: a NULL or exactly-4-byte props would
-               otherwise route differently in engine vs oracle)
+               byte-length routing: a NULL or exactly-4-BYTE props would
+               otherwise route differently in engine vs oracle.  BYTES, not
+               characters — a 2-char/4-byte props like '€a' encodes to a
+               value the int32 deserializer accepts, so the engine routes
+               it by the decoded n, never to the deser channel)
     n        = CASE WHEN user_id % 7  = 0 THEN -(floor(value)::int) - 1
                     WHEN user_id % 11 = 0 THEN 1100000 + (event_id % 500000)::int
                     ELSE pmod(floor(value * 10)::int, 4096) END
@@ -75,11 +78,14 @@ def _is_deser() -> Column:
     # the engine's byte-length-based routing (ADVICE r1): NULL props would
     # produce a NULL value (→ process channel in the engine), 4-byte props
     # would decode as an int — both excluded from the deser arm on BOTH
-    # sides of the comparison.
+    # sides of the comparison.  The guard counts UTF-8 BYTES (length of the
+    # encoded value — what the deserializer sees), not characters: a
+    # 2-char/4-byte props ('€a') must NOT take the deser arm, because its
+    # encoded value decodes cleanly and the engine routes it by n.
     return (
         (F.col("event_type") == "error")
         & F.col("props").isNotNull()
-        & (F.length("props") != 4)
+        & (F.length(F.encode(F.col("props"), "UTF-8")) != 4)
     )
 
 
@@ -115,7 +121,11 @@ _ORACLE_BASE = f"""
 WITH derived AS (
     SELECT
         CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR) AS key_str,
-        (event_type = 'error' AND props IS NOT NULL AND LENGTH(props) <> 4) AS is_deser,
+        -- octet_length(encode(..)): UTF-8 BYTE count, matching the engine's
+        -- byte-length routing (LENGTH() counts characters and diverges on
+        -- any non-ASCII props)
+        (event_type = 'error' AND props IS NOT NULL
+         AND octet_length(encode(props)) <> 4) AS is_deser,
         props,
         CASE WHEN user_id % 7 = 0 THEN -CAST(FLOOR("value") AS INTEGER) - 1
              WHEN user_id % 11 = 0 THEN CAST(1100000 + (event_id % 500000) AS INTEGER)
@@ -220,8 +230,10 @@ def dlt_process_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     SELECT key_str,
            props AS raw_value,
+           -- octet_length: the engine reports the BYTE length of the raw
+           -- value (what the deserializer received), not the char count
            'Size of data received by int32 deserializer is '
-             || CAST(LENGTH(props) AS VARCHAR) || ', expected 4' AS err
+             || CAST(octet_length(encode(props)) AS VARCHAR) || ', expected 4' AS err
     FROM routed WHERE topic = 'deserialization-exception.DLT'
     """,
     doc="Deserialization-error channel: raw bytes preserved untouched + "
@@ -283,8 +295,12 @@ def dlt_udf_safe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_dead_letter_publishing_spark.operators.mapper import error_header_text
     from kafka_streams_dead_letter_publishing_spark.operators.safe_map import safe_map
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out
 
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out: the pandas_udf is the only Python-bound stage in the family —
+    # on the single-file scan's one partition it would run in ONE Python
+    # worker regardless of session parallelism
+    ev = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     wrapped = ev.select(
         _derived_key().alias("key_str"), safe_map(math.sqrt)(_derived_n()).alias("w")
     )

@@ -143,25 +143,12 @@ def docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE (r6): docs_dedup_pick_first lost its registry registration to
-# docs_neardup_keepers (registry budget, r5 verdict #5): the exact
-# pick-first ACTION stays hash-oracled inside docs_clean_corpus_pipeline
-# (its `deduped` stage is this operator verbatim) and the near-dup keeper
-# row below makes the same "corpus in, deduped corpus out" statement at
-# the strictly harder cluster tier.  The function remains the reusable
-# operator.
-def docs_dedup_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep the lowest doc_id per fingerprint (deterministic pick-first via
-    row_number — the distributed analogue of dropDuplicates with a defined
-    winner).  Survivors = the original corpus."""
-    corpus = _corpus_exact(spark, sf_dir)
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    return (
-        corpus.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+# NOTE (r6): docs_dedup_pick_first was folded away (registry budget, r5
+# verdict #5): the exact pick-first ACTION — lowest doc_id per fingerprint
+# via row_number, the distributed analogue of dropDuplicates with a defined
+# winner — stays hash-oracled as docs_clean_corpus_pipeline's `deduped`
+# stage, and docs_neardup_keepers makes the same "corpus in, deduped corpus
+# out" statement at the strictly harder near-dup cluster tier.
 
 
 # NOTE: r2's docs_distinct_lang_source (full-row dropDuplicates = DISTINCT)
@@ -181,11 +168,15 @@ def docs_dedup_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-cartesian plan gate still pins it in tests/test_plan_quality.py.
 
 
-@query(
-    "docs_neardup_verified",
-    "WITH " + _CORPUS_NEARDUP_SQL
+# ONE definition of the candidate pipeline (corpus → shingles → banded
+# minhash keys → candidate pairs) and of the Jaccard≥0.6 acceptance test,
+# shared by the pair-listing row below AND the clusters/keepers CTE chain —
+# two copies of oracle SQL that must stay semantically identical are a
+# drift hazard, not a convenience.
+_NEARDUP_BASE_CTES = (
+    _CORPUS_NEARDUP_SQL
     + f""",
-    sh_tbl AS (
+    sh_tbl AS MATERIALIZED (
         SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus
     ),
     banded AS (
@@ -205,14 +196,28 @@ def docs_dedup_pick_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b
     )
+"""
+)
+
+#: exact-Jaccard ≥ 0.6 via integer cross-multiplication (x/y aliases =
+#: sh_tbl joined on doc_a/doc_b)
+_JACCARD_06_SQL = (
+    "len(list_intersect(x.sh, y.sh)) * 10 "
+    ">= len(list_distinct(list_concat(x.sh, y.sh))) * 6"
+)
+
+
+@query(
+    "docs_neardup_verified",
+    "WITH " + _NEARDUP_BASE_CTES
+    + f"""
     SELECT doc_a, doc_b,
            len(list_intersect(x.sh, y.sh)) AS n_common,
            len(list_distinct(list_concat(x.sh, y.sh))) AS n_union
     FROM cands
     JOIN sh_tbl x ON x.doc_id = doc_a
     JOIN sh_tbl y ON y.doc_id = doc_b
-    WHERE len(list_intersect(x.sh, y.sh)) * 10
-          >= len(list_distinct(list_concat(x.sh, y.sh))) * 6
+    WHERE {_JACCARD_06_SQL}
     """,
     doc="[EXT] The VERIFY stage of near-dup detection: exact shingle-set "
     "Jaccard (n-gram Jaccard) computed ONLY for LSH candidate pairs, kept "
@@ -277,35 +282,14 @@ def _neardup_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── near-dup cluster assignment (connected components) ───────────────────
 
 _NEARDUP_VERIFIED_CTES = (
-    _CORPUS_NEARDUP_SQL
+    _NEARDUP_BASE_CTES
     + f""",
-    sh_tbl AS MATERIALIZED (
-        SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh FROM nd_corpus
-    ),
-    banded AS (
-        SELECT doc_id, unnest(
-            CASE WHEN len(sh) > 0 THEN [
-                CAST(b AS VARCHAR) || ':' ||
-                list_aggregate([md5(CAST(2 * b AS VARCHAR) || ':' || s) for s in sh], 'min')
-                || '|' ||
-                list_aggregate([md5(CAST(2 * b + 1 AS VARCHAR) || ':' || s) for s in sh], 'min')
-                for b in generate_series(0, 7)
-            ] ELSE [] END
-        ) AS bk
-        FROM sh_tbl
-    ),
-    cands AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        GROUP BY doc_a, doc_b
-    ),
     verified AS (
         SELECT doc_a, doc_b
         FROM cands
         JOIN sh_tbl x ON x.doc_id = doc_a
         JOIN sh_tbl y ON y.doc_id = doc_b
-        WHERE len(list_intersect(x.sh, y.sh)) * 10
-              >= len(list_distinct(list_concat(x.sh, y.sh))) * 6
+        WHERE {_JACCARD_06_SQL}
     )
 """
 )
@@ -439,7 +423,11 @@ def docs_neardup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "fingerprint", "bench"),
 )
 def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: one md5 per text position is the costliest narrow stage in
+    # this module — on the single-file scan's one partition it would run on
+    # one core (its gear sibling already fans out; without this the bench
+    # comparison would partly measure the missing repartition)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     # guard: Spark's sequence(1, n) is DESCENDING for n < 1, not empty
     positions = F.when(
         F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
@@ -678,11 +666,10 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _removed_docs_simhash() -> None:
-    """r2's docs_simhash (per-document signature listing) was folded away per
-    the r2 verdict — docs_simhash_hamming_pairs computes the identical
-    signature inline and oracles it end-to-end, so the operator keeps its
-    driver CORRECTNESS row through the pairs query."""
+# NOTE: r2's docs_simhash (per-document signature listing) was folded away
+# per the r2 verdict — docs_simhash_hamming_pairs computes the identical
+# signature inline and oracles it end-to-end, so the operator keeps its
+# driver CORRECTNESS row through the pairs query.
 
 
 # ── language ID / quality / token counting ───────────────────────────────
@@ -718,9 +705,14 @@ def _marker_count_sql(toks_sql: str, markers: tuple[str, ...]) -> str:
     tags=("text", "langid"),
 )
 def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    # stage toks first (functions/text.py contract): lang_guess runs three
+    # F.filter passes over its input, and an inlined regexp+split chain gets
+    # re-evaluated by each — higher-order functions get no codegen
+    # subexpression elimination
+    staged = docs.select("lang", tokens(_norm(F.col("text"))).alias("toks"))
     return (
-        docs.select("lang", lang_guess(tokens(_norm(F.col("text")))).alias("lang_guessed"))
+        staged.select("lang", lang_guess(F.col("toks")).alias("lang_guessed"))
         .groupBy("lang", "lang_guessed")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -743,15 +735,21 @@ def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "bench"),
 )
 def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(_norm(F.col("text")))
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    # stage toks, then score: the inline form re-evaluates the regexp+split
+    # chain inside every F.size / stopword_count F.filter (no codegen
+    # subexpression elimination across higher-order functions)
+    staged = docs.select(
+        "doc_id", F.length("text").alias("n_chars_actual"), tokens(_norm(F.col("text"))).alias("toks")
+    )
+    toks = F.col("toks")
     n_stop = stopword_count(toks)
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         n_stop.alias("n_stopwords"),
         (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
-        F.length("text").alias("n_chars_actual"),
+        "n_chars_actual",
     )
 
 

@@ -129,6 +129,14 @@ def null_events_dir(tmp_path):
         {"event_id": 8, "user_id": 14, "event_type": "click", "value": 5.0, "props": '{"k": 8}'},
         # too-large n (%11 branch)
         {"event_id": 9, "user_id": 22, "event_type": "click", "value": 1.0, "props": '{"k": 9}'},
+        # NON-ASCII props, 2 chars / 4 UTF-8 BYTES: the deser guard must
+        # count BYTES — this encodes to a value the int32 deserializer
+        # accepts, so it routes by the decoded n, NOT to the deser channel
+        # (a char-counting guard marks it deser and every dlt row diverges)
+        {"event_id": 10, "user_id": 3, "event_type": "error", "value": 2.0, "props": "€a"},
+        # NON-ASCII props, 5 chars / 6 bytes: deser channel, and the size
+        # header must say 6 (bytes received), never 5 (chars)
+        {"event_id": 11, "user_id": 3, "event_type": "error", "value": 2.0, "props": "héllo"},
     ]
     _write_events(str(tmp_path / "events.parquet"), rows)
     _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
@@ -231,6 +239,19 @@ def test_null_values_route_to_process_channel(spark, null_events_dir):
     null_rows = [r for r in rows if r.err == "NullValueError: null"]
     assert sorted(r.key_str for r in null_rows) == ["3-2", "5-6", "7-3"]
     assert all(r.original_value is None for r in null_rows)
+
+
+def test_deser_guard_counts_bytes_not_chars(spark, null_events_dir):
+    """Event 10 ('€a', 2 chars / 4 bytes) must NOT reach the deser channel —
+    its encoded value decodes as an int32, so the engine routes it by n;
+    event 11 ('héllo', 5 chars / 6 bytes) must, and its size header must
+    report 6 BYTES received."""
+    deser = QUERIES["dlt_deser_channel"].spark(spark, null_events_dir).collect()
+    keys = {r.key_str for r in deser}
+    assert "3-10" not in keys  # 4-byte props decodes cleanly: routed by n
+    row11 = next(r for r in deser if r.key_str == "3-11")
+    assert row11.raw_value == "héllo"
+    assert "is 6, expected 4" in row11.err, row11.err
 
 
 @pytest.fixture()
