@@ -507,9 +507,12 @@ _GEAR_WINDOW_SUM = " + ".join(
     "clears (rate 1/64).  Spark folds the document once with a constant-"
     "size accumulator — the hash UPDATE is ~11× cheaper per position than "
     "the md5 variant's hash-per-window (0.15 µs vs 1.67 µs single-core at "
-    "sf0.1); end-to-end the query measures ~2.8× faster because the "
-    "interpreted fold bookkeeping (pos/count/first tracking), not the "
-    "hash, then dominates.  The oracle reproduces the rolling hash through "
+    "sf0.1).  End-to-end at toy SF the md5 demo now measures FASTER "
+    "(r6: 0.33 vs 0.47 s once both fan out — its per-window hashes run as "
+    "a vectorized filter while this rolling fold pays interpreted per-char "
+    "bookkeeping); the gear variant's advantage is the O(1) state and "
+    "cheap update, which wins when windows grow or the per-window hash "
+    "dominates.  The oracle reproduces the rolling hash through "
     "the exact 32-byte windowed-sum identity (2^j ≡ 0 mod 2³² for j ≥ 32).",
     tags=("text", "fingerprint", "bench"),
 )
