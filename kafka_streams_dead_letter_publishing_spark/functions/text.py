@@ -55,19 +55,21 @@ def norm_text(text: Column) -> Column:
     """Canonical normalization shared by fingerprinting, shingling, and the
     ingest filters: lowercase + collapse whitespace.  One definition so the
     engine and every oracle CTE (`plans/text.py` ``_NORM_SQL``) stay in
-    lockstep."""
-    return F.regexp_replace(F.lower(text), r"\s+", " ")
+    lockstep.
+
+    EXPLICIT character class, not ``\\s``: Java's ``\\s`` includes vertical
+    tab U+000B but DuckDB/RE2's does not, so the shorthand silently
+    diverged on any document containing \\x0B (different fingerprint,
+    tokens, shingles, minhash — every text oracle row would mismatch;
+    reproduced empirically).  The class below is spelled identically in
+    both dialects."""
+    return F.regexp_replace(F.lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")
 
 
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the lowercased, space-normalized text —
     the exact-dup key that survives formatting noise."""
     return F.md5(norm_text(text))
-
-
-def minhash_value(shingle_col: Column, j: int) -> Column:
-    """j-th minhash of a shingle set: min over md5('<j>:' || shingle)."""
-    return F.array_min(F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
 
 
 #: sentinel greater than any md5 hex string ('~' > 'f' in ASCII)
@@ -114,28 +116,13 @@ def band_keys_from_minhash(mh: Column, n_shingles: Column) -> Column:
     return F.when(n_shingles > 0, keys).otherwise(F.array().cast("array<string>"))
 
 
-def band_keys(shingle_col: Column) -> Column:
-    """LSH band keys (N_BANDS entries, r=2 minhashes per band): two docs are
-    near-dup candidates iff they share at least one band key.
-
-    Each key embeds its band index (``"<b>:<mh>|<mh>"``) so exploded keys
-    from different bands can never collide, and docs with NO shingles (< k
-    tokens) get an empty array — otherwise Spark's NULL-skipping
-    ``concat_ws`` would give every tiny doc the same key and fabricate a
-    quadratic candidate blow-up.
-    """
-    keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                minhash_value(shingle_col, 2 * b),
-                F.lit("|"),
-                minhash_value(shingle_col, 2 * b + 1),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return F.when(F.size(shingle_col) > 0, keys).otherwise(F.array().cast("array<string>"))
+# NOTE (r6): the N-pass twins minhash_value/band_keys were deleted — every
+# consumer stages minhash_array (one fold pass) and builds keys with
+# band_keys_from_minhash; a second unreferenced encoding of the
+# "<b>:<mh>|<mh>" key format was a drift hazard, not an API.  The band-
+# index prefix (keys from different bands can never collide) and the
+# empty-shingles → empty-array contract (tiny docs must not share one key
+# and fabricate a quadratic candidate blow-up) both live on there.
 
 
 SIMHASH64_BITS = 64  # two bits per md5 hex digit: its high bit + its low bit

@@ -445,7 +445,10 @@ def setop_finished_partial_not_open(spark: SparkSession, sf_dir: str) -> DataFra
     def keys(status: str) -> DataFrame:
         return orders.filter(F.col("o_orderstatus") == status).select("o_custkey")
 
-    return keys("F").intersect(keys("P")).exceptAll(keys("O")).distinct()
+    # subtract == EXCEPT DISTINCT — the oracle's set semantics stated
+    # directly (exceptAll().distinct() only coincided because intersect's
+    # output is already distinct)
+    return keys("F").intersect(keys("P")).subtract(keys("O"))
 
 
 @query(
@@ -687,7 +690,8 @@ def events_asof_left_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.75) AS p75,
            arg_max(o_orderkey,
-                   CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey)
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * 10000000 + o_orderkey)
                AS top_order
     FROM orders
     GROUP BY o_orderstatus
@@ -700,7 +704,15 @@ def events_asof_left_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    combined = "CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey"
+    # exact cents via DECIMAL(18,2): a bare double→bigint CAST truncates in
+    # Spark but ROUNDS in DuckDB (2.7 → 2 vs 3), so prices like x.yz5...
+    # float noise produced different argmax keys per engine (7090/150000
+    # rows at sf0.1 — latent until a status group's top two prices sit in
+    # adjacent cents); the decimal cast rounds identically in both
+    combined = (
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " * 10000000 + o_orderkey"
+    )
     return orders.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", 0.25).alias("p25"),
         F.percentile("o_totalprice", 0.5).alias("p50"),
@@ -772,14 +784,25 @@ def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = salted.groupBy("event_type", "__salt").agg(F.count(F.lit(1)).alias("c"))
     counts = partial.groupBy("event_type").agg(F.sum("c").alias("cnt"))
     # distinct users: dedup on the compound key first (shuffles on BOTH
-    # columns — naturally skew-spread), then a plain count
+    # columns — naturally skew-spread), then a plain count.  NULL semantics
+    # must match the oracle's COUNT(DISTINCT user_id): NULLs don't count as
+    # a user (filter), and a NULL event_type is still a GROUP (NULL-safe
+    # LEFT join + coalesce — a plain inner join on the nullable key would
+    # silently drop the NULL group the oracle emits).
     users = (
-        ev.select("event_type", "user_id")
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
         .dropDuplicates()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    return counts.join(users, "event_type").select("event_type", "cnt", "n_users")
+    return counts.join(
+        users, counts["event_type"].eqNullSafe(users["event_type"]), "left"
+    ).select(
+        counts["event_type"],
+        "cnt",
+        F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users"),
+    )
 
 
 # ── event-time windows / sessionization / JSON ───────────────────────────
@@ -909,8 +932,12 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
         F.max(F.size(F.map_keys(m))).alias("max_props"),
-        F.min(F.element_at(F.map_keys(m), 1)).alias("min_first_key"),
-        F.sum(F.element_at(F.map_values(m), 1)).alias("sum_first_val"),
+        # try_element_at, NOT element_at: under Spark 4's default ANSI mode
+        # element_at on the EMPTY map's keys ('{}' props) raises
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT and kills the query, where the
+        # oracle's json_keys(m)[1] yields NULL and aggregates on
+        F.min(F.try_element_at(F.map_keys(m), F.lit(1))).alias("min_first_key"),
+        F.sum(F.try_element_at(F.map_values(m), F.lit(1))).alias("sum_first_val"),
     )
 
 

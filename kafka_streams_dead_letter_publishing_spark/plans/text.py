@@ -96,7 +96,9 @@ nd_corpus AS (
 
 # Normalization shared by fingerprint/shingling: lowercase + collapse
 # whitespace (matches functions.text.fingerprint's normalization).
-_NORM_SQL = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+# explicit class, NOT '\\s' — Java's \s includes \x0B, RE2's does not
+# (see functions/text.norm_text, the engine-side twin)
+_NORM_SQL = "regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 _FP_SQL = f"md5({_NORM_SQL})"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 

@@ -453,10 +453,44 @@ def dotted_key_events_dir(tmp_path):
         {"event_id": 9, "user_id": 9, "event_type": "view", "value": 9.0, "props": '{"k": "7"}'},
         # json-null value: the map stays VALID (unlike a bad value)
         {"event_id": 10, "user_id": 10, "event_type": "view", "value": 10.0, "props": '{"k": null, "z": 4}'},
+        # EMPTY json object: under Spark 4's default ANSI mode a bare
+        # element_at on the empty map's keys RAISES — the engine must use
+        # try_element_at and agree with the oracle's NULL first key/value
+        {"event_id": 11, "user_id": 11, "event_type": "view", "value": 11.0, "props": "{}"},
     ]
     _write_events(str(tmp_path / "events.parquet"), rows)
     _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
     return str(tmp_path)
+
+
+@pytest.fixture()
+def null_key_events_dir(tmp_path):
+    """NULL grouping/aggregation keys for the salted aggregation: a NULL
+    event_type is still a GROUP (an inner join on the nullable key would
+    silently drop it), and NULL user_id must NOT count as a distinct user
+    (COUNT(DISTINCT) semantics)."""
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "click", "value": 1.0, "props": None},
+        {"event_id": 2, "user_id": None, "event_type": "click", "value": 2.0, "props": None},
+        {"event_id": 3, "user_id": 3, "event_type": None, "value": 3.0, "props": None},
+        {"event_id": 4, "user_id": None, "event_type": None, "value": 4.0, "props": None},
+        # a group whose ONLY users are NULL: cnt > 0, n_users = 0
+        {"event_id": 5, "user_id": None, "event_type": "ghost", "value": 5.0, "props": None},
+    ]
+    _write_events(str(tmp_path / "events.parquet"), rows)
+    _write_documents(str(tmp_path / "documents.parquet"), [{"doc_id": 1, "text": "x y z"}])
+    return str(tmp_path)
+
+
+def test_salted_counts_null_group_and_null_users(spark, null_key_events_dir):
+    rows = assert_query_matches_oracle(
+        spark, null_key_events_dir, "events_salted_type_counts"
+    )
+    # cols sorted = cnt, event_type, n_users
+    by_type = {r[1]: (_uncanon_num(r[0]), _uncanon_num(r[2])) for r in rows}
+    assert by_type[None] == (2, 1)  # NULL group kept; its one real user counted
+    assert by_type["click"] == (2, 1)  # NULL user not a distinct user
+    assert by_type["ghost"] == (1, 0)  # all-NULL-user group: present, 0 users
 
 
 def _uncanon_num(v):
@@ -474,7 +508,7 @@ def test_json_kpis_agree_on_adversarial_props(spark, dotted_key_events_dir):
     click = next(r for r in rows if r[1] == "click")
     assert _uncanon_num(click[5]) == 12 and click[4] == "a.b"
     view = next(r for r in rows if r[1] == "view")
-    assert view[0] == 7  # cnt counts ALL rows, junk props included
+    assert view[0] == 8  # cnt counts ALL rows, junk + empty props included
     assert _uncanon_num(view[6]) == 11  # sum_k: only the integral k ("7"/null don't)
     assert _uncanon_num(view[3]) == 2  # max_props from the {"k": null, "z": 4} valid map
 
