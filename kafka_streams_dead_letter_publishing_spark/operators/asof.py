@@ -23,7 +23,18 @@ by ordering right rows before left rows at equal timestamps.  Multiple
 right rows at the SAME (key, ts) are tie-broken deterministically by their
 payload struct (largest wins) — the window ordering is total, so repeated
 runs can't flip the winner (r2 advice fix; DuckDB's native ASOF picks
-arbitrarily, but the test corpora carry no tied rows).
+arbitrarily, but the test corpora carry no tied rows).  Consequence: the
+payload columns must be ORDERABLE types (no map<..> payloads — Spark
+cannot sort a struct containing one; wrap such a column in a keyed
+projection first).
+
+NULL semantics (r6, matching the SQL oracle exactly): right rows with a
+NULL timestamp or any NULL join key are dropped up front — ``right_ts <=
+left_ts`` is never true for NULL, and ASOF's equi-key never matches on
+NULL = NULL.  Left rows always follow ``how`` (a NULL-ts or NULL-key left
+row simply has no match).  Without the filter, ascending NULLS-FIRST
+ordering would carry a NULL-ts right payload into every early left row —
+a fabricated match the oracle never produces.
 """
 
 from __future__ import annotations
@@ -81,6 +92,15 @@ def as_of_join(
     # even when the caller's payload doesn't include it
     pay = F.struct(F.col(right_ts).alias("__rts"), payload_struct.alias("__data"))
 
+    # NULL-ts / NULL-key right rows can never be an as-of match (SQL
+    # comparison and equi-key semantics) — and unfiltered they WOULD match:
+    # ascending NULLS FIRST sorts them before every real row, so the
+    # ignorenulls carry would hand their payload to early left rows
+    match_eligible = F.col(right_ts).isNotNull()
+    for k in on:
+        match_eligible = match_eligible & F.col(k).isNotNull()
+    right = right.filter(match_eligible)
+
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -95,9 +115,16 @@ def as_of_join(
         F.lit(None).cast(tagged_right.schema["__pay"].dataType).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
-    # align schemas: right side lacks the left columns
-    for c in left_cols:
-        tagged_right = tagged_right.withColumn(f"__l_{c}", F.lit(None).cast(left.schema[c].dataType))
+    # align schemas: right side lacks the left columns (ONE projection — a
+    # withColumn-per-column loop builds O(n²) nested plan analysis on wide
+    # left frames)
+    tagged_right = tagged_right.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left_cols
+        ],
+    )
 
     unioned = tagged_left.unionByName(tagged_right)
     # __pay as the final sort key makes the ordering TOTAL for right rows:

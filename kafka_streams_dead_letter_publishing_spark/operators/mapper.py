@@ -77,7 +77,16 @@ def random_lowercase_string(n: Column, uniq: Column, seed: int) -> Column:
         _AZ,
     )
     gen = F.array_join(F.transform(F.sequence(F.lit(1), n_blocks.cast("int")), block), "")
-    return F.when(n >= 1, gen.substr(F.lit(1), n.cast("int"))).otherwise(F.lit(""))
+    # NULL n propagates as NULL output (length-unknown ≠ length-zero): a
+    # standalone caller must see the failure, not a fabricated valid empty
+    # record — route() never reaches here with NULL n (deser rows are
+    # filtered to their own channel first), so the reference path is
+    # unchanged
+    return (
+        F.when(n.isNull(), F.lit(None).cast("string"))
+        .when(n >= 1, gen.substr(F.lit(1), n.cast("int")))
+        .otherwise(F.lit(""))
+    )
 
 
 def map_error_class(n: Column, value: Column) -> Column:

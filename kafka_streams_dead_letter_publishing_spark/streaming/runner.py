@@ -118,11 +118,18 @@ def kafka_sink_writer(cfg: EngineConfig) -> SinkWriter:
 
     def write(df: DataFrame, topic: str) -> None:
         (
-            df.select("key", "value", "headers", "topic")
+            df.select("key", "value", "headers")
             .write.format("kafka")
             .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
             .option("kafka.max.request.size", str(cfg.max_request_size))
             .option("includeHeaders", "true")
+            # the SinkWriter ARGUMENT is authoritative (Spark's Kafka sink
+            # 'topic' option overrides any topic column) — this keeps the
+            # production path routing exactly like parquet_sink_writer,
+            # which writes to base_dir/{topic-arg}; routing by the df's
+            # column would let a custom topology's wrong/NULL topic column
+            # diverge from everything the integration tier tests
+            .option("topic", topic)
             .save()
         )
 

@@ -101,3 +101,47 @@ def test_asof_plan_has_single_key_shuffle_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # composed from union + window, not a join
     assert plan.count("Exchange hashpartitioning(user_id") <= 2  # window partition only
+
+
+def test_asof_null_ts_and_null_key_rights_never_match(spark):
+    """SQL-oracle NULL semantics (r6): right_ts <= left_ts is never true
+    for a NULL timestamp, and the equi-key never matches on NULL = NULL —
+    without the eligibility filter, ascending NULLS-FIRST ordering carried
+    a NULL-ts right payload into every early left row."""
+    left = spark.createDataFrame(
+        [(1, T(10), "p1"), (None, T(10), "pnullkey")],
+        "user_id long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, None, "c-null-ts"),     # NULL ts: never a match
+            (None, T(5), "c-null-key"), # NULL key: never a match
+        ],
+        "user_id long, cts timestamp, cid string",
+    )
+    inner = as_of_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="cts",
+        right_payload=["cid"], how="inner",
+    ).collect()
+    assert inner == []
+    outer = {
+        r.pid: r.cid
+        for r in as_of_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="cts",
+            right_payload=["cid"], how="left",
+        ).collect()
+    }
+    assert outer == {"p1": None, "pnullkey": None}
+
+
+def test_asof_null_left_ts_never_matches_but_follows_how(spark):
+    left = spark.createDataFrame(
+        [(1, None, "pnull")], "user_id long, ts timestamp, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, T(5), "c")], "user_id long, cts timestamp, cid string"
+    )
+    args = dict(on=["user_id"], left_ts="ts", right_ts="cts", right_payload=["cid"])
+    assert as_of_join(left, right, how="inner", **args).collect() == []
+    rows = as_of_join(left, right, how="left", **args).collect()
+    assert [(r.pid, r.cid) for r in rows] == [("pnull", None)]
