@@ -177,3 +177,98 @@ def test_quantized_kmeans_is_partition_layout_invariant(spark, vecs, n_parts):
     base = kmeans_fit_quantized(df, k=k, iters=2)
     shuffled = kmeans_fit_quantized(df.repartition(n_parts), k=k, iters=2)
     assert base == shuffled
+
+
+# ── learned-IVF end-to-end oracle parity on ARBITRARY corpora ────────────
+#
+# The driver hash-gates emb_ivf_learned_topk on the fixed testdata corpus
+# and the edge-case tier pins degenerate/unindexable fixtures; this fuzz
+# closes the remaining gap — the fit+probe+top-k replay must agree on
+# corpora hypothesis invents.  The value pool is DISCRETE (float32-exact,
+# small magnitudes) so quantized distance TIES are common and the
+# lowest-index tie-break is actually exercised; vec_ids are drawn with
+# gaps so the %4 training-sample predicate varies per example (including
+# the no-trainable-sample → 0-rows path); "dup" forces exact duplicate
+# vectors, "nan"/"inf"/"short" violate the indexable contract and must be
+# excluded identically by both engines.
+
+_IVF_POOL = [-2.0, -0.5, 0.0, 0.25, 1.0]
+ivf_corpus_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # vec_id (gaps vary the sample)
+        st.integers(min_value=0, max_value=2**31 - 1),  # value seed
+        st.sampled_from(["ok", "ok", "ok", "ok", "dup", "nan", "inf", "short"]),
+    ),
+    min_size=0,
+    max_size=14,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(ivf_corpus_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_learned_ivf_row_matches_oracle_on_random_corpora(spark, entries):
+    import math
+    import shutil
+    import tempfile
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    rows = []
+    for vec_id, seed, shape in entries:
+        rng = np.random.default_rng(1234 if shape == "dup" else seed)
+        v = [float(x) for x in rng.choice(_IVF_POOL, 64)]
+        if shape == "nan":
+            v[0] = float("nan")
+        elif shape == "inf":
+            v[0] = float("inf")
+        elif shape == "short":
+            v = v[:63]
+        rows.append((vec_id, v))
+
+    # fresh dir per example: the learned-index cache keys on the corpus path
+    d = tempfile.mkdtemp(prefix="ivf-fuzz-")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                    "label": pa.array([0] * len(rows), pa.int32()),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+        q = QUERIES["emb_ivf_learned_topk"]
+        sdf = q.spark(spark, d).toPandas()
+        con = duckdb.connect()
+        try:
+            con.sql(
+                f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+            )
+            odf = con.sql(q.oracle).df()
+        finally:
+            con.close()
+
+        def canon(v):
+            if v is None:
+                return None
+            if isinstance(v, (float, np.floating)):
+                f = float(v)
+                return "NaN" if math.isnan(f) else struct.pack(">d", f).hex()
+            if isinstance(v, (int, np.integer)):
+                return int(v)
+            return str(v)
+
+        cols = sorted(sdf.columns)
+        assert cols == sorted(odf.columns)
+        srows = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.to_dict("records"))
+        orows = sorted(tuple(canon(r[c]) for c in cols) for r in odf.to_dict("records"))
+        assert srows == orows, f"engine {srows[:3]} vs oracle {orows[:3]}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
