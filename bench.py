@@ -43,6 +43,12 @@ N_STREAM_RUNS = 3  # streaming entries: stable across r4/r5 (±1%), runs are lon
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Ambient box load BEFORE the run starts: r5's "2x dlt regression" and
+    # two discarded r6 runs were both box-load contamination that could only
+    # be diagnosed by re-running later — recording the 1/5/15-min load
+    # averages makes each BENCH json self-interpreting (a run whose start
+    # load rivals the worker count is suspect on its face).
+    load_start = os.getloadavg()
 
     from pyspark.sql import SparkSession
 
@@ -189,6 +195,11 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "samples": samples,
                 "streaming": streaming_summary,
+                "env": {
+                    "cpus": int(cpus),
+                    "load_avg_start": [round(x, 2) for x in load_start],
+                    "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                },
             }
         )
     )

@@ -35,3 +35,8 @@ def test_bench_prints_one_json_line():
     assert parsed["value"] > 0
     assert len(parsed["queries"]) >= 10
     assert all(v >= 0 for v in parsed["queries"].values())
+    # load-average capture: the r5 "weak bench" class is diagnosable only
+    # if ambient box load is recorded with the numbers it contaminates
+    assert len(parsed["env"]["load_avg_start"]) == 3
+    assert len(parsed["env"]["load_avg_end"]) == 3
+    assert parsed["env"]["cpus"] == 4
