@@ -272,3 +272,60 @@ def test_learned_ivf_row_matches_oracle_on_random_corpora(spark, entries):
         assert srows == orows, f"engine {srows[:3]} vs oracle {orows[:3]}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ── near-dup pipeline oracle parity on ARBITRARY corpora ─────────────────
+#
+# Same closing argument as the learned-IVF fuzz above, for the OTHER
+# intricate oracle family: the composed minhash → banding → Jaccard
+# verify → recursive-closure → keeper anti-join chain is pinned on the
+# driver corpus and fixed degenerate fixtures, but its graph logic
+# (cluster topology, tie-breaks, sub-shingle docs, exact duplicates) is
+# exactly what random corpora vary.  A SIX-WORD vocabulary makes shingle
+# collisions — and therefore non-trivial candidate pairs, clusters, and
+# keeper decisions — common instead of vanishingly rare.
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "omega", "€uro"]
+text_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+NEARDUP_PIPELINE_QUERIES = (
+    "docs_exact_dup_groups",
+    "docs_neardup_verified",
+    "docs_neardup_clusters",
+    "docs_neardup_keepers",
+)
+
+
+@given(text_corpus_strategy)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_neardup_pipeline_matches_oracle_on_random_corpora(spark, texts):
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from test_oracle_edge_cases import assert_query_matches_oracle
+
+    d = tempfile.mkdtemp(prefix="neardup-fuzz-")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts), pa.string()),
+                    "source": pa.array(["fuzz"] * len(texts), pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        for name in NEARDUP_PIPELINE_QUERIES:
+            assert_query_matches_oracle(spark, d, name, tables=("documents",))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
