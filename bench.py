@@ -1,29 +1,45 @@
 """Benchmark harness: run the bench-tagged registry queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and print a compact headline JSON as the LAST
+stdout line (a separate earlier ``detail`` line carries per-pass samples,
+per-batch streaming progress and environment data — r6 verdict #1: the
+single fat line outgrew the driver's tail-capture buffer and BENCH_r06
+recorded ``parsed: null``).
 
 Each query is fully materialized through the noop sink (forces complete
 execution of every partition — no collect, no driver materialization).
 
-Methodology (r3 verdict #4, hardened r6 per r5 verdict #1): every batch
-entry is the MEDIAN of N_RUNS=5 runs taken in INTERLEAVED round-robin
-passes (pass 1 runs q1..qN once, pass 2 runs q1..qN again, ...), not
-back-to-back per query.  r5 showed why back-to-back fails: JVM/codegen
-warm-up and box-load transients land entirely on the first one or two runs
-of the first-scheduled queries, and a median-of-3 of monotone-decreasing
-samples reports the contaminated middle run (dlt_output_lengths recorded
-5.998/4.798/2.217 — the median was 2.2× the steady state).  Interleaving
-spreads any transient across one pass of ALL queries, and a median of 5
-discards up to two contaminated passes.  The medians land in ``queries``;
-per-pass samples are in ``samples`` (index = pass) for variance
-inspection.
+Methodology (r3 verdict #4, hardened r6 per r5 verdict #1, streaming tier
+folded in r7 per r6 verdict #2): EVERY entry — batch registry queries,
+ingest filters, and both streaming entries — is the MEDIAN of N_RUNS=5
+runs taken in INTERLEAVED round-robin passes (pass 1 runs q1..qN once,
+pass 2 runs q1..qN again, ...), never back-to-back per query.  r5 showed
+why back-to-back fails: JVM/codegen warm-up and box-load transients land
+entirely on the first one or two runs of the first-scheduled queries, and
+a median of monotone-decreasing samples reports the contaminated middle
+run.  r6 interleaved the batch tier but left the streaming entries
+back-to-back at the END of the run, where that run's rising box load
+landed wholly on them (dlt_streaming_4batches samples 14.6/12.1/10.3,
+median +55% over the settled 7.2 s) — so the streaming runs now ride the
+same passes.
 
-Also timed (r2 task #8 / r3 verdict #1): ``dlt_streaming_roundtrip`` — the
-PRODUCTION streaming entry point.  The sf-dir derived-record stream runs
-through ``DeadLetterStream.process_batch`` (persist → route → observe →
-four parquet sink writes), i.e. the exact foreachBatch body mirroring the
-reference's runtime shape (``ErrorHandlingTopology.java:28-45``), not just
-the batch registry queries.
+Timed entries beyond the batch registry:
+
+* ``dlt_streaming_roundtrip`` — one micro-batch through the PRODUCTION
+  ``DeadLetterStream.process_batch`` foreachBatch body (persist → route →
+  observe → four parquet sink writes), mirroring the reference's runtime
+  shape (``ErrorHandlingTopology.java:28-45``).
+* ``dlt_streaming_4batches`` — the same records as four micro-batches
+  through a real ``readStream`` query: checkpoint commits, trigger
+  scheduling and foreachBatch dispatch included.  Throughput (rows/sec)
+  comes straight from StreamingQueryProgress.
+* ``docs_neardup_ingest_filter`` / ``emb_ann_ingest_filter`` (r6 verdict
+  #4) — the corpus-incremental ingest filters a training-data pipeline
+  runs 24/7 (``operators/neardup_filter.py``, ``operators/ann_filter.py``):
+  one 10%-slice micro-batch filtered against a prebuilt, persisted index
+  of the full sf corpus.  The index build is untimed (in production it is
+  built once and reused every micro-batch); the timed region is the
+  serving path only.  Both report rows/sec over the batch rows.
 """
 
 from __future__ import annotations
@@ -36,13 +52,79 @@ import sys
 import tempfile
 import time
 
-N_RUNS = 5  # batch passes (interleaved round-robin)
-N_STREAM_RUNS = 3  # streaming entries: stable across r4/r5 (±1%), runs are long
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+
+def _build_ingest_entries(spark, sf_dir):
+    """Prebuild the ingest-filter fixtures (untimed): persisted indexes over
+    the full corpus, plus the incoming 10%-slice micro-batches.  Returns
+    {entry_name: (thunk, batch_rows)} where thunk() is the timed serving
+    path ending in a noop write."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        AnnIndex,
+        ann_filter,
+        build_ann_index,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
+        NeardupIndex,
+        build_neardup_index,
+        neardup_filter,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+
+    entries = {}
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    nd_idx = build_neardup_index(docs)
+    nd_idx = NeardupIndex(
+        bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
+    )
+    nd_idx.bands.count()  # materialize outside the timed region
+    nd_idx.shingles.count()
+    doc_batch = docs.filter(F.col("doc_id") % 10 == 0).persist()
+    n_docs = doc_batch.count()
+
+    def run_neardup():
+        neardup_filter(doc_batch, nd_idx).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    entries["docs_neardup_ingest_filter"] = (run_neardup, n_docs)
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    ann_idx = build_ann_index(emb)
+    ann_idx = AnnIndex(
+        buckets=ann_idx.buckets.persist(), vectors=ann_idx.vectors.persist()
+    )
+    ann_idx.buckets.count()
+    ann_idx.vectors.count()
+    emb_batch = emb.filter(F.col("vec_id") % 10 == 0).persist()
+    n_vecs = emb_batch.count()
+
+    def run_ann():
+        ann_filter(emb_batch, ann_idx).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    entries["emb_ann_ingest_filter"] = (run_ann, n_vecs)
+    return entries
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus_raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Validate up front (r6 ADVICE): Spark accepts local[*], so a
+    # non-integer value must not crash the JSON emit after the whole run.
+    try:
+        cpus: int | str = int(cpus_raw)
+    except ValueError:
+        cpus = cpus_raw
+    shuffle_parts = cpus if isinstance(cpus, int) else 32
     # Ambient box load BEFORE the run starts: r5's "2x dlt regression" and
     # two discarded r6 runs were both box-load contamination that could only
     # be diagnosed by re-running later — recording the 1/5/15-min load
@@ -53,9 +135,9 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(f"local[{cpus_raw}]")
         .appName("dead-letter-engine-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         # AQE's default 1 MB coalesce floor folds compute-DENSE stages whose
         # rows are byte-SMALL (LSH candidate pairs: two longs per row, a
@@ -90,45 +172,34 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).count()
 
     bench_queries = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
-    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
-    for _ in range(N_RUNS):  # interleaved passes: each pass runs every query once
-        for name, q in bench_queries.items():
-            t0 = time.time()
-            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples[name].append(round(time.time() - t0, 3))
+    ingest_entries = _build_ingest_entries(spark, sf_dir)
 
-    # The streaming production path: one micro-batch through the full
-    # foreachBatch body (persist + route + 4 parquet sinks).  Fresh sink
-    # dirs per run so parquet append cost stays comparable across runs.
-    runs = []
-    for i in range(N_STREAM_RUNS):
+    # Streaming source files are written once (untimed); checkpoint + sink
+    # dirs are fresh per run so parquet append cost stays comparable.
+    stream_src = tempfile.mkdtemp(prefix="dlt-stream4-src-")
+    derived = derived_records(spark, sf_dir)
+    derived.repartition(4).write.mode("overwrite").parquet(stream_src)
+    derived_schema = derived.schema
+
+    def run_streaming_roundtrip(pass_idx: int) -> float:
         sink_dir = tempfile.mkdtemp(prefix="dlt-stream-bench-")
         try:
             stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(sink_dir))
             batch = derived_records(spark, sf_dir)
             t0 = time.time()
-            stream.process_batch(batch, batch_id=i)
-            runs.append(round(time.time() - t0, 3))
+            stream.process_batch(batch, batch_id=pass_idx)
+            return round(time.time() - t0, 3)
         finally:
             shutil.rmtree(sink_dir, ignore_errors=True)
-    samples["dlt_streaming_roundtrip"] = runs
 
-    # Steady state: the SAME records as four micro-batches through a real
-    # readStream query — checkpoint commits, trigger scheduling, and
-    # foreachBatch dispatch included, i.e. the per-batch overhead the
-    # single-batch entry cannot see.  Source files are written once
-    # (untimed); checkpoint + sink dirs are fresh per run.
-    stream_src = tempfile.mkdtemp(prefix="dlt-stream4-src-")
-    derived = derived_records(spark, sf_dir)
-    derived.repartition(4).write.mode("overwrite").parquet(stream_src)
-    runs = []
-    stream_rates: list[dict] = []  # per-run throughput from StreamingQueryProgress
-    for i in range(N_STREAM_RUNS):
+    def run_streaming_4batches() -> tuple[float, dict]:
         work = tempfile.mkdtemp(prefix="dlt-stream4-")
         try:
-            stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(f"{work}/sinks"))
+            stream = DeadLetterStream(
+                EngineConfig(), parquet_sink_writer(f"{work}/sinks")
+            )
             reader = (
-                spark.readStream.schema(derived.schema)
+                spark.readStream.schema(derived_schema)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(stream_src)
             )
@@ -140,10 +211,9 @@ def main() -> None:
                 .start()
             )
             q.awaitTermination()
-            runs.append(round(time.time() - t0, 3))
+            elapsed = round(time.time() - t0, 3)
             # Throughput as a rate (r5 verdict #3): per-batch input rows and
-            # trigger duration straight from StreamingQueryProgress, so the
-            # wall-time entry above is interpretable round-over-round.
+            # trigger duration straight from StreamingQueryProgress.
             batches = []
             for p in q.recentProgress:
                 n_rows = int(p.numInputRows or 0)
@@ -153,56 +223,110 @@ def main() -> None:
                 batches.append({"input_rows": n_rows, "trigger_ms": dur_ms})
             total_rows = sum(b["input_rows"] for b in batches)
             total_ms = sum(b["trigger_ms"] for b in batches)
-            stream_rates.append(
-                {
-                    "input_rows": total_rows,
-                    "trigger_ms": total_ms,
-                    "rows_per_sec": round(total_rows / (total_ms / 1000.0), 1)
-                    if total_ms
-                    else None,
-                    "batches": batches,
-                }
-            )
+            rate = {
+                "input_rows": total_rows,
+                "trigger_ms": total_ms,
+                "rows_per_sec": round(total_rows / (total_ms / 1000.0), 1)
+                if total_ms
+                else None,
+                "batches": batches,
+            }
+            return elapsed, rate
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+    all_names = (
+        list(bench_queries)
+        + list(ingest_entries)
+        + ["dlt_streaming_roundtrip", "dlt_streaming_4batches"]
+    )
+    samples: dict[str, list[float]] = {n: [] for n in all_names}
+    stream_rates: list[dict] = []
+    # Interleaved passes: each pass runs every entry once — batch queries,
+    # ingest filters, then BOTH streaming entries, so any box-load
+    # transient spreads across one pass of everything (r6 verdict #2).
+    for pass_idx in range(N_RUNS):
+        for name, q in bench_queries.items():
+            t0 = time.time()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples[name].append(round(time.time() - t0, 3))
+        for name, (thunk, _) in ingest_entries.items():
+            t0 = time.time()
+            thunk()
+            samples[name].append(round(time.time() - t0, 3))
+        samples["dlt_streaming_roundtrip"].append(run_streaming_roundtrip(pass_idx))
+        elapsed, rate = run_streaming_4batches()
+        samples["dlt_streaming_4batches"].append(elapsed)
+        stream_rates.append(rate)
     shutil.rmtree(stream_src, ignore_errors=True)
-    samples["dlt_streaming_4batches"] = runs
-    # Median-rate summary for the JSON line (median over per-run rates).
-    rates = [r["rows_per_sec"] for r in stream_rates if r["rows_per_sec"]]
-    streaming_summary = {
-        "dlt_streaming_4batches": {
-            "input_rows": stream_rates[0]["input_rows"] if stream_rates else 0,
-            "rows_per_sec": round(statistics.median(rates), 1) if rates else None,
-            "runs": stream_rates,
-        }
-    }
 
     timings = {name: round(statistics.median(r), 3) for name, r in samples.items()}
+
+    # rows/sec summary: streaming rate from StreamingQueryProgress medians,
+    # ingest-filter rate from batch rows over the median serving time.
+    rps = [r["rows_per_sec"] for r in stream_rates if r["rows_per_sec"]]
+    rows_per_sec = {
+        "dlt_streaming_4batches": round(statistics.median(rps), 1) if rps else None,
+    }
+    for name, (_, n_rows) in ingest_entries.items():
+        med = timings[name]
+        rows_per_sec[name] = round(n_rows / med, 1) if med else None
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    load_end = os.getloadavg()
+    env = {
+        "cpus": cpus,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
+    }
+    # Detail line FIRST (samples, per-batch streaming progress): this is the
+    # line that can grow without bound, so it must never sit between the
+    # driver's tail-capture and the headline.
     print(
         json.dumps(
             {
-                "metric": "bench_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "runs_per_query": N_RUNS,
-                "samples": samples,
-                "streaming": streaming_summary,
-                "env": {
-                    "cpus": int(cpus),
-                    "load_avg_start": [round(x, 2) for x in load_start],
-                    "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-                },
+                "detail": {
+                    "samples": samples,
+                    "streaming": {
+                        "dlt_streaming_4batches": {
+                            "input_rows": stream_rates[0]["input_rows"]
+                            if stream_rates
+                            else 0,
+                            "runs": stream_rates,
+                        }
+                    },
+                    "ingest_batch_rows": {
+                        n: r for n, (_, r) in ingest_entries.items()
+                    },
+                }
             }
         )
     )
+    sys.stdout.flush()
+    headline = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": N_RUNS,
+        "rows_per_sec": rows_per_sec,
+        "env": env,
+    }
+    # A run started on a busy box is suspect on its face (the r5/r6 weak
+    # entries were all load contamination) — flag it in the artifact.
+    if isinstance(cpus, int) and load_start[0] > cpus / 8:
+        headline["load_warning"] = (
+            f"load_avg_start {load_start[0]:.2f} exceeds cpus/8={cpus / 8:.1f}; "
+            "medians may be contaminated"
+        )
+    out = json.dumps(headline)
+    assert len(out) < 4096, f"headline JSON grew to {len(out)} bytes"
+    print(out)  # LAST stdout line — the driver parses this
     spark.stop()
 
 
