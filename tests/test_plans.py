@@ -55,17 +55,18 @@ def test_entry_contract(spark):
     assert len(df.columns) > 0
 
 
-def test_approx_distinct_within_hll_error_bounds(spark):
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_approx_distinct_within_hll_error_bounds(spark, sf):
     """events_approx_distinct_users is deliberately rows-only in the driver
     gate (HLL sketches are engine-specific) — so pin its SEMANTICS here:
     each per-type estimate must sit within 3× the default HLL++ relative
-    standard deviation (rsd 0.05) of the exact distinct count."""
+    standard deviation (rsd 0.05) of the exact distinct count, at both the
+    oracle sf and the bench sf (r6 verdict #5)."""
     from pyspark.sql import functions as F
 
     from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
     from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.01"
     approx = {
         r.event_type: r.approx_users
         for r in QUERIES["events_approx_distinct_users"].spark(spark, sf).collect()
