@@ -368,6 +368,7 @@ def ivf_search_batch(
     nprobe: int,
     k: int = 10,
     id_col: str = "vec_id",
+    route_queries: list[list[float]] | None = None,
 ) -> DataFrame:
     """Serve a BATCH of queries from ONE scan of a persisted IVF index —
     the real ANN serving shape (amortizes the index scan the way
@@ -382,15 +383,27 @@ def ivf_search_batch(
     equals its single-query :func:`ivf_search`.  Top-k per query is
     two-phase (partition-local row_number caps k rows per partition per
     query before the final per-query rank) — never N·Q rows into Q
-    reducers.  Returns (query_id, id_col, cluster, cos, rnk)."""
+    reducers.  Returns (query_id, id_col, cluster, cos, rnk).
+
+    ``route_queries``: probe-routing twins of ``queries`` expressed in the
+    CENTROID space — standard IVF practice when the coarse quantizer lives
+    in a quantized domain (the registry's learned index stores microunit-
+    integer centroids, so routing compares microunit queries while the fine
+    ranking scores the exact float originals).  Defaults to ``queries``
+    when both spaces coincide."""
     from pyspark.sql import Window
 
     if not queries:
         raise ValueError("ivf_search_batch: empty query batch")
+    rq = route_queries if route_queries is not None else queries
+    if len(rq) != len(queries):
+        raise ValueError(
+            f"ivf_search_batch: {len(rq)} route_queries for {len(queries)} queries"
+        )
     spark = index_df.sparkSession
     probe_pairs = [
         (qi, c)
-        for qi, q in enumerate(queries)
+        for qi, q in enumerate(rq)
         for c in route_query(centroids, q, nprobe)
     ]
     union_clusters = sorted({c for _, c in probe_pairs})

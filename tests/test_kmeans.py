@@ -142,6 +142,7 @@ def test_quantized_fit_is_deterministic_and_serves_better_than_labels(spark):
     from kafka_streams_dead_letter_publishing_spark.plans.registry import QUERIES
     from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
         QUERY_VECTOR,
+        emb_ivf_learned_topk,
         ivf_probe_topk,
     )
 
@@ -161,14 +162,29 @@ def test_quantized_fit_is_deterministic_and_serves_better_than_labels(spark):
     true10 = {int(ids[i]) for i in np.argsort(-cos)[:10]}
 
     learned = {
-        int(r.vec_id)
-        for r in QUERIES["emb_ivf_learned_topk"].spark(spark, SF).collect()
+        int(r.vec_id) for r in emb_ivf_learned_topk(spark, SF).collect()
     }
     label = {int(r.vec_id) for r in ivf_probe_topk(spark, SF, nprobe=3).collect()}
     r_learned = len(learned & true10) / 10
     r_label = len(label & true10) / 10
     assert r_learned >= 0.5, r_learned
     assert r_learned > r_label, (r_learned, r_label)
+
+    # the registered BATCH row (r7 consolidation) serves query 0 = the same
+    # QUERY_VECTOR through the same index: its query-0 slice must equal the
+    # single-query serving path exactly
+    batch0 = [
+        (int(r.vec_id), r.cos)
+        for r in sorted(
+            QUERIES["emb_ivf_batch_topk"].spark(spark, SF).collect(),
+            key=lambda r: r.rnk,
+        )
+        if r.query_id == 0
+    ]
+    single = [
+        (int(r.vec_id), r.cos) for r in emb_ivf_learned_topk(spark, SF).collect()
+    ]
+    assert batch0 == single
 
 
 def test_route_query_prefix_property():

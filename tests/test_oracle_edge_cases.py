@@ -405,7 +405,7 @@ EMB_FAMILY_QUERIES = (
     "emb_ann_multitable_pairs",
     "emb_label_centroids",
     "emb_label_centroids_scale",
-    "emb_ivf_learned_topk",
+    "emb_ivf_batch_topk",
 )
 
 
@@ -755,7 +755,7 @@ def unindexable_embeddings_dir(tmp_path):
 def test_learned_ivf_excludes_unindexable_rows_identically(
     spark, unindexable_embeddings_dir
 ):
-    name = "emb_ivf_learned_topk"
+    name = "emb_ivf_batch_topk"
     q = QUERIES[name]
     sdf = q.spark(spark, unindexable_embeddings_dir).toPandas()
     con = duckdb.connect()

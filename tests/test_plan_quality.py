@@ -201,9 +201,17 @@ def test_learned_ivf_serves_from_partition_pruned_scan(spark):
     from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
         IVF_LEARNED_NLIST,
         IVF_NPROBE,
+        emb_ivf_learned_topk,
     )
 
-    plan = plan_of(spark, "emb_ivf_learned_topk")
+    # single-query serving path (kept as a plain function after the r7
+    # batch consolidation): pruned scan + top-k reduce
+    plan = (
+        emb_ivf_learned_topk(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters:")[1][:250]
     assert "cluster" in pf, pf
@@ -211,6 +219,17 @@ def test_learned_ivf_serves_from_partition_pruned_scan(spark):
     assert IVF_NPROBE < IVF_LEARNED_NLIST
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrdered" in plan  # top-k reduce, not a global sort
+
+    # the registered BATCH row: ONE pruned scan over the union of probed
+    # cells, broadcast probe fan-out (never a cartesian against the query
+    # batch), two-phase window top-k, still zero Python
+    bplan = plan_of(spark, "emb_ivf_batch_topk")
+    assert "PartitionFilters: [" in bplan
+    assert "cluster" in bplan.split("PartitionFilters:")[1][:250]
+    assert "BroadcastHashJoin" in bplan
+    assert "CartesianProduct" not in bplan
+    assert "BroadcastNestedLoopJoin" not in bplan
+    assert "BatchEvalPython" not in bplan and "ArrowEvalPython" not in bplan
 
     # fit posture: the per-iteration update aggregation (same shape the
     # driver loop collects) uses map-side partial sums, never collect_list

@@ -160,7 +160,7 @@ def test_connected_components_match_union_find(spark, pairs):
 @given(vector_strategy, st.integers(min_value=1, max_value=8))
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 def test_quantized_kmeans_is_partition_layout_invariant(spark, vecs, n_parts):
-    """The oracle-replayability claim behind emb_ivf_learned_topk: the
+    """The oracle-replayability claim behind emb_ivf_batch_topk: the
     quantized fit is a pure function of the DATA — exact integer sums are
     commutative, so arbitrary repartitioning (different partition counts,
     different row orders per partition) must produce bit-identical
@@ -181,7 +181,7 @@ def test_quantized_kmeans_is_partition_layout_invariant(spark, vecs, n_parts):
 
 # ── learned-IVF end-to-end oracle parity on ARBITRARY corpora ────────────
 #
-# The driver hash-gates emb_ivf_learned_topk on the fixed testdata corpus
+# The driver hash-gates the learned-IVF batch row on the fixed testdata corpus
 # and the edge-case tier pins degenerate/unindexable fixtures; this fuzz
 # closes the remaining gap — the fit+probe+top-k replay must agree on
 # corpora hypothesis invents.  The value pool is DISCRETE (float32-exact,
@@ -244,7 +244,7 @@ def test_learned_ivf_row_matches_oracle_on_random_corpora(spark, entries):
             ),
             f"{d}/embeddings.parquet",
         )
-        q = QUERIES["emb_ivf_learned_topk"]
+        q = QUERIES["emb_ivf_batch_topk"]
         sdf = q.spark(spark, d).toPandas()
         con = duckdb.connect()
         try:
@@ -255,23 +255,34 @@ def test_learned_ivf_row_matches_oracle_on_random_corpora(spark, entries):
         finally:
             con.close()
 
-        def canon(v):
-            if v is None:
-                return None
-            if isinstance(v, (float, np.floating)):
-                f = float(v)
-                return "NaN" if math.isnan(f) else struct.pack(">d", f).hex()
-            if isinstance(v, (int, np.integer)):
-                return int(v)
-            return str(v)
+        # one canonicalizer for every engine-vs-oracle compare (r6 ADVICE:
+        # the local twin lacked the key=repr sort and would TypeError on a
+        # column mixing None/str/int across rows instead of diffing)
+        from tests.test_oracle_edge_cases import _canon
 
         cols = sorted(sdf.columns)
         assert cols == sorted(odf.columns)
-        srows = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.to_dict("records"))
-        orows = sorted(tuple(canon(r[c]) for c in cols) for r in odf.to_dict("records"))
+        srows = sorted(
+            (tuple(_canon(r[c]) for c in cols) for r in sdf.to_dict("records")),
+            key=repr,
+        )
+        orows = sorted(
+            (tuple(_canon(r[c]) for c in cols) for r in odf.to_dict("records")),
+            key=repr,
+        )
         assert srows == orows, f"engine {srows[:3]} vs oracle {orows[:3]}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        # drop this example's learned-index cache entry AND its index dir
+        # (r6 ADVICE: the fuzz multiplies the documented one-dir-per-corpus
+        # cache contract into ~8 leaked dirs per run)
+        from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+            _LEARNED_INDEX_CACHE,
+        )
+
+        cached = _LEARNED_INDEX_CACHE.pop(d, None)
+        if cached is not None:
+            shutil.rmtree(cached[0], ignore_errors=True)
 
 
 # ── near-dup pipeline oracle parity on ARBITRARY corpora ─────────────────
