@@ -29,9 +29,15 @@ EMBEDDING_DIM = 64
 #: target; the operator API below scales the count with corpus size.
 N_HYPERPLANES = 8
 
-#: Upper bound of the deterministic plane pool (2^24 buckets ≈ 16M — enough
-#: for ~4e9 vectors at the default target occupancy).
-MAX_HYPERPLANES = 24
+#: Upper bound of the deterministic plane pool.  r7 grew it 24 → 96: the
+#: multi-table config must DEEPEN its tables as the corpus grows (random-
+#: pair collision per b-plane table is ≈(1/2)^b, so candidates are
+#: ≈L·N²/2^b — fixed b is quadratic; b ≈ log2(N/occupancy) holds the
+#: candidate volume linear-ish), and 6 tables × 16 planes needs a 96-plane
+#: pool.  Extending the pool APPENDS planes — the rng emits them
+#: sequentially, so the first 24 (everything the oracle SQL embeds) are
+#: bit-identical to every earlier round (pinned in test_plan_quality).
+MAX_HYPERPLANES = 96
 
 #: Multi-table (OR-amplified) LSH configuration — the RECALL-viable ANN
 #: path.  Sign-LSH is AND-amplification: every extra plane multiplies the
@@ -51,6 +57,32 @@ _rng = np.random.default_rng(7)
 HYPERPLANES: list[list[float]] = [
     [float(x) for x in _rng.standard_normal(EMBEDDING_DIM)] for _ in range(MAX_HYPERPLANES)
 ]
+
+
+def planes_per_table_for(
+    n_vectors: int,
+    n_tables: int = N_TABLES,
+    target_collisions_per_vector: int = 64,
+) -> int:
+    """Per-table depth that holds the expected RANDOM-pair candidate
+    volume ≈ ``target_collisions_per_vector``: a random (≈orthogonal) pair
+    collides in a b-plane sign-LSH table with probability ≈(1/2)^b, so
+    expected random candidates per vector ≈ n_tables·N/2^b and
+    b = ceil(log2(n_tables·N/target)) keeps total candidate work
+    LINEAR-ish in N — fixed b is quadratic (the scale probe measures
+    exactly this).  Floored at the oracle default PLANES_PER_TABLE and
+    capped by the plane pool.  Recall trade: deeper tables keep dup-grade
+    recall (cos ≥ 0.9 ⇒ per-plane p ≈ 0.86, p¹⁶ ≈ 0.09 per table but
+    OR-amplified and verified exactly); mid-similarity regimes should
+    raise n_tables alongside b."""
+    import math
+
+    if n_vectors <= 0:
+        return PLANES_PER_TABLE
+    needed = math.ceil(
+        math.log2(max(n_tables * n_vectors / target_collisions_per_vector, 1.0))
+    )
+    return min(MAX_HYPERPLANES // n_tables, max(PLANES_PER_TABLE, needed))
 
 
 def n_hyperplanes_for(n_vectors: int, target_occupancy: int = 256) -> int:

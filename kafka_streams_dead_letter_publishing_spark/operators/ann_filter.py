@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+    N_TABLES,
+    PLANES_PER_TABLE,
     dot,
     lsh_table_keys_int,
 )
@@ -36,27 +38,52 @@ class AnnIndex(NamedTuple):
 
     ``buckets`` — (bk long, ref_id)                        : candidate side
     ``vectors`` — (ref_id, ref_emb array<float>, ref_nrm)  : verify payload
+    ``n_tables`` / ``planes_per_table`` — the LSH config the buckets were
+    built with; the filter derives batch keys from the SAME config (a
+    mismatch would silently miss every collision), so the config rides the
+    index object rather than being re-supplied by callers.
     """
 
     buckets: DataFrame
     vectors: DataFrame
+    n_tables: int = N_TABLES
+    planes_per_table: int = PLANES_PER_TABLE
 
 
 def build_ann_index(
-    corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> AnnIndex:
     """Index reference vectors for :func:`ann_filter`.  Zero-norm vectors
     are dropped from the index — cosine against them is undefined, so they
-    can never reject anything."""
+    can never reject anything.
+
+    ``planes_per_table``: pass ``planes_per_table_for(corpus_size)`` when
+    the reference set is large — the default oracle config (6×4 planes, 16
+    buckets/table) keeps RANDOM-pair collisions ≈ N/16 per vector per
+    table, i.e. candidate volume quadratic in N at fixed depth; scaling
+    the depth with log2(N) holds it linear-ish while dup-grade recall
+    (cos ≥ 0.9 ⇒ per-plane p ≈ 0.86) stays OR-amplified across tables."""
     base = corpus.select(
         F.col(id_col).alias("ref_id"),
         F.col(emb_col).alias("ref_emb"),
         F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("ref_nrm"),
     ).filter(F.col("ref_nrm") > 0)
     buckets = base.select(
-        "ref_id", F.explode(lsh_table_keys_int(F.col("ref_emb"))).alias("bk")
+        "ref_id",
+        F.explode(
+            lsh_table_keys_int(F.col("ref_emb"), n_tables, planes_per_table)
+        ).alias("bk"),
     ).select("bk", "ref_id")
-    return AnnIndex(buckets=buckets, vectors=base.select("ref_id", "ref_emb", "ref_nrm"))
+    return AnnIndex(
+        buckets=buckets,
+        vectors=base.select("ref_id", "ref_emb", "ref_nrm"),
+        n_tables=n_tables,
+        planes_per_table=planes_per_table,
+    )
 
 
 def ann_filter(
@@ -80,7 +107,10 @@ def ann_filter(
         F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
     ).filter(F.col("nrm") > 0)
     banded = staged.select(
-        "vec_id", F.explode(lsh_table_keys_int(F.col("emb"))).alias("bk")
+        "vec_id",
+        F.explode(
+            lsh_table_keys_int(F.col("emb"), index.n_tables, index.planes_per_table)
+        ).alias("bk"),
     )
     cands = banded.join(index.buckets, "bk").select("vec_id", "ref_id").distinct()
     dup_ids = (

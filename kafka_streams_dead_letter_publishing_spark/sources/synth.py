@@ -1,0 +1,115 @@
+"""Seeded synthetic corpus generators for scale probing ([EXT]).
+
+The driver's fixed testdata tops out at sf0.1 (5k documents / 2k vectors)
+— big enough for correctness, far too small to OBSERVE how an operator's
+cost grows.  These generators produce corpora of any size with the same
+shape as the testdata tables (``documents``: doc_id/text/lang/source/
+n_chars over a small word vocabulary; ``embeddings``: vec_id/embedding/
+label), entirely as Spark expressions over ``spark.range``:
+
+* **Deterministic**: every cell is a pure function of (id, seed) through
+  ``xxhash64`` — two generations of the same size are identical, a prefix
+  of a bigger corpus equals the smaller corpus, and no data ever crosses
+  the driver.
+* **Distributed**: ``spark.range`` splits across the cluster; generation
+  is a narrow map (no shuffle), so a 100× corpus costs 100× map work.
+* **Planted near-dups at a FIXED RATE**: every ``planted_every``-th id
+  re-derives its content from the previous id (documents: same word
+  sequence + one appended word ⇒ shingle-Jaccard just under 1; vectors:
+  the same direction scaled by 1.001 ⇒ cosine exactly 1 up to float
+  rounding).  A constant dup fraction is what real corpora look like, and
+  it keeps verify-stage work proportional to corpus size — so a scaling
+  probe measures the OPERATOR's growth, not an artificial dup blow-up.
+
+Used by ``tools/scale_probe.py``; deterministic contract pinned in
+``tests/test_synth.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Same flavor of micro-vocabulary as the driver's documents table (64
+#: words ⇒ 3-shingle space of ~262k — collisions happen, like real text).
+VOCAB_SIZE = 64
+LANGS = ("en", "de", "fr", "zh", "es")
+
+
+def _src_id(id_col: Column, planted_every: int) -> Column:
+    """The id whose content this row derives from: itself, or the previous
+    id for planted near-dup rows."""
+    planted = (id_col % planted_every == 0) & (id_col > 0)
+    return F.when(planted, id_col - 1).otherwise(id_col)
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    planted_every: int = 5,
+) -> DataFrame:
+    """(doc_id, text, lang, source, n_chars) — text is 8–120 words drawn
+    from the vocabulary by hash; every ``planted_every``-th doc is the
+    previous doc's text plus one extra word (a near-dup the minhash/LSH
+    pipeline must catch)."""
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    src = _src_id(F.col("doc_id"), planted_every)
+    planted = (F.col("doc_id") % planted_every == 0) & (F.col("doc_id") > 0)
+    n_words = F.lit(8) + F.pmod(F.xxhash64(src, F.lit(seed + 1)), F.lit(113))
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(src, j, F.lit(seed)), F.lit(VOCAB_SIZE)).cast("string"),
+        ),
+    )
+    text = F.array_join(words, " ")
+    text = F.when(planted, F.concat(text, F.lit(" wx"))).otherwise(text)
+    return ids.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in LANGS]),
+            (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed + 2)), F.lit(len(LANGS))) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed + 3)), F.lit(4)).cast("string"),
+        ).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def synth_embeddings(
+    spark: SparkSession,
+    n_vecs: int,
+    seed: int = 43,
+    planted_every: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, embedding array<float>, label) — components uniform-ish in
+    [-1, 1] by hash; every ``planted_every``-th vector is the previous
+    vector's direction scaled by 1.001 (cosine ≈ 1: a near-dup the
+    sign-LSH index must catch)."""
+    ids = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    src = _src_id(F.col("vec_id"), planted_every)
+    planted = (F.col("vec_id") % planted_every == 0) & (F.col("vec_id") > 0)
+    scale = F.when(planted, F.lit(1.001)).otherwise(F.lit(1.0))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (
+                (F.pmod(F.xxhash64(src, j, F.lit(seed)), F.lit(2_000_001)) - F.lit(1_000_000))
+                / F.lit(1_000_000.0)
+            )
+            * scale
+        ).cast("float"),
+    )
+    return ids.select(
+        "vec_id",
+        emb.alias("embedding"),
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), F.lit(10))
+        .cast("int")
+        .alias("label"),
+    )

@@ -349,3 +349,40 @@ def test_ivf_multi_probe_recall_is_monotone_and_gated(spark):
     assert recalls[IVF_NPROBE] >= 0.3, recalls
     assert recalls[IVF_NPROBE] > recalls[1], recalls
     assert recalls[10] == 1.0, recalls  # full probe ≡ exact brute force
+
+
+def test_hyperplane_pool_prefix_is_frozen():
+    """The oracle SQL embeds the first 24 planes verbatim; the pool may
+    GROW (r7: 24 → 96 so deeper multi-table configs can scale with corpus
+    size) but the prefix must never shift — the seeded rng emits planes
+    sequentially, so appending is safe and anything else is an oracle
+    break.  Golden sha256 over the big-endian doubles of planes [0, 24)."""
+    import hashlib
+    import struct as _struct
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        HYPERPLANES,
+        MAX_HYPERPLANES,
+        PLANES_PER_TABLE,
+        planes_per_table_for,
+    )
+
+    h = hashlib.sha256()
+    for p in HYPERPLANES[:24]:
+        for w in p:
+            h.update(_struct.pack(">d", w))
+    assert (
+        h.hexdigest()
+        == "8d79e2b8ed1e3a7a2a0e63864e0548e84d3ab780cfe8a173e8f2405d1c03aefb"
+    )
+    assert len(HYPERPLANES) == MAX_HYPERPLANES >= 24
+
+    # the depth knob: floored at the oracle default, monotone in N, capped
+    # by the pool, and holding candidate volume ≈ linear (b grows by ~2
+    # per 4× corpus)
+    assert planes_per_table_for(0) == PLANES_PER_TABLE
+    assert planes_per_table_for(2_000) >= PLANES_PER_TABLE
+    bs = [planes_per_table_for(n) for n in (2_000, 8_000, 32_000, 10**9)]
+    assert bs == sorted(bs)
+    assert bs[-1] <= MAX_HYPERPLANES // 6
+    assert bs[2] >= bs[0] + 3  # 16x corpus -> ~4 more planes

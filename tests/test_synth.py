@@ -1,0 +1,145 @@
+"""Contract tests for the synthetic scale-probe corpora
+(``sources/synth.py``): deterministic, prefix-stable, schema-compatible
+with the testdata loaders, and carrying planted near-dups at the declared
+rate — the properties ``tools/scale_probe.py`` relies on to measure
+operator growth instead of generator noise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+    synth_documents,
+    synth_embeddings,
+)
+
+
+def test_synth_documents_deterministic_and_prefix_stable(spark):
+    a = sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in synth_documents(spark, 200).collect())
+    b = sorted((r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in synth_documents(spark, 200).collect())
+    assert a == b
+    # a smaller corpus is a strict prefix of a bigger one (same seeds)
+    big = sorted((r.doc_id, r.text) for r in synth_documents(spark, 400).collect())
+    assert [t[:2] for t in a] == big[:200]
+    # schema matches the testdata documents table
+    assert [f.name for f in synth_documents(spark, 1).schema] == [
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ]
+    rows = dict((r.doc_id, r) for r in synth_documents(spark, 50).collect())
+    assert all(r.n_chars == len(r.text) for r in rows.values())
+
+
+def test_synth_documents_planted_neardups(spark):
+    rows = {r.doc_id: r.text for r in synth_documents(spark, 100, planted_every=5).collect()}
+    for did in range(5, 100, 5):
+        base, dup = rows[did - 1], rows[did]
+        assert dup == base + " wx"  # previous text + one word => Jaccard near 1
+    # non-planted neighbors are not trivially identical
+    assert rows[1] != rows[2]
+
+
+def test_synth_embeddings_deterministic_with_planted_cosine_dups(spark):
+    df = synth_embeddings(spark, 100, planted_every=10)
+    a = {r.vec_id: list(r.embedding) for r in df.collect()}
+    b = {r.vec_id: list(r.embedding) for r in synth_embeddings(spark, 100, planted_every=10).collect()}
+    assert a == b
+    assert all(len(v) == 64 for v in a.values())
+    import math
+
+    for vid in range(10, 100, 10):
+        x, y = a[vid - 1], a[vid]
+        dot = sum(p * q for p, q in zip(x, y))
+        cos = dot / (math.sqrt(sum(p * p for p in x)) * math.sqrt(sum(q * q for q in y)))
+        assert cos > 0.999999, (vid, cos)  # same direction scaled
+    # a random pair is not near-duplicate
+    x, y = a[1], a[2]
+    dot = sum(p * q for p, q in zip(x, y))
+    cos = dot / (math.sqrt(sum(p * p for p in x)) * math.sqrt(sum(q * q for q in y)))
+    assert abs(cos) < 0.9
+
+
+def test_synth_generation_is_a_narrow_distributed_map(spark):
+    """Scale posture: generation must be shuffle-free (a pure map over
+    spark.range) so a 100x corpus costs 100x map work on the cluster."""
+    for df in (synth_documents(spark, 1000), synth_embeddings(spark, 1000)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert df.rdd.getNumPartitions() > 1  # range splits across workers
+
+
+def test_synth_feeds_the_text_and_ann_operators(spark):
+    """The probe's actual usage: the ingest filters run end-to-end on a
+    synthetic corpus and reject (only) the planted near-dups' batch rows
+    that collide with the reference slice."""
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        ann_filter,
+        build_ann_index,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
+        build_neardup_index,
+        neardup_filter,
+    )
+
+    docs = synth_documents(spark, 300, planted_every=5).persist()
+    ref = docs.filter(F.col("doc_id") % 5 != 0)  # originals
+    batch = docs.filter(F.col("doc_id") % 5 == 0)  # planted dups of ref docs
+    kept = neardup_filter(batch, build_neardup_index(ref))
+    # planted dups share all but one shingle with their base => Jaccard
+    # >= 0.6 and LSH-bandable: the filter must reject the vast majority
+    assert kept.count() < batch.count() * 0.2
+    docs.unpersist()
+
+    emb = synth_embeddings(spark, 300, planted_every=10).persist()
+    ref_v = emb.filter(F.col("vec_id") % 10 != 0)
+    batch_v = emb.filter(F.col("vec_id") % 10 == 0)
+    kept_v = ann_filter(batch_v, build_ann_index(ref_v), min_cos=0.9)
+    # cosine of a planted pair is ~1; sign-LSH recall at dup grade ~0.99
+    assert kept_v.count() <= batch_v.count() * 0.2
+    emb.unpersist()
+
+
+def test_ann_filter_scaled_depth_keeps_dup_grade_recall(spark):
+    """The r7 depth knob (planes_per_table_for): a DEEPER index must still
+    reject planted cosine~1 dups — dup-grade per-plane collision p ~ 0.86
+    stays OR-amplified across tables — while cutting random-pair candidate
+    volume (the quadratic term) by ~2^(b-4)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        planes_per_table_for,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        ann_filter,
+        build_ann_index,
+    )
+
+    emb = synth_embeddings(spark, 400, planted_every=10).persist()
+    ref = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    b = planes_per_table_for(400)
+    assert b >= 5  # genuinely deeper than the oracle default 4
+    deep = build_ann_index(ref, planes_per_table=b)
+    kept = ann_filter(batch, deep, min_cos=0.9)
+    n_batch = batch.count()
+    assert kept.count() <= n_batch * 0.35, (kept.count(), n_batch)
+    # candidate volume shrinks vs the default-depth index on the same data
+    def n_cands(idx):
+        from pyspark.sql import functions as FF
+        from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+            lsh_table_keys_int,
+        )
+
+        banded = batch.select(
+            "vec_id",
+            FF.explode(
+                lsh_table_keys_int(FF.col("embedding"), idx.n_tables, idx.planes_per_table)
+            ).alias("bk"),
+        )
+        return banded.join(idx.buckets, "bk").select("vec_id", "ref_id").distinct().count()
+
+    shallow = build_ann_index(ref)
+    assert n_cands(deep) < n_cands(shallow) * 0.6
+    emb.unpersist()
