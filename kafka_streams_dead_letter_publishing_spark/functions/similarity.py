@@ -69,12 +69,22 @@ def planes_per_table_for(
     collides in a b-plane sign-LSH table with probability ≈(1/2)^b, so
     expected random candidates per vector ≈ n_tables·N/2^b and
     b = ceil(log2(n_tables·N/target)) keeps total candidate work
-    LINEAR-ish in N — fixed b is quadratic (the scale probe measures
-    exactly this).  Floored at the oracle default PLANES_PER_TABLE and
-    capped by the plane pool.  Recall trade: deeper tables keep dup-grade
-    recall (cos ≥ 0.9 ⇒ per-plane p ≈ 0.86, p¹⁶ ≈ 0.09 per table but
-    OR-amplified and verified exactly); mid-similarity regimes should
-    raise n_tables alongside b."""
+    LINEAR-ish in N — fixed b is quadratic (tools/scale_probe.py measures
+    both: candidates ×16.0 for a 4× corpus at fixed b=4, ×20.9 for a 16×
+    corpus with scaled b).  Floored at the oracle default PLANES_PER_TABLE
+    and capped by the plane pool.
+
+    RECALL TRADE (be honest about the LSH theory): recall at similarity
+    threshold s is 1−(1−p^b)^L with p = 1−acos(s)/π, so DEPTH erodes
+    boundary-recall — near-parallel dups (cos → 1 ⇒ p → 1) stay caught at
+    any depth (the probe measures 100% planted-dup recall through b=12),
+    but at cos = 0.9 (p ≈ 0.856) b=12/L=6 keeps only ~0.64.  Holding
+    recall at a FIXED threshold while candidates stay linear requires
+    growing n_tables ~N^ρ (ρ = ln(1/p_near)/ln(1/p_far), the classic LSH
+    exponent) — raise ``n_tables`` alongside b (the 96-plane pool feeds
+    L·b ≤ 96), or keep b moderate and pay candidate volume.  The exact
+    verify step means depth NEVER affects precision, only which candidate
+    pairs are scored."""
     import math
 
     if n_vectors <= 0:

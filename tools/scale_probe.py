@@ -1,0 +1,444 @@
+"""Empirical scaling probe: measure how the scale-critical operators GROW.
+
+The driver's fixed testdata stops at sf0.1 (5k docs / 2k vectors) — enough
+to verify correctness, not to observe cost curves.  This probe generates
+seeded synthetic corpora (``sources/synth.py``) at 1×/4×/16× the bench SF
+and times each operator at every size, then fits the growth exponent
+alpha in t ≈ c·N^alpha (least squares over log-log).  alpha ≈ 1 means the
+plan's work scales with the data (what a 1000-executor cluster can
+absorb); alpha ≈ 2 is the quadratic cliff the banded/bucketed designs
+exist to avoid.
+
+Probed (composed from the same operator APIs the registry rows use):
+
+* exact_dedup           — md5-fingerprint groupBy (hash agg, linear)
+* neardup_pairs_cc      — minhash → LSH bands → candidate equi-join →
+                          Jaccard verify → connected components (the full
+                          in-corpus near-dup clustering pipeline)
+* neardup_ingest_filter — 10% micro-batch vs prebuilt index (serving path)
+* ann_pairs_fixed4      — in-corpus cosine≥0.9 pairs, oracle 6×4-plane
+                          config: EXPECTED ≈quadratic (the probe's point —
+                          fixed depth does not survive scale; capped at 4×)
+* ann_pairs_scaled      — same with planes_per_table_for(N) depth:
+                          expected ≈linear
+* ann_ingest_filter     — 10% micro-batch vs scaled-depth index
+* ivf_build             — quantized k-means fit on the 1/4 sample + full
+                          assignment + partitionBy(cluster) persist
+* ivf_batch_serve       — 4-query batch from the persisted index (warm,
+                          partition-pruned)
+* brute_topk            — 4-query exact cosine top-10 (linear reference)
+
+Usage: python tools/scale_probe.py [factor ...]   (default: 1 4 16)
+Prints one JSON line per measurement and a final ``summary`` line with
+fitted exponents.  Results are recorded/discussed in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+BASE_DOCS = 5_000  # sf0.1 documents rows
+BASE_VECS = 2_000  # sf0.1 embeddings rows
+JACCARD_PCT = 60
+MIN_COS = 0.9
+#: fixed-depth ANN pairs are ~quadratic; past this factor the probe would
+#: spend its whole budget demonstrating a slope two points already show
+FIXED_DEPTH_MAX_FACTOR = 4
+
+
+def _timed(fn, runs: int = 2) -> float:
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dead-letter-engine-scale-probe")
+        # local mode puts driver AND all 32 executor threads in ONE JVM
+        # whose default heap is 1g — the 16x fixed-depth candidate distinct
+        # OOMs it.  The probe box has 128 GiB; on a real cluster this is
+        # ordinary per-executor memory, not a knob the plan depends on.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256kb")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        dot,
+        lsh_table_keys_int,
+        planes_per_table_for,
+    )
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        band_keys_from_minhash,
+        minhash_array,
+        norm_text,
+        shingles,
+        tokens,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        ann_filter,
+        build_ann_index,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.components import (
+        connected_components,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        indexable,
+        ivf_search_batch,
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
+        build_neardup_index,
+        neardup_filter,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+        synth_documents,
+        synth_embeddings,
+    )
+
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warm-up
+
+    results: dict[str, dict[int, float]] = {}
+    extras: dict[str, dict[int, int]] = {}
+
+    def record(op: str, n: int, sec: float, **extra) -> None:
+        results.setdefault(op, {})[n] = sec
+        for k, v in extra.items():
+            extras.setdefault(f"{op}.{k}", {})[n] = v
+        print(json.dumps({"op": op, "n": n, "sec": sec, **extra}))
+        sys.stdout.flush()
+
+    def staged_docs(docs):
+        return docs.select(
+            "doc_id", shingles(tokens(norm_text(F.col("text")))).alias("sh")
+        )
+
+    def neardup_pairs(staged):
+        banded = staged.select(
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+            minhash_array(F.col("sh")).alias("mh"),
+        ).select(
+            "doc_id",
+            F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
+        )
+        cands = (
+            banded.alias("a")
+            .join(banded.alias("b"), "bk")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        n_common = F.size(F.array_intersect("a.sh", "b.sh"))
+        return (
+            cands.join(staged.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .join(staged.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                n_common.alias("nc"),
+                (F.size("a.sh") + F.size("b.sh")).alias("nab"),
+            )
+            .filter(F.col("nc") * 100 >= (F.col("nab") - F.col("nc")) * JACCARD_PCT)
+            .select("doc_a", "doc_b")
+        )
+
+    def ann_pairs(emb, planes_per_table):
+        base = emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        ).filter(F.col("nrm") > 0)
+        keys = base.select(
+            "vec_id",
+            F.explode(
+                lsh_table_keys_int(F.col("embedding"), 6, planes_per_table)
+            ).alias("bk"),
+        )
+        cands = (
+            keys.alias("a")
+            .join(keys.alias("b"), "bk")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+            .distinct()
+        )
+        verified = (
+            cands.join(
+                base.select(
+                    F.col("vec_id").alias("va"),
+                    F.col("embedding").alias("ea"),
+                    F.col("nrm").alias("na"),
+                ),
+                "va",
+            )
+            .join(
+                base.select(
+                    F.col("vec_id").alias("vb"),
+                    F.col("embedding").alias("eb"),
+                    F.col("nrm").alias("nb"),
+                ),
+                "vb",
+            )
+            .select(
+                "va",
+                "vb",
+                F.try_divide(
+                    dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= MIN_COS)
+        )
+        return cands, verified
+
+    for f in factors:
+        n_docs, n_vecs = BASE_DOCS * f, BASE_VECS * f
+
+        # ── text family ────────────────────────────────────────────────
+        docs = synth_documents(spark, n_docs).persist()
+        docs.count()
+
+        record(
+            "exact_dedup",
+            n_docs,
+            _timed(
+                lambda: _noop(
+                    docs.groupBy(F.md5("text").alias("fp")).agg(
+                        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper")
+                    )
+                )
+            ),
+        )
+
+        staged = staged_docs(docs).persist()
+        staged.count()
+        pair_count = {}
+
+        def run_neardup_cc():
+            pairs = neardup_pairs(staged)
+            cc = connected_components(pairs)
+            pair_count["n"] = cc.count()
+
+        record("neardup_pairs_cc", n_docs, _timed(run_neardup_cc), clustered_nodes=pair_count["n"])
+
+        nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
+        nd_idx = nd_idx._replace(
+            bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
+        )
+        nd_idx.bands.count(), nd_idx.shingles.count()
+        nd_batch = docs.filter(F.col("doc_id") % 10 == 0).persist()
+        nd_batch.count()
+        record(
+            "neardup_ingest_filter",
+            n_docs,
+            _timed(lambda: _noop(neardup_filter(nd_batch, nd_idx))),
+        )
+        for df in (staged, nd_idx.bands, nd_idx.shingles, nd_batch, docs):
+            df.unpersist()
+
+        # ── embedding family ───────────────────────────────────────────
+        emb = synth_embeddings(spark, n_vecs).persist()
+        emb.count()
+
+        if f <= FIXED_DEPTH_MAX_FACTOR:
+            counts = {}
+
+            def run_fixed():
+                cands, verified = ann_pairs(emb, 4)
+                counts["cands"] = cands.count()
+                counts["dups"] = verified.count()
+
+            record(
+                "ann_pairs_fixed4",
+                n_vecs,
+                _timed(run_fixed),
+                candidates=counts["cands"],
+                dup_pairs=counts["dups"],
+            )
+        else:
+            print(
+                json.dumps(
+                    {
+                        "op": "ann_pairs_fixed4",
+                        "n": n_vecs,
+                        "skipped": f"fixed 4-plane depth is ~quadratic; factor {f} "
+                        "omitted by design (see exponent from the smaller sizes)",
+                    }
+                )
+            )
+
+        b = planes_per_table_for(n_vecs)
+        counts = {}
+
+        def run_scaled():
+            cands, verified = ann_pairs(emb, b)
+            counts["cands"] = cands.count()
+            counts["dups"] = verified.count()
+
+        record(
+            "ann_pairs_scaled",
+            n_vecs,
+            _timed(run_scaled),
+            candidates=counts["cands"],
+            dup_pairs=counts["dups"],
+            planes_per_table=b,
+        )
+
+        ann_idx = build_ann_index(
+            emb.filter(F.col("vec_id") % 10 != 0), planes_per_table=b
+        )
+        ann_idx = ann_idx._replace(
+            buckets=ann_idx.buckets.persist(), vectors=ann_idx.vectors.persist()
+        )
+        ann_idx.buckets.count(), ann_idx.vectors.count()
+        ann_batch = emb.filter(F.col("vec_id") % 10 == 0).persist()
+        ann_batch.count()
+        record(
+            "ann_ingest_filter",
+            n_vecs,
+            _timed(lambda: _noop(ann_filter(ann_batch, ann_idx, min_cos=MIN_COS))),
+        )
+        for df in (ann_idx.buckets, ann_idx.vectors, ann_batch):
+            df.unpersist()
+
+        # IVF lifecycle: sampled fit + full assign + partitioned persist,
+        # then warm batch serving from the pruned index
+        idx_dir = tempfile.mkdtemp(prefix="scale-probe-ivf-")
+        cents_box = {}
+
+        def run_ivf_build():
+            clean = emb.filter(indexable(F.col("embedding"), 64))
+            cents = kmeans_fit_quantized(
+                clean.filter(F.col("vec_id") % 4 == 0), k=8, iters=3
+            )
+            assigned = clean.select(
+                "vec_id",
+                "embedding",
+                nearest_cluster_quantized(
+                    cents, quantize_embedding(F.col("embedding"))
+                ).alias("cluster"),
+            )
+            assigned.repartition("cluster").write.mode("overwrite").partitionBy(
+                "cluster"
+            ).parquet(idx_dir)
+            cents_box["c"] = cents
+
+        record("ivf_build", n_vecs, _timed(run_ivf_build, runs=1))
+
+        queries = [
+            [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id").isin([1, 3, 5, 7])).collect()
+        ]
+        q_micro = [[math.floor(x * 1_000_000) for x in q] for q in queries]
+        idx_df = spark.read.parquet(idx_dir)
+        record(
+            "ivf_batch_serve",
+            n_vecs,
+            _timed(
+                lambda: _noop(
+                    ivf_search_batch(
+                        idx_df, cents_box["c"], queries, nprobe=3, k=10,
+                        route_queries=q_micro,
+                    )
+                )
+            ),
+        )
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+        # linear reference: brute-force 4-query top-10 (two-phase)
+        from pyspark.sql import Window
+
+        qm = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in q) + ")"
+                for q in queries
+            )
+            + ")"
+        )
+
+        def run_brute():
+            scored = (
+                emb.select(
+                    "vec_id", F.posexplode(qm).alias("query_id", "qv"), "embedding"
+                )
+                .select(
+                    "query_id",
+                    "vec_id",
+                    F.try_divide(
+                        dot(F.col("embedding"), F.col("qv")),
+                        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                        * F.sqrt(dot(F.col("qv"), F.col("qv"))),
+                    ).alias("cos"),
+                )
+                .filter(F.col("cos").isNotNull())
+            )
+            staged2 = scored.withColumn("pid", F.spark_partition_id())
+            w_local = Window.partitionBy("pid", "query_id").orderBy(
+                F.desc("cos"), F.asc("vec_id")
+            )
+            local = (
+                staged2.withColumn("rn", F.row_number().over(w_local))
+                .filter(F.col("rn") <= 10)
+                .drop("pid", "rn")
+            )
+            w_g = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+            _noop(
+                local.withColumn("rnk", F.row_number().over(w_g)).filter(
+                    F.col("rnk") <= 10
+                )
+            )
+
+        record("brute_topk", n_vecs, _timed(run_brute))
+        emb.unpersist()
+
+    # ── fitted exponents: slope of log t over log n ────────────────────
+    summary = {}
+    for op, pts in results.items():
+        if len(pts) < 2:
+            summary[op] = {"points": pts, "exponent": None}
+            continue
+        xs = [math.log(n) for n in sorted(pts)]
+        ys = [math.log(max(pts[n], 1e-3)) for n in sorted(pts)]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        summary[op] = {"points": pts, "exponent": round(slope, 2)}
+    print(json.dumps({"summary": summary, "extras": extras, "factors": factors}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
