@@ -29,15 +29,20 @@ EMBEDDING_DIM = 64
 #: target; the operator API below scales the count with corpus size.
 N_HYPERPLANES = 8
 
-#: Upper bound of the deterministic plane pool.  r7 grew it 24 → 96: the
+#: Upper bound of the deterministic plane pool.  r7 grew it 24 → 192: the
 #: multi-table config must DEEPEN its tables as the corpus grows (random-
 #: pair collision per b-plane table is ≈(1/2)^b, so candidates are
 #: ≈L·N²/2^b — fixed b is quadratic; b ≈ log2(N/occupancy) holds the
-#: candidate volume linear-ish), and 6 tables × 16 planes needs a 96-plane
-#: pool.  Extending the pool APPENDS planes — the rng emits them
-#: sequentially, so the first 24 (everything the oracle SQL embeds) are
-#: bit-identical to every earlier round (pinned in test_plan_quality).
-MAX_HYPERPLANES = 96
+#: candidate volume linear-ish), and holding RECALL at a similarity
+#: threshold while depth grows needs more tables too (lsh_config_for
+#: solves both jointly: e.g. recall 0.95 @ cos 0.95 on 32k vectors is
+#: 11 tables × 13 planes = 143).  192 funds the regimes where multi-table
+#: sign-LSH is the right tool; where the solver says INFEASIBLE, the
+#: answer is the learned-IVF path, not a bigger pool.  Extending the pool
+#: APPENDS planes — the rng emits them sequentially, so the first 24
+#: (everything the oracle SQL embeds) are bit-identical to every earlier
+#: round (pinned in test_plan_quality).
+MAX_HYPERPLANES = 192
 
 #: Multi-table (OR-amplified) LSH configuration — the RECALL-viable ANN
 #: path.  Sign-LSH is AND-amplification: every extra plane multiplies the
@@ -93,6 +98,67 @@ def planes_per_table_for(
         math.log2(max(n_tables * n_vectors / target_collisions_per_vector, 1.0))
     )
     return min(MAX_HYPERPLANES // n_tables, max(PLANES_PER_TABLE, needed))
+
+
+def lsh_config_for(
+    n_vectors: int,
+    threshold: float = 0.9,
+    recall: float = 0.95,
+    target_collisions_per_vector: int = 64,
+) -> tuple[int, int]:
+    """(n_tables, planes_per_table) meeting BOTH scale constraints at once:
+    candidate volume ≈ linear (depth b from the collision budget, as in
+    :func:`planes_per_table_for`) AND recall ≥ ``recall`` at similarity
+    ``threshold`` (table count L = ln(1−R)/ln(1−p^b), the OR-amplification
+    inverse, with p = 1−acos(s)/π).  b and L are solved jointly: raising L
+    raises the collision budget's b, which lowers per-table recall, which
+    raises L — iterate to the fixpoint (monotone, converges in a few
+    steps).  Raises ValueError when the deterministic plane pool cannot
+    fund L·b — silently under-delivering recall is not an option.
+
+    An INFEASIBLE result is information, not failure: the L·b cost of
+    OR-amplified sign-LSH at high boundary-recall grows ~N^ρ (hundreds of
+    planes per row by ~1e6 vectors), which is the textbook regime boundary
+    where inverted-file methods win — route those corpora to the
+    learned-IVF path (operators/kmeans.py) instead of growing the pool."""
+    import math
+
+    if not 0 < threshold < 1 or not 0 < recall < 1:
+        raise ValueError(f"lsh_config_for: bad threshold={threshold} recall={recall}")
+    p = 1.0 - math.acos(threshold) / math.pi
+
+    def depth(n_tables: int) -> int:
+        # UNCLAMPED twin of planes_per_table_for: the pool cap must surface
+        # as infeasibility below, never silently shrink b (a clamped b
+        # trades the candidate budget away while "meeting" recall)
+        if n_vectors <= 0:
+            return PLANES_PER_TABLE
+        return max(
+            PLANES_PER_TABLE,
+            math.ceil(
+                math.log2(
+                    max(n_tables * n_vectors / target_collisions_per_vector, 1.0)
+                )
+            ),
+        )
+
+    n_tables = N_TABLES
+    for _ in range(64):
+        b = depth(n_tables)
+        need = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p**b)))
+        if need <= n_tables:
+            if n_tables * b > MAX_HYPERPLANES:
+                break
+            return n_tables, b
+        n_tables = need
+    b = depth(n_tables)
+    raise ValueError(
+        f"lsh_config_for: recall {recall} at threshold {threshold} for "
+        f"{n_vectors} vectors needs ~{n_tables} tables x {b} planes "
+        f"({n_tables * b} total), beyond the {MAX_HYPERPLANES}-plane pool; "
+        "lower the recall target, raise target_collisions_per_vector, or "
+        "grow MAX_HYPERPLANES"
+    )
 
 
 def n_hyperplanes_for(n_vectors: int, target_occupancy: int = 256) -> int:

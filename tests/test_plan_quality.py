@@ -386,3 +386,31 @@ def test_hyperplane_pool_prefix_is_frozen():
     assert bs == sorted(bs)
     assert bs[-1] <= MAX_HYPERPLANES // 6
     assert bs[2] >= bs[0] + 3  # 16x corpus -> ~4 more planes
+
+
+def test_lsh_config_solver_meets_recall_and_budget_or_refuses():
+    """lsh_config_for must return configs that actually deliver the recall
+    target AND the linear candidate budget, and must REFUSE (ValueError)
+    where sign-LSH can't do both within the pool — never silently trade
+    one constraint away (the clamped-depth bug class)."""
+    import math
+
+    import pytest as _pytest
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        MAX_HYPERPLANES,
+        lsh_config_for,
+    )
+
+    for n, thr, rec in ((2_000, 0.9, 0.9), (2_000, 0.95, 0.95), (32_000, 0.95, 0.95)):
+        L, b = lsh_config_for(n, thr, rec)
+        assert L * b <= MAX_HYPERPLANES
+        p = 1 - math.acos(thr) / math.pi
+        assert 1 - (1 - p**b) ** L >= rec  # promised recall actually holds
+        assert L * n / 2**b <= 2 * 64  # random candidates/vector ~ budget
+
+    # the regime where OR-amplified sign-LSH stops being the right tool:
+    # the solver names it rather than shipping a quadratic or low-recall
+    # config (the docstring routes these corpora to the learned-IVF path)
+    with _pytest.raises(ValueError, match="plane pool"):
+        lsh_config_for(1_000_000, 0.95, 0.95)
