@@ -56,6 +56,7 @@ def build_ann_index(
     emb_col: str = "embedding",
     n_tables: int = N_TABLES,
     planes_per_table: int = PLANES_PER_TABLE,
+    max_bucket_occupancy: int | None = None,
 ) -> AnnIndex:
     """Index reference vectors for :func:`ann_filter`.  Zero-norm vectors
     are dropped from the index — cosine against them is undefined, so they
@@ -66,7 +67,15 @@ def build_ann_index(
     buckets/table) keeps RANDOM-pair collisions ≈ N/16 per vector per
     table, i.e. candidate volume quadratic in N at fixed depth; scaling
     the depth with log2(N) holds it linear-ish while dup-grade recall
-    (cos ≥ 0.9 ⇒ per-plane p ≈ 0.86) stays OR-amplified across tables."""
+    (cos ≥ 0.9 ⇒ per-plane p ≈ 0.86) stays OR-amplified across tables.
+
+    ``max_bucket_occupancy``: drop buckets bigger than the cap — the
+    hot-key guard for CORRELATED vector sets (dense clusters put far more
+    than the random-model N/2^b vectors into one bucket, and that bucket's
+    join is quadratic in its size).  Same trade as the neardup filter's
+    band cap: a dup reachable only through dropped buckets is missed, but
+    near-parallel pairs collide in ~every table, so they stay reachable
+    through the non-hot ones."""
     base = corpus.select(
         F.col(id_col).alias("ref_id"),
         F.col(emb_col).alias("ref_emb"),
@@ -78,6 +87,14 @@ def build_ann_index(
             lsh_table_keys_int(F.col("ref_emb"), n_tables, planes_per_table)
         ).alias("bk"),
     ).select("bk", "ref_id")
+    if max_bucket_occupancy is not None:
+        hot = (
+            buckets.groupBy("bk")
+            .count()
+            .filter(F.col("count") > max_bucket_occupancy)
+            .select("bk")
+        )
+        buckets = buckets.join(F.broadcast(hot), "bk", "left_anti")
     return AnnIndex(
         buckets=buckets,
         vectors=base.select("ref_id", "ref_emb", "ref_nrm"),

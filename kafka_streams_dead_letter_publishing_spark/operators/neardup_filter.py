@@ -48,13 +48,30 @@ class NeardupIndex(NamedTuple):
     shingles: DataFrame
 
 
-def build_neardup_index(corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> NeardupIndex:
+def build_neardup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_occupancy: int | None = None,
+) -> NeardupIndex:
     """Index a reference corpus for :func:`neardup_filter`.
 
     In a long-running stream the caller materializes both frames once
     (persist / write to a bucketed table) and reuses them every
     micro-batch; building is one narrow pass over the corpus.
-    """
+
+    ``max_band_occupancy``: drop band keys whose bucket exceeds the cap —
+    the HOT-KEY guard for boilerplate-heavy corpora.  Minhash banding's
+    candidate volume is similarity-driven (random pairs almost never
+    collide), so unlike sign-LSH it has no depth knob; its failure mode is
+    a templated phrase putting millions of documents into ONE bucket,
+    whose pair join is then quadratic in the bucket (a 1M-doc bucket is
+    ~10^12 candidate pairs).  Capping trades a documented recall sliver —
+    a true dup reachable ONLY through dropped keys is missed, but near
+    dups agree on ~J·N_BANDS of the 8 bands, so they stay reachable
+    through the non-hot ones (test-pinned).  The hot-key set is tiny by
+    construction (≤ n_keys/cap entries), broadcast into an anti-join at
+    build time; serving cost is unchanged."""
     sh_tbl = (
         corpus.select(F.col(id_col).alias("ref_id"), tokens(_norm(F.col(text_col))).alias("toks"))
         .select("ref_id", shingles(F.col("toks")).alias("ref_sh"))
@@ -65,7 +82,16 @@ def build_neardup_index(corpus: DataFrame, id_col: str = "doc_id", text_col: str
         "ref_id",
         F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
     )
-    return NeardupIndex(bands=banded.select("bk", "ref_id"), shingles=sh_tbl)
+    bands = banded.select("bk", "ref_id")
+    if max_band_occupancy is not None:
+        hot = (
+            bands.groupBy("bk")
+            .count()
+            .filter(F.col("count") > max_band_occupancy)
+            .select("bk")
+        )
+        bands = bands.join(F.broadcast(hot), "bk", "left_anti")
+    return NeardupIndex(bands=bands, shingles=sh_tbl)
 
 
 def neardup_filter(

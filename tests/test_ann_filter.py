@@ -101,3 +101,49 @@ def test_plan_is_equi_join_leftanti_no_python(spark, ref_and_batch):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucket_occupancy_cap_defuses_hot_buckets(spark):
+    """The correlated-cluster hot-bucket guard (r7), mirror of the neardup
+    band cap: 40 copies of one direction fill their 6 buckets far past the
+    random-model occupancy; capping drops those buckets — their dup passes
+    (documented trade) — while a dup of a NORMAL vector keeps its non-hot
+    buckets and is still rejected."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        ann_filter,
+        build_ann_index,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import synth_embeddings
+
+    normal = synth_embeddings(spark, 40, planted_every=10**9)
+    hot_dir = [float((i % 7) - 3) for i in range(64)]
+    cluster = spark.createDataFrame(
+        [(100 + i, [x * (1 + 0.0001 * i) for x in hot_dir]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).withColumn("label", F.lit(0))
+    corpus = normal.unionByName(cluster).persist()
+
+    base7 = [list(r.embedding) for r in normal.filter(F.col("vec_id") == 7).collect()][0]
+    batch = spark.createDataFrame(
+        [
+            (1000, [float(x) * 1.001 for x in base7]),  # dup of normal vec 7
+            (1001, [x * 1.0005 for x in hot_dir]),  # dup of the hot cluster
+            (1002, [float(((i * 13) % 11) - 5) for i in range(64)]),  # unrelated
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+    uncapped = build_ann_index(corpus)
+    kept = {r.vec_id for r in ann_filter(batch, uncapped, min_cos=0.99).collect()}
+    assert kept == {1002}
+
+    capped = build_ann_index(corpus, max_bucket_occupancy=10)
+    kept_capped = {r.vec_id for r in ann_filter(batch, capped, min_cos=0.99).collect()}
+    assert 1001 in kept_capped  # hot-cluster dup passes: its buckets dropped
+    assert 1000 not in kept_capped  # normal dup still rejected
+    assert 1002 in kept_capped
+    occ = capped.buckets.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+    assert occ <= 10
+    corpus.unpersist()

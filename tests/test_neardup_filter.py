@@ -176,3 +176,51 @@ def test_streaming_foreachbatch_matches_batch(spark, tmp_path):
     assert streamed == batch_kept == [12, 13]
     idx.bands.unpersist()
     idx.shingles.unpersist()
+
+
+def test_band_occupancy_cap_defuses_hot_keys_and_keeps_normal_recall(spark):
+    """The boilerplate hot-key guard (r7): a phrase shared by many corpus
+    docs puts them all in the same band buckets, whose candidate join is
+    quadratic in the bucket.  With max_band_occupancy the hot keys drop
+    from the index — candidates through them vanish — while dups of
+    NORMAL docs keep their (non-hot) bands and are still rejected.  The
+    documented trade: a dup reachable only through dropped keys passes."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import synth_documents
+
+    normal = synth_documents(spark, 40, planted_every=10**9)  # no planted dups
+    boiler = spark.range(100, 140).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit(46).alias("n_chars"),
+    )
+    corpus = normal.unionByName(boiler).persist()
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of normal doc 7 (its text + one word)
+            (1000, [r.text for r in normal.filter(F.col("doc_id") == 7).collect()][0] + " wx"),
+            # near-dup of the boilerplate
+            (1001, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # fresh document, no relation to the corpus
+            (1002, "totally unrelated words nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+
+    uncapped = build_neardup_index(corpus)
+    kept_ids = {r.doc_id for r in neardup_filter(batch, uncapped).collect()}
+    assert kept_ids == {1002}  # both dups rejected without the cap
+
+    capped = build_neardup_index(corpus, max_band_occupancy=10)
+    kept_capped = {r.doc_id for r in neardup_filter(batch, capped).collect()}
+    # boilerplate dup now passes (its only bands were hot), normal dup
+    # still rejected, fresh doc still passes
+    assert kept_capped == {1001, 1002}
+    # and the hot keys really left the index
+    occ = capped.bands.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+    assert occ <= 10
+    corpus.unpersist()
