@@ -227,3 +227,52 @@ def lang_guess(toks: Column) -> Column:
         .when((de > en) & (de > es), F.lit("de"))
         .otherwise(F.lit("und"))
     )
+
+
+# ── engine-native fast minhash (non-oracled paths) ───────────────────────
+#
+# The md5 family above exists for ENGINE PORTABILITY: DuckDB can replay it
+# byte-for-byte, which is what lets the registry's near-dup rows be
+# value-hash-gated.  Operators that are NOT oracle-replayed (the ingest
+# filter a pipeline runs 24/7) don't need to pay 16 md5-to-hex-string
+# calls per shingle: xxhash64 runs JVM-side on longs, `least` compares
+# longs instead of 32-char strings, and the band key packs to ONE long.
+# Same minhash/banding S-curve, different (engine-native) hash family —
+# which near-miss dups land in which band differs from the md5 family,
+# but the exact-Jaccard verify downstream makes precision identical and
+# the banding miss-rate math is unchanged.
+
+#: sentinel above any xxhash64 value
+_MINHASH_FAST_SENTINEL = (1 << 63) - 1
+
+
+def minhash_array_fast(shingle_col: Column) -> Column:
+    """array<long>: all N_MINHASH minhashes in one fold, xxhash64 family.
+    Empty set ⇒ all sentinels (mirrors :func:`minhash_array`)."""
+    init = F.array_repeat(F.lit(_MINHASH_FAST_SENTINEL).cast("long"), N_MINHASH)
+    hashes = lambda s: F.array(  # noqa: E731
+        *[F.xxhash64(F.lit(j), s) for j in range(N_MINHASH)]
+    )
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
+    )
+
+
+def band_keys_from_minhash_fast(mh: Column, n_shingles: Column) -> Column:
+    """array<long> LSH band keys from :func:`minhash_array_fast` output:
+    band key = xxhash64(band, row1, row2) — one long per band (a 2^-64
+    accidental key collision is dominated by the banding miss rate and is
+    caught by the exact verify anyway).  Band index in the hash keeps
+    different bands' keyspaces disjoint; empty shingle sets get NO keys
+    (same tiny-doc contract as :func:`band_keys_from_minhash`)."""
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), F.element_at(mh, 2 * b + 1), F.element_at(mh, 2 * b + 2)
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return F.when(n_shingles > 0, keys).otherwise(F.array().cast("array<bigint>"))

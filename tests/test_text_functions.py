@@ -60,3 +60,53 @@ def test_simhash64_deterministic_and_chunking_lossless(spark):
             sum(r[f"c{b}"] << (SIMHASH_CHUNK_BITS * b) for b in range(SIMHASH_N_CHUNKS))
         )
         assert rebuilt == r.sim
+
+
+def test_fast_minhash_family_contract(spark):
+    """The engine-native (xxhash64) minhash family behind the ingest
+    filter: deterministic, long-typed, sentinel on empty shingle sets, no
+    keys for sub-shingle docs, band keyspaces disjoint, and identical
+    shingle sets always share ALL band keys (the property the filter's
+    dup-rejection rests on)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        N_BANDS,
+        N_MINHASH,
+        band_keys_from_minhash_fast,
+        minhash_array_fast,
+        norm_text,
+        shingles,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical text
+            (3, "completely different words here now"),
+            (4, "too short"),  # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    staged = df.select(
+        "doc_id", shingles(tokens(norm_text(F.col("text")))).alias("sh")
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        minhash_array_fast(F.col("sh")).alias("mh"),
+    ).select(
+        "doc_id", "n", "mh", band_keys_from_minhash_fast(F.col("mh"), F.col("n")).alias("bk")
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert out.schema["mh"].dataType.simpleString() == "array<bigint>"
+    assert out.schema["bk"].dataType.simpleString() == "array<bigint>"
+    assert len(rows[1].mh) == N_MINHASH
+    assert rows[1].mh == rows[2].mh and rows[1].bk == rows[2].bk  # identical docs
+    assert len(rows[1].bk) == N_BANDS == len(set(rows[1].bk))
+    assert rows[1].mh != rows[3].mh  # different content, different minima
+    assert rows[4].bk == []  # sub-shingle doc gets NO band keys
+    # determinism across evaluations
+    again = {r.doc_id: r.bk for r in out.collect()}
+    assert again[1] == rows[1].bk
