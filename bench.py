@@ -63,12 +63,10 @@ def _build_ingest_entries(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
-        AnnIndex,
         ann_filter,
         build_ann_index,
     )
     from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
-        NeardupIndex,
         build_neardup_index,
         neardup_filter,
     )
@@ -79,9 +77,12 @@ def _build_ingest_entries(spark, sf_dir):
 
     entries = {}
 
+    # Index and batch are DISJOINT slices (id % 10): indexing the full
+    # corpus would let every batch row self-match at similarity 1 and the
+    # entry would time a degenerate 100%-reject workload (r7 review).
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
-    nd_idx = build_neardup_index(docs)
-    nd_idx = NeardupIndex(
+    nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
+    nd_idx = nd_idx._replace(
         bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
     )
     nd_idx.bands.count()  # materialize outside the timed region
@@ -97,8 +98,10 @@ def _build_ingest_entries(spark, sf_dir):
     entries["docs_neardup_ingest_filter"] = (run_neardup, n_docs)
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    ann_idx = build_ann_index(emb)
-    ann_idx = AnnIndex(
+    ann_idx = build_ann_index(emb.filter(F.col("vec_id") % 10 != 0))
+    # _replace keeps the index's LSH config fields; reconstructing the
+    # NamedTuple would silently reset them to defaults (r7 review)
+    ann_idx = ann_idx._replace(
         buckets=ann_idx.buckets.persist(), vectors=ann_idx.vectors.persist()
     )
     ann_idx.buckets.count()
@@ -325,7 +328,14 @@ def main() -> None:
             "medians may be contaminated"
         )
     out = json.dumps(headline)
-    assert len(out) < 4096, f"headline JSON grew to {len(out)} bytes"
+    # NEVER abort after a completed run (the crash-after-measurement class
+    # the cpus fix exists for): if the headline somehow outgrows the tail
+    # budget, shed the biggest optional field and warn — the size contract
+    # itself is pinned by tests/test_bench_contract.py.
+    if len(out) >= 4096:
+        print(f"warning: headline JSON {len(out)} bytes; dropping rows_per_sec", file=sys.stderr)
+        headline.pop("rows_per_sec", None)
+        out = json.dumps(headline)
     print(out)  # LAST stdout line — the driver parses this
     spark.stop()
 

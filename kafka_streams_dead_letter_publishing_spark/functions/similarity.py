@@ -86,18 +86,29 @@ def planes_per_table_for(
     but at cos = 0.9 (p ≈ 0.856) b=12/L=6 keeps only ~0.64.  Holding
     recall at a FIXED threshold while candidates stay linear requires
     growing n_tables ~N^ρ (ρ = ln(1/p_near)/ln(1/p_far), the classic LSH
-    exponent) — raise ``n_tables`` alongside b (the 96-plane pool feeds
-    L·b ≤ 96), or keep b moderate and pay candidate volume.  The exact
+    exponent) — raise ``n_tables`` alongside b (the MAX_HYPERPLANES=192
+    pool funds L·b ≤ 192), or keep b moderate and pay candidate volume.
+    ``lsh_config_for`` solves both jointly against a recall target.  The exact
     verify step means depth NEVER affects precision, only which candidate
     pairs are scored."""
     import math
 
     if n_vectors <= 0:
         return PLANES_PER_TABLE
+    capped = MAX_HYPERPLANES // n_tables
+    if capped < PLANES_PER_TABLE:
+        # the pool cannot fund n_tables tables at even the minimum depth;
+        # returning a sub-floor b (0 at n_tables>192) would silently build
+        # single-bucket tables — the exact quadratic blowup this knob
+        # exists to prevent (r7 review)
+        raise ValueError(
+            f"planes_per_table_for: {n_tables} tables x the minimum depth "
+            f"{PLANES_PER_TABLE} exceeds the {MAX_HYPERPLANES}-plane pool"
+        )
     needed = math.ceil(
         math.log2(max(n_tables * n_vectors / target_collisions_per_vector, 1.0))
     )
-    return min(MAX_HYPERPLANES // n_tables, max(PLANES_PER_TABLE, needed))
+    return min(capped, max(PLANES_PER_TABLE, needed))
 
 
 def lsh_config_for(
@@ -145,7 +156,14 @@ def lsh_config_for(
     n_tables = N_TABLES
     for _ in range(64):
         b = depth(n_tables)
-        need = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p**b)))
+        # p**b can underflow to where 1-p**b rounds to exactly 1.0 (log
+        # 0.0): per-table recall is then numerically zero, i.e. no finite
+        # table count reaches the target — fall through to the refusal
+        # instead of dividing by zero (r7 review)
+        per_table_miss = 1.0 - p**b
+        if per_table_miss >= 1.0:
+            break
+        need = max(1, math.ceil(math.log(1.0 - recall) / math.log(per_table_miss)))
         if need <= n_tables:
             if n_tables * b > MAX_HYPERPLANES:
                 break

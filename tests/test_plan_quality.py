@@ -353,7 +353,7 @@ def test_ivf_multi_probe_recall_is_monotone_and_gated(spark):
 
 def test_hyperplane_pool_prefix_is_frozen():
     """The oracle SQL embeds the first 24 planes verbatim; the pool may
-    GROW (r7: 24 → 96 so deeper multi-table configs can scale with corpus
+    GROW (r7: 24 → 192 so deeper multi-table configs can scale with corpus
     size) but the prefix must never shift — the seeded rng emits planes
     sequentially, so appending is safe and anything else is an oracle
     break.  Golden sha256 over the big-endian doubles of planes [0, 24)."""
@@ -414,3 +414,28 @@ def test_lsh_config_solver_meets_recall_and_budget_or_refuses():
     # config (the docstring routes these corpora to the learned-IVF path)
     with _pytest.raises(ValueError, match="plane pool"):
         lsh_config_for(1_000_000, 0.95, 0.95)
+
+
+def test_lsh_knobs_edge_cases_fail_loud_not_degenerate():
+    """r7 review regressions: (a) planes_per_table_for must refuse table
+    counts the pool can't fund at minimum depth rather than return a
+    sub-floor (even zero) depth whose single-bucket tables are the exact
+    quadratic blowup the knob prevents; (b) lsh_config_for must refuse —
+    not ZeroDivisionError — when p**b underflows so far that per-table
+    recall is numerically zero."""
+    import pytest as _pytest
+
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_config_for,
+        planes_per_table_for,
+    )
+
+    with _pytest.raises(ValueError, match="plane pool"):
+        planes_per_table_for(10_000, n_tables=200)  # would have returned b=0
+    with _pytest.raises(ValueError, match="plane pool"):
+        planes_per_table_for(10_000, n_tables=64)  # would have returned b=3
+
+    # low threshold => p small => p**b underflows during the search; the
+    # documented ValueError refusal must come back, not a division crash
+    with _pytest.raises(ValueError, match="plane pool"):
+        lsh_config_for(1_000_000, threshold=0.2, recall=0.9)

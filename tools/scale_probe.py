@@ -71,6 +71,12 @@ def _noop(df) -> None:
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_CPUS='*' is valid for the master string but not for
+    # shuffle partitions (same class as bench.py's startup validation)
+    try:
+        shuffle_parts = int(cpus)
+    except ValueError:
+        shuffle_parts = 32
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -83,7 +89,7 @@ def main() -> None:
         # OOMs it.  The probe box has 128 GiB; on a real cluster this is
         # ordinary per-executor memory, not a knob the plan depends on.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256kb")
         .config("spark.ui.enabled", "false")
