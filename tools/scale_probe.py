@@ -46,8 +46,10 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-BASE_DOCS = 5_000  # sf0.1 documents rows
-BASE_VECS = 2_000  # sf0.1 embeddings rows
+# sf0.1 table sizes; env-overridable so the contract test can exercise the
+# whole probe in seconds at toy sizes (measurement runs use the defaults)
+BASE_DOCS = int(os.environ.get("SPARK_GRAFT_PROBE_BASE_DOCS", "5000"))
+BASE_VECS = int(os.environ.get("SPARK_GRAFT_PROBE_BASE_VECS", "2000"))
 JACCARD_PCT = 60
 MIN_COS = 0.9
 #: fixed-depth ANN pairs are ~quadratic; past this factor the probe would
