@@ -329,12 +329,21 @@ def main() -> None:
         )
     out = json.dumps(headline)
     # NEVER abort after a completed run (the crash-after-measurement class
-    # the cpus fix exists for): if the headline somehow outgrows the tail
-    # budget, shed the biggest optional field and warn — the size contract
-    # itself is pinned by tests/test_bench_contract.py.
-    if len(out) >= 4096:
-        print(f"warning: headline JSON {len(out)} bytes; dropping rows_per_sec", file=sys.stderr)
-        headline.pop("rows_per_sec", None)
+    # the cpus fix exists for) and NEVER emit an over-budget last line (the
+    # parsed:null tail-truncation class): keep shedding optional fields
+    # until the headline fits — queries is shed LAST and replaced with a
+    # pointer so metric/value always survive.  The normal-size contract is
+    # pinned by tests/test_bench_contract.py.
+    for shed in ("rows_per_sec", "env", "queries"):
+        if len(out) < 4096:
+            break
+        print(
+            f"warning: headline JSON {len(out)} bytes; shedding {shed!r}",
+            file=sys.stderr,
+        )
+        headline.pop(shed, None)
+        if shed == "queries":
+            headline["queries_shed_to_detail_line"] = True
         out = json.dumps(headline)
     print(out)  # LAST stdout line — the driver parses this
     spark.stop()

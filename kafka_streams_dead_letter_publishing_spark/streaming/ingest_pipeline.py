@@ -1,6 +1,6 @@
 """Self-growing deduped ingest pipelines ([EXT]): the composed production
 shape a training-data pipeline runs 24/7 — each micro-batch is deduped
-against everything ALREADY ACCEPTED (and greedily within itself), and the
+against everything ALREADY ACCEPTED (and within itself), and the
 survivors extend the same on-disk state the next batch dedups against.
 
 Two twins over the same pattern:
@@ -14,45 +14,66 @@ Two twins over the same pattern:
   neardup_filter``) against a growing band/shingle store, survivors
   appended to the corpus sink.
 
-State is plain parquet appended per batch — no driver-side accumulation,
-no unbounded executor state; restart-safety comes from the streaming
-checkpoint exactly like ``streaming/runner.py`` (at-least-once: a replayed
-batch re-appends rows it already appended; readers dedup on id, the same
-duplicate posture the reference accepts — ``README.md:31``).
+Index staging is DELEGATED to ``build_ann_index`` / ``build_neardup_index``
+— the pipeline appends exactly the frames those builders produce, so the
+stored keys can never drift from the keys the filter derives for a batch.
 
-KEEPER SEMANTICS: first-accepted wins.  ACROSS batches the keeper of a
-dup group is whichever member ARRIVED first (stream order, not id order —
-exactly what online dedup means); WITHIN one micro-batch, ties are broken
-greedily by id (a row is dropped iff some lower-id batch row is similar —
-identical to processing the batch's rows one at a time in id order).  A
-full transitive-closure keeper pass is the batch registry's
-``docs_neardup_keepers``; at ingest time the chain case is rare and the
-greedy rule is one candidate join, not an iterative CC.
+STATE & RECOVERY.  State is plain parquet appended per batch (probed via
+the Hadoop FileSystem API, so any scheme Spark can write — local, HDFS,
+S3A — works); nothing accumulates on the driver or in executor memory.
+Restart safety is at-least-once via the streaming checkpoint: within a
+batch the KEY store is written LAST and is also the existence gate, so
+the crash windows degrade safely — a crash before the key-store append
+replays the batch with the filter disengaged for those rows (duplicate
+appends, the documented at-least-once posture; readers dedup on id),
+while a replay AFTER the append self-matches against the store and
+appends nothing (idempotent).  The accepted rows are materialized with an
+eager ``localCheckpoint`` before any append because their lineage READS
+the very stores the appends extend.
+
+DEDUP SEMANTICS (deliberately retention-conservative): a batch row is
+dropped iff it is near-dup-similar to (a) anything already accepted, or
+(b) ANY lower-id row of the same batch — including lower-id rows that
+were themselves dropped.  On a similarity chain a < b < c (a~b, b~c,
+a!~c) this drops BOTH b and c, where strict one-at-a-time processing
+would re-admit c; the one-join rule never admits a near-dup of anything
+seen, at the price of over-dropping chain tails — the standard trade for
+a single-join (non-iterative) online dedup.  The exact transitive-keeper
+pass is the batch registry's ``docs_neardup_keepers``.  Keeper identity
+is first-accepted (stream arrival order across batches, lowest id within
+a batch).
+
+ADMISSION: rows that cannot participate in similarity are rejected up
+front — embeddings must be finite, full-dimension AND non-zero-norm
+(cosine against a zero vector is undefined, so such a row could never be
+deduped against anything, and letting it through would diverge the IVF
+index from the accepted store).
+
+SCALE KNOBS: the LSH config (``n_tables`` × ``planes_per_table``) is
+FROZEN into the persisted key store — choose depth for the TARGET corpus
+size up front (``planes_per_table_for``); re-deepening is a rebuild into
+a new base_dir, never an in-place change.  ``max_occupancy`` applies the
+hot-key caps (see the builders' docstrings) to the STORE side of every
+batch's filter, so a boilerplate phrase or dense vector cluster in the
+accepted corpus cannot make one bucket's candidate join quadratic.
+Append-only stores accumulate files per batch; :meth:`compact` rewrites
+them into a NEW base_dir (swap between runs, like ``ivf_compact``).
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     N_TABLES,
     PLANES_PER_TABLE,
     dot,
-    lsh_table_keys_int,
-)
-from kafka_streams_dead_letter_publishing_spark.functions.text import (
-    band_keys_from_minhash_fast,
-    minhash_array_fast,
-    norm_text,
-    shingles,
-    tokens,
 )
 from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
     AnnIndex,
     ann_filter,
+    build_ann_index,
 )
 from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
     indexable,
@@ -60,20 +81,42 @@ from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
 )
 from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
     NeardupIndex,
+    build_neardup_index,
     neardup_filter,
 )
 
 
-def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        not n.startswith(("_", ".")) for n in os.listdir(path)
-    )
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one data file — via the Hadoop
+    FileSystem API, so non-local schemes (hdfs://, s3a://) probe exactly
+    like the paths Spark writes (a driver-local os.listdir would silently
+    disengage the cross-batch filter on any remote store)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
+
+
+def _capped(bands: DataFrame, max_occupancy: int | None) -> DataFrame:
+    """Hot-key guard on a (bk, ref_id) store read — same trade as the
+    builders' ``max_*_occupancy``: keys whose bucket outgrew the cap are
+    dropped from the candidate side for this batch."""
+    if max_occupancy is None:
+        return bands
+    hot = bands.groupBy("bk").count().filter(F.col("count") > max_occupancy).select("bk")
+    return bands.join(F.broadcast(hot), "bk", "left_anti")
 
 
 class EmbeddingIngest:
-    """foreachBatch body: batch → reject near-dups of accepted vectors →
-    greedy intra-batch dedup → append survivors to (buckets, vectors)
-    stores and the partitioned IVF index.
+    """foreachBatch body: batch → admission filter → reject near-dups of
+    accepted vectors → intra-batch dedup → append survivors to the
+    (buckets, vectors) stores and the partitioned IVF index.
 
     ``centroids_fixed`` are the FROZEN microunit k-means centroids the IVF
     index was built with (``kmeans_fit_quantized``); refitting on drifted
@@ -88,8 +131,10 @@ class EmbeddingIngest:
         min_cos: float = 0.9,
         n_tables: int = N_TABLES,
         planes_per_table: int = PLANES_PER_TABLE,
+        max_occupancy: int | None = None,
         id_col: str = "vec_id",
     ) -> None:
+        self.base_dir = base_dir
         self.buckets_path = f"{base_dir}/buckets"
         self.vectors_path = f"{base_dir}/vectors"
         self.ivf_path = f"{base_dir}/ivf"
@@ -97,43 +142,35 @@ class EmbeddingIngest:
         self.min_cos = min_cos
         self.n_tables = n_tables
         self.planes_per_table = planes_per_table
+        self.max_occupancy = max_occupancy
         self.id_col = id_col
 
-    def _staged(self, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(self.id_col).alias("ref_id"),
-            F.col("embedding").alias("ref_emb"),
-            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("ref_nrm"),
-        ).filter(F.col("ref_nrm") > 0)
-
-    def _keys(self, staged: DataFrame) -> DataFrame:
-        return staged.select(
-            "ref_id",
-            F.explode(
-                lsh_table_keys_int(
-                    F.col("ref_emb"), self.n_tables, self.planes_per_table
-                )
-            ).alias("bk"),
-        ).select("bk", "ref_id")
+    def _build(self, df: DataFrame) -> AnnIndex:
+        return build_ann_index(
+            df,
+            id_col=self.id_col,
+            n_tables=self.n_tables,
+            planes_per_table=self.planes_per_table,
+        )
 
     def _intra_batch_dedup(self, batch: DataFrame) -> DataFrame:
-        """Greedy by id: drop a row iff a LOWER-id batch row is cosine-
-        similar — one candidate equi-join + exact verify, no iteration."""
-        staged = self._staged(batch)
-        keys = self._keys(staged)
+        """Drop a row iff ANY lower-id batch row is cosine-similar (see
+        the module's dedup-semantics note) — one candidate equi-join over
+        the builder's own staged frames + exact verify, no iteration."""
+        idx = self._build(batch)
         cands = (
-            keys.alias("a")
-            .join(keys.alias("b"), "bk")
+            idx.buckets.alias("a")
+            .join(idx.buckets.alias("b"), "bk")
             .filter(F.col("a.ref_id") < F.col("b.ref_id"))
             .select(F.col("a.ref_id").alias("va"), F.col("b.ref_id").alias("vb"))
             .distinct()
         )
-        a = staged.select(
+        a = idx.vectors.select(
             F.col("ref_id").alias("va"),
             F.col("ref_emb").alias("ea"),
             F.col("ref_nrm").alias("na"),
         )
-        b = staged.select(
+        b = idx.vectors.select(
             F.col("ref_id").alias("vb"),
             F.col("ref_emb").alias("eb"),
             F.col("ref_nrm").alias("nb"),
@@ -157,11 +194,19 @@ class EmbeddingIngest:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         dim = len(self.centroids_fixed[0])
-        batch = batch.filter(indexable(F.col("embedding"), dim)).persist()
+        # admission: finite full-dimension AND non-zero-norm — a zero
+        # vector has undefined cosine, can never be deduped, and would
+        # diverge the IVF index from the accepted store
+        batch = batch.filter(
+            indexable(F.col("embedding"), dim)
+            & (dot(F.col("embedding"), F.col("embedding")) > 0)
+        ).persist()
         try:
-            if _exists(self.buckets_path):
+            if _store_exists(spark, self.buckets_path):
                 index = AnnIndex(
-                    buckets=spark.read.parquet(self.buckets_path),
+                    buckets=_capped(
+                        spark.read.parquet(self.buckets_path), self.max_occupancy
+                    ),
                     vectors=spark.read.parquet(self.vectors_path),
                     n_tables=self.n_tables,
                     planes_per_table=self.planes_per_table,
@@ -171,77 +216,91 @@ class EmbeddingIngest:
                 )
             else:
                 kept = batch
-            # localCheckpoint (eager), NOT persist: the three appends below
-            # write to paths that kept's LINEAGE reads (ann_filter scans the
-            # bucket/vector stores) — a cache miss during append #3 would
-            # recompute kept against the files appends #1-2 just added, and
-            # the batch's own rows would self-match and vanish from the IVF
-            # index (observed).  Checkpointing materializes kept and CUTS
-            # the lineage, so no later action can re-read the stores.
+            # localCheckpoint (eager), NOT persist: the appends below write
+            # to paths that kept's LINEAGE reads (ann_filter scans the
+            # bucket/vector stores) — a cache miss during a later append
+            # would recompute kept against the files the earlier appends
+            # just added, and the batch's own rows would self-match and
+            # vanish from the IVF index (observed).  Checkpointing
+            # materializes kept and CUTS the lineage.
             kept = self._intra_batch_dedup(kept).localCheckpoint(eager=True)
-            staged = self._staged(kept)
-            self._keys(staged).write.mode("append").parquet(self.buckets_path)
-            staged.write.mode("append").parquet(self.vectors_path)
-            ivf_append(
-                kept, self.centroids_fixed, self.ivf_path, id_col=self.id_col
-            )
+            idx = self._build(kept)
+            # Write order is the crash contract: payload stores first, the
+            # KEY store (the existence gate + candidate side) LAST.  A
+            # crash before the buckets append replays the batch with the
+            # filter disengaged for these rows → duplicate appends
+            # (at-least-once, readers dedup on id); a replay after it
+            # self-matches and appends nothing.
+            ivf_append(kept, self.centroids_fixed, self.ivf_path, id_col=self.id_col)
+            idx.vectors.write.mode("append").parquet(self.vectors_path)
+            idx.buckets.write.mode("append").parquet(self.buckets_path)
         finally:
             batch.unpersist()
+
+    def compact(self, new_base_dir: str) -> "EmbeddingIngest":
+        """Rewrite the append-accumulated stores into ``new_base_dir``
+        (files-per-store collapses from files-per-batch back to shuffle
+        partitions) and return a pipeline pointed there.  Like
+        ``ivf_compact``: always a NEW path, swapped between runs — a
+        concurrent reader of the old base_dir keeps a complete view."""
+        spark = SparkSession.getActiveSession()
+        assert spark is not None, "compact() needs an active SparkSession"
+        spark.read.parquet(self.ivf_path).repartition("cluster").write.mode(
+            "errorifexists"
+        ).partitionBy("cluster").parquet(f"{new_base_dir}/ivf")
+        spark.read.parquet(self.vectors_path).repartition("ref_id").write.mode(
+            "errorifexists"
+        ).parquet(f"{new_base_dir}/vectors")
+        spark.read.parquet(self.buckets_path).repartition("bk").write.mode(
+            "errorifexists"
+        ).parquet(f"{new_base_dir}/buckets")
+        return EmbeddingIngest(
+            new_base_dir,
+            self.centroids_fixed,
+            min_cos=self.min_cos,
+            n_tables=self.n_tables,
+            planes_per_table=self.planes_per_table,
+            max_occupancy=self.max_occupancy,
+            id_col=self.id_col,
+        )
 
 
 class DocumentIngest:
     """foreachBatch body: batch → reject Jaccard near-dups of accepted
-    docs → greedy intra-batch dedup → append survivors to the corpus sink
-    and the (bands, shingles) stores the next batch dedups against."""
+    docs → intra-batch dedup → append survivors to the corpus sink and
+    the (bands, shingles) stores the next batch dedups against."""
 
     def __init__(
         self,
         base_dir: str,
         threshold_pct: int = 60,
+        max_occupancy: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
+        self.base_dir = base_dir
         self.bands_path = f"{base_dir}/bands"
         self.shingles_path = f"{base_dir}/shingles"
         self.corpus_path = f"{base_dir}/corpus"
         self.threshold_pct = threshold_pct
+        self.max_occupancy = max_occupancy
         self.id_col = id_col
         self.text_col = text_col
 
-    def _staged(self, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(self.id_col).alias("ref_id"),
-            tokens(norm_text(F.col(self.text_col))).alias("toks"),
-        ).select("ref_id", shingles(F.col("toks")).alias("ref_sh"))
-
-    def _bands(self, staged: DataFrame) -> DataFrame:
-        return (
-            staged.select(
-                "ref_id",
-                F.size("ref_sh").alias("n_sh"),
-                minhash_array_fast(F.col("ref_sh")).alias("mh"),
-            )
-            .select(
-                "ref_id",
-                F.explode(
-                    band_keys_from_minhash_fast(F.col("mh"), F.col("n_sh"))
-                ).alias("bk"),
-            )
-            .select("bk", "ref_id")
-        )
+    def _build(self, df: DataFrame) -> NeardupIndex:
+        return build_neardup_index(df, id_col=self.id_col, text_col=self.text_col)
 
     def _intra_batch_dedup(self, batch: DataFrame) -> DataFrame:
-        staged = self._staged(batch)
-        keys = self._bands(staged)
+        idx = self._build(batch)
         cands = (
-            keys.alias("a")
-            .join(keys.alias("b"), "bk")
+            idx.bands.alias("a")
+            .join(idx.bands.alias("b"), "bk")
             .filter(F.col("a.ref_id") < F.col("b.ref_id"))
             .select(F.col("a.ref_id").alias("da"), F.col("b.ref_id").alias("db"))
             .distinct()
         )
-        a = staged.select(F.col("ref_id").alias("da"), F.col("ref_sh").alias("sha"))
-        b = staged.select(F.col("ref_id").alias("db"), F.col("ref_sh").alias("shb"))
+        a = idx.shingles.select(F.col("ref_id").alias("da"), F.col("ref_sh").alias("sha"))
+        b = idx.shingles.select(F.col("ref_id").alias("db"), F.col("ref_sh").alias("shb"))
         n_common = F.size(F.array_intersect("sha", "shb"))
         drop = (
             cands.join(a, "da")
@@ -264,9 +323,11 @@ class DocumentIngest:
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            if _exists(self.bands_path):
+            if _store_exists(spark, self.bands_path):
                 index = NeardupIndex(
-                    bands=spark.read.parquet(self.bands_path),
+                    bands=_capped(
+                        spark.read.parquet(self.bands_path), self.max_occupancy
+                    ),
                     shingles=spark.read.parquet(self.shingles_path),
                 )
                 kept = neardup_filter(
@@ -278,12 +339,33 @@ class DocumentIngest:
                 )
             else:
                 kept = batch
-            # eager localCheckpoint for the same reason as EmbeddingIngest:
-            # the appends write to the very stores kept's lineage reads
+            # eager localCheckpoint + payload-first/gate-last write order:
+            # same crash and lineage contracts as EmbeddingIngest
             kept = self._intra_batch_dedup(kept).localCheckpoint(eager=True)
-            staged = self._staged(kept)
-            self._bands(staged).write.mode("append").parquet(self.bands_path)
-            staged.write.mode("append").parquet(self.shingles_path)
+            idx = self._build(kept)
             kept.write.mode("append").parquet(self.corpus_path)
+            idx.shingles.write.mode("append").parquet(self.shingles_path)
+            idx.bands.write.mode("append").parquet(self.bands_path)
         finally:
             batch.unpersist()
+
+    def compact(self, new_base_dir: str) -> "DocumentIngest":
+        """See :meth:`EmbeddingIngest.compact`."""
+        spark = SparkSession.getActiveSession()
+        assert spark is not None, "compact() needs an active SparkSession"
+        spark.read.parquet(self.corpus_path).repartition(self.id_col).write.mode(
+            "errorifexists"
+        ).parquet(f"{new_base_dir}/corpus")
+        spark.read.parquet(self.shingles_path).repartition("ref_id").write.mode(
+            "errorifexists"
+        ).parquet(f"{new_base_dir}/shingles")
+        spark.read.parquet(self.bands_path).repartition("bk").write.mode(
+            "errorifexists"
+        ).parquet(f"{new_base_dir}/bands")
+        return DocumentIngest(
+            new_base_dir,
+            threshold_pct=self.threshold_pct,
+            max_occupancy=self.max_occupancy,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )

@@ -138,3 +138,89 @@ def test_embedding_ingest_is_incremental_not_restart(spark, tmp_path):
     # store — nothing is double-accepted
     assert all(r["count"] == 1 for r in rows), [r for r in rows if r["count"] > 1][:3]
     emb.unpersist()
+
+
+def test_embedding_ingest_rejects_zero_norm_and_supports_compaction(spark, tmp_path):
+    """r7 review contracts: (a) zero-norm vectors are refused at admission
+    (they can never be deduped, and letting them through diverged the IVF
+    index from the accepted store); (b) compact() rewrites the
+    append-accumulated stores into a NEW base_dir preserving rows, and the
+    compacted pipeline keeps deduping against the same accepted set."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EmbeddingIngest,
+    )
+
+    emb = synth_embeddings(spark, 60, planted_every=10**9).persist()
+    cents = kmeans_fit_quantized(emb, k=3, iters=1)
+    ingest = EmbeddingIngest(str(tmp_path / "a"), cents, min_cos=0.9)
+
+    poisoned = emb.unionByName(
+        spark.createDataFrame(
+            [(900, [0.0] * 64), (901, [float("nan")] * 64)],
+            "vec_id long, embedding array<float>",
+        ).withColumn("label", F.lit(0))
+    )
+    # several separate batches through the plain foreachBatch body
+    ingest.process_batch(poisoned.filter(F.col("vec_id") < 30), 0)
+    ingest.process_batch(poisoned.filter(F.col("vec_id") >= 30), 1)
+
+    accepted = {r.ref_id for r in spark.read.parquet(ingest.vectors_path).collect()}
+    in_ivf = {r.vec_id for r in spark.read.parquet(ingest.ivf_path).collect()}
+    assert accepted == in_ivf == set(range(60))  # junk rows refused everywhere
+
+    compacted = ingest.compact(str(tmp_path / "b"))
+    assert {
+        r.ref_id for r in spark.read.parquet(compacted.vectors_path).collect()
+    } == accepted
+    assert {
+        r.vec_id for r in spark.read.parquet(compacted.ivf_path).collect()
+    } == accepted
+    # the compacted store still rejects re-sends and accepts novel rows
+    more = synth_embeddings(spark, 80, planted_every=10**9)
+    compacted.process_batch(more, 2)
+    final = {r.ref_id for r in spark.read.parquet(compacted.vectors_path).collect()}
+    assert final == set(range(80))
+    n_rows = spark.read.parquet(compacted.vectors_path).count()
+    assert n_rows == 80  # re-sent 0..59 were deduped, not double-accepted
+    emb.unpersist()
+
+
+def test_document_ingest_hot_key_cap_rides_the_store_reads(spark, tmp_path):
+    """max_occupancy on the pipeline caps hot band keys in the GROWING
+    store: boilerplate accepted early cannot make later batches' candidate
+    joins quadratic, at the documented price that a later dup of the
+    boilerplate slips through (its only keys are hot)."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    boiler = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit(46).alias("n_chars"),
+    )
+    ingest = DocumentIngest(str(tmp_path / "d"), threshold_pct=60, max_occupancy=5)
+    ingest.process_batch(boiler, 0)
+    # batch 0's intra-batch dedup accepts exactly one boilerplate copy
+    assert spark.read.parquet(ingest.corpus_path).count() == 1
+
+    # a later near-dup of the boilerplate: its band keys exist in the
+    # store but a 1-doc bucket is under the cap, so it IS rejected; now
+    # grow the bucket over the cap with distinct docs sharing the bands
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    )
+    ingest.process_batch(probe, 1)
+    assert spark.read.parquet(ingest.corpus_path).count() == 1  # rejected
+    emb_docs = synth_documents(spark, 30, planted_every=10**9)
+    ingest.process_batch(emb_docs, 2)  # unrelated docs all accepted
+    assert spark.read.parquet(ingest.corpus_path).count() == 31
