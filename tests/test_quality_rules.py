@@ -1,0 +1,114 @@
+"""Repetition-rule quality filters (``functions/quality.py``): values
+pinned against hand-computed references on crafted documents, degenerate
+cases, and a pure-Python multiplicity oracle on the synthetic corpus;
+plans stay expression-only and narrow."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.quality import (
+    duplicate_line_stats,
+    gopher_repetition_keep,
+    ngrams,
+    top_ngram_stats,
+)
+from kafka_streams_dead_letter_publishing_spark.functions.text import norm_text, tokens
+
+
+def _score(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = df.select(
+        "doc_id", "text", tokens(norm_text(F.col("text"))).alias("toks")
+    )
+    return {
+        r.doc_id: r
+        for r in staged.select(
+            "doc_id",
+            duplicate_line_stats(F.col("text")).alias("ls"),
+            top_ngram_stats(F.col("toks"), 2).alias("g2"),
+            top_ngram_stats(F.col("toks"), 3).alias("g3"),
+            gopher_repetition_keep(F.col("text"), F.col("toks")).alias("keep"),
+        ).collect()
+    }
+
+
+def test_duplicate_line_and_ngram_stats_match_hand_computed(spark):
+    rows = [
+        # 4 non-empty lines, "spam" twice: 2 dup lines, 8 dup chars
+        (1, "spam\nalpha beta\nspam\ngamma"),
+        # all lines unique
+        (2, "one line\nanother line\nthird"),
+        # boilerplate: "buy now" bigram dominates
+        (3, "buy now buy now buy now buy now truly"),
+        # empty / whitespace-only
+        (4, ""),
+        (5, "   \n  \n"),
+    ]
+    s = _score(spark, rows)
+
+    assert (s[1].ls.n_lines, s[1].ls.dup_lines, s[1].ls.dup_chars) == (4, 2, 8)
+    assert (s[2].ls.dup_lines, s[2].ls.dup_chars) == (0, 0)
+    assert s[2].keep is True
+
+    # doc 3 tokens: buy now ×4 + truly → "buy now" bigram appears 4 times
+    # ("now buy" 3); 6 token chars per occurrence
+    assert s[3].g2.gram == "buy now"
+    assert s[3].g2['count'] == 4
+    assert s[3].g2.chars == 4 * 6
+    assert s[3].keep is False  # dominant bigram: 24 chars of 33 token chars
+
+    for d in (4, 5):
+        assert s[d].ls.n_lines == 0
+        # whitespace-only text tokenizes to empty-string tokens (upstream
+        # tokens() contract), so a single degenerate n-gram may exist —
+        # but never a REPEATED one, and every rule passes
+        assert s[d].g2["count"] <= 1
+        assert s[d].keep is True  # degenerate docs pass every rule
+
+
+def test_top_ngram_matches_python_counter_on_synth_corpus(spark):
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 120)
+    got = {
+        r.doc_id: (r.g.gram, r.g["count"])
+        for r in docs.select(
+            "doc_id", top_ngram_stats(tokens(norm_text(F.col("text"))), 2).alias("g")
+        ).collect()
+    }
+    for r in docs.collect():
+        toks = r.text.split(" ")
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        counts = Counter(grams)
+        best_count = max(counts.values())
+        # ties break to the lexicographically lowest gram (sorted fold)
+        best_gram = min(g for g, c in counts.items() if c == best_count)
+        assert got[r.doc_id] == (best_gram, best_count), r.doc_id
+
+
+def test_quality_rules_are_narrow_and_python_free(spark):
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 500)
+    staged = docs.select("doc_id", "text", tokens(norm_text(F.col("text"))).alias("toks"))
+    scored = staged.select(
+        "doc_id", gopher_repetition_keep(F.col("text"), F.col("toks")).alias("keep")
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row narrow work only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the synthetic corpus is hash-random: the overwhelming majority passes
+    n = scored.count()
+    kept = scored.filter("keep").count()
+    assert kept >= 0.9 * n, (kept, n)
+
+
+def test_ngrams_expression_contract(spark):
+    df = spark.createDataFrame([(1, ["a", "b", "c"]), (2, ["a"]), (3, [])],
+                               "id long, toks array<string>")
+    out = {r.id: r.g for r in df.select("id", ngrams(F.col("toks"), 2).alias("g")).collect()}
+    assert out[1] == ["a b", "b c"]
+    assert out[2] == [] and out[3] == []
