@@ -4,9 +4,12 @@ line fractions and most-frequent-n-gram character fractions — as pure
 Column expressions (zero Python, zero shuffles: per-row narrow work).
 
 Rule definitions follow the published Gopher / MassiveText cleaning
-heuristics (Rae et al. 2021, §A1.1): a document is low quality when a
-large share of its lines are duplicates of each other or a single n-gram
-accounts for a large share of its characters.  Exact thresholds are
+heuristics (Rae et al. 2021, §A1.1) with the COUNTING CONVENTIONS of the
+public reference implementations (e.g. DataTrove's
+GopherRepetitionFilter): duplicates are occurrences BEYOND the first
+(a line appearing twice contributes 1 duplicate, not 2), and character
+fractions are over the document's text length, with the n-gram's
+character span including its separators.  Exact thresholds are
 caller-tunable; :func:`gopher_repetition_keep` bundles the published
 defaults.
 
@@ -14,10 +17,10 @@ Implementation note — multiplicity via sorted-run folds: computing "the
 most frequent element of an array" needs per-element counts, which would
 be O(distinct·n) as a nested filter; sorting the array first makes every
 multiplicity a RUN, so one left-to-right fold carrying (prev, run length,
-best) computes max multiplicity — and, for duplicate counting, the items
-and characters that belong to runs ≥ 2 — in O(n log n) per row with O(1)
-fold state.  Equal strings have equal lengths, so char accounting inside
-a run is exact.
+best) computes max multiplicity — and, for duplicate counting, the
+beyond-first occurrences and their characters — in O(n log n) per row
+with O(1) fold state.  Equal strings have equal lengths, so char
+accounting inside a run is exact.
 """
 
 from __future__ import annotations
@@ -25,36 +28,31 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from kafka_streams_dead_letter_publishing_spark.functions.text import ngrams
+
 
 def _nonempty_lines(text: Column) -> Column:
     return F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
 
 
 def duplicate_line_stats(text: Column) -> Column:
-    """struct(n_lines, dup_lines, dup_chars): non-empty lines, how many of
-    them belong to a duplicate group (run ≥ 2 after sort), and the
-    characters those lines hold.  A doc with every line unique scores 0/0."""
+    """struct(n_lines, dup_lines, dup_chars): non-empty lines, the
+    occurrences BEYOND THE FIRST of each repeated line (reference-
+    implementation convention: a line appearing k times contributes k−1),
+    and the characters those beyond-first occurrences hold.  A doc with
+    every line unique scores 0/0."""
     lines = F.array_sort(_nonempty_lines(text))
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
         F.lit(0).alias("dup_lines"),
         F.lit(0).cast("long").alias("dup_chars"),
     )
 
     def step(acc: Column, x: Column) -> Column:
         same = acc["prev"].eqNullSafe(x)
-        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
-        # entering a run's 2nd member retro-counts the 1st; deeper members
-        # count one at a time
-        inc = (
-            F.when(same & (acc["run"] == 1), F.lit(2))
-            .when(same, F.lit(1))
-            .otherwise(F.lit(0))
-        )
+        inc = F.when(same, F.lit(1)).otherwise(F.lit(0))
         return F.struct(
             x.alias("prev"),
-            run2.alias("run"),
             (acc["dup_lines"] + inc).alias("dup_lines"),
             (acc["dup_chars"] + inc.cast("long") * F.length(x)).alias("dup_chars"),
         )
@@ -67,20 +65,17 @@ def duplicate_line_stats(text: Column) -> Column:
     )
 
 
-def ngrams(toks: Column, n: int) -> Column:
-    """Space-joined n-grams of a token array (empty below n tokens)."""
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
-
-
 def top_ngram_stats(toks: Column, n: int) -> Column:
     """struct(gram, count, chars): the most frequent n-gram (lowest
     lexicographic on count ties — deterministic), its multiplicity, and
-    the total characters its occurrences cover (count × token characters,
-    the Gopher accounting).  NULL gram / zeros when no n-grams exist."""
+    the total characters its occurrences span (count × gram string length
+    INCLUDING separators — the reference accounting).  NULL gram / zeros
+    when no n-grams exist.
+
+    PERF: pass ``toks`` as a materialized column from a previous select —
+    same caveat as :func:`functions.text.shingles` (higher-order functions
+    get no codegen subexpression elimination, so an inline tokenize chain
+    re-evaluates per gram position)."""
     grams = F.array_sort(ngrams(toks, n))
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
@@ -100,14 +95,12 @@ def top_ngram_stats(toks: Column, n: int) -> Column:
         )
 
     folded = F.aggregate(grams, init, step)
-    # characters covered: occurrences × characters of the gram's TOKENS
-    # (spaces between tokens excluded — join separators are formatting,
-    # not content)
-    token_chars = F.length(folded["best"]) - F.lit(n - 1)
     return F.struct(
         folded["best"].alias("gram"),
         folded["best_run"].alias("count"),
-        F.coalesce(folded["best_run"] * token_chars, F.lit(0)).alias("chars"),
+        F.coalesce(folded["best_run"] * F.length(folded["best"]), F.lit(0)).alias(
+            "chars"
+        ),
     )
 
 
@@ -120,16 +113,17 @@ def gopher_repetition_keep(
     max_top3gram_char_frac: float = 0.18,
 ) -> Column:
     """Boolean keep predicate from the published Gopher repetition rules:
-    reject when too many lines are duplicates (by line count or by
-    character mass) or when a single 2-/3-gram covers too much of the
-    document's characters.  Documents too short to evaluate a rule pass
-    that rule (no lines → no duplicate lines; no n-grams → no dominant
-    n-gram), matching the published treatment of degenerate cases."""
+    reject when too many lines are duplicates (by beyond-first line count
+    or by their character mass over text length) or when a single 2-/3-
+    gram's occurrences span too much of the text's characters.  Documents
+    too short to evaluate a rule pass that rule (no lines → no duplicate
+    lines; no repeated n-gram → no dominant n-gram), matching the
+    published treatment of degenerate cases.
+
+    PERF: pass ``toks`` as a materialized column (see
+    :func:`top_ngram_stats`)."""
     ls = duplicate_line_stats(text)
     n_chars = F.length(text)
-    tok_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-    )
     g2 = top_ngram_stats(toks, 2)
     g3 = top_ngram_stats(toks, 3)
     line_ok = (ls["n_lines"] == 0) | (
@@ -137,9 +131,9 @@ def gopher_repetition_keep(
         & (ls["dup_chars"] <= F.lit(max_dup_line_char_frac) * n_chars)
     )
     g2_ok = (g2["count"] <= 1) | (
-        g2["chars"] <= F.lit(max_top2gram_char_frac) * tok_chars
+        g2["chars"] <= F.lit(max_top2gram_char_frac) * n_chars
     )
     g3_ok = (g3["count"] <= 1) | (
-        g3["chars"] <= F.lit(max_top3gram_char_frac) * tok_chars
+        g3["chars"] <= F.lit(max_top3gram_char_frac) * n_chars
     )
     return line_ok & g2_ok & g3_ok

@@ -32,23 +32,30 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (k-grams) as an array<string>; empty when
-    the doc has fewer than k tokens.  1-based element_at keeps the index
-    convention identical to the oracle's DuckDB list indexing.
+def ngrams(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of a token array, WITH multiplicity (empty
+    below n tokens).  1-based element_at keeps the index convention
+    identical to the oracle's DuckDB list indexing.
 
     PERF: pass ``toks`` as a *materialized column from a previous select*,
-    never an inline expression — the lambda references it 3 times per
-    shingle position, and an inlined split/regexp chain gets re-evaluated
+    never an inline expression — the lambda references it n times per
+    gram position, and an inlined split/regexp chain gets re-evaluated
     on every reference (no codegen subexpression elimination inside
     higher-order functions; measured ~10× on the near-dup pipeline)."""
     gram = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
-    return F.when(F.size(toks) >= k, F.array_distinct(gram)).otherwise(
+    return F.when(F.size(toks) >= n, gram).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """DISTINCT k-token shingles as an array<string> — the set form of
+    :func:`ngrams` the Jaccard/minhash family consumes; empty when the doc
+    has fewer than k tokens.  Same PERF caveat as :func:`ngrams`."""
+    return F.array_distinct(ngrams(toks, k))
 
 
 def norm_text(text: Column) -> Column:

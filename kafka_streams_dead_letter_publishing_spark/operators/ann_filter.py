@@ -25,6 +25,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_dead_letter_publishing_spark.operators.occupancy import drop_hot_keys
 from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
     N_TABLES,
     PLANES_PER_TABLE,
@@ -87,14 +88,7 @@ def build_ann_index(
             lsh_table_keys_int(F.col("ref_emb"), n_tables, planes_per_table)
         ).alias("bk"),
     ).select("bk", "ref_id")
-    if max_bucket_occupancy is not None:
-        hot = (
-            buckets.groupBy("bk")
-            .count()
-            .filter(F.col("count") > max_bucket_occupancy)
-            .select("bk")
-        )
-        buckets = buckets.join(F.broadcast(hot), "bk", "left_anti")
+    buckets = drop_hot_keys(buckets, max_bucket_occupancy)
     return AnnIndex(
         buckets=buckets,
         vectors=base.select("ref_id", "ref_emb", "ref_nrm"),

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 # docs_neardup_* rows keep md5 for DuckDB byte-parity.  Same
 # S-curve; which near-miss dups land in which band differs, the exact
 # Jaccard verify keeps precision identical either way.
+from kafka_streams_dead_letter_publishing_spark.operators.occupancy import drop_hot_keys
 from kafka_streams_dead_letter_publishing_spark.functions.text import (
     band_keys_from_minhash_fast,
     minhash_array_fast,
@@ -90,15 +91,7 @@ def build_neardup_index(
         "ref_id",
         F.explode(band_keys_from_minhash_fast(F.col("mh"), F.col("n_sh"))).alias("bk"),
     )
-    bands = banded.select("bk", "ref_id")
-    if max_band_occupancy is not None:
-        hot = (
-            bands.groupBy("bk")
-            .count()
-            .filter(F.col("count") > max_band_occupancy)
-            .select("bk")
-        )
-        bands = bands.join(F.broadcast(hot), "bk", "left_anti")
+    bands = drop_hot_keys(banded.select("bk", "ref_id"), max_band_occupancy)
     return NeardupIndex(bands=bands, shingles=sh_tbl)
 
 

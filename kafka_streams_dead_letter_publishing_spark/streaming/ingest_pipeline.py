@@ -47,15 +47,22 @@ ADMISSION: rows that cannot participate in similarity are rejected up
 front — embeddings must be finite, full-dimension AND non-zero-norm
 (cosine against a zero vector is undefined, so such a row could never be
 deduped against anything, and letting it through would diverge the IVF
-index from the accepted store).
+index from the accepted store); documents must carry at least one shingle
+(≥ 3 tokens — a shingle-less doc collides with nothing and would be
+re-appended on every replay, breaking idempotency).  Each batch also
+collapses EXACT duplicates (identical embedding / identical normalized
+text) to the lowest id before the near-dup join — the flood guard a
+batch of a million identical rows needs, since the hot-key cap cannot
+defuse exact floods without admitting every copy.
 
 SCALE KNOBS: the LSH config (``n_tables`` × ``planes_per_table``) is
 FROZEN into the persisted key store — choose depth for the TARGET corpus
 size up front (``planes_per_table_for``); re-deepening is a rebuild into
 a new base_dir, never an in-place change.  ``max_occupancy`` applies the
 hot-key caps (see the builders' docstrings) to the STORE side of every
-batch's filter, so a boilerplate phrase or dense vector cluster in the
-accepted corpus cannot make one bucket's candidate join quadratic.
+batch's filter AND to the intra-batch self-join, so a boilerplate phrase
+or dense vector cluster — whether in the accepted corpus or arriving in
+one correlated batch — cannot make one bucket's candidate join quadratic.
 Append-only stores accumulate files per batch; :meth:`compact` rewrites
 them into a NEW base_dir (swap between runs, like ``ivf_compact``).
 """
@@ -84,6 +91,7 @@ from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import 
     build_neardup_index,
     neardup_filter,
 )
+from kafka_streams_dead_letter_publishing_spark.operators.occupancy import drop_hot_keys
 
 
 def _store_exists(spark: SparkSession, path: str) -> bool:
@@ -103,14 +111,6 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return False
 
 
-def _capped(bands: DataFrame, max_occupancy: int | None) -> DataFrame:
-    """Hot-key guard on a (bk, ref_id) store read — same trade as the
-    builders' ``max_*_occupancy``: keys whose bucket outgrew the cap are
-    dropped from the candidate side for this batch."""
-    if max_occupancy is None:
-        return bands
-    hot = bands.groupBy("bk").count().filter(F.col("count") > max_occupancy).select("bk")
-    return bands.join(F.broadcast(hot), "bk", "left_anti")
 
 
 class EmbeddingIngest:
@@ -153,14 +153,33 @@ class EmbeddingIngest:
             planes_per_table=self.planes_per_table,
         )
 
+    def _collapse_exact_dups(self, batch: DataFrame) -> DataFrame:
+        """Flood guard: collapse rows with IDENTICAL embeddings to the
+        lowest id BEFORE the near-dup join — a micro-batch of N copies of
+        one vector costs one shuffle here instead of an N² candidate
+        join (the hot-key cap can't defuse exact floods: dropping their
+        buckets would admit every copy)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("embedding").orderBy(F.asc(self.id_col))
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _intra_batch_dedup(self, batch: DataFrame) -> DataFrame:
         """Drop a row iff ANY lower-id batch row is cosine-similar (see
         the module's dedup-semantics note) — one candidate equi-join over
-        the builder's own staged frames + exact verify, no iteration."""
+        the builder's own staged frames + exact verify, no iteration.
+        The batch-side key frames get the same hot-key cap as the store
+        read, so a correlated batch can't make its own self-join
+        quadratic either."""
         idx = self._build(batch)
+        capped = drop_hot_keys(idx.buckets, self.max_occupancy)
         cands = (
-            idx.buckets.alias("a")
-            .join(idx.buckets.alias("b"), "bk")
+            capped.alias("a")
+            .join(capped.alias("b"), "bk")
             .filter(F.col("a.ref_id") < F.col("b.ref_id"))
             .select(F.col("a.ref_id").alias("va"), F.col("b.ref_id").alias("vb"))
             .distinct()
@@ -202,9 +221,14 @@ class EmbeddingIngest:
             & (dot(F.col("embedding"), F.col("embedding")) > 0)
         ).persist()
         try:
+            # intra-batch dedup runs FIRST, on the full admitted batch —
+            # running it after the store filter would exempt rows whose
+            # similar lower-id sibling was store-rejected, breaking the
+            # "similar to ANY lower-id batch row" contract (r7 review)
+            deduped = self._intra_batch_dedup(self._collapse_exact_dups(batch))
             if _store_exists(spark, self.buckets_path):
                 index = AnnIndex(
-                    buckets=_capped(
+                    buckets=drop_hot_keys(
                         spark.read.parquet(self.buckets_path), self.max_occupancy
                     ),
                     vectors=spark.read.parquet(self.vectors_path),
@@ -212,10 +236,10 @@ class EmbeddingIngest:
                     planes_per_table=self.planes_per_table,
                 )
                 kept = ann_filter(
-                    batch, index, id_col=self.id_col, min_cos=self.min_cos
+                    deduped, index, id_col=self.id_col, min_cos=self.min_cos
                 )
             else:
-                kept = batch
+                kept = deduped
             # localCheckpoint (eager), NOT persist: the appends below write
             # to paths that kept's LINEAGE reads (ann_filter scans the
             # bucket/vector stores) — a cache miss during a later append
@@ -223,7 +247,7 @@ class EmbeddingIngest:
             # just added, and the batch's own rows would self-match and
             # vanish from the IVF index (observed).  Checkpointing
             # materializes kept and CUTS the lineage.
-            kept = self._intra_batch_dedup(kept).localCheckpoint(eager=True)
+            kept = kept.localCheckpoint(eager=True)
             idx = self._build(kept)
             # Write order is the crash contract: payload stores first, the
             # KEY store (the existence gate + candidate side) LAST.  A
@@ -290,11 +314,30 @@ class DocumentIngest:
     def _build(self, df: DataFrame) -> NeardupIndex:
         return build_neardup_index(df, id_col=self.id_col, text_col=self.text_col)
 
+    def _collapse_exact_dups(self, batch: DataFrame) -> DataFrame:
+        """Flood guard: collapse rows with identical NORMALIZED text to
+        the lowest id before the near-dup join (see EmbeddingIngest)."""
+        from pyspark.sql import Window
+
+        from kafka_streams_dead_letter_publishing_spark.functions.text import (
+            fingerprint,
+        )
+
+        w = Window.partitionBy(fingerprint(F.col(self.text_col))).orderBy(
+            F.asc(self.id_col)
+        )
+        return (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _intra_batch_dedup(self, batch: DataFrame) -> DataFrame:
         idx = self._build(batch)
+        capped = drop_hot_keys(idx.bands, self.max_occupancy)
         cands = (
-            idx.bands.alias("a")
-            .join(idx.bands.alias("b"), "bk")
+            capped.alias("a")
+            .join(capped.alias("b"), "bk")
             .filter(F.col("a.ref_id") < F.col("b.ref_id"))
             .select(F.col("a.ref_id").alias("da"), F.col("b.ref_id").alias("db"))
             .distinct()
@@ -320,28 +363,45 @@ class DocumentIngest:
         return batch.join(drop, self.id_col, "left_anti")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from kafka_streams_dead_letter_publishing_spark.functions.text import (
+            norm_text,
+            shingles,
+            tokens,
+        )
+
         spark = batch.sparkSession
-        batch = batch.persist()
+        # admission: a document must have at least one shingle (≥ 3
+        # tokens) — sub-shingle docs collide with nothing, so they could
+        # never be deduped, would be re-appended on every checkpoint
+        # replay (breaking the idempotent-replay contract), and are
+        # refused here instead; compose an exact-fingerprint dedup stage
+        # upstream if short documents must be kept
+        batch = batch.filter(
+            F.size(shingles(tokens(norm_text(F.col(self.text_col))))) > 0
+        ).persist()
         try:
+            # intra-batch dedup FIRST, store filter second — same
+            # contract-ordering reason as EmbeddingIngest
+            deduped = self._intra_batch_dedup(self._collapse_exact_dups(batch))
             if _store_exists(spark, self.bands_path):
                 index = NeardupIndex(
-                    bands=_capped(
+                    bands=drop_hot_keys(
                         spark.read.parquet(self.bands_path), self.max_occupancy
                     ),
                     shingles=spark.read.parquet(self.shingles_path),
                 )
                 kept = neardup_filter(
-                    batch,
+                    deduped,
                     index,
                     id_col=self.id_col,
                     text_col=self.text_col,
                     threshold_pct=self.threshold_pct,
                 )
             else:
-                kept = batch
+                kept = deduped
             # eager localCheckpoint + payload-first/gate-last write order:
             # same crash and lineage contracts as EmbeddingIngest
-            kept = self._intra_batch_dedup(kept).localCheckpoint(eager=True)
+            kept = kept.localCheckpoint(eager=True)
             idx = self._build(kept)
             kept.write.mode("append").parquet(self.corpus_path)
             idx.shingles.write.mode("append").parquet(self.shingles_path)

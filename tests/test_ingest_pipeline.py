@@ -189,29 +189,40 @@ def test_embedding_ingest_rejects_zero_norm_and_supports_compaction(spark, tmp_p
 
 
 def test_document_ingest_hot_key_cap_rides_the_store_reads(spark, tmp_path):
-    """max_occupancy on the pipeline caps hot band keys in the GROWING
-    store: boilerplate accepted early cannot make later batches' candidate
-    joins quadratic, at the documented price that a later dup of the
-    boilerplate slips through (its only keys are hot)."""
+    """max_occupancy must actually engage on the GROWING store: build a
+    store whose boilerplate band buckets exceed the cap (using a
+    100%-threshold pipeline that near-dup-rejects nothing, so many
+    near-identical docs are accepted and share bands), then probe with a
+    capped pipeline over the same base_dir — the hot keys drop, so the
+    boilerplate near-dup slips through (the documented trade), while an
+    uncapped pipeline over the same store still rejects it."""
     from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
         DocumentIngest,
     )
 
-    boiler = spark.range(40).select(
-        F.col("id").alias("doc_id"),
-        F.lit("alpha beta gamma delta epsilon zeta eta theta").alias("text"),
-        F.lit("en").alias("lang"),
-        F.lit("src0").alias("source"),
-        F.lit(46).alias("n_chars"),
+    base = str(tmp_path / "d")
+    # 20 near-identical boilerplate docs (distinct tails dodge the
+    # exact-dup collapse; 101% Jaccard threshold is unreachable, so the
+    # near-dup filter rejects nothing and all 20 are ACCEPTED)
+    boiler = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta epsilon zeta eta theta tail" + str(i))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
     )
-    ingest = DocumentIngest(str(tmp_path / "d"), threshold_pct=60, max_occupancy=5)
-    ingest.process_batch(boiler, 0)
-    # batch 0's intra-batch dedup accepts exactly one boilerplate copy
-    assert spark.read.parquet(ingest.corpus_path).count() == 1
+    loader = DocumentIngest(base, threshold_pct=101)
+    loader.process_batch(boiler, 0)
+    assert spark.read.parquet(loader.corpus_path).count() == 20
+    occ = (
+        spark.read.parquet(loader.bands_path)
+        .groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert occ > 5  # the shared boilerplate bands really are hot
 
-    # a later near-dup of the boilerplate: its band keys exist in the
-    # store but a 1-doc bucket is under the cap, so it IS rejected; now
-    # grow the bucket over the cap with distinct docs sharing the bands
     probe = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
         "doc_id long, text string",
@@ -219,8 +230,15 @@ def test_document_ingest_hot_key_cap_rides_the_store_reads(spark, tmp_path):
         "doc_id", "text", F.lit("en").alias("lang"),
         F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
     )
-    ingest.process_batch(probe, 1)
-    assert spark.read.parquet(ingest.corpus_path).count() == 1  # rejected
-    emb_docs = synth_documents(spark, 30, planted_every=10**9)
-    ingest.process_batch(emb_docs, 2)  # unrelated docs all accepted
-    assert spark.read.parquet(ingest.corpus_path).count() == 31
+
+    capped = DocumentIngest(base, threshold_pct=60, max_occupancy=5)
+    capped.process_batch(probe, 1)
+    # hot bands dropped from the candidate side => the near-dup was NOT
+    # rejected (slips through: the documented recall trade of the cap)
+    assert spark.read.parquet(capped.corpus_path).count() == 21
+
+    uncapped = DocumentIngest(base, threshold_pct=60)
+    probe2 = probe.withColumn("doc_id", F.lit(200).cast("long"))
+    uncapped.process_batch(probe2, 2)
+    # without the cap the same near-dup IS rejected against the store
+    assert spark.read.parquet(uncapped.corpus_path).count() == 21

@@ -37,7 +37,7 @@ def _score(spark, rows):
 
 def test_duplicate_line_and_ngram_stats_match_hand_computed(spark):
     rows = [
-        # 4 non-empty lines, "spam" twice: 2 dup lines, 8 dup chars
+        # 4 non-empty lines, "spam" twice: 1 beyond-first dup, 4 chars
         (1, "spam\nalpha beta\nspam\ngamma"),
         # all lines unique
         (2, "one line\nanother line\nthird"),
@@ -49,16 +49,17 @@ def test_duplicate_line_and_ngram_stats_match_hand_computed(spark):
     ]
     s = _score(spark, rows)
 
-    assert (s[1].ls.n_lines, s[1].ls.dup_lines, s[1].ls.dup_chars) == (4, 2, 8)
+    assert (s[1].ls.n_lines, s[1].ls.dup_lines, s[1].ls.dup_chars) == (4, 1, 4)
     assert (s[2].ls.dup_lines, s[2].ls.dup_chars) == (0, 0)
     assert s[2].keep is True
 
     # doc 3 tokens: buy now ×4 + truly → "buy now" bigram appears 4 times
-    # ("now buy" 3); 6 token chars per occurrence
+    # ("now buy" 3); 7 chars per occurrence incl. the separator (the
+    # reference accounting)
     assert s[3].g2.gram == "buy now"
     assert s[3].g2['count'] == 4
-    assert s[3].g2.chars == 4 * 6
-    assert s[3].keep is False  # dominant bigram: 24 chars of 33 token chars
+    assert s[3].g2.chars == 4 * 7
+    assert s[3].keep is False  # dominant bigram: 28 chars of the 37-char text
 
     for d in (4, 5):
         assert s[d].ls.n_lines == 0
