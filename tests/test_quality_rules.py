@@ -113,3 +113,88 @@ def test_ngrams_expression_contract(spark):
     out = {r.id: r.g for r in df.select("id", ngrams(F.col("toks"), 2).alias("g")).collect()}
     assert out[1] == ["a b", "b c"]
     assert out[2] == [] and out[3] == []
+
+
+def test_repetition_stats_match_duckdb_oracle_on_documents(spark):
+    """Oracle-grade parity without a registry row: DuckDB computes the
+    same duplicate-line and top-bigram statistics in plain relational
+    form (unnest → group → aggregate), and every value must match the
+    engine's sorted-run folds on the real documents table."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    staged = docs.select(
+        "doc_id", "text", tokens(norm_text(F.col("text"))).alias("toks")
+    )
+    got = {
+        r.doc_id: (
+            r.ls.n_lines, r.ls.dup_lines, r.ls.dup_chars,
+            r.g2.gram, r.g2["count"], r.g2.chars,
+        )
+        for r in staged.select(
+            "doc_id",
+            duplicate_line_stats(F.col("text")).alias("ls"),
+            top_ngram_stats(F.col("toks"), 2).alias("g2"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        oracle = con.sql("""
+            WITH lines AS (
+                SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                      l -> len(trim(l)) > 0)) AS line
+                FROM documents
+            ),
+            line_groups AS (
+                SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line
+            ),
+            line_stats AS (
+                SELECT doc_id, SUM(cnt) AS n_lines,
+                       SUM(cnt - 1) AS dup_lines,
+                       SUM((cnt - 1) * len(line)) AS dup_chars
+                FROM line_groups GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(text),
+                           '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest([t[i] || ' ' || t[i + 1]
+                               FOR i IN generate_series(1, len(t) - 1)]) AS gram
+                FROM toks WHERE len(t) >= 2
+            ),
+            gram_groups AS (
+                SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+            ),
+            top_gram AS (
+                SELECT doc_id, gram, cnt FROM (
+                    SELECT doc_id, gram, cnt,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY cnt DESC, gram ASC) AS rn
+                    FROM gram_groups) WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   COALESCE(ls.dup_lines, 0) AS dup_lines,
+                   COALESCE(ls.dup_chars, 0) AS dup_chars,
+                   tg.gram AS gram,
+                   COALESCE(tg.cnt, 0) AS cnt,
+                   COALESCE(tg.cnt * len(tg.gram), 0) AS chars
+            FROM documents d
+            LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
+            LEFT JOIN top_gram tg ON d.doc_id = tg.doc_id
+        """).fetchall()
+    finally:
+        con.close()
+
+    assert len(oracle) == len(got)
+    for doc_id, n_lines, dup_lines, dup_chars, gram, cnt, chars in oracle:
+        assert got[doc_id] == (
+            n_lines, dup_lines, dup_chars, gram, cnt, chars
+        ), (doc_id, got[doc_id], (n_lines, dup_lines, dup_chars, gram, cnt, chars))
