@@ -290,15 +290,24 @@ class EmbeddingIngest:
 
 
 class DocumentIngest:
-    """foreachBatch body: batch → reject Jaccard near-dups of accepted
-    docs → intra-batch dedup → append survivors to the corpus sink and
-    the (bands, shingles) stores the next batch dedups against."""
+    """foreachBatch body: batch → [optional quality filter] → reject
+    Jaccard near-dups of accepted docs → intra-batch dedup → append
+    survivors to the corpus sink and the (bands, shingles) stores the
+    next batch dedups against.
+
+    ``quality_filter=True`` additionally rejects documents failing the
+    Gopher repetition rules (``functions.quality.gopher_repetition_keep``,
+    published default thresholds) BEFORE dedup — the composed
+    clean-then-dedup shape of a production corpus pipeline; rejected docs
+    never enter the stores, so they also never suppress a later clean
+    near-dup of themselves."""
 
     def __init__(
         self,
         base_dir: str,
         threshold_pct: int = 60,
         max_occupancy: int | None = None,
+        quality_filter: bool = False,
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
@@ -308,6 +317,7 @@ class DocumentIngest:
         self.corpus_path = f"{base_dir}/corpus"
         self.threshold_pct = threshold_pct
         self.max_occupancy = max_occupancy
+        self.quality_filter = quality_filter
         self.id_col = id_col
         self.text_col = text_col
 
@@ -378,7 +388,21 @@ class DocumentIngest:
         # upstream if short documents must be kept
         batch = batch.filter(
             F.size(shingles(tokens(norm_text(F.col(self.text_col))))) > 0
-        ).persist()
+        )
+        if self.quality_filter:
+            from kafka_streams_dead_letter_publishing_spark.functions.quality import (
+                gopher_repetition_keep,
+            )
+
+            # stage toks (the documented PERF contract of the quality
+            # folds), score, and keep only the original columns
+            staged = batch.withColumn(
+                "_toks", tokens(norm_text(F.col(self.text_col)))
+            )
+            batch = staged.filter(
+                gopher_repetition_keep(F.col(self.text_col), F.col("_toks"))
+            ).drop("_toks")
+        batch = batch.persist()
         try:
             # intra-batch dedup FIRST, store filter second — same
             # contract-ordering reason as EmbeddingIngest
@@ -426,6 +450,7 @@ class DocumentIngest:
             new_base_dir,
             threshold_pct=self.threshold_pct,
             max_occupancy=self.max_occupancy,
+            quality_filter=self.quality_filter,
             id_col=self.id_col,
             text_col=self.text_col,
         )

@@ -242,3 +242,31 @@ def test_document_ingest_hot_key_cap_rides_the_store_reads(spark, tmp_path):
     uncapped.process_batch(probe2, 2)
     # without the cap the same near-dup IS rejected against the store
     assert spark.read.parquet(uncapped.corpus_path).count() == 21
+
+
+def test_document_ingest_composes_the_quality_filter(spark, tmp_path):
+    """quality_filter=True rejects repetition-heavy docs BEFORE dedup:
+    the boilerplate doc never enters the corpus or the stores, and clean
+    docs flow through dedup unchanged."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    clean = synth_documents(spark, 30, planted_every=10**9)
+    junk = spark.createDataFrame(
+        [(500, "buy now " * 40 + "truly")],  # dominant bigram => rejected
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    )
+    ingest = DocumentIngest(str(tmp_path / "q"), quality_filter=True)
+    ingest.process_batch(clean.unionByName(junk), 0)
+    accepted = {r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert 500 not in accepted
+    assert accepted == set(range(30))
+    # the junk doc left no trace in the dedup stores either
+    assert (
+        spark.read.parquet(ingest.shingles_path)
+        .filter(F.col("ref_id") == 500).count() == 0
+    )
