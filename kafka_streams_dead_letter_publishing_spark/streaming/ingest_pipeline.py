@@ -386,23 +386,27 @@ class DocumentIngest:
         # replay (breaking the idempotent-replay contract), and are
         # refused here instead; compose an exact-fingerprint dedup stage
         # upstream if short documents must be kept
-        batch = batch.filter(
-            F.size(shingles(tokens(norm_text(F.col(self.text_col))))) > 0
-        )
+        # Tokenize ONCE behind a persist BARRIER: a plain withColumn
+        # staging is defeated by predicate pushdown, which substitutes the
+        # tokenize chain into the filter predicates — inside the quality
+        # folds' higher-order lambdas that chain re-evaluates per gram
+        # position (the ~10× pathology the ngrams/shingles docstrings
+        # document; confirmed in the optimized plan).  Filters cannot push
+        # below an InMemoryRelation, so both admission and quality read
+        # the materialized _toks column.
+        staged = batch.withColumn(
+            "_toks", tokens(norm_text(F.col(self.text_col)))
+        ).persist()
+        admitted = staged.filter(F.size(shingles(F.col("_toks"))) > 0)
         if self.quality_filter:
             from kafka_streams_dead_letter_publishing_spark.functions.quality import (
                 gopher_repetition_keep,
             )
 
-            # stage toks (the documented PERF contract of the quality
-            # folds), score, and keep only the original columns
-            staged = batch.withColumn(
-                "_toks", tokens(norm_text(F.col(self.text_col)))
-            )
-            batch = staged.filter(
+            admitted = admitted.filter(
                 gopher_repetition_keep(F.col(self.text_col), F.col("_toks"))
-            ).drop("_toks")
-        batch = batch.persist()
+            )
+        batch = admitted.drop("_toks")
         try:
             # intra-batch dedup FIRST, store filter second — same
             # contract-ordering reason as EmbeddingIngest
@@ -431,7 +435,7 @@ class DocumentIngest:
             idx.shingles.write.mode("append").parquet(self.shingles_path)
             idx.bands.write.mode("append").parquet(self.bands_path)
         finally:
-            batch.unpersist()
+            staged.unpersist()
 
     def compact(self, new_base_dir: str) -> "DocumentIngest":
         """See :meth:`EmbeddingIngest.compact`."""
