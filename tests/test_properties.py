@@ -340,3 +340,130 @@ def test_neardup_pipeline_matches_oracle_on_random_corpora(spark, texts):
             assert_query_matches_oracle(spark, d, name, tables=("documents",))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ── document-ingest pipeline invariants on ARBITRARY corpora ─────────────
+#
+# The deterministic ingest tests pin planted-dup scenarios; this fuzz pins
+# the pipeline's CONTRACT on corpora hypothesis invents (the same
+# six-word-vocabulary trick as the near-dup pipeline fuzz, so banding
+# collisions and dedup decisions actually happen):
+#
+# * determinism: identical batch sequences into fresh base_dirs produce
+#   identical accepted corpora;
+# * exact-dup freedom: no two accepted docs share a fingerprint;
+# * rejection witnesses: every admitted-then-rejected doc has an exact
+#   Jaccard >= threshold witness among (accepted store before its batch)
+#   union (admitted docs of its batch with lower id) — i.e. the filter
+#   never drops a doc it cannot justify (precision 1.0; the verify step
+#   is exact, LSH only MISSES, it never fabricates similarity).
+
+_INGEST_VOCAB = ["alpha", "beta", "gamma", "delta", "omega", "kappa"]
+ingest_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_INGEST_VOCAB), min_size=0, max_size=10).map(" ".join),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(ingest_corpus_strategy)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_document_ingest_contract_on_random_corpora(spark, texts):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    threshold = 60
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def mk_df(subset):
+        return spark.createDataFrame(subset, "doc_id long, text string").select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("srcX").alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+
+    def run(base):
+        ing = DocumentIngest(base, threshold_pct=threshold)
+        # two batches: evens then odds — deterministic arrival order
+        b1 = [r for r in rows if r[0] % 2 == 0]
+        b2 = [r for r in rows if r[0] % 2 == 1]
+        accepted_after_b1 = set()
+        if b1:
+            ing.process_batch(mk_df(b1), 0)
+            if _corpus_exists(base):
+                accepted_after_b1 = {
+                    r.doc_id for r in spark.read.parquet(ing.corpus_path).collect()
+                }
+        if b2:
+            ing.process_batch(mk_df(b2), 1)
+        final = (
+            {r.doc_id for r in spark.read.parquet(ing.corpus_path).collect()}
+            if _corpus_exists(base)
+            else set()
+        )
+        return accepted_after_b1, final
+
+    def _corpus_exists(base):
+        import os
+
+        p = f"{base}/corpus"
+        return os.path.isdir(p) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(p)
+        )
+
+    def shingle_set(text):
+        import re
+
+        toks = re.sub(r"[ \t\n\x0B\f\r]+", " ", text.lower()).split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    def jac_pct(a, b):
+        u = len(a | b)
+        return 100 * len(a & b) / u if u else 0
+
+    d1 = tempfile.mkdtemp(prefix="ingest-fuzz-a-")
+    d2 = tempfile.mkdtemp(prefix="ingest-fuzz-b-")
+    try:
+        acc_b1, final1 = run(d1)
+        _, final2 = run(d2)
+        # determinism across identical runs
+        assert final1 == final2
+
+        sh = {i: shingle_set(t) for i, t in rows}
+        admitted = {i for i, t in rows if sh[i]}  # >=1 shingle
+        # only admitted docs can be accepted; every accepted doc admitted
+        assert final1 <= admitted
+
+        # exact-dup freedom among accepted
+        norm = {
+            i: " ".join(t.lower().split()) for i, t in rows if i in final1
+        }
+        assert len(set(norm.values())) == len(norm)
+
+        # rejection witnesses (precision 1.0): for every admitted doc that
+        # was NOT accepted, some justifying witness must exist — a doc in
+        # the accepted-store-before-its-batch, or an admitted lower-id doc
+        # of its own batch — with exact Jaccard >= threshold
+        for i in sorted(admitted - final1):
+            if i % 2 == 0:  # batch 1: witnesses are admitted evens with lower id
+                pool = [j for j in admitted if j % 2 == 0 and j < i]
+            else:  # batch 2: accepted store after batch 1, plus lower odd ids
+                pool = list(acc_b1) + [
+                    j for j in admitted if j % 2 == 1 and j < i
+                ]
+            assert any(
+                jac_pct(sh[i], sh[j]) >= threshold for j in pool
+            ), (i, rows[i][1], pool)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
