@@ -759,6 +759,123 @@ def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_gopher_repetition",
+    f"""
+    WITH lines AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                              l -> len(trim(l)) > 0)) AS line
+        FROM documents
+    ),
+    line_groups AS (
+        SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line
+    ),
+    line_stats AS (
+        SELECT doc_id, SUM(cnt) AS n_lines,
+               SUM(cnt - 1) AS dup_lines,
+               SUM((cnt - 1) * len(line)) AS dup_chars
+        FROM line_groups GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams2 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i + 1]
+                               FOR i IN generate_series(1, len(t) - 1)]) AS gram
+        FROM toks WHERE len(t) >= 2
+    ),
+    gram2_groups AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams2 GROUP BY doc_id, gram
+    ),
+    top2 AS (
+        SELECT doc_id, gram, cnt FROM (
+            SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM gram2_groups) WHERE rn = 1
+    ),
+    grams3 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                               FOR i IN generate_series(1, len(t) - 2)]) AS gram
+        FROM toks WHERE len(t) >= 3
+    ),
+    gram3_groups AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams3 GROUP BY doc_id, gram
+    ),
+    top3 AS (
+        SELECT doc_id, gram, cnt FROM (
+            SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM gram3_groups) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(ls.dup_lines, 0) AS BIGINT) AS dup_lines,
+           CAST(COALESCE(ls.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           t2.gram AS top2_gram,
+           CAST(COALESCE(t2.cnt, 0) AS BIGINT) AS top2_count,
+           CAST(COALESCE(t2.cnt * len(t2.gram), 0) AS BIGINT) AS top2_chars,
+           t3.gram AS top3_gram,
+           CAST(COALESCE(t3.cnt, 0) AS BIGINT) AS top3_count,
+           CAST(COALESCE(t3.cnt * len(t3.gram), 0) AS BIGINT) AS top3_chars,
+           ((COALESCE(ls.n_lines, 0) = 0)
+            OR (CAST(COALESCE(ls.dup_lines, 0) AS DOUBLE)
+                    <= CAST(0.30 AS DOUBLE) * COALESCE(ls.n_lines, 0)
+                AND CAST(COALESCE(ls.dup_chars, 0) AS DOUBLE)
+                    <= CAST(0.20 AS DOUBLE) * length(d.text)))
+           AND (COALESCE(t2.cnt, 0) <= 1
+                OR CAST(COALESCE(t2.cnt * len(t2.gram), 0) AS DOUBLE)
+                    <= CAST(0.20 AS DOUBLE) * length(d.text))
+           AND (COALESCE(t3.cnt, 0) <= 1
+                OR CAST(COALESCE(t3.cnt * len(t3.gram), 0) AS DOUBLE)
+                    <= CAST(0.18 AS DOUBLE) * length(d.text))
+           AS keep
+    FROM documents d
+    LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
+    LEFT JOIN top2 t2 ON d.doc_id = t2.doc_id
+    LEFT JOIN top3 t3 ON d.doc_id = t3.doc_id
+    """,
+    doc="[EXT] Gopher/MassiveText repetition-quality rules (Rae et al. "
+    "2021, §A1.1) per document: duplicate-line count/character mass, the "
+    "dominant 2-/3-gram and the characters it spans, and the composed "
+    "keep predicate (functions/quality.py) — the engine's O(n log n) "
+    "sorted-run folds vs the oracle's relational unnest→group→window "
+    "form.  Per-row narrow expressions, zero shuffles, zero Python.",
+    tags=("text", "quality", "gopher"),
+)
+def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.quality import (
+        duplicate_line_stats,
+        gopher_repetition_keep,
+        top_ngram_stats,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    # stage toks behind the select barrier (functions/text.py contract:
+    # higher-order folds get no codegen subexpression elimination, so an
+    # inlined tokenize chain would re-evaluate per gram position)
+    staged = docs.select(
+        "doc_id", "text", tokens(_norm(F.col("text"))).alias("toks")
+    )
+    ls = duplicate_line_stats(F.col("text"))
+    g2 = top_ngram_stats(F.col("toks"), 2)
+    g3 = top_ngram_stats(F.col("toks"), 3)
+    return staged.select(
+        "doc_id",
+        ls["n_lines"].cast("long").alias("n_lines"),
+        ls["dup_lines"].cast("long").alias("dup_lines"),
+        ls["dup_chars"].cast("long").alias("dup_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+        g2["gram"].alias("top2_gram"),
+        g2["count"].cast("long").alias("top2_count"),
+        g2["chars"].cast("long").alias("top2_chars"),
+        g3["gram"].alias("top3_gram"),
+        g3["count"].cast("long").alias("top3_count"),
+        g3["chars"].cast("long").alias("top3_chars"),
+        gopher_repetition_keep(F.col("text"), F.col("toks")).alias("keep"),
+    )
+
+
+@query(
     "docs_clean_corpus_pipeline",
     "WITH " + _CORPUS_EXACT_SQL
     + f""",

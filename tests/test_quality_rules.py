@@ -107,6 +107,18 @@ def test_quality_rules_are_narrow_and_python_free(spark):
     assert kept >= 0.9 * n, (kept, n)
 
 
+def test_gopher_registry_row_plan_is_narrow(spark):
+    """The registered docs_gopher_repetition row stays expression-only:
+    no Python eval, and the only exchange is the fan_out repartition of
+    the single-row-group toy scan (a no-op to skip at real scale)."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    df = QUERIES["docs_gopher_repetition"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_ngrams_expression_contract(spark):
     df = spark.createDataFrame([(1, ["a", "b", "c"]), (2, ["a"]), (3, [])],
                                "id long, toks array<string>")
