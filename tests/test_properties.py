@@ -467,3 +467,106 @@ def test_document_ingest_contract_on_random_corpora(spark, texts):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+# ── Gopher repetition rules: sorted-run folds vs a pure-Python oracle ────
+
+# repetition-prone text builder: small vocab + duplicate-friendly
+# separators so duplicate lines, dominant n-grams, and whitespace edge
+# cases (\t, \x0B, runs of spaces, empty lines) all actually occur
+_words = st.sampled_from(["a", "b", "ab", "the", "buy", "now", "é.", "0"])
+_line = st.lists(_words, min_size=0, max_size=6).map(" ".join)
+_sep = st.sampled_from(["\n", "\n\n", " \n", "\t\n", "\x0B"])
+
+
+@st.composite
+def _texts(draw):
+    lines = draw(st.lists(_line, min_size=0, max_size=8))
+    # duplicate a prefix of the lines to plant repeated lines
+    lines = lines + lines[: draw(st.integers(0, len(lines)))]
+    seps = [draw(_sep) for _ in lines]
+    return "".join(l + s for l, s in zip(lines, seps))
+
+
+def _py_line_stats(text: str) -> tuple[int, int, int]:
+    from collections import Counter
+
+    # engine: split on \n, F.trim trims SPACES only (\t / \x0B lines count)
+    lines = [l for l in text.split("\n") if l.strip(" ")]
+    c = Counter(lines)
+    return (
+        len(lines),
+        sum(k - 1 for k in c.values()),
+        sum((k - 1) * len(l) for l, k in c.items()),
+    )
+
+
+def _py_top_ngram(toks: list[str], n: int) -> tuple[str | None, int, int]:
+    from collections import Counter
+
+    if len(toks) < n:
+        return (None, 0, 0)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    c = Counter(grams)
+    best = max(c.values())
+    gram = min(g for g, k in c.items() if k == best)  # ties: lowest gram
+    return (gram, best, best * len(gram))
+
+
+@given(st.lists(_texts(), min_size=1, max_size=10))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_quality_rule_folds_match_python_oracle(spark, texts):
+    """duplicate_line_stats / top_ngram_stats / gopher_repetition_keep on
+    ARBITRARY repetition-prone text (incl. \\t, \\x0B, multi-space runs,
+    planted duplicate lines) must equal a pure-Python reference that
+    implements the documented contracts directly — the registry row's
+    DuckDB oracle only sees the real corpus; this covers the edges."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.functions.quality import (
+        duplicate_line_stats,
+        gopher_repetition_keep,
+        top_ngram_stats,
+    )
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        norm_text,
+        tokens,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    staged = df.select("id", "text", tokens(norm_text(F.col("text"))).alias("toks"))
+    got = {
+        r.id: r
+        for r in staged.select(
+            "id",
+            duplicate_line_stats(F.col("text")).alias("ls"),
+            top_ngram_stats(F.col("toks"), 2).alias("g2"),
+            top_ngram_stats(F.col("toks"), 3).alias("g3"),
+            gopher_repetition_keep(F.col("text"), F.col("toks")).alias("keep"),
+        ).collect()
+    }
+
+    for i, text in rows:
+        n_lines, dup_lines, dup_chars = _py_line_stats(text)
+        toks = re.sub(r"[ \t\n\x0B\f\r]+", " ", text.lower()).split(" ")
+        g2 = _py_top_ngram(toks, 2)
+        g3 = _py_top_ngram(toks, 3)
+        r = got[i]
+        assert (r.ls.n_lines, r.ls.dup_lines, r.ls.dup_chars) == (
+            n_lines, dup_lines, dup_chars,
+        ), (i, text)
+        assert (r.g2.gram, r.g2["count"], r.g2.chars) == g2, (i, text)
+        assert (r.g3.gram, r.g3["count"], r.g3.chars) == g3, (i, text)
+        n_chars = len(text)
+        line_ok = n_lines == 0 or (
+            dup_lines <= 0.30 * n_lines and dup_chars <= 0.20 * n_chars
+        )
+        keep = (
+            line_ok
+            and (g2[1] <= 1 or g2[2] <= 0.20 * n_chars)
+            and (g3[1] <= 1 or g3[2] <= 0.18 * n_chars)
+        )
+        assert r.keep is keep, (i, text)
