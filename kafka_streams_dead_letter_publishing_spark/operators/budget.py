@@ -1,0 +1,92 @@
+"""Token-budget corpus sampling ([EXT]): select a deterministic subset of
+a corpus whose cumulative token count fills a budget — the mixture-building
+step of a pretraining data pipeline ("give me ~N tokens of this source,
+chosen uniformly and reproducibly").
+
+Semantics: order documents by ``md5(id)`` (a deterministic uniform
+shuffle — no RNG, so re-runs and the DuckDB oracle agree byte-for-byte),
+walk that order accumulating each document's token count, and keep every
+document whose RUNNING total is still within the budget (greedy
+take-until-budget; the first overflowing document is excluded).
+
+Scale posture — the whole point of this operator: the naive form is a
+global cumulative-sum window (``Window.orderBy(hash)``), which Spark
+plans as ``Exchange SinglePartition`` — every row through ONE task, the
+classic scale killer.  This implementation is the distributed two-phase
+prefix-sum instead:
+
+1. bucket every row by a PREFIX of its hash (``bucket_chars`` hex chars,
+   e.g. 3 → 4096 buckets), so hash order == (bucket, hash) order;
+2. one hash-aggregate computes per-bucket token sums — k rows of
+   metadata collected to the driver (k = #buckets, like the k×d centroid
+   collects in ``operators/kmeans.py``: bounded by config, not by data);
+3. the driver prefix-sums the k bucket totals into per-bucket OFFSETS,
+   broadcast back;
+4. one window partitioned BY BUCKET computes within-bucket running sums
+   in parallel; offset + within-bucket sum == the exact global running
+   sum.
+
+At 100 TB with 4096 buckets each bucket holds ~1/4096 of the corpus and
+the windows run 4096-way parallel; raise ``bucket_chars`` to shrink
+buckets further.  No reference counterpart (stateless-streams demo);
+mandated by the driver's north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_order_key(id_col: str) -> "F.Column":
+    """The deterministic shuffle key: lowercase md5 hex of the id's
+    decimal string — identical in Spark and DuckDB (``md5(CAST(id AS
+    VARCHAR))``), so oracle and engine walk the same order."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    n_tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """Greedy hash-ordered sample: rows of ``docs`` (must carry a token
+    count in ``n_tokens_col``) whose running token total in md5(id) order
+    is ≤ ``budget``; output adds ``running_tokens``.
+
+    Plan shape: one hash-aggregate (bucket sums) + a driver-side prefix
+    over #buckets rows + one bucket-partitioned window.  Never a
+    single-partition global window — gated by
+    ``tests/test_budget.py``."""
+    spark = docs.sparkSession
+    staged = docs.withColumn("_h", hash_order_key(id_col)).withColumn(
+        "_bk", F.substring("_h", 1, bucket_chars)
+    )
+    # k×1 bucket metadata (k = 16^bucket_chars, config-bounded): the only
+    # driver-side materialization, same class as the kmeans centroid
+    # collects — NOT a data-sized collect
+    bucket_sums = staged.groupBy("_bk").agg(
+        F.sum(n_tokens_col).cast("long").alias("_bs")
+    ).collect()
+    run = 0
+    offsets = []
+    for r in sorted(bucket_sums, key=lambda r: r["_bk"]):
+        offsets.append((r["_bk"], run))
+        run += r["_bs"]
+    if not offsets:  # empty input: no buckets, nothing to sample
+        return docs.select(
+            id_col, n_tokens_col, F.lit(None).cast("long").alias("running_tokens")
+        ).limit(0)
+    off_df = spark.createDataFrame(offsets, "_bk string, _off long")
+    w = Window.partitionBy("_bk").orderBy("_h")
+    return (
+        staged.join(F.broadcast(off_df), "_bk")
+        .withColumn(
+            "running_tokens",
+            (F.col("_off") + F.sum(F.col(n_tokens_col).cast("long")).over(w)),
+        )
+        .filter(F.col("running_tokens") <= F.lit(int(budget)))
+        .drop("_h", "_bk", "_off")
+    )

@@ -943,6 +943,50 @@ def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_token_budget_sample",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM scored),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, running_tokens
+    FROM cum WHERE running_tokens <= (SELECT t // 2 FROM tot)
+    """,
+    doc="[EXT] Token-budget corpus sampling (operators/budget.py): fill "
+    "half the corpus's token budget by walking documents in "
+    "deterministic md5(id) order and keeping every doc whose running "
+    "token total fits — the mixture-building step of a pretraining "
+    "pipeline.  The oracle's global cumulative-sum window is exactly "
+    "what the engine must NOT do at scale (Exchange SinglePartition); "
+    "the engine runs the distributed two-phase prefix-sum instead: "
+    "per-bucket sums -> driver prefix over #buckets metadata rows -> "
+    "bucket-partitioned windows, plan-gated single-partition-free.",
+    tags=("text", "tokens", "sampling", "scale"),
+)
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        token_budget_sample,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "doc_id", F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    # one scalar to the driver (the budget), not data
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    return token_budget_sample(scored, "n_tokens", int(total) // 2)
+
+
+@query(
     "docs_wordcount_top20",
     f"""
     SELECT token, COUNT(*) AS freq
