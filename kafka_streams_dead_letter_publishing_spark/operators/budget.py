@@ -1,7 +1,8 @@
 """Token-budget corpus sampling ([EXT]): select a deterministic subset of
 a corpus whose cumulative token count fills a budget — the mixture-building
 step of a pretraining data pipeline ("give me ~N tokens of this source,
-chosen uniformly and reproducibly").
+chosen uniformly and reproducibly") — and, with ``group_col``, the full
+mixture form ("40% web, 30% books, 30% code" as per-source budgets).
 
 Semantics: order documents by ``md5(id)`` (a deterministic uniform
 shuffle — no RNG, so re-runs and the DuckDB oracle agree byte-for-byte),
@@ -34,6 +35,8 @@ mandated by the driver's north-star LLM-pipeline surface.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,45 +51,74 @@ def hash_order_key(id_col: str) -> "F.Column":
 def token_budget_sample(
     docs: DataFrame,
     n_tokens_col: str,
-    budget: int,
+    budget: int | Mapping[str, int],
     id_col: str = "doc_id",
     bucket_chars: int = 3,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Greedy hash-ordered sample: rows of ``docs`` (must carry a token
     count in ``n_tokens_col``) whose running token total in md5(id) order
     is ≤ ``budget``; output adds ``running_tokens``.
 
-    Plan shape: one hash-aggregate (bucket sums) + a driver-side prefix
-    over #buckets rows + one bucket-partitioned window.  Never a
-    single-partition global window — gated by
-    ``tests/test_budget.py``."""
+    With ``group_col`` (a STRING column, e.g. ``source``) the walk and
+    the budget apply PER GROUP — the mixture-building form ("this many
+    tokens of web, this many of books"); ``budget`` may then be a
+    ``{group: budget}`` mapping (groups absent from the mapping get 0 —
+    excluded) or a single int applied to every group.  Groups with a
+    NULL key are excluded (no budget can name them).
+
+    Plan shape: one hash-aggregate ((group, bucket) sums) + a driver-side
+    prefix over #groups × #buckets metadata rows + one window partitioned
+    by (group, bucket).  Never a single-partition global window — gated
+    by ``tests/test_budget.py``."""
     spark = docs.sparkSession
     staged = docs.withColumn("_h", hash_order_key(id_col)).withColumn(
         "_bk", F.substring("_h", 1, bucket_chars)
     )
-    # k×1 bucket metadata (k = 16^bucket_chars, config-bounded): the only
+    gcols = [group_col] if group_col else []
+    # #groups × #buckets metadata rows (buckets = 16^bucket_chars,
+    # config-bounded; groups = the mixture's source list): the only
     # driver-side materialization, same class as the kmeans centroid
     # collects — NOT a data-sized collect
-    bucket_sums = staged.groupBy("_bk").agg(
+    bucket_sums = staged.groupBy(*gcols, "_bk").agg(
         F.sum(n_tokens_col).cast("long").alias("_bs")
     ).collect()
-    run = 0
+
+    def _budget_for(g) -> int:
+        if isinstance(budget, Mapping):
+            return int(budget.get(g, 0))
+        return int(budget)
+
+    by_group: dict[object, list] = {}
+    for r in bucket_sums:
+        g = r[group_col] if group_col else None
+        if group_col and g is None:
+            continue  # no budget can name a NULL group
+        by_group.setdefault(g, []).append(r)
     offsets = []
-    for r in sorted(bucket_sums, key=lambda r: r["_bk"]):
-        offsets.append((r["_bk"], run))
-        run += r["_bs"]
+    for g, rs in by_group.items():
+        run = 0
+        for r in sorted(rs, key=lambda r: r["_bk"]):
+            offsets.append(
+                ((g,) if group_col else ()) + (r["_bk"], run, _budget_for(g))
+            )
+            run += r["_bs"]
     if not offsets:  # empty input: no buckets, nothing to sample
         return docs.select(
-            id_col, n_tokens_col, F.lit(None).cast("long").alias("running_tokens")
+            *gcols, id_col, n_tokens_col,
+            F.lit(None).cast("long").alias("running_tokens"),
         ).limit(0)
-    off_df = spark.createDataFrame(offsets, "_bk string, _off long")
-    w = Window.partitionBy("_bk").orderBy("_h")
+    schema = (f"{group_col} string, " if group_col else "") + (
+        "_bk string, _off long, _budget long"
+    )
+    off_df = spark.createDataFrame(offsets, schema)
+    w = Window.partitionBy(*gcols, "_bk").orderBy("_h")
     return (
-        staged.join(F.broadcast(off_df), "_bk")
+        staged.join(F.broadcast(off_df), gcols + ["_bk"])
         .withColumn(
             "running_tokens",
             (F.col("_off") + F.sum(F.col(n_tokens_col).cast("long")).over(w)),
         )
-        .filter(F.col("running_tokens") <= F.lit(int(budget)))
-        .drop("_h", "_bk", "_off")
+        .filter(F.col("running_tokens") <= F.col("_budget"))
+        .drop("_h", "_bk", "_off", "_budget")
     )

@@ -987,6 +987,57 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_source_mixture_sample",
+    f"""
+    WITH scored AS (
+        SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+            FROM scored),
+    cum AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_tokens
+        FROM scored
+    )
+    SELECT source, doc_id, n_tokens, running_tokens
+    FROM cum WHERE running_tokens <= (SELECT (t // 4) // ns FROM tot)
+    """,
+    doc="[EXT] Source-balanced mixture sampling (operators/budget.py, "
+    "group_col form): give every source an equal share of a quarter of "
+    "the corpus's token budget, each filled by the deterministic "
+    "md5-order greedy walk WITHIN that source — the mixture-building "
+    "step ('40% web, 30% books...') of a pretraining pipeline with "
+    "equal weights.  Same two-phase prefix-sum scale shape as "
+    "docs_token_budget_sample, windows partitioned by (source, bucket).",
+    tags=("text", "tokens", "sampling", "mixture", "scale"),
+)
+def docs_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        token_budget_sample,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    # two scalars to the driver (overall budget + source count), not data
+    tot = scored.agg(
+        F.sum("n_tokens").alias("t"), F.countDistinct("source").alias("ns")
+    ).collect()[0]
+    per_source = (int(tot["t"]) // 4) // int(tot["ns"])
+    return token_budget_sample(
+        scored, "n_tokens", per_source, group_col="source"
+    )
+
+
+@query(
     "docs_wordcount_top20",
     f"""
     SELECT token, COUNT(*) AS freq

@@ -101,3 +101,76 @@ def test_budget_registry_row_totals(spark):
     # max-doc-size of the budget
     max_doc = max(r.n_tokens for r in rows)
     assert top > budget - 2 * max_doc
+
+
+def _py_grouped_reference(rows, budgets):
+    """(group, id, n_tokens) rows + {group: budget} -> {id: running}."""
+    out = {}
+    groups = {g for g, _, _ in rows}
+    for g in groups:
+        if g is None:
+            continue
+        b = budgets.get(g, 0) if isinstance(budgets, dict) else budgets
+        sub = [(i, n) for gg, i, n in rows if gg == g]
+        out.update(_py_reference(sub, b))
+    return out
+
+
+def test_grouped_budget_sample_matches_python_reference(spark):
+    rows = [("web", i, (i * 13) % 40 + 1) for i in range(200)] + [
+        ("books", 1000 + i, (i * 7) % 90 + 10) for i in range(100)
+    ] + [("code", 2000 + i, 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    # mapping budgets: one generous, one tight, one ABSENT (=> excluded)
+    budgets = {"web": 900, "books": 333}
+    got = {
+        r.doc_id: r.running_tokens
+        for r in token_budget_sample(
+            df, "n_tokens", budgets, group_col="source"
+        ).collect()
+    }
+    assert got == _py_grouped_reference(rows, budgets)
+    assert not any(i >= 2000 for i in got)  # absent group excluded
+
+    # scalar budget applies to every group
+    got_scalar = {
+        r.doc_id: r.running_tokens
+        for r in token_budget_sample(
+            df, "n_tokens", 250, group_col="source"
+        ).collect()
+    }
+    assert got_scalar == _py_grouped_reference(rows, 250)
+
+
+def test_grouped_budget_sample_null_group_excluded(spark):
+    rows = [("web", 1, 10), (None, 2, 10), ("web", 3, 10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {
+        r.doc_id
+        for r in token_budget_sample(
+            df, "n_tokens", 1000, group_col="source"
+        ).collect()
+    }
+    assert got == {1, 3}
+
+
+def test_mixture_registry_row_balances_sources(spark):
+    """Every source fills (close to) the same per-source budget — the
+    equal-weights mixture contract."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    out = QUERIES["docs_source_mixture_sample"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    per_source_top = {}
+    per_source_max_doc = {}
+    for r in out:
+        per_source_top[r.source] = max(per_source_top.get(r.source, 0), r.running_tokens)
+        per_source_max_doc[r.source] = max(per_source_max_doc.get(r.source, 0), r.n_tokens)
+    budget = None
+    for s, top in per_source_top.items():
+        if budget is None:
+            budget = top  # all sources share one budget; tops differ only
+        # by the granularity of the last doc
+        assert abs(top - budget) <= per_source_max_doc[s] + max(per_source_max_doc.values())
