@@ -836,6 +836,31 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_counts",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - offs.k * INTERVAL '15 minutes' AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+    GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) event-time window: 1-hour windows every 15 "
+    "minutes per event type — Spark's native window(ts, size, slide) "
+    "(each event feeds size/slide = 4 windows); the oracle fans each "
+    "event out to its 4 containing window starts explicitly.  Both "
+    "engines epoch-align 15-minute buckets, so starts agree.",
+    tags=("events", "window", "sliding", "streaming-shape"),
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@query(
     "events_sessionization",
     """
     WITH flagged AS (

@@ -38,14 +38,16 @@ def windowed_type_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
     delay: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window counts per ``event_type`` with a
-    late-data watermark — the streaming shape of the registry's
-    ``events_hourly_stats`` batch query (same grouping, windows finalize
-    and evict as the watermark passes)."""
+    """Tumbling — or, with ``slide``, hopping — event-time window counts
+    per ``event_type`` with a late-data watermark: the streaming shape of
+    the registry's ``events_hourly_stats`` / ``events_sliding_counts``
+    batch queries (same grouping; windows finalize and evict as the
+    watermark passes; a hopping event feeds window/slide groups)."""
     return (
         df.withWatermark(ts_col, delay)
-        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .groupBy(F.window(ts_col, window, slide or window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
     )

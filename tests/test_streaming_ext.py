@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -101,9 +102,11 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
-def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+@pytest.mark.parametrize("slide", [None, "15 minutes"])
+def test_streaming_windowed_counts_match_batch(spark, tmp_path, slide):
     """Windows the watermark has passed must emit exactly the batch
-    aggregation's values (append mode finalizes per watermark)."""
+    aggregation's values (append mode finalizes per watermark) — both
+    tumbling and hopping (slide < window) forms."""
     # watermarks require TIMESTAMP (tz-aware); the loader yields NTZ
     ev = load_table(spark, SMOKE_SF, "events").select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type"
@@ -114,7 +117,9 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     out = str(tmp_path / "out")
     stream = spark.readStream.schema(ev.schema).parquet(src)
     q = (
-        windowed_type_counts(stream, ts_col="ts", window="1 hour", delay="30 minutes")
+        windowed_type_counts(
+            stream, ts_col="ts", window="1 hour", delay="30 minutes", slide=slide
+        )
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -130,7 +135,7 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     emitted = spark.read.parquet(out)
     assert emitted.count() > 0
     batch = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", "1 hour", slide or "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
     )
