@@ -283,3 +283,32 @@ def band_keys_from_minhash_fast(mh: Column, n_shingles: Column) -> Column:
         ]
     )
     return F.when(n_shingles > 0, keys).otherwise(F.array().cast("array<bigint>"))
+
+
+# ── PII redaction ────────────────────────────────────────────────────────
+
+#: email / IPv4 patterns spelled in the Java∩RE2 regex subset (explicit
+#: classes, no \b, no backrefs) so Spark and the DuckDB oracle match and
+#: replace IDENTICAL spans — the same dialect discipline as norm_text
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Corpus-cleaning PII scrub: replace every email, then every IPv4
+    literal, with typed placeholder tags.  Order matters (an email's
+    domain may contain digit runs an IP pattern could clip mid-address);
+    both engines replace all occurrences, left to right.  Per-row narrow
+    expression — composes into ingest pipelines like the Gopher filter."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+    )
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(n_emails, n_ips) found by the same patterns redact_pii
+    replaces — the audit counterpart (what a compliance report counts)."""
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
+    )

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.functions.text import (
     LANG_MARKERS,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
     SIMHASH_CHUNK_BITS,
     SIMHASH_N_CHUNKS,
     STOPWORDS,
@@ -755,6 +757,67 @@ def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
         "n_chars_actual",
+    )
+
+
+@query(
+    "docs_pii_redaction",
+    f"""
+    WITH pii_corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT)
+               AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+               '<EMAIL>', 'g'), '{PII_IPV4_RE}', '<IP>', 'g')) AS red_fp
+    FROM pii_corpus
+    """,
+    doc="[EXT] PII redaction audit (functions/text.py redact_pii / "
+    "pii_counts): email + IPv4 scrub over a corpus with deterministically "
+    "planted contact lines (every 5th doc) — per-doc match counts and the "
+    "md5 of the redacted text, so the oracle pins the replacement "
+    "byte-for-byte, not just the counts.  Patterns live in the Java∩RE2 "
+    "regex subset; per-row narrow, zero shuffles.",
+    tags=("text", "pii", "quality"),
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    c = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        c["n_emails"].cast("long").alias("n_emails"),
+        c["n_ips"].cast("long").alias("n_ips"),
+        F.md5(redact_pii(F.col("text"))).alias("red_fp"),
     )
 
 

@@ -110,3 +110,35 @@ def test_fast_minhash_family_contract(spark):
     # determinism across evaluations
     again = {r.doc_id: r.bk for r in out.collect()}
     assert again[1] == rows[1].bk
+
+
+def test_pii_redaction_and_counts(spark):
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b-c_d%x+1@sub.example.co.uk today"),
+        (2, "server at 10.0.255.7 and 192.168.1.1:8080"),
+        (3, "both Bob.Smith@corp.example.COM via 172.16.0.9 ok"),
+        (4, "no pii here, just v1.2 and a@b (not an email)"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.red, r.c.n_emails, r.c.n_ips)
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("red"),
+            pii_counts(F.col("text")).alias("c"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> today", 1, 0)
+    assert got[2] == ("server at <IP> and <IP>:8080", 0, 2)
+    assert got[3] == ("both <EMAIL> via <IP> ok", 1, 1)
+    # 'v1.2' lacks 4 octets, 'a@b' lacks a dotted TLD: both untouched
+    assert got[4] == ("no pii here, just v1.2 and a@b (not an email)", 0, 0)
+    assert got[5] == ("", 0, 0)
+    assert got[6][0] is None
