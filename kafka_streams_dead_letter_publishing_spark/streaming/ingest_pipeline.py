@@ -300,7 +300,13 @@ class DocumentIngest:
     published default thresholds) BEFORE dedup — the composed
     clean-then-dedup shape of a production corpus pipeline; rejected docs
     never enter the stores, so they also never suppress a later clean
-    near-dup of themselves."""
+    near-dup of themselves.
+
+    ``pii_redact=True`` scrubs emails/IPv4 literals (``functions.text.
+    redact_pii``) FIRST, before every other stage — so the quality rules,
+    the shingle stores, and the corpus sink all see only redacted text
+    (raw PII never lands on disk), and two documents differing only in
+    contact details dedup as the duplicates they are."""
 
     def __init__(
         self,
@@ -308,6 +314,7 @@ class DocumentIngest:
         threshold_pct: int = 60,
         max_occupancy: int | None = None,
         quality_filter: bool = False,
+        pii_redact: bool = False,
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
@@ -318,6 +325,7 @@ class DocumentIngest:
         self.threshold_pct = threshold_pct
         self.max_occupancy = max_occupancy
         self.quality_filter = quality_filter
+        self.pii_redact = pii_redact
         self.id_col = id_col
         self.text_col = text_col
 
@@ -380,6 +388,16 @@ class DocumentIngest:
         )
 
         spark = batch.sparkSession
+        if self.pii_redact:
+            from kafka_streams_dead_letter_publishing_spark.functions.text import (
+                redact_pii,
+            )
+
+            # FIRST stage: every downstream consumer (quality rules,
+            # shingle/band stores, corpus sink) sees only redacted text,
+            # so raw PII never lands on disk and contact-detail-only
+            # variants dedup as duplicates
+            batch = batch.withColumn(self.text_col, redact_pii(F.col(self.text_col)))
         # admission: a document must have at least one shingle (≥ 3
         # tokens) — sub-shingle docs collide with nothing, so they could
         # never be deduped, would be re-appended on every checkpoint
@@ -455,6 +473,7 @@ class DocumentIngest:
             threshold_pct=self.threshold_pct,
             max_occupancy=self.max_occupancy,
             quality_filter=self.quality_filter,
+            pii_redact=self.pii_redact,
             id_col=self.id_col,
             text_col=self.text_col,
         )

@@ -270,3 +270,45 @@ def test_document_ingest_composes_the_quality_filter(spark, tmp_path):
         spark.read.parquet(ingest.shingles_path)
         .filter(F.col("ref_id") == 500).count() == 0
     )
+
+
+def test_document_ingest_composes_pii_redaction(spark, tmp_path):
+    """pii_redact=True scrubs before EVERY other stage: raw PII never
+    reaches the corpus or the dedup stores, and two docs differing only
+    in contact details collapse to one keeper."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{base} mail alice@example.com now"),
+        (2, f"{base} mail bob.jones@corp.example.org now"),  # redacts == doc 1
+        (3, "totally different words entirely here my friend yes indeed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ingest = DocumentIngest(str(tmp_path / "pii"), pii_redact=True)
+    ingest.process_batch(docs, 0)
+
+    corpus = {r.doc_id: r.text for r in spark.read.parquet(ingest.corpus_path).collect()}
+    # exact-dup collapse after redaction: lowest id kept
+    assert set(corpus) == {1, 3}
+    assert corpus[1] == f"{base} mail <EMAIL> now"
+    # no raw PII anywhere on disk — corpus or shingle store
+    all_text = " ".join(corpus.values())
+    shingle_text = " ".join(
+        s for r in spark.read.parquet(ingest.shingles_path).collect() for s in r.ref_sh
+    )
+    for leak in ("alice", "bob.jones", "@example.com", "@corp.example.org"):
+        assert leak not in all_text and leak not in shingle_text, leak
+
+    # replay of a redacted-identical doc self-matches the store (idempotent)
+    ingest.process_batch(
+        spark.createDataFrame(
+            [(9, f"{base} mail carol@other.example.net now")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    after = {r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert after == {1, 3}
