@@ -312,3 +312,26 @@ def pii_counts(text: Column) -> Column:
         F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
     )
+
+
+# ── sequence packing ─────────────────────────────────────────────────────
+
+
+def packed_chunks(toks: Column, size: int, stride: int) -> Column:
+    """Fixed-size training-sequence windows over a token array:
+    ``array<struct<chunk_id:int, chunk:array<string>>>`` with windows
+    starting every ``stride`` tokens (``stride < size`` ⇒ overlapping
+    context, the standard LLM packing shape); the final window is
+    clipped, never padded.  Per-row narrow expression over a
+    MATERIALIZED token column (same staging caveat as :func:`ngrams`).
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
+    n_chunks = F.floor((F.size(toks) - F.lit(1)) / F.lit(stride)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, size).alias("chunk"),
+        ),
+    )

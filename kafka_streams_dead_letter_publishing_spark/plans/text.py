@@ -1101,6 +1101,53 @@ def docs_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_packed_sequences",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, (len(t) - 1) // 56)) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               t[i * 56 + 1 : i * 56 + 64] AS chunk
+        FROM starts
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+    doc="[EXT] Sequence packing (functions/text.py packed_chunks): split "
+    "every document's token stream into 64-token training windows "
+    "starting every 56 tokens (8-token overlapping context, final window "
+    "clipped) — the LLM training-prep chunking step; oracle compares "
+    "per-chunk token counts and the md5 of the space-joined window, so "
+    "window BOUNDARIES are pinned exactly.  Narrow explode, one row per "
+    "window — scales as the token volume.",
+    tags=("text", "tokens", "packing"),
+)
+def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        packed_chunks,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    staged = docs.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+    exploded = staged.select(
+        "doc_id",
+        F.explode(packed_chunks(F.col("toks"), size=64, stride=56)).alias("c"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.chunk").cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.chunk"))).alias("chunk_fp"),
+    )
+
+
+@query(
     "docs_wordcount_top20",
     f"""
     SELECT token, COUNT(*) AS freq

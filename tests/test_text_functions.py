@@ -142,3 +142,34 @@ def test_pii_redaction_and_counts(spark):
     assert got[4] == ("no pii here, just v1.2 and a@b (not an email)", 0, 0)
     assert got[5] == ("", 0, 0)
     assert got[6][0] is None
+
+
+def test_packed_chunks_window_boundaries(spark):
+    import pytest as _pytest
+
+    from kafka_streams_dead_letter_publishing_spark.functions.text import packed_chunks
+
+    df = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(10)]),  # 10 toks, size 4 stride 3
+         (2, ["a"]),                          # single token
+         (3, [f"t{i}" for i in range(4)])],   # exactly one full window
+        "id long, toks array<string>",
+    )
+    got = {
+        r.id: [(c.chunk_id, c.chunk) for c in r.p]
+        for r in df.select(
+            "id", packed_chunks(F.col("toks"), size=4, stride=3).alias("p")
+        ).collect()
+    }
+    t = [f"t{i}" for i in range(10)]
+    # starts at 0,3,6,9 (every stride while start < n); last window clipped
+    assert got[1] == [(0, t[0:4]), (1, t[3:7]), (2, t[6:10]), (3, t[9:10])]
+    assert got[2] == [(0, ["a"])]
+    assert got[3] == [(0, ["t0", "t1", "t2", "t3"]), (1, ["t3"])]
+    # every token appears in at least one window
+    assert set(t) == {tok for _, ch in got[1] for tok in ch}
+
+    with _pytest.raises(ValueError):
+        packed_chunks(F.col("toks"), size=4, stride=5)
+    with _pytest.raises(ValueError):
+        packed_chunks(F.col("toks"), size=4, stride=0)
