@@ -1148,6 +1148,54 @@ def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_global_packing",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS doc_off
+        FROM scored
+    ),
+    segs AS (
+        SELECT doc_id, n, doc_off,
+               unnest(generate_series(doc_off // 64, (doc_off + n - 1) // 64))
+                   AS seq_id
+        FROM offs WHERE n > 0
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(doc_off, seq_id * 64) AS BIGINT) AS tok_start,
+           CAST(LEAST(doc_off + n, (seq_id + 1) * 64)
+                - GREATEST(doc_off, seq_id * 64) AS BIGINT) AS n_toks
+    FROM segs
+    """,
+    doc="[EXT] Global cross-document sequence packing "
+    "(operators/packing.py): the corpus-order token stream cut into "
+    "fully-filled 64-token training sequences that cross document "
+    "boundaries — one row per (sequence, document) overlap segment with "
+    "its global offset, what a loader needs without ever building the "
+    "concatenation.  Oracle = the naive global cumsum window; engine = "
+    "the distributed two-phase prefix-sum (bucket sums -> driver prefix "
+    "-> bucket-partitioned windows) + narrow per-doc explode, "
+    "SinglePartition-free.",
+    tags=("text", "tokens", "packing", "scale"),
+)
+def docs_global_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.packing import (
+        pack_corpus_segments,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "doc_id", F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    return pack_corpus_segments(scored, "n_tokens", seq_len=64)
+
+
+@query(
     "docs_wordcount_top20",
     f"""
     SELECT token, COUNT(*) AS freq
