@@ -1044,8 +1044,9 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens")
     )
-    # one scalar to the driver (the budget), not data
-    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    # one scalar to the driver (the budget), not data; SUM over an empty
+    # corpus is NULL -> budget 0 -> empty sample (matches the oracle)
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
     return token_budget_sample(scored, "n_tokens", int(total) // 2)
 
 
@@ -1090,11 +1091,13 @@ def docs_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
     )
-    # two scalars to the driver (overall budget + source count), not data
+    # two scalars to the driver (overall budget + source count), not data;
+    # empty corpus: SUM is NULL and ns is 0 -> budget 0 -> empty sample
     tot = scored.agg(
         F.sum("n_tokens").alias("t"), F.countDistinct("source").alias("ns")
     ).collect()[0]
-    per_source = (int(tot["t"]) // 4) // int(tot["ns"])
+    ns = int(tot["ns"])
+    per_source = ((int(tot["t"] or 0) // 4) // ns) if ns else 0
     return token_budget_sample(
         scored, "n_tokens", per_source, group_col="source"
     )
@@ -1181,7 +1184,7 @@ def docs_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the distributed two-phase prefix-sum (bucket sums -> driver prefix "
     "-> bucket-partitioned windows) + narrow per-doc explode, "
     "SinglePartition-free.",
-    tags=("text", "tokens", "packing", "scale"),
+    tags=("text", "tokens", "packing", "scale", "bench"),
 )
 def docs_global_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.packing import (
