@@ -17,6 +17,8 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 PROBE_OPS = (
     "exact_dedup",
     "neardup_pairs_cc",
+    "token_budget_sample",
+    "global_packing",
     "neardup_ingest_filter",
     "ann_pairs_fixed4",
     "ann_pairs_scaled",

@@ -16,6 +16,11 @@ Probed (composed from the same operator APIs the registry rows use):
                           Jaccard verify → connected components (the full
                           in-corpus near-dup clustering pipeline)
 * neardup_ingest_filter — 10% micro-batch vs prebuilt index (serving path)
+* token_budget_sample   — hash-order greedy token-budget fill via the
+                          two-phase prefix-sum (expected ≈linear; the
+                          naive global window would serialize)
+* global_packing        — corpus-order packing into fixed sequences
+                          (same prefix-sum machinery; expected ≈linear)
 * ann_pairs_fixed4      — in-corpus cosine≥0.9 pairs, oracle 6×4-plane
                           config: EXPECTED ≈quadratic (the probe's point —
                           fixed depth does not survive scale; capped at 4×)
@@ -125,9 +130,15 @@ def main() -> None:
         nearest_cluster_quantized,
         quantize_embedding,
     )
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        token_budget_sample,
+    )
     from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
         build_neardup_index,
         neardup_filter,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.packing import (
+        pack_corpus_segments,
     )
     from kafka_streams_dead_letter_publishing_spark.sources.synth import (
         synth_documents,
@@ -259,6 +270,26 @@ def main() -> None:
             pair_count["n"] = cc.count()
 
         record("neardup_pairs_cc", n_docs, _timed(run_neardup_cc), clustered_nodes=pair_count["n"])
+
+        # global running totals via the two-phase prefix-sum: the
+        # sampling/packing family must stay ~linear (the naive global
+        # window would serialize on one task and the probe would show it)
+        scored = docs.select(
+            "doc_id",
+            F.size(tokens(norm_text(F.col("text")))).cast("long").alias("n_tokens"),
+        ).persist()
+        total = int(scored.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+        record(
+            "token_budget_sample",
+            n_docs,
+            _timed(lambda: _noop(token_budget_sample(scored, "n_tokens", total // 2))),
+        )
+        record(
+            "global_packing",
+            n_docs,
+            _timed(lambda: _noop(pack_corpus_segments(scored, "n_tokens", 64))),
+        )
+        scored.unpersist()
 
         nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
         nd_idx = nd_idx._replace(
