@@ -37,8 +37,12 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.prefix import (
+    bucketed_running_sum,
+)
 
 
 def hash_order_key(id_col: str) -> "F.Column":
@@ -67,58 +71,34 @@ def token_budget_sample(
     excluded) or a single int applied to every group.  Groups with a
     NULL key are excluded (no budget can name them).
 
-    Plan shape: one hash-aggregate ((group, bucket) sums) + a driver-side
-    prefix over #groups × #buckets metadata rows + one window partitioned
-    by (group, bucket).  Never a single-partition global window — gated
-    by ``tests/test_budget.py``."""
-    spark = docs.sparkSession
+    Plan shape (via ``operators/prefix.py``): one hash-aggregate
+    ((group, bucket) sums) + a driver-side prefix over #groups × #buckets
+    metadata rows + one window partitioned by (group, bucket).  Never a
+    single-partition global window — gated by ``tests/test_budget.py``."""
     staged = docs.withColumn("_h", hash_order_key(id_col)).withColumn(
         "_bk", F.substring("_h", 1, bucket_chars)
     )
     gcols = [group_col] if group_col else []
-    # #groups × #buckets metadata rows (buckets = 16^bucket_chars,
-    # config-bounded; groups = the mixture's source list): the only
-    # driver-side materialization, same class as the kmeans centroid
-    # collects — NOT a data-sized collect
-    bucket_sums = staged.groupBy(*gcols, "_bk").agg(
-        F.sum(n_tokens_col).cast("long").alias("_bs")
-    ).collect()
 
     def _budget_for(g) -> int:
         if isinstance(budget, Mapping):
             return int(budget.get(g, 0))
         return int(budget)
 
-    by_group: dict[object, list] = {}
-    for r in bucket_sums:
-        g = r[group_col] if group_col else None
-        if group_col and g is None:
-            continue  # no budget can name a NULL group
-        by_group.setdefault(g, []).append(r)
-    offsets = []
-    for g, rs in by_group.items():
-        run = 0
-        for r in sorted(rs, key=lambda r: r["_bk"]):
-            offsets.append(
-                ((g,) if group_col else ()) + (r["_bk"], run, _budget_for(g))
-            )
-            run += r["_bs"]
-    if not offsets:  # empty input: no buckets, nothing to sample
+    res = bucketed_running_sum(
+        staged,
+        n_tokens_col,
+        order_col="_h",
+        bucket_col="_bk",
+        group_cols=gcols,
+        out_col="running_tokens",
+        extra_offset_cols={"_budget": _budget_for},
+    )
+    if res is None:  # empty input: no buckets, nothing to sample
         return docs.select(
             *gcols, id_col, n_tokens_col,
             F.lit(None).cast("long").alias("running_tokens"),
         ).limit(0)
-    schema = (f"{group_col} string, " if group_col else "") + (
-        "_bk string, _off long, _budget long"
-    )
-    off_df = spark.createDataFrame(offsets, schema)
-    w = Window.partitionBy(*gcols, "_bk").orderBy("_h")
-    return (
-        staged.join(F.broadcast(off_df), gcols + ["_bk"])
-        .withColumn(
-            "running_tokens",
-            (F.col("_off") + F.sum(F.col(n_tokens_col).cast("long")).over(w)),
-        )
-        .filter(F.col("running_tokens") <= F.col("_budget"))
-        .drop("_h", "_bk", "_off", "_budget")
+    return res.filter(F.col("running_tokens") <= F.col("_budget")).drop(
+        "_h", "_bk", "_off", "_budget"
     )

@@ -28,8 +28,12 @@ packing orders by ``id`` for corpus order):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.prefix import (
+    bucketed_running_sum,
+)
 
 
 def pack_corpus_segments(
@@ -47,38 +51,23 @@ def pack_corpus_segments(
     only one that may be short."""
     if seq_len <= 0:
         raise ValueError(f"need seq_len > 0, got {seq_len}")
-    spark = docs.sparkSession
     staged = docs.withColumn(
         "_bk", (F.col(id_col) / F.lit(int(bucket_size))).cast("long")
     )
-    # #buckets metadata rows (corpus_rows / bucket_size) — the only
-    # driver-side materialization, same class as operators/budget.py
-    bucket_sums = staged.groupBy("_bk").agg(
-        F.sum(n_tokens_col).cast("long").alias("_bs")
-    ).collect()
-    run = 0
-    offsets = []
-    for r in sorted(bucket_sums, key=lambda r: r["_bk"]):
-        offsets.append((r["_bk"], run))
-        run += r["_bs"]
-    if not offsets:
+    res = bucketed_running_sum(
+        staged, n_tokens_col, order_col=id_col, bucket_col="_bk", out_col="_run"
+    )
+    if res is None:
         return docs.select(
             F.lit(None).cast("long").alias("seq_id"),
             id_col,
             F.lit(None).cast("long").alias("tok_start"),
             F.lit(None).cast("long").alias("n_toks"),
         ).limit(0)
-    off_df = spark.createDataFrame(offsets, "_bk long, _off long")
-    w = Window.partitionBy("_bk").orderBy(id_col)
     n = F.col(n_tokens_col).cast("long")
     s = F.lit(int(seq_len))
-    with_off = (
-        staged.join(F.broadcast(off_df), "_bk")
-        # exclusive prefix: tokens BEFORE this doc = offset + within-bucket
-        # running sum minus the doc's own count
-        .withColumn("_doc_off", F.col("_off") + F.sum(n).over(w) - n)
-        .filter(n > 0)
-    )
+    # exclusive prefix: tokens BEFORE this doc = inclusive running - own n
+    with_off = res.withColumn("_doc_off", F.col("_run") - n).filter(n > 0)
     seg = with_off.select(
         id_col,
         "_doc_off",
