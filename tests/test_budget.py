@@ -174,3 +174,36 @@ def test_mixture_registry_row_balances_sources(spark):
             budget = top  # all sources share one budget; tops differ only
         # by the granularity of the last doc
         assert abs(top - budget) <= per_source_max_doc[s] + max(per_source_max_doc.values())
+
+
+def test_hash_split_is_deterministic_disjoint_and_growth_stable(spark):
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import hash_split
+
+    rows = [(i, 1) for i in range(4000)]
+    df = _df(spark, rows)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in hash_split(df, fr).collect()}
+    # exhaustive: every row labeled with a known label
+    assert set(got.values()) <= set(fr)
+    # proportions within sampling tolerance
+    n = len(rows)
+    for label, f in fr.items():
+        share = sum(1 for v in got.values() if v == label) / n
+        assert abs(share - f) < 0.03, (label, share)
+    # deterministic across partitionings
+    again = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(7), fr).collect()
+    }
+    assert got == again
+    # growth-stable: labels of existing ids unchanged when corpus doubles
+    grown = {
+        r.doc_id: r.split
+        for r in hash_split(_df(spark, rows + [(10_000 + i, 1) for i in range(1000)]), fr).collect()
+    }
+    assert all(grown[i] == got[i] for i in got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.4})
