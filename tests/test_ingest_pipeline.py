@@ -312,3 +312,52 @@ def test_document_ingest_composes_pii_redaction(spark, tmp_path):
     )
     after = {r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()}
     assert after == {1, 3}
+
+
+def test_budget_capped_ingest_fills_then_stops(spark, tmp_path):
+    """Across micro-batches, each source accepts greedily until its token
+    budget is exhausted; replayed batch ids never double-count; spent()
+    tracks the totals store."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.budget_ingest import (
+        BudgetCappedIngest,
+    )
+
+    def batch_df(ids, source):
+        # every doc = exactly 5 tokens
+        return spark.createDataFrame(
+            [(i, "tok one two three four", source) for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    # web budget fits 4 docs (22 tokens // 5), code budget fits 1
+    ingest = BudgetCappedIngest(
+        str(tmp_path / "cap"), budgets={"web": 22, "code": 7}
+    )
+    b0 = batch_df(range(0, 3), "web")            # 15 tokens -> all accepted
+    b1 = batch_df(range(10, 13), "web").unionByName(
+        batch_df(range(20, 22), "code")          # code: only 1 of 2 fits
+    )
+    b2 = batch_df(range(30, 33), "web")          # web exhausted -> none
+    ingest.process_batch(b0, 0)
+    assert ingest.spent() == {"web": 15}
+    ingest.process_batch(b1, 1)
+    spent = ingest.spent()
+    assert spent["web"] == 20  # one more web doc fit (22//5 = 4 docs)
+    assert spent["code"] == 5
+    ingest.process_batch(b2, 2)
+    assert ingest.spent() == spent  # web budget exhausted: no change
+
+    corpus = spark.read.parquet(ingest.corpus_path)
+    per_source = {
+        r["source"]: r["n"]
+        for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source == {"web": 4, "code": 1}
+    # batch 0 fully in, batch 2 fully out (arrival order wins over id order)
+    ids = {r.doc_id for r in corpus.collect()}
+    assert set(range(0, 3)) <= ids and not ids & set(range(30, 33))
+
+    # replay of a recorded batch is skipped outright (exactly-once budget)
+    ingest.process_batch(b1, 1)
+    assert ingest.spent() == spent
+    assert spark.read.parquet(ingest.corpus_path).count() == 5
