@@ -570,3 +570,73 @@ def test_quality_rule_folds_match_python_oracle(spark, texts):
             and (g3[1] <= 1 or g3[2] <= 0.18 * n_chars)
         )
         assert r.keep is keep, (i, text)
+
+
+# ── prefix-sum family: budget sampling + global packing on random corpora ─
+
+
+@st.composite
+def _idn_rows(draw):
+    ids = draw(
+        st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True)
+    )
+    return [(i, draw(st.integers(min_value=0, max_value=50))) for i in ids]
+
+
+@given(_idn_rows(), st.integers(min_value=1, max_value=128))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_global_packing_fuzz_matches_python_oracle(spark, rows, seq_len):
+    """pack_corpus_segments on ARBITRARY (id, n) corpora — including
+    zero-token rows, sparse ids, giant docs relative to seq_len — must
+    equal the direct sequential reference."""
+    from tests.test_packing import _py_reference
+
+    from kafka_streams_dead_letter_publishing_spark.operators.packing import (
+        pack_corpus_segments,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        (r.seq_id, r.doc_id): (r.tok_start, r.n_toks)
+        for r in pack_corpus_segments(df, "n_tokens", seq_len).collect()
+    }
+    assert got == _py_reference(rows, seq_len), (rows, seq_len)
+
+
+@st.composite
+def _grouped_rows_and_budgets(draw):
+    groups = ["web", "books", "code"]
+    ids = draw(
+        st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True)
+    )
+    rows = [
+        (draw(st.sampled_from(groups)), i, draw(st.integers(1, 60))) for i in ids
+    ]
+    budgets = {
+        g: draw(st.integers(min_value=0, max_value=400))
+        for g in draw(st.lists(st.sampled_from(groups), unique=True, max_size=3))
+    }
+    return rows, budgets
+
+
+@given(_grouped_rows_and_budgets())
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_grouped_budget_fuzz_matches_python_oracle(spark, case):
+    """token_budget_sample with mapping budgets on random grouped corpora
+    — including absent groups and zero budgets — must equal the direct
+    per-group greedy reference."""
+    from tests.test_budget import _py_grouped_reference
+
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        token_budget_sample,
+    )
+
+    rows, budgets = case
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {
+        r.doc_id: r.running_tokens
+        for r in token_budget_sample(
+            df, "n_tokens", budgets, group_col="source"
+        ).collect()
+    }
+    assert got == _py_grouped_reference(rows, budgets), (rows, budgets)
