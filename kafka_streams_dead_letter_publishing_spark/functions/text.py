@@ -306,11 +306,20 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> Column:
-    """struct(n_emails, n_ips) found by the same patterns redact_pii
-    replaces — the audit counterpart (what a compliance report counts)."""
+    """struct(n_emails, n_ips) = exactly the <EMAIL>/<IP> tags
+    :func:`redact_pii` emits.  IPs are counted on the EMAIL-REDACTED
+    text, mirroring the replacement order — counting both on the raw
+    text would report an IP inside a consumed email domain (e.g.
+    ``user@10.0.0.1.com``) that never becomes an <IP> tag."""
     return F.struct(
         F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+                F.lit(PII_IPV4_RE),
+                0,
+            )
+        ).alias("n_ips"),
     )
 
 
@@ -328,10 +337,16 @@ def packed_chunks(toks: Column, size: int, stride: int) -> Column:
     if not (0 < stride <= size):
         raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
     n_chunks = F.floor((F.size(toks) - F.lit(1)) / F.lit(stride)).cast("int")
-    return F.transform(
+    windows = F.transform(
         F.sequence(F.lit(0), n_chunks),
         lambda i: F.struct(
             i.cast("int").alias("chunk_id"),
             F.slice(toks, i * stride + 1, size).alias("chunk"),
         ),
+    )
+    # empty token array: n_chunks is -1 and sequence(0, -1) counts DOWN
+    # ([0, -1] — phantom chunks, or a slice error at stride 1); no tokens
+    # means no windows
+    return F.when(F.size(toks) > 0, windows).otherwise(
+        F.array().cast("array<struct<chunk_id:int,chunk:array<string>>>")
     )

@@ -94,10 +94,12 @@ def token_budget_sample(
         out_col="running_tokens",
         extra_offset_cols={"_budget": _budget_for},
     )
-    if res is None:  # empty input: no buckets, nothing to sample
-        return docs.select(
-            *gcols, id_col, n_tokens_col,
-            F.lit(None).cast("long").alias("running_tokens"),
+    if res is None:  # empty input: no buckets, nothing to sample — but
+        # the EMPTY frame must carry the same schema as the non-empty
+        # path (all input columns + running_tokens): a narrower frame
+        # appended to a parquet store would poison later schema inference
+        return docs.withColumn(
+            "running_tokens", F.lit(None).cast("long")
         ).limit(0)
     return res.filter(F.col("running_tokens") <= F.col("_budget")).drop(
         "_h", "_bk", "_off", "_budget"

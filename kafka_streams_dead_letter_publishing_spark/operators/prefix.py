@@ -51,8 +51,11 @@ def bucketed_running_sum(
     callers produce their typed empty frame)."""
     spark = staged.sparkSession
     gcols = list(group_cols)
+    # NULL values count as 0 (SQL SUM would yield a NULL bucket sum when a
+    # bucket holds only NULL-valued rows, crashing the driver prefix)
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
     bucket_sums = staged.groupBy(*gcols, bucket_col).agg(
-        F.sum(value_col).cast("long").alias("_bs")
+        F.sum(val).cast("long").alias("_bs")
     ).collect()
 
     by_group: dict[object, list] = {}
@@ -68,7 +71,7 @@ def bucketed_running_sum(
         extras = tuple(fn(g[0] if len(g) == 1 else g) for fn in extra.values())
         for r in sorted(rs, key=lambda r: r[bucket_col]):
             offsets.append(g + (r[bucket_col], run) + extras)
-            run += r["_bs"]
+            run += r["_bs"] or 0
     if not offsets:
         return None
     bucket_field = staged.schema[bucket_col]
@@ -81,7 +84,16 @@ def bucketed_running_sum(
         f"{group_schema}{bucket_col} {bucket_field.dataType.simpleString()},"
         f" _off long{extra_schema}",
     )
-    w = Window.partitionBy(*gcols, bucket_col).orderBy(order_col)
+    # explicit ROWS frame: the default RANGE frame sums over order-key
+    # PEERS, so two rows tied on order_col (an at-least-once redelivery
+    # duplicating an id within one batch) would each absorb the other's
+    # value — every row must count exactly once, in some deterministic-
+    # enough order among ties
+    w = (
+        Window.partitionBy(*gcols, bucket_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return staged.join(F.broadcast(off_df), gcols + [bucket_col]).withColumn(
-        out_col, F.col("_off") + F.sum(F.col(value_col).cast("long")).over(w)
+        out_col, F.col("_off") + F.sum(val).over(w)
     )

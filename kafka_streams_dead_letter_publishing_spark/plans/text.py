@@ -775,8 +775,8 @@ def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
                AS n_emails,
-           CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT)
-               AS n_ips,
+           CAST(len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL_RE}',
+               '<EMAIL>', 'g'), '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
            md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
                '<EMAIL>', 'g'), '{PII_IPV4_RE}', '<IP>', 'g')) AS red_fp
     FROM pii_corpus
@@ -987,7 +987,6 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.functions.quality import (
         duplicate_line_stats,
-        gopher_repetition_keep,
         top_ngram_stats,
     )
 
@@ -1001,7 +1000,7 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = duplicate_line_stats(F.col("text"))
     g2 = top_ngram_stats(F.col("toks"), 2)
     g3 = top_ngram_stats(F.col("toks"), 3)
-    return staged.select(
+    scored = staged.select(
         "doc_id",
         ls["n_lines"].cast("long").alias("n_lines"),
         ls["dup_lines"].cast("long").alias("dup_lines"),
@@ -1013,8 +1012,24 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         g3["gram"].alias("top3_gram"),
         g3["count"].cast("long").alias("top3_count"),
         g3["chars"].cast("long").alias("top3_chars"),
-        gopher_repetition_keep(F.col("text"), F.col("toks")).alias("keep"),
     )
+    # keep from the ALREADY-COMPUTED stats (gopher_repetition_keep's
+    # published default thresholds, same comparisons) — calling the
+    # function here would re-run all three sorted-run folds per row,
+    # doubling the query's cost (no subexpression elimination across
+    # higher-order functions); the composed function itself is pinned by
+    # tests/test_quality_rules.py and exercised by DocumentIngest
+    line_ok = (F.col("n_lines") == 0) | (
+        (F.col("dup_lines") <= F.lit(0.30) * F.col("n_lines"))
+        & (F.col("dup_chars") <= F.lit(0.20) * F.col("n_chars"))
+    )
+    g2_ok = (F.col("top2_count") <= 1) | (
+        F.col("top2_chars") <= F.lit(0.20) * F.col("n_chars")
+    )
+    g3_ok = (F.col("top3_count") <= 1) | (
+        F.col("top3_chars") <= F.lit(0.18) * F.col("n_chars")
+    )
+    return scored.withColumn("keep", line_ok & g2_ok & g3_ok)
 
 
 @query(

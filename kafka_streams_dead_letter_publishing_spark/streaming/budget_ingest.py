@@ -87,25 +87,38 @@ class BudgetCappedIngest:
         remaining = {
             g: max(0, int(b) - int(spent.get(g, 0))) for g, b in self.budgets.items()
         }
-        scored = batch.withColumn(
-            "_nt", F.size(tokens(norm_text(F.col(self.text_col)))).cast("long")
+        # persist barrier: the sampler makes two passes over the batch
+        # (bucket-sum aggregate, then join+window), and tokenization is
+        # the dominant per-row cost — score once (same reason
+        # DocumentIngest stages its tokens).  NULL-text rows cannot be
+        # token-counted and are never admitted.
+        scored = (
+            batch.withColumn(
+                "_nt", F.size(tokens(norm_text(F.col(self.text_col)))).cast("long")
+            )
+            .filter(F.col("_nt").isNotNull())
+            .persist()
         )
-        accepted = token_budget_sample(
-            scored, "_nt", remaining, id_col=self.id_col, group_col=self.group_col
-        )
-        # eager checkpoint: both writes below must see the SAME admitted
-        # set even if a source file vanishes or an executor is lost
-        accepted = accepted.localCheckpoint(eager=True)
-        accepted.drop("_nt", "running_tokens").write.mode("append").parquet(
-            self.corpus_path
-        )
-        # delta store written LAST — the exactly-once gate
-        deltas = (
-            accepted.groupBy(F.col(self.group_col).alias("g"))
-            .agg(F.sum("_nt").alias("tokens"))
-            .withColumn("batch_id", F.lit(int(batch_id)))
-        )
-        deltas.write.mode("append").parquet(self.totals_path)
+        try:
+            accepted = token_budget_sample(
+                scored, "_nt", remaining, id_col=self.id_col, group_col=self.group_col
+            )
+            # eager checkpoint: both writes below must see the SAME
+            # admitted set even if a source file vanishes or an executor
+            # is lost
+            accepted = accepted.localCheckpoint(eager=True)
+            accepted.drop("_nt", "running_tokens").write.mode("append").parquet(
+                self.corpus_path
+            )
+            # delta store written LAST — the exactly-once gate
+            deltas = (
+                accepted.groupBy(F.col(self.group_col).alias("g"))
+                .agg(F.sum("_nt").alias("tokens"))
+                .withColumn("batch_id", F.lit(int(batch_id)))
+            )
+            deltas.write.mode("append").parquet(self.totals_path)
+        finally:
+            scored.unpersist()
 
     def spent(self) -> dict:
         """Current per-source token totals (driver-side metadata read)."""

@@ -207,3 +207,22 @@ def test_hash_split_is_deterministic_disjoint_and_growth_stable(spark):
 
     with pytest.raises(ValueError):
         hash_split(df, {"a": 0.5, "b": 0.4})
+
+
+def test_budget_sample_null_values_and_tied_order_keys(spark):
+    """NULL token counts must not crash the driver prefix (SUM over an
+    all-NULL bucket is NULL) and count as 0; duplicate ids (tied md5
+    order keys, e.g. an at-least-once redelivery inside one batch) must
+    each be counted ONCE — the default RANGE frame would give both
+    copies the combined running sum."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 7)], "doc_id long, n_tokens long"
+    )
+    got = token_budget_sample(df, "n_tokens", 100).collect()  # no TypeError
+    assert {r.doc_id for r in got} == {1, 2, 3}
+
+    dup = spark.createDataFrame([(1, 5), (1, 5)], "doc_id long, n_tokens long")
+    kept = token_budget_sample(dup, "n_tokens", 5).collect()
+    # ROWS frame: first copy runs to 5 (admitted), second to 10 (dropped);
+    # a RANGE frame would give both 10 and admit neither
+    assert len(kept) == 1 and kept[0].running_tokens == 5

@@ -86,3 +86,15 @@ def test_packing_registry_row_smoke(spark):
     for r in rows:
         by_seq.setdefault(r.seq_id, []).append(r.doc_id)
     assert any(len(v) > 1 for v in by_seq.values())
+
+
+def test_packing_duplicate_ids_tile_exactly(spark):
+    """Tied order keys (duplicate ids) still tile the stream: each copy
+    counted once, segments disjoint — the default RANGE window frame
+    would give both copies the same inclusive sum and overlapping
+    offsets."""
+    dup = spark.createDataFrame([(1, 5), (1, 5)], "doc_id long, n_tokens long")
+    segs = pack_corpus_segments(dup, "n_tokens", 4).collect()
+    spans = sorted((r.tok_start, r.tok_start + r.n_toks) for r in segs)
+    assert spans[0][0] == 0 and spans[-1][1] == 10
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))

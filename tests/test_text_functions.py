@@ -125,6 +125,9 @@ def test_pii_redaction_and_counts(spark):
         (4, "no pii here, just v1.2 and a@b (not an email)"),
         (5, ""),
         (6, None),
+        # the email regex consumes the dotted-quad "domain": one <EMAIL>
+        # tag, NO <IP> tag — and the audit counts must say exactly that
+        (7, "ping user@10.0.0.1.com now"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {
@@ -142,6 +145,7 @@ def test_pii_redaction_and_counts(spark):
     assert got[4] == ("no pii here, just v1.2 and a@b (not an email)", 0, 0)
     assert got[5] == ("", 0, 0)
     assert got[6][0] is None
+    assert got[7] == ("ping <EMAIL> now", 1, 0)
 
 
 def test_packed_chunks_window_boundaries(spark):
@@ -152,7 +156,8 @@ def test_packed_chunks_window_boundaries(spark):
     df = spark.createDataFrame(
         [(1, [f"t{i}" for i in range(10)]),  # 10 toks, size 4 stride 3
          (2, ["a"]),                          # single token
-         (3, [f"t{i}" for i in range(4)])],   # exactly one full window
+         (3, [f"t{i}" for i in range(4)]),    # exactly one full window
+         (4, [])],                            # no tokens -> no windows
         "id long, toks array<string>",
     )
     got = {
@@ -166,6 +171,7 @@ def test_packed_chunks_window_boundaries(spark):
     assert got[1] == [(0, t[0:4]), (1, t[3:7]), (2, t[6:10]), (3, t[9:10])]
     assert got[2] == [(0, ["a"])]
     assert got[3] == [(0, ["t0", "t1", "t2", "t3"]), (1, ["t3"])]
+    assert got[4] == []  # not [0, -1] phantom chunks / a slice error
     # every token appears in at least one window
     assert set(t) == {tok for _, ch in got[1] for tok in ch}
 
