@@ -306,7 +306,20 @@ class DocumentIngest:
     redact_pii``) FIRST, before every other stage — so the quality rules,
     the shingle stores, and the corpus sink all see only redacted text
     (raw PII never lands on disk), and two documents differing only in
-    contact details dedup as the duplicates they are."""
+    contact details dedup as the duplicates they are.
+
+    ``line_dedup=True`` adds C4/RefinedWeb-style corpus-global LINE
+    dedup after the scrub: every non-blank line already present in the
+    ACCEPTED corpus (or appearing earlier in this batch) is removed and
+    the document rebuilt from its surviving lines before quality/dedup
+    see it.  The line-fingerprint store records exactly the corpus's
+    lines (fps of accepted docs only) and is written LAST — a crash
+    before that append replays with the line filter under-engaged
+    (duplicate boilerplate survives until the next occurrence; safe
+    direction), never with documents emptied and lost.  Chain over-drop
+    trade (same class as the near-dup one-join rule): if two batch docs
+    share a line and the first is later quality-rejected, the line is
+    gone from both."""
 
     def __init__(
         self,
@@ -315,6 +328,7 @@ class DocumentIngest:
         max_occupancy: int | None = None,
         quality_filter: bool = False,
         pii_redact: bool = False,
+        line_dedup: bool = False,
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
@@ -322,12 +336,76 @@ class DocumentIngest:
         self.bands_path = f"{base_dir}/bands"
         self.shingles_path = f"{base_dir}/shingles"
         self.corpus_path = f"{base_dir}/corpus"
+        self.lines_path = f"{base_dir}/lines"
         self.threshold_pct = threshold_pct
         self.max_occupancy = max_occupancy
         self.quality_filter = quality_filter
         self.pii_redact = pii_redact
+        self.line_dedup = line_dedup
         self.id_col = id_col
         self.text_col = text_col
+
+    def _line_fps(self, docs: DataFrame) -> DataFrame:
+        """md5 fingerprints of the distinct non-blank lines of ``docs``."""
+        return (
+            docs.select(
+                F.explode(F.split(F.col(self.text_col), "\n")).alias("_ln")
+            )
+            .filter(F.length(F.trim("_ln")) > 0)
+            .select(F.md5("_ln").alias("line_fp"))
+            .distinct()
+        )
+
+    def _apply_line_dedup(self, batch: DataFrame, spark: SparkSession) -> DataFrame:
+        """Remove every non-blank line already in the accepted corpus or
+        appearing earlier in this batch (first (id, position) wins), and
+        rebuild each document's text from its surviving lines.  A doc
+        whose every line is removed rebuilds to '' and dies at the
+        shingle admission gate."""
+        from pyspark.sql import Window
+
+        lines = (
+            batch.select(
+                self.id_col,
+                F.posexplode(F.split(F.col(self.text_col), "\n")).alias(
+                    "_pos", "_ln"
+                ),
+            )
+            .withColumn("_fp", F.md5("_ln"))
+            .withColumn("_blank", F.length(F.trim("_ln")) == 0)
+        )
+        w = Window.partitionBy("_fp").orderBy(self.id_col, "_pos")
+        flagged = lines.withColumn("_first", F.row_number().over(w) == 1)
+        if _store_exists(spark, self.lines_path):
+            seen = (
+                spark.read.parquet(self.lines_path)
+                .select(F.col("line_fp").alias("_fp"))
+                .distinct()
+                .withColumn("_seen", F.lit(True))
+            )
+            flagged = flagged.join(seen, "_fp", "left")
+            keep = F.col("_blank") | (F.col("_first") & F.col("_seen").isNull())
+        else:
+            keep = F.col("_blank") | F.col("_first")
+        rebuilt = (
+            flagged.filter(keep)
+            .groupBy(self.id_col)
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                        lambda x: x["_ln"],
+                    ),
+                ).alias("_new_text")
+            )
+        )
+        return (
+            batch.drop(self.text_col)
+            .join(rebuilt, self.id_col, "left")
+            .withColumn(self.text_col, F.coalesce("_new_text", F.lit("")))
+            .drop("_new_text")
+        )
 
     def _build(self, df: DataFrame) -> NeardupIndex:
         return build_neardup_index(df, id_col=self.id_col, text_col=self.text_col)
@@ -398,6 +476,8 @@ class DocumentIngest:
             # so raw PII never lands on disk and contact-detail-only
             # variants dedup as duplicates
             batch = batch.withColumn(self.text_col, redact_pii(F.col(self.text_col)))
+        if self.line_dedup:
+            batch = self._apply_line_dedup(batch, spark)
         # admission: a document must have at least one shingle (≥ 3
         # tokens) — sub-shingle docs collide with nothing, so they could
         # never be deduped, would be re-appended on every checkpoint
@@ -452,6 +532,12 @@ class DocumentIngest:
             kept.write.mode("append").parquet(self.corpus_path)
             idx.shingles.write.mode("append").parquet(self.shingles_path)
             idx.bands.write.mode("append").parquet(self.bands_path)
+            if self.line_dedup:
+                # fps of the ACCEPTED docs' lines only (the store mirrors
+                # the corpus's lines), appended after every other store:
+                # a crash before this append replays with the line filter
+                # under-engaged (safe), never with documents emptied
+                self._line_fps(kept).write.mode("append").parquet(self.lines_path)
         finally:
             staged.unpersist()
 
@@ -468,12 +554,17 @@ class DocumentIngest:
         spark.read.parquet(self.bands_path).repartition("bk").write.mode(
             "errorifexists"
         ).parquet(f"{new_base_dir}/bands")
+        if self.line_dedup and _store_exists(spark, self.lines_path):
+            spark.read.parquet(self.lines_path).distinct().repartition(
+                "line_fp"
+            ).write.mode("errorifexists").parquet(f"{new_base_dir}/lines")
         return DocumentIngest(
             new_base_dir,
             threshold_pct=self.threshold_pct,
             max_occupancy=self.max_occupancy,
             quality_filter=self.quality_filter,
             pii_redact=self.pii_redact,
+            line_dedup=self.line_dedup,
             id_col=self.id_col,
             text_col=self.text_col,
         )

@@ -361,3 +361,45 @@ def test_budget_capped_ingest_fills_then_stops(spark, tmp_path):
     ingest.process_batch(b1, 1)
     assert ingest.spent() == spent
     assert spark.read.parquet(ingest.corpus_path).count() == 5
+
+
+def test_document_ingest_composes_line_dedup(spark, tmp_path):
+    """line_dedup=True removes boilerplate lines already in the accepted
+    corpus (and earlier in the batch) and rebuilds the doc; the line
+    store mirrors accepted lines only, so a rejected doc's lines stay
+    available."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    boiler = "subscribe to our newsletter"
+    ingest = DocumentIngest(str(tmp_path / "ld"), line_dedup=True)
+    b0 = spark.createDataFrame(
+        [(1, f"alpha beta gamma delta epsilon\n{boiler}"),
+         (2, f"one two three four five six\n{boiler}")],  # intra-batch dup line
+        "doc_id long, text string",
+    )
+    ingest.process_batch(b0, 0)
+    corpus = {r.doc_id: r.text for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert corpus[1] == f"alpha beta gamma delta epsilon\n{boiler}"  # first keeps it
+    assert corpus[2] == "one two three four five six"  # later loses it
+
+    # cross-batch: a NEW doc repeating the boilerplate (and doc 2's text)
+    b1 = spark.createDataFrame(
+        [(3, f"seven eight nine ten eleven twelve\n{boiler}"),
+         (4, "one two three four five six")],  # exact line dup of doc 2
+        "doc_id long, text string",
+    )
+    ingest.process_batch(b1, 1)
+    corpus = {r.doc_id: r.text for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert corpus[3] == "seven eight nine ten eleven twelve"
+    assert 4 not in corpus  # its only line already in the corpus -> rebuilt empty
+    # store holds exactly the accepted corpus's distinct non-blank lines
+    n_lines = {l for t in corpus.values() for l in t.split("\n") if l.strip()}
+    stored = {r.line_fp for r in spark.read.parquet(ingest.lines_path).collect()}
+    import hashlib
+    assert stored == {hashlib.md5(l.encode()).hexdigest() for l in n_lines}
+    # compact carries the line store and the flag
+    c = ingest.compact(str(tmp_path / "ld2"))
+    assert c.line_dedup
+    assert {r.line_fp for r in spark.read.parquet(c.lines_path).collect()} == stored
