@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every query that is SQL-expressible:
-    57 of 58 — even the mapInPandas multimodal family has a byte-level SQL
+    58 of 59 — even the mapInPandas multimodal family has a byte-level SQL
     oracle, and the learned-IVF row's oracle replays its whole quantized
     k-means fit; the single exception is events_approx_distinct_users
     (HLL sketches are engine-specific — rows-only by design)."""

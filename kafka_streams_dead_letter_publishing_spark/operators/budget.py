@@ -113,31 +113,44 @@ def hash_split(
     label_col: str = "split",
 ) -> DataFrame:
     """Deterministic train/val/test split: each row gets the label whose
-    cumulative-fraction interval contains its hash position u ∈ [0, 1)
-    (u = first 13 hex chars of md5(id) — 52 bits, exactly representable
-    as a double).  Properties a pipeline relies on: reproducible across
-    runs/partitionings (pure function of the id), disjoint + exhaustive
-    (every row gets exactly one label; fractions must sum to 1 within
-    1e-9), and STABLE UNDER CORPUS GROWTH — a doc's label never changes
-    when other docs are added, unlike randomSplit.  Per-row narrow
-    expression; no shuffle, no RNG state."""
+    cumulative-fraction interval contains its hash position — the first
+    13 hex chars of md5(id) (52 bits) compared AS A STRING against the
+    precomputed 13-char hex threshold ``floor(cum · 2^52)``.  Fixed-width
+    lowercase hex compares identically to the integer it encodes, in
+    Spark, DuckDB, and Python alike — no float arithmetic, no
+    dialect-dependent hex-to-int parsing (see :func:`split_threshold_hex`
+    for the shared constant).  Properties a pipeline relies on:
+    reproducible across runs/partitionings (pure function of the id),
+    disjoint + exhaustive (every row gets exactly one label; fractions
+    must sum to 1 within 1e-9), and STABLE UNDER CORPUS GROWTH — a doc's
+    label never changes when other docs are added, unlike randomSplit.
+    Per-row narrow expression; no shuffle, no RNG state."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     if not fractions:
         raise ValueError("need at least one split")
-    u = F.conv(F.substring(hash_order_key(id_col), 1, 13), 16, 10).cast(
-        "double"
-    ) / F.lit(float(2**52))
+    h13 = F.substring(hash_order_key(id_col), 1, 13)
     expr = None
     cum = 0.0
     labels = list(fractions)
     for label in labels[:-1]:
         cum += fractions[label]
-        cond = u < F.lit(cum)
+        cond = h13 < F.lit(split_threshold_hex(cum))
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     # the last label takes the remainder — exhaustive by construction
     expr = (
         F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
     )
     return docs.withColumn(label_col, expr)
+
+
+def split_threshold_hex(cum: float) -> str:
+    """The 13-char lowercase-hex string encoding ``floor(cum · 2^52)`` —
+    the boundary :func:`hash_split` compares md5 prefixes against.
+    Shared with oracle SQL so both engines draw the identical line.
+    ``cum ≥ 1`` returns ``'g'`` ( > every hex char): always-true."""
+    n = int(cum * (1 << 52))
+    if n >= (1 << 52):
+        return "g"
+    return format(n, "013x")

@@ -1292,6 +1292,47 @@ def docs_global_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_corpus_segments(scored, "n_tokens", seq_len=64)
 
 
+def _split_sql() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        split_threshold_hex,
+    )
+
+    t_train = split_threshold_hex(0.8)
+    t_val = split_threshold_hex(0.9)
+    return f"""
+    SELECT split, COUNT(*) AS n_docs FROM (
+        SELECT CASE
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) < '{t_train}'
+                THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) < '{t_val}'
+                THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents)
+    GROUP BY split
+    """
+
+
+@query(
+    "docs_split_counts",
+    _split_sql(),
+    doc="[EXT] Deterministic growth-stable train/val/test split "
+    "(operators/budget.py hash_split, 80/10/10): each doc labeled by its "
+    "md5-prefix position against precomputed 13-char hex thresholds — "
+    "fixed-width lowercase hex compares identically as a string in both "
+    "engines, so no float arithmetic or dialect hex-int parsing is "
+    "involved.  Per-row narrow label + one count aggregate.",
+    tags=("text", "sampling", "split"),
+)
+def docs_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @query(
     "docs_wordcount_top20",
     f"""
