@@ -47,6 +47,9 @@ from kafka_streams_dead_letter_publishing_spark.functions.text import (
     stopword_count,
     tokens,
 )
+from kafka_streams_dead_letter_publishing_spark.operators.lines import (
+    corpus_line_first_occurrence,
+)
 from kafka_streams_dead_letter_publishing_spark.plans.registry import query
 from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
 
@@ -858,9 +861,14 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(doc_id, position)); blank lines always survive.  Planted "
     "boilerplate ('subscribe...' appended to every 3rd doc) proves the "
     "cross-document removal; the rebuilt text's md5 pins the surviving "
-    "line order byte-for-byte.  Shape: one explode, one shuffle on the "
-    "line value (the repeated-line partitions are exactly the rows being "
-    "removed), one per-doc re-aggregation — linear, no driver state.",
+    "line order byte-for-byte.  Shape (r8 de-skew): blank lines never "
+    "enter the shuffle at all, and the first occurrence comes from "
+    "groupBy(line).agg(min(struct(doc_id,pos))) — partial aggregation "
+    "collapses a hot boilerplate line MAP-SIDE (one row per task reaches "
+    "the shuffle), where the previous Window.partitionBy(line) funneled "
+    "every occurrence of a hot line through one task's sort.  The winner "
+    "join-back is skewed on the same hot lines but is AQE-skew-splittable "
+    "(a join, not a window); plan gate: tests/test_plans.py.",
     tags=("text", "dedup", "lines"),
 )
 def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,11 +885,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = boiler.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos0", "line")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    flagged = lines.withColumn(
-        "keep",
-        (F.length(F.trim("line")) == 0) | (F.row_number().over(w) == 1),
-    )
+    flagged = corpus_line_first_occurrence(lines, id_col="doc_id", pos_col="pos")
     rebuilt = F.concat_ws(
         "\n",
         F.transform(

@@ -361,8 +361,17 @@ class DocumentIngest:
         appearing earlier in this batch (first (id, position) wins), and
         rebuild each document's text from its surviving lines.  A doc
         whose every line is removed rebuilds to '' and dies at the
-        shingle admission gate."""
-        from pyspark.sql import Window
+        shingle admission gate.
+
+        De-skewed r8: first-occurrence comes from the shared
+        ``corpus_line_first_occurrence`` partial-agg plan (blank lines
+        never shuffle; hot boilerplate fingerprints collapse map-side)
+        instead of a per-fingerprint window — within one micro-batch the
+        skew is bounded by batch size, but the plan is the same one the
+        batch operator runs at corpus scale."""
+        from kafka_streams_dead_letter_publishing_spark.operators.lines import (
+            corpus_line_first_occurrence,
+        )
 
         lines = (
             batch.select(
@@ -374,21 +383,22 @@ class DocumentIngest:
             .withColumn("_fp", F.md5("_ln"))
             .withColumn("_blank", F.length(F.trim("_ln")) == 0)
         )
-        w = Window.partitionBy("_fp").orderBy(self.id_col, "_pos")
-        flagged = lines.withColumn("_first", F.row_number().over(w) == 1)
-        if _store_exists(spark, self.lines_path):
-            seen = (
-                spark.read.parquet(self.lines_path)
-                .select(F.col("line_fp").alias("_fp"))
-                .distinct()
-                .withColumn("_seen", F.lit(True))
-            )
-            flagged = flagged.join(seen, "_fp", "left")
-            keep = F.col("_blank") | (F.col("_first") & F.col("_seen").isNull())
-        else:
-            keep = F.col("_blank") | F.col("_first")
+        seen = (
+            spark.read.parquet(self.lines_path).select("line_fp")
+            if _store_exists(spark, self.lines_path)
+            else None
+        )
+        flagged = corpus_line_first_occurrence(
+            lines,
+            line_col="_fp",
+            id_col=self.id_col,
+            pos_col="_pos",
+            blank_col="_blank",
+            seen=seen,
+            keep_col="_keep",
+        )
         rebuilt = (
-            flagged.filter(keep)
+            flagged.filter(F.col("_keep"))
             .groupBy(self.id_col)
             .agg(
                 F.concat_ws(
