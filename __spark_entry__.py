@@ -31,6 +31,45 @@ from kafka_streams_dead_letter_publishing_spark.plans import QUERIES  # noqa: E4
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "dlt_route_counts"
 
+#: the driver records CORRECTNESS rows for the FIRST 50 entries of
+#: ``queries()`` only (observed r2–r7); the registry is larger than that,
+#: so a fixed order starves the tail forever (r7: 9 queries got no driver
+#: row).  Deterministic rotation fixes it.
+_DRIVER_WINDOW = 50
+
+
+def _completed_rounds() -> int:
+    """Highest round with a recorded CORRECTNESS file (0 if none)."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(_REPO)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+    ]
+    return max(rounds, default=0)
+
+
+def _rotated_names() -> list[str]:
+    """Registry names rotated so every query gets a driver CORRECTNESS row
+    at least every other round.
+
+    With N queries and a W-entry driver window, rotating the start by
+    ``step = N - W`` per round makes round r's leftover (the ``step``
+    names after its window) exactly the TAIL of round r+1's window — so
+    any two consecutive rounds with the same N cover all N queries.  A
+    round that changes N must re-check the previous round's leftover set
+    (pinned by tests/test_plans.py::test_rotation_window).
+    """
+    names = list(QUERIES)
+    n = len(names)
+    if n <= _DRIVER_WINDOW:
+        return names
+    step = n - _DRIVER_WINDOW
+    upcoming_round = _completed_rounds() + 1
+    off = (upcoming_round * step) % n
+    return names[off:] + names[:off]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -43,14 +82,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ [EXT])."""
-    return {name: q.spark for name, q in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2 (+ [EXT]),
+    rotation-ordered so the driver's 50-entry CORRECTNESS window reaches
+    every query at least every other round."""
+    return {name: QUERIES[name].spark for name in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every query that is SQL-expressible:
-    58 of 59 — even the mapInPandas multimodal family has a byte-level SQL
-    oracle, and the learned-IVF row's oracle replays its whole quantized
-    k-means fit; the single exception is events_approx_distinct_users
-    (HLL sketches are engine-specific — rows-only by design)."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    """DuckDB-runnable oracle SQL for every query that is SQL-expressible
+    (same rotation order as ``queries()``): all but one — even the
+    mapInPandas multimodal family has a byte-level SQL oracle, and the
+    learned-IVF row's oracle replays its whole quantized k-means fit; the
+    single exception is events_approx_distinct_users (HLL sketches are
+    engine-specific — rows-only by design)."""
+    return {
+        name: QUERIES[name].oracle
+        for name in _rotated_names()
+        if QUERIES[name].oracle is not None
+    }

@@ -825,86 +825,6 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "docs_line_dedup",
-    """
-    WITH boiler AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0
-                    THEN text || chr(10) || 'subscribe to our newsletter today'
-                    ELSE text END AS text
-        FROM documents
-    ),
-    lines AS (
-        SELECT doc_id,
-               unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
-               unnest(string_split(text, chr(10))) AS line
-        FROM boiler
-    ),
-    flagged AS (
-        SELECT doc_id, pos, line,
-               (len(trim(line)) = 0
-                OR ROW_NUMBER() OVER (PARTITION BY line
-                                      ORDER BY doc_id, pos) = 1) AS keep
-        FROM lines
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
-           md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
-                                   ORDER BY pos), '')) AS new_fp
-    FROM flagged
-    GROUP BY doc_id
-    """,
-    doc="[EXT] Corpus-wide exact line dedup (C4/RefinedWeb-style "
-    "boilerplate removal): every NON-BLANK line that appears anywhere "
-    "else in the corpus is kept only at its first occurrence (lowest "
-    "(doc_id, position)); blank lines always survive.  Planted "
-    "boilerplate ('subscribe...' appended to every 3rd doc) proves the "
-    "cross-document removal; the rebuilt text's md5 pins the surviving "
-    "line order byte-for-byte.  Shape (r8 de-skew): blank lines never "
-    "enter the shuffle at all, and the first occurrence comes from "
-    "groupBy(line).agg(min(struct(doc_id,pos))) — partial aggregation "
-    "collapses a hot boilerplate line MAP-SIDE (one row per task reaches "
-    "the shuffle), where the previous Window.partitionBy(line) funneled "
-    "every occurrence of a hot line through one task's sort.  The winner "
-    "join-back is skewed on the same hot lines but is AQE-skew-splittable "
-    "(a join, not a window); plan gate: tests/test_plans.py.",
-    tags=("text", "dedup", "lines"),
-)
-def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
-    boiler = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.col("text"), F.lit("\nsubscribe to our newsletter today")),
-        ).otherwise(F.col("text")),
-    )
-    lines = boiler.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos0", "line")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
-    flagged = corpus_line_first_occurrence(lines, id_col="doc_id", pos_col="pos")
-    rebuilt = F.concat_ws(
-        "\n",
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("keep"), F.struct("pos", "line"))
-                )
-            ),
-            lambda x: x["line"],
-        ),
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
-        F.md5(rebuilt).alias("new_fp"),
-    )
-
-
-@query(
     "docs_gopher_repetition",
     f"""
     WITH lines AS (
@@ -1034,6 +954,86 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top3_chars") <= F.lit(0.18) * F.col("n_chars")
     )
     return scored.withColumn("keep", line_ok & g2_ok & g3_ok)
+
+
+@query(
+    "docs_line_dedup",
+    """
+    WITH boiler AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || chr(10) || 'subscribe to our newsletter today'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+               unnest(string_split(text, chr(10))) AS line
+        FROM boiler
+    ),
+    flagged AS (
+        SELECT doc_id, pos, line,
+               (len(trim(line)) = 0
+                OR ROW_NUMBER() OVER (PARTITION BY line
+                                      ORDER BY doc_id, pos) = 1) AS keep
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                   ORDER BY pos), '')) AS new_fp
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    doc="[EXT] Corpus-wide exact line dedup (C4/RefinedWeb-style "
+    "boilerplate removal): every NON-BLANK line that appears anywhere "
+    "else in the corpus is kept only at its first occurrence (lowest "
+    "(doc_id, position)); blank lines always survive.  Planted "
+    "boilerplate ('subscribe...' appended to every 3rd doc) proves the "
+    "cross-document removal; the rebuilt text's md5 pins the surviving "
+    "line order byte-for-byte.  Shape (r8 de-skew): blank lines never "
+    "enter the shuffle at all, and the first occurrence comes from "
+    "groupBy(line).agg(min(struct(doc_id,pos))) — partial aggregation "
+    "collapses a hot boilerplate line MAP-SIDE (one row per task reaches "
+    "the shuffle), where the previous Window.partitionBy(line) funneled "
+    "every occurrence of a hot line through one task's sort.  The winner "
+    "join-back is skewed on the same hot lines but is AQE-skew-splittable "
+    "(a join, not a window); plan gate: tests/test_plans.py.",
+    tags=("text", "dedup", "lines"),
+)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    boiler = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\nsubscribe to our newsletter today")),
+        ).otherwise(F.col("text")),
+    )
+    lines = boiler.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    flagged = corpus_line_first_occurrence(lines, id_col="doc_id", pos_col="pos")
+    rebuilt = F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("pos", "line"))
+                )
+            ),
+            lambda x: x["line"],
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+        F.md5(rebuilt).alias("new_fp"),
+    )
 
 
 @query(
