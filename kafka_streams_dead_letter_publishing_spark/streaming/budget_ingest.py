@@ -3,22 +3,28 @@ mixture sampler (``operators/budget.py``) — accept arriving documents
 until each source's token budget is exhausted, across micro-batches
 ("collect 10 B tokens of web and 3 B of code, then stop").
 
-Per batch: read the tiny per-(batch, source) token-delta store to learn
-what each source has already spent, derive the REMAINING budgets, and
-admit this batch's rows through ``token_budget_sample`` with those
-budgets (greedy md5-order within the batch, arrival order across
+Per batch: learn what each source has already spent, derive the REMAINING
+budgets, and admit this batch's rows through ``token_budget_sample`` with
+those budgets (greedy md5-order within the batch, arrival order across
 batches).  Survivors append to the corpus; one delta row per accepted
-source appends to the totals store.
+source PLUS one batch-marker row append to the totals store.
 
 STATE & RECOVERY (same posture as ``ingest_pipeline.py``): state is
-append-only parquet; nothing data-sized ever reaches the driver — the
-totals store holds one row per (batch, source), read whole (#batches ×
-#sources metadata rows; ``compact`` collapses it to #sources).  Budget
-accounting is EXACTLY-ONCE: the delta row carries ``batch_id``, is
-written LAST, and a replayed batch whose id is already recorded is
-skipped entirely — so a crash between the corpus append and the delta
-append replays to duplicate corpus rows (at-least-once; readers dedup on
-id) but never double-counts a batch against the budget.
+append-only parquet; nothing data-sized ever reaches the driver.  The
+totals store holds one row per (batch, source) plus one NULL-source
+marker per batch; it is read ONCE per driver lifetime (then maintained
+incrementally in memory — the per-trigger cost is O(#sources), not
+O(#batches)), and :meth:`compact` collapses it to #sources + 1 rows.
+
+EXACTLY-ONCE accounting: Structured Streaming batch ids are strictly
+increasing per query, the totals rows are written LAST within a batch,
+and every processed batch records its id (the marker row — even a batch
+that admits nothing).  A replayed or delayed batch whose id is ≤ the
+recorded high-watermark is therefore skipped entirely; compaction keeps
+the watermark, so the skip survives it.  A crash between the corpus
+append and the totals append replays to duplicate corpus rows
+(at-least-once; readers dedup on id) but never double-counts a batch
+against the budget.
 """
 
 from __future__ import annotations
@@ -44,8 +50,8 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
 class BudgetCappedIngest:
     """foreachBatch body: batch → token scoring → admit up to each
     source's remaining budget → append survivors + a per-source spent
-    delta.  ``budgets`` maps group value → total token budget; groups
-    absent from the mapping are never admitted."""
+    delta + a batch marker.  ``budgets`` maps group value → total token
+    budget; groups absent from the mapping are never admitted."""
 
     def __init__(
         self,
@@ -62,17 +68,29 @@ class BudgetCappedIngest:
         self.group_col = group_col
         self.id_col = id_col
         self.text_col = text_col
+        # driver-side incremental mirror of the totals store: (spent, hwm).
+        # None until first read; after that the store is only APPENDED to
+        # by this instance, so the mirror stays exact without re-reading.
+        self._cache: tuple[dict, int] | None = None
 
-    def _spent_and_batches(self, spark: SparkSession) -> tuple[dict, set]:
+    def _spent_and_hwm(self, spark: SparkSession) -> tuple[dict, int]:
+        """Per-source spent totals and the batch-id high-watermark (−1 when
+        nothing is recorded).  Reads the store at most once per driver
+        lifetime; afterwards maintained incrementally by process_batch."""
+        if self._cache is not None:
+            return self._cache
         if not _store_exists(spark, self.totals_path):
-            return {}, set()
+            self._cache = ({}, -1)
+            return self._cache
         rows = spark.read.parquet(self.totals_path).collect()
         spent: dict = {}
-        seen = set()
+        hwm = -1
         for r in rows:
-            spent[r["g"]] = spent.get(r["g"], 0) + r["tokens"]
-            seen.add(r["batch_id"])
-        return spent, seen
+            if r["g"] is not None:
+                spent[r["g"]] = spent.get(r["g"], 0) + r["tokens"]
+            hwm = max(hwm, r["batch_id"])
+        self._cache = (spent, hwm)
+        return self._cache
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from kafka_streams_dead_letter_publishing_spark.functions.text import (
@@ -81,9 +99,12 @@ class BudgetCappedIngest:
         )
 
         spark = batch.sparkSession
-        spent, seen = self._spent_and_batches(spark)
-        if batch_id in seen:
-            return  # replay of a fully-recorded batch: exactly-once accounting
+        spent, hwm = self._spent_and_hwm(spark)
+        if batch_id <= hwm:
+            # replay (or delayed redelivery) of a recorded batch: batch ids
+            # are monotone per query, so ≤ watermark ⇒ already accounted —
+            # exactly-once budget accounting, compaction-proof
+            return
         remaining = {
             g: max(0, int(b) - int(spent.get(g, 0))) for g, b in self.budgets.items()
         }
@@ -110,18 +131,64 @@ class BudgetCappedIngest:
             accepted.drop("_nt", "running_tokens").write.mode("append").parquet(
                 self.corpus_path
             )
-            # delta store written LAST — the exactly-once gate
+            # totals rows written LAST — the exactly-once gate.  The delta
+            # aggregate is ≤ #sources rows (config-bounded metadata), so it
+            # is collected once and reused for both the store append and
+            # the in-memory mirror.  The NULL-source marker records the
+            # batch id even when nothing was admitted (an all-rejected
+            # batch must still advance the watermark, or its replay would
+            # re-append duplicate corpus rows forever).
             deltas = (
                 accepted.groupBy(F.col(self.group_col).alias("g"))
-                .agg(F.sum("_nt").alias("tokens"))
-                .withColumn("batch_id", F.lit(int(batch_id)))
+                .agg(F.sum("_nt").cast("long").alias("tokens"))
+                .collect()
             )
-            deltas.write.mode("append").parquet(self.totals_path)
+            out = [(r["g"], r["tokens"]) for r in deltas] + [(None, 0)]
+            spark.createDataFrame(out, "g string, tokens long").withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            ).write.mode("append").parquet(self.totals_path)
+            for g, t in out:
+                if g is not None:
+                    spent[g] = spent.get(g, 0) + t
+            self._cache = (spent, int(batch_id))
         finally:
             scored.unpersist()
 
     def spent(self) -> dict:
-        """Current per-source token totals (driver-side metadata read)."""
+        """Current per-source token totals (cached driver-side metadata)."""
         spark = SparkSession.getActiveSession()
         assert spark is not None
-        return self._spent_and_batches(spark)[0]
+        return dict(self._spent_and_hwm(spark)[0])
+
+    def compact(self, new_base_dir: str) -> "BudgetCappedIngest":
+        """Collapse the totals store into ``new_base_dir``: one row per
+        source plus one batch-id high-watermark marker (#sources + 1 rows
+        total), with the corpus copied alongside — so a long-running
+        ingest's totals store stops growing one file per (batch, source).
+
+        The watermark marker is what keeps accounting exactly-once across
+        the collapse: replay-skip compares against max(batch_id), and the
+        compacted store's max is the same watermark the full store had —
+        a delayed replay of any pre-compaction batch is still skipped.
+        Same discipline as the other ingest compacts: writes into a FRESH
+        base dir (never overwrites live state — a crash mid-compact
+        leaves the old store intact) and returns the successor instance.
+        """
+        spark = SparkSession.getActiveSession()
+        assert spark is not None, "compact() needs an active SparkSession"
+        spent, hwm = self._spent_and_hwm(spark)
+        rows = [(g, int(t)) for g, t in sorted(spent.items())] + [(None, 0)]
+        spark.createDataFrame(rows, "g string, tokens long").withColumn(
+            "batch_id", F.lit(int(hwm)).cast("long")
+        ).coalesce(1).write.mode("errorifexists").parquet(f"{new_base_dir}/totals")
+        if _store_exists(spark, self.corpus_path):
+            spark.read.parquet(self.corpus_path).repartition(self.id_col).write.mode(
+                "errorifexists"
+            ).parquet(f"{new_base_dir}/corpus")
+        return BudgetCappedIngest(
+            new_base_dir,
+            self.budgets,
+            group_col=self.group_col,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )

@@ -363,6 +363,114 @@ def test_budget_capped_ingest_fills_then_stops(spark, tmp_path):
     assert spark.read.parquet(ingest.corpus_path).count() == 5
 
 
+def test_budget_capped_ingest_compact_preserves_watermark(spark, tmp_path):
+    """compact() collapses the totals store to #sources + 1 rows (one per
+    source + the batch-id high-watermark marker) WITHOUT breaking the
+    exactly-once replay skip: a delayed replay of a pre-compaction batch
+    is still skipped, totals unchanged (r7 verdict #3)."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.budget_ingest import (
+        BudgetCappedIngest,
+    )
+
+    def batch_df(ids, source):
+        return spark.createDataFrame(
+            [(i, "tok one two three four", source) for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    ingest = BudgetCappedIngest(
+        str(tmp_path / "cmp"), budgets={"web": 1000, "code": 1000}
+    )
+    batches = [
+        batch_df(range(0, 3), "web"),
+        batch_df(range(10, 12), "code"),
+        batch_df(range(20, 22), "web"),
+    ]
+    for i, b in enumerate(batches):
+        ingest.process_batch(b, i)
+    spent_before = ingest.spent()
+    assert spent_before == {"web": 25, "code": 10}
+    n_corpus = spark.read.parquet(ingest.corpus_path).count()
+
+    c = ingest.compact(str(tmp_path / "cmp2"))
+    totals = spark.read.parquet(c.totals_path).collect()
+    assert len(totals) == 3  # web + code + watermark marker
+    assert {r["g"]: r["tokens"] for r in totals if r["g"] is not None} == spent_before
+    assert max(r["batch_id"] for r in totals) == 2
+    # ≈ #sources + 1 rows means O(1) parquet files, not one per batch
+    import pathlib
+
+    files = [p for p in pathlib.Path(c.totals_path).glob("*.parquet")]
+    assert len(files) == 1, files
+
+    # delayed replay of an OLD batch against the compacted store: skipped
+    # entirely — no corpus append, no totals change
+    c.process_batch(batches[0], 0)
+    c.process_batch(batches[2], 2)
+    assert c.spent() == spent_before
+    assert spark.read.parquet(c.corpus_path).count() == n_corpus
+    # and genuinely new work still flows
+    c.process_batch(batch_df(range(30, 31), "web"), 3)
+    assert c.spent()["web"] == 30
+
+
+def test_budget_capped_ingest_records_empty_batches(spark, tmp_path):
+    """A batch in which nothing is admitted still advances the watermark
+    (marker row), so its replay is skipped instead of re-running — and a
+    later batch with the same content is judged on budgets, not history."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.budget_ingest import (
+        BudgetCappedIngest,
+    )
+
+    ingest = BudgetCappedIngest(str(tmp_path / "mk"), budgets={"web": 4})
+    docs = spark.createDataFrame(
+        [(1, "five token doc right here", "web")],
+        "doc_id long, text string, source string",
+    )
+    ingest.process_batch(docs, 0)  # 5 tokens > budget 4: nothing admitted
+    assert ingest.spent() == {}
+    totals = spark.read.parquet(ingest.totals_path).collect()
+    assert [(r["g"], r["tokens"], r["batch_id"]) for r in totals] == [(None, 0, 0)]
+    # replay of the empty batch: recorded ⇒ skipped (store unchanged)
+    ingest.process_batch(docs, 0)
+    assert spark.read.parquet(ingest.totals_path).count() == 1
+    # unknown-source rows are never admitted but the batch still records
+    other = spark.createDataFrame(
+        [(2, "a b", "books")], "doc_id long, text string, source string"
+    )
+    ingest.process_batch(other, 1)
+    assert ingest.spent() == {}
+    assert spark.read.parquet(ingest.totals_path).count() == 2
+
+
+def test_budget_capped_ingest_reads_totals_once(spark, tmp_path):
+    """The per-trigger driver cost is O(#sources) memory, not a growing
+    store read: after the first batch, the instance never re-reads the
+    totals store (a fresh instance — driver restart — does)."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.budget_ingest import (
+        BudgetCappedIngest,
+    )
+
+    def batch_df(ids):
+        return spark.createDataFrame(
+            [(i, "tok one two three four", "web") for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    ingest = BudgetCappedIngest(str(tmp_path / "once"), budgets={"web": 1000})
+    ingest.process_batch(batch_df(range(0, 2)), 0)
+    assert ingest.spent() == {"web": 10}
+    # sabotage the on-disk store: a cached instance must not notice
+    import shutil
+
+    shutil.rmtree(ingest.totals_path)
+    ingest.process_batch(batch_df(range(10, 12)), 1)
+    assert ingest.spent() == {"web": 20}
+    # a NEW instance reads disk (which now holds only batch 1's rows)
+    fresh = BudgetCappedIngest(str(tmp_path / "once"), budgets={"web": 1000})
+    assert fresh.spent() == {"web": 10}
+
+
 def test_document_ingest_composes_line_dedup(spark, tmp_path):
     """line_dedup=True removes boilerplate lines already in the accepted
     corpus (and earlier in the batch) and rebuilds the doc; the line
