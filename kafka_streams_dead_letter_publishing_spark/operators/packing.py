@@ -28,12 +28,27 @@ packing orders by ``id`` for corpus order):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.operators.prefix import (
     bucketed_running_sum,
 )
+
+
+def _floor_div(id_col: str, divisor: int) -> Column:
+    """Exact integer floor division for the bucket key — all-integer
+    arithmetic, so ids above 2⁵³ keep exact buckets (float division
+    double-rounds there) and negative ids get true floor buckets (integer
+    ``DIV`` truncates toward zero, which makes bucket 0 twice as wide and
+    stays merely *monotone*; floor keeps every bucket exactly
+    ``divisor`` ids wide).  ``x - pmod(x, d)`` is the largest multiple of
+    ``d`` ≤ x, and dividing an exact multiple with ``DIV`` is exact.  Out
+    of contract: ids within ``divisor`` of the int64 minimum (the rounded
+    multiple would underflow)."""
+    x = f"CAST(`{id_col}` AS BIGINT)"
+    d = int(divisor)
+    return F.expr(f"({x} - pmod({x}, {d})) DIV {d}")
 
 
 def pack_corpus_segments(
@@ -51,9 +66,7 @@ def pack_corpus_segments(
     only one that may be short."""
     if seq_len <= 0:
         raise ValueError(f"need seq_len > 0, got {seq_len}")
-    staged = docs.withColumn(
-        "_bk", (F.col(id_col) / F.lit(int(bucket_size))).cast("long")
-    )
+    staged = docs.withColumn("_bk", _floor_div(id_col, int(bucket_size)))
     res = bucketed_running_sum(
         staged, n_tokens_col, order_col=id_col, bucket_col="_bk", out_col="_run"
     )

@@ -835,26 +835,43 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hopping-window geometry shared by the Spark plan and its oracle: the
+# fan-out list is DERIVED from size/slide (size must be a multiple of
+# slide for "every event is in exactly size/slide windows" to hold)
+_SLIDE_SIZE_MIN = 60
+_SLIDE_STEP_MIN = 15
+assert _SLIDE_SIZE_MIN % _SLIDE_STEP_MIN == 0
+_SLIDE_KS = ", ".join(str(k) for k in range(_SLIDE_SIZE_MIN // _SLIDE_STEP_MIN))
+
+
 @query(
     "events_sliding_counts",
-    """
-    SELECT time_bucket(INTERVAL '15 minutes', ts)
-               - offs.k * INTERVAL '15 minutes' AS window_start,
+    f"""
+    SELECT time_bucket(INTERVAL '{_SLIDE_STEP_MIN} minutes', ts)
+               - offs.k * INTERVAL '{_SLIDE_STEP_MIN} minutes' AS window_start,
            event_type, COUNT(*) AS cnt
-    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+    FROM events CROSS JOIN (SELECT unnest([{_SLIDE_KS}]) AS k) offs
     GROUP BY 1, 2
     """,
     doc="Sliding (hopping) event-time window: 1-hour windows every 15 "
     "minutes per event type — Spark's native window(ts, size, slide) "
-    "(each event feeds size/slide = 4 windows); the oracle fans each "
-    "event out to its 4 containing window starts explicitly.  Both "
-    "engines epoch-align 15-minute buckets, so starts agree.",
+    "(each event feeds size/slide windows); the oracle fans each event "
+    "out to its size/slide containing window starts, the list derived "
+    "from the same constants the Spark plan uses.  Both engines "
+    "epoch-align the slide buckets (DuckDB time_bucket's 2000-01-01 "
+    "origin is itself epoch-midnight-aligned for sub-day intervals), so "
+    "starts agree.",
     tags=("events", "window", "sliding", "streaming-shape"),
 )
 def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        ev.groupBy(
+            F.window(
+                "ts", f"{_SLIDE_SIZE_MIN} minutes", f"{_SLIDE_STEP_MIN} minutes"
+            ).alias("w"),
+            "event_type",
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
     )

@@ -88,6 +88,39 @@ def test_packing_registry_row_smoke(spark):
     assert any(len(v) > 1 for v in by_seq.values())
 
 
+def test_packing_huge_and_negative_ids(spark):
+    """Bucket arithmetic is exact integer floor division (r7 verdict #5):
+    ids above 2⁵³ (where float division double-rounds adjacent ids into
+    the wrong bucket) and negative ids (where trunc-toward-zero makes
+    bucket 0 double-width) must still tile the stream in exact id order."""
+    big = 1 << 60
+    rows = (
+        [(-big + i, 3) for i in range(5)]
+        + [(-7, 3), (-1, 3), (0, 3), (5, 3)]
+        + [(big + i, 3) for i in range(5)]  # adjacent ids straddling 2^53+
+    )
+    segs = pack_corpus_segments(
+        _df(spark, rows), "n_tokens", 4, bucket_size=3
+    ).collect()
+    got = {(r.seq_id, r.doc_id): (r.tok_start, r.n_toks) for r in segs}
+    assert got == _py_reference(rows, 4)
+
+
+def test_floor_div_matches_python_floordiv(spark):
+    from kafka_streams_dead_letter_publishing_spark.operators.packing import (
+        _floor_div,
+    )
+
+    ids = [-(1 << 60) - 1, -1025, -1024, -1023, -1, 0, 1, 1023, 1024,
+           (1 << 53) + 1, (1 << 60) + 7]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.bk
+        for r in df.withColumn("bk", _floor_div("doc_id", 1024)).collect()
+    }
+    assert got == {i: i // 1024 for i in ids}
+
+
 def test_packing_duplicate_ids_tile_exactly(spark):
     """Tied order keys (duplicate ids) still tile the stream: each copy
     counted once, segments disjoint — the default RANGE window frame
