@@ -1,0 +1,200 @@
+"""Character-level BPE token counting ([EXT]) — a pluggable, pretraining-
+grade alternative to the whitespace ``tokens()`` counter for the budget /
+mixture / packing family ("collect 10 B tokens" means BPE tokens, not
+regex words).
+
+ALGORITHM (public knowledge: the subword-NMT / GPT-2-tokenizer lineage —
+a merge table applied in rank order; no reference counterpart, the
+reference is a 326-LoC Kafka Streams demo): normalize text (lowercase +
+collapse whitespace — the same ``norm_text`` every text operator uses),
+split into characters, then for each merge ``(a, b)`` in table order run
+one left-to-right pass replacing every adjacent token pair ``(a, b)``
+with the single token ``a+b``.  Spaces are word boundaries: no merge pair
+may contain a space, so merges never cross words.  The token count is the
+number of surviving non-space tokens.
+
+EXPRESSION-ONLY EXECUTION — the marked-string trick.  A merge pass
+(left-to-right, non-overlapping) is EXACTLY what SQL ``replace()`` does,
+once token boundaries are explicit: encode the token list as a string
+with every token wrapped in U+001F markers (``␟tok␟␟tok␟…``), and the
+pass for ``(a, b)`` is ``replace(s, '␟a␟␟b␟', '␟ab␟')`` — a wrapped
+pattern can only match whole tokens, and both Spark's and DuckDB's
+``replace`` scan left-to-right past each substitution (pinned by the
+fold-equivalence fuzz in tests/test_bpe.py).  So the whole counter is
+``M + 3`` scalar string functions per row: JVM-side, codegen, zero UDFs,
+zero shuffles — and the DuckDB oracle replays it byte-for-byte.  Cost is
+O(len × n_merges) per row; narrow, embarrassingly parallel at 100 TB.
+
+Caveats: input U+001F characters are stripped before marking (they would
+forge token boundaries); characters are Unicode code points in both
+engines' regex engines, but the two `length()` semantics only stay
+consistent in the COUNT arithmetic because the markers themselves are
+ASCII; astral-plane text may segment differently between engines (the
+fixture corpora are ASCII).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.text import norm_text
+
+#: token-boundary marker (ASCII unit separator)
+_US = "\x1f"
+
+#: merge table trained on the sf0.01 fixture corpus by tools/train_bpe.py
+#: (16 merges, deterministic; regenerate with the tool).  Format is the
+#: published one: ordered (left, right) pairs, applied in rank order.
+DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("p", "a"),
+    ("pa", "r"),
+    ("o", "in"),
+    ("j", "oin"),
+    ("s", "h"),
+    ("h", "a"),
+    ("ha", "sh"),
+    ("r", "ow"),
+)
+
+
+def _validate(merges: Sequence[tuple[str, str]]) -> None:
+    for a, b in merges:
+        if not a or not b:
+            raise ValueError(f"empty merge side in {(a, b)!r}")
+        if " " in a or " " in b:
+            raise ValueError(f"merge may not cross word boundaries: {(a, b)!r}")
+        if _US in a or _US in b:
+            raise ValueError(f"merge may not contain the marker: {(a, b)!r}")
+
+
+def bpe_marked(text: Column, merges: Sequence[tuple[str, str]] | None = None) -> Column:
+    """The ␟-marked token string of ``text`` after all merge passes — the
+    full segmentation, byte-exact (what the registry row fingerprints).
+    NULL text ⇒ NULL."""
+    merges = DEFAULT_MERGES if merges is None else tuple(merges)
+    _validate(merges)
+    s = norm_text(F.replace(text, F.lit(_US), F.lit("")))
+    s = F.regexp_replace(s, "(.)", f"{_US}$1{_US}")
+    for a, b in merges:
+        s = F.replace(
+            s, F.lit(f"{_US}{a}{_US}{_US}{b}{_US}"), F.lit(f"{_US}{a}{b}{_US}")
+        )
+    return s
+
+
+def bpe_token_count(
+    text: Column, merges: Sequence[tuple[str, str]] | None = None
+) -> Column:
+    """Number of BPE tokens in ``text`` (spaces excluded) as a long —
+    drop-in for the whitespace counter in ``token_budget_sample`` /
+    ``pack_corpus_segments`` (they take any precomputed count column).
+    Marker arithmetic: each token contributes two ␟, each space token is
+    the 3-char ``␟ ␟``."""
+    m = bpe_marked(text, merges)
+    n_all = (F.length(m) - F.length(F.replace(m, F.lit(_US), F.lit("")))) / 2
+    n_space = (
+        F.length(m) - F.length(F.replace(m, F.lit(f"{_US} {_US}"), F.lit("")))
+    ) / 3
+    return (n_all - n_space).cast("long")
+
+
+# ── DuckDB oracle twins (same marked-string construction, verbatim) ──────
+
+_NORM_SQL_TPL = "regexp_replace(lower({expr}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def bpe_marked_sql(expr: str, merges: Sequence[tuple[str, str]] | None = None) -> str:
+    merges = DEFAULT_MERGES if merges is None else tuple(merges)
+    _validate(merges)
+    s = _NORM_SQL_TPL.format(expr=f"replace({expr}, chr(31), '')")
+    s = f"regexp_replace({s}, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+    for a, b in merges:
+        pat = f"chr(31) || '{_q(a)}' || chr(31) || chr(31) || '{_q(b)}' || chr(31)"
+        rep = f"chr(31) || '{_q(a + b)}' || chr(31)"
+        s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def bpe_count_sql(expr: str, merges: Sequence[tuple[str, str]] | None = None) -> str:
+    m = bpe_marked_sql(expr, merges)
+    return (
+        f"CAST((len({m}) - len(replace({m}, chr(31), ''))) / 2"
+        f" - (len({m}) - len(replace({m}, chr(31) || ' ' || chr(31), ''))) / 3"
+        f" AS BIGINT)"
+    )
+
+
+# ── pure-Python references (tests + trainer) ─────────────────────────────
+
+
+def _norm_py(text: str) -> str:
+    return re.sub("[ \t\n\x0b\f\r]+", " ", text.replace(_US, "").lower())
+
+
+def bpe_tokens_py(text: str, merges: Sequence[tuple[str, str]] | None = None) -> list[str]:
+    """Sequential fold reference: the SEMANTICS the marked-string trick
+    must reproduce (one left-to-right pass per merge)."""
+    merges = DEFAULT_MERGES if merges is None else tuple(merges)
+    _validate(merges)
+    toks = list(_norm_py(text))
+    for a, b in merges:
+        acc: list[str] = []
+        for t in toks:
+            if acc and acc[-1] == a and t == b:
+                acc[-1] = a + b
+            else:
+                acc.append(t)
+        toks = acc
+    return [t for t in toks if t != " "]
+
+
+def train_bpe_merges(
+    texts: Sequence[str], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE training over the word vocabulary: repeatedly merge the
+    most frequent adjacent token pair (ties: lexicographically greatest
+    pair — any fixed rule works, it just must be deterministic).  Words
+    never cross spaces, so no produced pair can contain one."""
+    words = Counter()
+    for t in texts:
+        for w in _norm_py(t).split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            toks = vocab[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (a, b), _n = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        merges.append((a, b))
+        for w, toks in vocab.items():
+            acc: list[str] = []
+            for t in toks:
+                if acc and acc[-1] == a and t == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(t)
+            vocab[w] = acc
+    return merges

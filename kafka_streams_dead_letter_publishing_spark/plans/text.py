@@ -1385,3 +1385,43 @@ def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
         ).alias("re_tokens"),
     )
+
+
+# ── character-level BPE token counting ───────────────────────────────────
+
+from kafka_streams_dead_letter_publishing_spark.functions.bpe import (  # noqa: E402
+    bpe_count_sql,
+    bpe_marked,
+    bpe_marked_sql,
+    bpe_token_count,
+)
+
+
+@query(
+    "docs_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+           {bpe_count_sql('text')} AS n_bpe_tokens,
+           md5({bpe_marked_sql('text')}) AS seg_fp
+    FROM documents
+    """,
+    doc="[EXT] Character-level BPE token counting (functions/bpe.py): the "
+    "pinned 16-merge table (trained on this fixture corpus by "
+    "tools/train_bpe.py, classic subword-NMT/GPT-2-lineage training) "
+    "applied as rank-ordered merge passes via the marked-string replace "
+    "trick — M+3 scalar string functions per row, zero UDFs, zero "
+    "shuffles; the oracle replays the identical construction and seg_fp "
+    "pins the full segmentation byte-for-byte, not just the count.  This "
+    "is the production token counter for the budget/mixture/packing "
+    "family (real pretraining budgets are BPE tokens, not regex words).",
+    tags=("text", "tokens", "bpe"),
+)
+def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.md5(bpe_marked(F.col("text"))).alias("seg_fp"),
+    )
