@@ -1001,7 +1001,7 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every occurrence of a hot line through one task's sort.  The winner "
     "join-back is skewed on the same hot lines but is AQE-skew-splittable "
     "(a join, not a window); plan gate: tests/test_plans.py.",
-    tags=("text", "dedup", "lines"),
+    tags=("text", "dedup", "lines", "bench"),
 )
 def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(
@@ -1415,7 +1415,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.bpe import (  # noqa: 
     "pins the full segmentation byte-for-byte, not just the count.  This "
     "is the production token counter for the budget/mixture/packing "
     "family (real pretraining budgets are BPE tokens, not regex words).",
-    tags=("text", "tokens", "bpe"),
+    tags=("text", "tokens", "bpe", "bench"),
 )
 def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -29,9 +29,9 @@ against the budget.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.operators.budget import (
@@ -51,7 +51,13 @@ class BudgetCappedIngest:
     """foreachBatch body: batch → token scoring → admit up to each
     source's remaining budget → append survivors + a per-source spent
     delta + a batch marker.  ``budgets`` maps group value → total token
-    budget; groups absent from the mapping are never admitted."""
+    budget; groups absent from the mapping are never admitted.
+
+    ``token_counter`` maps the text column to a per-row token count — the
+    unit the budgets are measured in.  Default is the whitespace counter;
+    pass ``functions.bpe.bpe_token_count`` to fill budgets in BPE tokens
+    (real pretraining budgets).  Must be a pure Column expression (it
+    runs once per row on the hot path)."""
 
     def __init__(
         self,
@@ -60,6 +66,7 @@ class BudgetCappedIngest:
         group_col: str = "source",
         id_col: str = "doc_id",
         text_col: str = "text",
+        token_counter: Callable[[Column], Column] | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.corpus_path = f"{base_dir}/corpus"
@@ -68,6 +75,7 @@ class BudgetCappedIngest:
         self.group_col = group_col
         self.id_col = id_col
         self.text_col = text_col
+        self.token_counter = token_counter
         # driver-side incremental mirror of the totals store: (spent, hwm).
         # None until first read; after that the store is only APPENDED to
         # by this instance, so the mirror stays exact without re-reading.
@@ -92,12 +100,17 @@ class BudgetCappedIngest:
         self._cache = (spent, hwm)
         return self._cache
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def _count_tokens(self, text: Column) -> Column:
+        if self.token_counter is not None:
+            return self.token_counter(text).cast("long")
         from kafka_streams_dead_letter_publishing_spark.functions.text import (
             norm_text,
             tokens,
         )
 
+        return F.size(tokens(norm_text(text))).cast("long")
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         spent, hwm = self._spent_and_hwm(spark)
         if batch_id <= hwm:
@@ -114,9 +127,7 @@ class BudgetCappedIngest:
         # DocumentIngest stages its tokens).  NULL-text rows cannot be
         # token-counted and are never admitted.
         scored = (
-            batch.withColumn(
-                "_nt", F.size(tokens(norm_text(F.col(self.text_col)))).cast("long")
-            )
+            batch.withColumn("_nt", self._count_tokens(F.col(self.text_col)))
             .filter(F.col("_nt").isNotNull())
             .persist()
         )
@@ -191,4 +202,5 @@ class BudgetCappedIngest:
             group_col=self.group_col,
             id_col=self.id_col,
             text_col=self.text_col,
+            token_counter=self.token_counter,
         )

@@ -443,6 +443,45 @@ def test_budget_capped_ingest_records_empty_batches(spark, tmp_path):
     assert spark.read.parquet(ingest.totals_path).count() == 2
 
 
+def test_budget_capped_ingest_with_bpe_counter(spark, tmp_path):
+    """The budgets' unit is pluggable: with functions.bpe.bpe_token_count
+    the fill is measured in BPE tokens, matched against the pure-Python
+    BPE reference."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_tokens_py,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.budget_ingest import (
+        BudgetCappedIngest,
+    )
+
+    texts = {i: f"the parser joins rows {'in ' * (i % 3)}#{i}" for i in range(8)}
+    n_bpe = {i: len(bpe_tokens_py(t)) for i, t in texts.items()}
+    budget = sum(n_bpe.values()) - max(n_bpe.values())  # forces a rejection
+    ingest = BudgetCappedIngest(
+        str(tmp_path / "bpe"), budgets={"web": budget}, token_counter=bpe_token_count
+    )
+    ingest.process_batch(
+        spark.createDataFrame(
+            [(i, t, "web") for i, t in texts.items()],
+            "doc_id long, text string, source string",
+        ),
+        0,
+    )
+    # python replay of the md5-order prefix fill in BPE units
+    import hashlib
+
+    order = sorted(texts, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    run, expect = 0, set()
+    for i in order:
+        run += n_bpe[i]
+        if run <= budget:
+            expect.add(i)
+    got = {r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert got == expect and len(expect) < len(texts)
+    assert ingest.spent() == {"web": sum(n_bpe[i] for i in expect)}
+
+
 def test_budget_capped_ingest_reads_totals_once(spark, tmp_path):
     """The per-trigger driver cost is O(#sources) memory, not a growing
     store read: after the first batch, the instance never re-reads the
