@@ -19,6 +19,8 @@ PROBE_OPS = (
     "neardup_pairs_cc",
     "token_budget_sample",
     "global_packing",
+    "line_dedup_partial_agg",
+    "line_dedup_window_r7",
     "neardup_ingest_filter",
     "ann_pairs_fixed4",
     "ann_pairs_scaled",

@@ -21,6 +21,13 @@ Probed (composed from the same operator APIs the registry rows use):
                           naive global window would serialize)
 * global_packing        — corpus-order packing into fixed sequences
                           (same prefix-sum machinery; expected ≈linear)
+* line_dedup_partial_agg — corpus-wide first-occurrence line dedup (r8
+                          partial-agg plan) on a skewed corpus: one
+                          boilerplate line in 50% of docs + a blank line
+                          per doc (expected ≈linear, parallel)
+* line_dedup_window_r7  — inline replica of the replaced r7 window plan
+                          on the same corpus (the hot line and the blank
+                          lines each serialize through one task)
 * ann_pairs_fixed4      — in-corpus cosine≥0.9 pairs, oracle 6×4-plane
                           config: EXPECTED ≈quadratic (the probe's point —
                           fixed depth does not survive scale; capped at 4×)
@@ -132,6 +139,9 @@ def main() -> None:
     )
     from kafka_streams_dead_letter_publishing_spark.operators.budget import (
         token_budget_sample,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.lines import (
+        corpus_line_first_occurrence,
     )
     from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
         build_neardup_index,
@@ -290,6 +300,50 @@ def main() -> None:
             _timed(lambda: _noop(pack_corpus_segments(scored, "n_tokens", 64))),
         )
         scored.unpersist()
+
+        # corpus-wide line dedup on a DELIBERATELY skewed corpus: ONE
+        # boilerplate line planted in half the docs plus one blank line
+        # per doc — the workload whose hot keys killed the r7 window plan.
+        # Probe both the r8 partial-agg plan and an inline replica of the
+        # replaced r7 window plan: the r8 exponent should track ~1 with a
+        # flat gap, the window replica's wall time is bounded below by
+        # (hot-line rows + all blank lines) through two tasks and grows
+        # with the plant no matter the core count.
+        lined = docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit("\nsubscribe to our newsletter today"),
+                ).otherwise(F.lit("")),
+                F.lit("\n"),
+            ),
+        ).persist()
+        lined.count()
+        lines = lined.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        )
+        record(
+            "line_dedup_partial_agg",
+            n_docs,
+            _timed(lambda: _noop(corpus_line_first_occurrence(lines))),
+        )
+
+        def run_window_replica():
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("line").orderBy("doc_id", "pos")
+            _noop(
+                lines.withColumn(
+                    "keep",
+                    (F.length(F.trim("line")) == 0)
+                    | (F.row_number().over(w) == 1),
+                )
+            )
+
+        record("line_dedup_window_r7", n_docs, _timed(run_window_replica))
+        lined.unpersist()
 
         nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
         nd_idx = nd_idx._replace(
