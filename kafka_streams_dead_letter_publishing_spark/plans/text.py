@@ -1501,3 +1501,60 @@ def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").isNull().alias("keep"),
         )
     )
+
+
+# ── DSIR importance resampling ───────────────────────────────────────────
+
+_DSIR_SCALE = 1 << 20
+# bigrams WITH multiplicity (unlike the distinct _shingles_sql) — these
+# are distribution counts
+_BIGRAMS_SQL = (
+    "(CASE WHEN len(t) >= 2 THEN "
+    "[array_to_string(t[i:i+1], ' ') for i in generate_series(1, len(t) - 1)] "
+    "ELSE [] END)"
+)
+
+
+@query(
+    "docs_dsir_sample",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+    feats AS (
+        SELECT doc_id, lang, unnest(t) AS f FROM toks
+        UNION ALL
+        SELECT doc_id, lang, unnest({_BIGRAMS_SQL}) AS f FROM toks),
+    b AS (SELECT doc_id, lang, substring(md5(f), 1, 2) AS bucket FROM feats),
+    rc AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY bucket),
+    tc AS (SELECT bucket, COUNT(*) AS tc FROM b WHERE lang = 'en'
+           GROUP BY bucket),
+    w AS (SELECT rc.bucket,
+                 ({_DSIR_SCALE} * (1 + COALESCE(tc.tc, 0))) // (1 + rc.rc)
+                     AS w
+          FROM rc LEFT JOIN tc USING (bucket))
+    SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+    FROM b JOIN w USING (bucket)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+    """,
+    doc="[EXT] DSIR-style importance resampling (operators/dsir.py, Xie et "
+    "al. 2023): hashed unigram+bigram buckets (md5-prefix string keys, "
+    "256 buckets), add-one-smoothed target/raw likelihood-ratio weights "
+    "quantized to exact BIGINTs (SCALE·(1+t) DIV (1+r) — the log-sum "
+    "form needs transcendental ln whose last ulp differs across engines), "
+    "per-doc score = sum of its features' weights, top-100 most "
+    "target-like docs with doc_id tie-break.  Target domain here: "
+    "lang='en' docs.  Scale shape: exploded features partial-agg to "
+    "bucket counts, the ≤256-row weight table broadcasts back into the "
+    "feature stream (no corpus shuffle on bucket), per-doc sum is "
+    "map-side-combinable, top-k is distributed TakeOrdered.",
+    tags=("text", "sampling", "dsir"),
+)
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.dsir import (
+        dsir_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_sample(docs, target, n=100)
