@@ -1016,3 +1016,89 @@ def null_semantics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # away — the Catalyst-parser surface is still pinned by
 # grouping_analytics_order_stats and null_semantics_counts, which run
 # IDENTICAL SQL text through spark.sql and the DuckDB oracle.
+
+
+# ── Z-order layout keys ──────────────────────────────────────────────────
+
+
+def _zorder_cells_sql() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.zorder import (
+        scaled16_sql,
+        zkey_sql,
+    )
+
+    z = zkey_sql(
+        scaled16_sql("x", "xlo", "xhi", "//"),
+        scaled16_sql("y", "ylo", "yhi", "//"),
+    )
+    return f"""
+    WITH dims AS (
+        SELECT user_id AS x,
+               date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS y
+        FROM events),
+    b AS (SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+                 MIN(y) AS ylo, MAX(y) AS yhi FROM dims),
+    k AS (SELECT {z} AS z FROM dims CROSS JOIN b)
+    SELECT z // 1024 AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(z) AS min_z, MAX(z) AS max_z
+    FROM k
+    GROUP BY cell
+    """
+
+
+@query(
+    "events_zorder_cells",
+    _zorder_cells_sql(),
+    doc="[EXT] Z-order (Morton) layout keys (operators/zorder.py): "
+    "normalize user_id and minutes-since-2024-01-01 each onto the full "
+    "16-bit keyspace (without that the wider dimension owns the high "
+    "bits and the curve degenerates to a plain time sort — measured), "
+    "then interleave — the clustering device that makes parquet min/max "
+    "zone maps prune box predicates on BOTH dimensions (the public Delta "
+    "Lake OPTIMIZE ZORDER design).  The row audits the full keyspace "
+    "mapping over every event: per 1024-key curve cell, the event count "
+    "and exact min/max key.  The bit-spread is operator-only SQL (shifts "
+    "as power-of-two multiplies, native &/|) so the IDENTICAL expression "
+    "text runs on Spark and DuckDB; normalization bounds come from one "
+    "broadcast 1-row aggregate.  tests/test_zorder.py fuzzes the key "
+    "math against a Python reference and measures real file pruning on "
+    "written parquet.  Per-row narrow integer math + one partial-agg "
+    "group — no windows, the only join is the broadcast bounds row.",
+    tags=("events", "zorder", "layout"),
+)
+def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.zorder import (
+        scaled16_sql,
+        zkey_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.select(
+        F.col("user_id").alias("x"),
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("y"),
+    )
+    bounds = dims.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+    z = F.expr(
+        zkey_sql(
+            scaled16_sql("x", "xlo", "xhi"),
+            scaled16_sql("y", "ylo", "yhi"),
+        )
+    )
+    return (
+        dims.crossJoin(F.broadcast(bounds))
+        .select(z.alias("z"))
+        .groupBy(F.expr("z DIV 1024").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )
