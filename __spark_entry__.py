@@ -50,25 +50,44 @@ def _completed_rounds() -> int:
     return max(rounds, default=0)
 
 
-def _rotated_names() -> list[str]:
-    """Registry names rotated so every query gets a driver CORRECTNESS row
-    at least every other round.
+def _recorded_last_round() -> set[str]:
+    """Query names with a CORRECTNESS row in the latest recorded round."""
+    import json
 
-    With N queries and a W-entry driver window, rotating the start by
-    ``step = N - W`` per round makes round r's leftover (the ``step``
-    names after its window) exactly the TAIL of round r+1's window — so
-    any two consecutive rounds with the same N cover all N queries.  A
-    round that changes N must re-check the previous round's leftover set
-    (pinned by tests/test_plans.py::test_rotation_window).
+    prev = _completed_rounds()
+    if not prev:
+        return set()
+    path = os.path.join(_REPO, f"CORRECTNESS_r{prev:02d}.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return set(json.load(f))
+
+
+def _rotated_names() -> list[str]:
+    """Registry names ordered so every query gets a driver CORRECTNESS row
+    at least every other round, even when the registry GROWS mid-stream.
+
+    Invariant (pinned by tests/test_plans.py::test_rotation_window): the
+    upcoming round's W-entry window ∪ the previous round's recorded rows
+    covers every registered query.  Construction: names with NO row in the
+    latest CORRECTNESS file come FIRST (they must land in the upcoming
+    window — this is what a fixed-step rotation got wrong when new
+    operators were registered, silently starving exactly the newest rows),
+    then the already-recorded names rotated by round number so re-checks
+    spread across the registry instead of always re-running the same
+    prefix.  Deterministic for a fixed repo state.
     """
     names = list(QUERIES)
-    n = len(names)
-    if n <= _DRIVER_WINDOW:
+    if len(names) <= _DRIVER_WINDOW:
         return names
-    step = n - _DRIVER_WINDOW
-    upcoming_round = _completed_rounds() + 1
-    off = (upcoming_round * step) % n
-    return names[off:] + names[:off]
+    recorded = _recorded_last_round()
+    fresh = [m for m in names if m not in recorded]
+    rest = [m for m in names if m in recorded]
+    if rest:
+        off = ((_completed_rounds() + 1) * max(1, len(names) - _DRIVER_WINDOW)) % len(rest)
+        rest = rest[off:] + rest[:off]
+    return fresh + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:
