@@ -1558,3 +1558,35 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en")
     return dsir_sample(docs, target, n=100)
+
+
+# ── vocabulary construction ──────────────────────────────────────────────
+
+
+@query(
+    "docs_vocab_ids",
+    f"""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term)
+               AS BIGINT) AS token_id
+    FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+    GROUP BY term
+    """,
+    doc="[EXT] Tokenizer vocabulary construction (operators/vocab.py): "
+    "global term frequencies + CONTIGUOUS token ids, most-frequent first "
+    "with term tie-break.  The oracle is the naive global "
+    "row_number() window; the engine deliberately avoids that plan's "
+    "Exchange SinglePartition by running the id assignment as a "
+    "frequency-banded two-phase prefix COUNT (operators/prefix.py — "
+    "#bands driver metadata rows, band-partitioned windows), the same "
+    "machinery as the budget/packing family.  Plan gate in "
+    "tests/test_vocab.py.",
+    tags=("text", "tokens", "vocab", "prefix-sum"),
+)
+def docs_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.vocab import (
+        vocab_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return vocab_ids(docs)
