@@ -86,6 +86,23 @@ def _doc_gram_fps(
     ).select(F.col(id_col), _gram_fp(F.col("gram")).alias("gram_fp"))
 
 
+def contamination_report_fps(
+    docs: DataFrame,
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """`contamination_report` against a PRECOMPUTED eval fingerprint frame
+    ``(gram_fp)`` — the form the streaming ingest stage uses, where the
+    eval set is fingerprinted once and persisted rather than re-shingled
+    every micro-batch."""
+    hits = _doc_gram_fps(docs, id_col, text_col, k).join(
+        F.broadcast(fps), "gram_fp"
+    )
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
 def contamination_report(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -97,10 +114,19 @@ def contamination_report(
     distinct k-grams that appear in the eval set.  Docs with zero hits are
     absent (join survivors only)."""
     fps = eval_gram_fps(eval_docs, text_col=text_col, k=k)
-    hits = _doc_gram_fps(docs, id_col, text_col, k).join(
-        F.broadcast(fps), "gram_fp"
-    )
-    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+    return contamination_report_fps(docs, fps, id_col, text_col, k)
+
+
+def decontaminate_by_fps(
+    docs: DataFrame,
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """`decontaminate` against a precomputed eval fingerprint frame."""
+    bad = contamination_report_fps(docs, fps, id_col, text_col, k).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
 
 
 def decontaminate(
@@ -115,7 +141,5 @@ def decontaminate(
     The contaminated-id set is benchmark-bounded (≤ #eval grams can match
     at most that many docs per gram, and in practice ≪ corpus), so the
     anti-join broadcasts it rather than shuffling the corpus."""
-    bad = contamination_report(
-        docs, eval_docs, id_col=id_col, text_col=text_col, k=k
-    ).select(id_col)
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    fps = eval_gram_fps(eval_docs, text_col=text_col, k=k)
+    return decontaminate_by_fps(docs, fps, id_col, text_col, k)

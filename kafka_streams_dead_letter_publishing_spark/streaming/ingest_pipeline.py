@@ -319,7 +319,14 @@ class DocumentIngest:
     direction), never with documents emptied and lost.  Chain over-drop
     trade (same class as the near-dup one-join rule): if two batch docs
     share a line and the first is later quality-rejected, the line is
-    gone from both."""
+    gone from both.
+
+    ``decontam_fps_path`` (optional) points at a parquet of eval-set gram
+    fingerprints (``operators.decontaminate.eval_gram_fps`` output,
+    persisted once — the benchmark is static, so it is NOT re-shingled per
+    micro-batch): any batch doc sharing a ``decontam_k``-gram with the
+    eval set is rejected before dedup and never enters the corpus or the
+    stores.  The fingerprint frame is benchmark-sized and broadcast."""
 
     def __init__(
         self,
@@ -329,6 +336,8 @@ class DocumentIngest:
         quality_filter: bool = False,
         pii_redact: bool = False,
         line_dedup: bool = False,
+        decontam_fps_path: str | None = None,
+        decontam_k: int = 5,
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
@@ -342,6 +351,8 @@ class DocumentIngest:
         self.quality_filter = quality_filter
         self.pii_redact = pii_redact
         self.line_dedup = line_dedup
+        self.decontam_fps_path = decontam_fps_path
+        self.decontam_k = decontam_k
         self.id_col = id_col
         self.text_col = text_col
 
@@ -515,6 +526,24 @@ class DocumentIngest:
                 gopher_repetition_keep(F.col(self.text_col), F.col("_toks"))
             )
         batch = admitted.drop("_toks")
+        if self.decontam_fps_path is not None and _store_exists(
+            spark, self.decontam_fps_path
+        ):
+            from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
+                decontaminate_by_fps,
+            )
+
+            # eval-overlap rejection BEFORE dedup: a contaminated doc must
+            # not enter the stores either (it would otherwise suppress a
+            # later clean near-dup of itself — same ordering contract as
+            # the quality filter)
+            batch = decontaminate_by_fps(
+                batch,
+                spark.read.parquet(self.decontam_fps_path),
+                id_col=self.id_col,
+                text_col=self.text_col,
+                k=self.decontam_k,
+            )
         try:
             # intra-batch dedup FIRST, store filter second — same
             # contract-ordering reason as EmbeddingIngest
@@ -575,6 +604,10 @@ class DocumentIngest:
             quality_filter=self.quality_filter,
             pii_redact=self.pii_redact,
             line_dedup=self.line_dedup,
+            # the eval fp store is external and immutable — the compacted
+            # pipeline keeps pointing at the same benchmark
+            decontam_fps_path=self.decontam_fps_path,
+            decontam_k=self.decontam_k,
             id_col=self.id_col,
             text_col=self.text_col,
         )

@@ -550,3 +550,48 @@ def test_document_ingest_composes_line_dedup(spark, tmp_path):
     c = ingest.compact(str(tmp_path / "ld2"))
     assert c.line_dedup
     assert {r.line_fp for r in spark.read.parquet(c.lines_path).collect()} == stored
+
+
+def test_document_ingest_composes_decontamination(spark, tmp_path):
+    """decontam_fps_path rejects batch docs sharing a k-gram with the
+    persisted eval fingerprint store BEFORE dedup: the contaminated doc
+    never reaches the corpus or the stores, clean docs are untouched, and
+    a replay of the same batch is still idempotent."""
+    from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
+        eval_gram_fps,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(9000, "the held out benchmark question text here")],
+        "doc_id long, text string",
+    )
+    fps_path = str(tmp_path / "eval_fps")
+    eval_gram_fps(eval_docs, k=5).write.parquet(fps_path)
+
+    clean = synth_documents(spark, 30, planted_every=10**9)
+    leaky = spark.createDataFrame(
+        [(700, "intro words then the held out benchmark question text here verbatim")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    )
+    ingest = DocumentIngest(
+        str(tmp_path / "dc"), decontam_fps_path=fps_path, decontam_k=5
+    )
+    ingest.process_batch(clean.unionByName(leaky), 0)
+    accepted = {r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert 700 not in accepted
+    assert accepted == set(range(30))
+    assert (
+        spark.read.parquet(ingest.shingles_path)
+        .filter(F.col("ref_id") == 700).count() == 0
+    )
+    # deterministic stage: replaying the batch adds nothing new
+    ingest.process_batch(clean.unionByName(leaky), 0)
+    assert {
+        r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()
+    } == set(range(30))
