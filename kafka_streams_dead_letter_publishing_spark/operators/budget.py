@@ -154,3 +154,33 @@ def split_threshold_hex(cum: float) -> str:
     if n >= (1 << 52):
         return "g"
     return format(n, "013x")
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int | Mapping[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    bucket_chars: int = 3,
+    rank_col: str = "rank_in_group",
+) -> DataFrame:
+    """Keep at most *cap* documents per group (domain/source capping — the
+    C4/anti-spam rule that no single domain may dominate the corpus),
+    chosen deterministically as the first *cap* docs in each group's
+    md5(id) order; adds ``rank_col`` (1-based rank within the group).
+
+    This is :func:`token_budget_sample` with every document costing one
+    token — i.e. a per-group dense RANK computed by the bucketed two-phase
+    prefix COUNT, not a ``row_number() OVER (PARTITION BY group)`` window
+    whose hot groups (exactly the spam domains being capped) would each
+    funnel through a single task."""
+    staged = docs.withColumn("_one", F.lit(1))
+    capped = token_budget_sample(
+        staged,
+        "_one",
+        cap,
+        id_col=id_col,
+        bucket_chars=bucket_chars,
+        group_col=group_col,
+    )
+    return capped.withColumnRenamed("running_tokens", rank_col).drop("_one")

@@ -1477,7 +1477,7 @@ def _decontam_sql(k: int = 5) -> str:
     "k (8-13) is a parameter.  At sf0.01 the 10 contaminated docs are "
     "exactly the planted near-dup partners whose twin fell in the eval "
     "split — the rule catching real leakage, not noise.",
-    tags=("text", "decontamination", "broadcast-join"),
+    tags=("text", "decontamination", "broadcast-join", "bench"),
 )
 def docs_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.budget import (
@@ -1548,7 +1548,7 @@ _BIGRAMS_SQL = (
     "bucket counts, the ≤256-row weight table broadcasts back into the "
     "feature stream (no corpus shuffle on bucket), per-doc sum is "
     "map-side-combinable, top-k is distributed TakeOrdered.",
-    tags=("text", "sampling", "dsir"),
+    tags=("text", "sampling", "dsir", "bench"),
 )
 def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.dsir import (
@@ -1581,7 +1581,7 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "#bands driver metadata rows, band-partitioned windows), the same "
     "machinery as the budget/packing family.  Plan gate in "
     "tests/test_vocab.py.",
-    tags=("text", "tokens", "vocab", "prefix-sum"),
+    tags=("text", "tokens", "vocab", "prefix-sum", "bench"),
 )
 def docs_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.vocab import (
@@ -1590,3 +1590,33 @@ def docs_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return vocab_ids(docs)
+
+
+@query(
+    "docs_source_capped",
+    """
+    SELECT doc_id, source, rank_in_group FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT)
+                   AS rank_in_group
+        FROM documents)
+    WHERE rank_in_group <= 10
+    """,
+    doc="[EXT] Per-source document capping (operators/budget.py "
+    "source_cap): at most 10 docs per source, chosen deterministically in "
+    "md5(id) order — the C4-style anti-spam rule that no single domain "
+    "may dominate a corpus.  The oracle is the naive per-group "
+    "row_number window; the engine runs the bucketed two-phase prefix "
+    "COUNT instead, so a spam domain with a billion pages (exactly the "
+    "group being capped) never funnels through one window task.",
+    tags=("text", "sampling", "caps", "prefix-sum"),
+)
+def docs_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        source_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_cap(docs, cap=10)

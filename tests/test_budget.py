@@ -226,3 +226,53 @@ def test_budget_sample_null_values_and_tied_order_keys(spark):
     # ROWS frame: first copy runs to 5 (admitted), second to 10 (dropped);
     # a RANGE frame would give both 10 and admit neither
     assert len(kept) == 1 and kept[0].running_tokens == 5
+
+
+def test_source_cap_matches_python_reference(spark):
+    """source_cap keeps exactly the first `cap` docs of each group in
+    md5(id) order — including a deliberately hot group 100× the cap — with
+    no SinglePartition in the plan and per-group ranks 1..cap."""
+    import hashlib
+
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        source_cap,
+    )
+
+    rows = [(i, "hot") for i in range(500)] + [
+        (1000 + i, f"cold{i % 3}") for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = source_cap(docs, cap=5).collect()
+
+    expect = {}
+    for src in {s for _, s in rows}:
+        ids = sorted(
+            (d for d, s in rows if s == src),
+            key=lambda d: hashlib.md5(str(d).encode()).hexdigest(),
+        )[:5]
+        for rank, d in enumerate(ids, start=1):
+            expect[d] = (src, rank)
+    assert {r.doc_id: (r.source, r.rank_in_group) for r in got} == expect
+    # hot group contributes exactly cap rows
+    assert sum(1 for r in got if r.source == "hot") == 5
+
+    plan = (
+        source_cap(docs, cap=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_source_cap_mapping_budgets(spark):
+    """Per-group caps via a mapping; groups absent from the mapping are
+    dropped entirely (cap 0)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        source_cap,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)],
+        "doc_id long, source string",
+    )
+    got = source_cap(docs, cap={"a": 3}).collect()
+    assert sum(1 for r in got if r.source == "a") == 3
+    assert sum(1 for r in got if r.source == "b") == 0
