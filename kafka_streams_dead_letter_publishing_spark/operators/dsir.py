@@ -119,6 +119,42 @@ def dsir_scores(
     )
 
 
+def dsir_scores_subset(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hex: int = DEFAULT_N_HEX,
+    scale: int = SCALE,
+) -> DataFrame:
+    """:func:`dsir_scores` for the common case where the target domain is
+    a PREDICATE over the corpus itself (``target_pred`` a boolean Column,
+    e.g. ``col('lang') == 'en'``): the raw and target bucket counts come
+    from ONE conditional aggregation over one exploded feature stream, so
+    the corpus is tokenized twice (count pass + score pass) instead of
+    three times.  Identical result to ``dsir_scores(docs,
+    docs.filter(target_pred))`` — pinned by tests."""
+    staged = docs.select(
+        F.col(id_col), F.col(text_col), target_pred.alias("_tgt")
+    )
+    feats = doc_feature_buckets(
+        staged, [id_col, "_tgt"], text_col, n_hex
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    w = counts.select(
+        "bucket",
+        F.expr(f"({scale} * (1 + coalesce(tc, 0))) DIV (1 + rc)").alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+
+
 def dsir_sample(
     docs: DataFrame,
     target_docs: DataFrame,
@@ -127,12 +163,16 @@ def dsir_sample(
     text_col: str = "text",
     n_hex: int = DEFAULT_N_HEX,
     scale: int = SCALE,
+    target_pred=None,
 ) -> DataFrame:
     """Top-*n* most-target-like docs as ``(id_col, score)``, deterministic
     via the id tie-break (distributed top-k, no global sort of the
-    corpus)."""
-    return (
-        dsir_scores(docs, target_docs, id_col, text_col, n_hex, scale)
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(n)
-    )
+    corpus).  Pass ``target_pred`` (and ``target_docs=None``) to use the
+    one-pass subset form."""
+    if target_pred is not None:
+        scores = dsir_scores_subset(
+            docs, target_pred, id_col, text_col, n_hex, scale
+        )
+    else:
+        scores = dsir_scores(docs, target_docs, id_col, text_col, n_hex, scale)
+    return scores.orderBy(F.desc("score"), F.asc(id_col)).limit(n)

@@ -1065,7 +1065,7 @@ def _zorder_cells_sql() -> str:
     "math against a Python reference and measures real file pruning on "
     "written parquet.  Per-row narrow integer math + one partial-agg "
     "group — no windows, the only join is the broadcast bounds row.",
-    tags=("events", "zorder", "layout"),
+    tags=("events", "zorder", "layout", "bench"),
 )
 def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.zorder import (

@@ -1556,8 +1556,8 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    target = docs.filter(F.col("lang") == "en")
-    return dsir_sample(docs, target, n=100)
+    # subset form: raw + target bucket counts from ONE conditional agg
+    return dsir_sample(docs, None, n=100, target_pred=F.col("lang") == "en")
 
 
 # ── vocabulary construction ──────────────────────────────────────────────

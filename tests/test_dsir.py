@@ -113,3 +113,19 @@ def test_plan_broadcasts_weights_no_bucket_shuffle_no_udf(corpus):
     # BroadcastExchange in the printed plan — shuffles only on doc_id
     probe = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning(bucket" not in probe
+
+
+def test_subset_form_equals_two_frame_form(corpus):
+    from kafka_streams_dead_letter_publishing_spark.operators.dsir import (
+        dsir_scores_subset,
+    )
+
+    docs, target, _, _ = corpus
+    two = {r.doc_id: r.score for r in dsir_scores(docs, target).collect()}
+    one = {
+        r.doc_id: r.score
+        for r in dsir_scores_subset(
+            docs, F.col("text").startswith("the")
+        ).collect()
+    }
+    assert one == two
