@@ -1620,3 +1620,113 @@ def docs_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return source_cap(docs, cap=10)
+
+
+# ── composed pretraining pipeline (capstone) ─────────────────────────────
+
+
+def _pretraining_pipeline_sql() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        split_threshold_hex,
+    )
+
+    t_train = split_threshold_hex(0.8)
+    return f"""
+    WITH labeled AS (
+        SELECT doc_id, text, source, {_shingles_sql(_TOKS_SQL, 5)} AS grams,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) < '{t_train}'
+                   AS is_train
+        FROM documents),
+    eval_fps AS (
+        SELECT DISTINCT md5(unnest(grams)) AS fp
+        FROM labeled WHERE NOT is_train),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, md5(unnest(grams)) AS fp
+            FROM labeled WHERE is_train) t
+        JOIN eval_fps USING (fp)),
+    clean AS (
+        SELECT doc_id, text, source FROM labeled
+        WHERE is_train
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    capped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+            FROM clean) WHERE rk <= 15),
+    scored AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM capped),
+    cum AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS run
+        FROM scored),
+    sampled AS (SELECT doc_id, n FROM cum WHERE run <= 6000),
+    offs AS (
+        SELECT doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS doc_off
+        FROM sampled),
+    segs AS (
+        SELECT doc_id, n, doc_off,
+               unnest(generate_series(doc_off // 64, (doc_off + n - 1) // 64))
+                   AS seq_id
+        FROM offs WHERE n > 0)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(doc_off, seq_id * 64) AS BIGINT) AS tok_start,
+           CAST(LEAST(doc_off + n, (seq_id + 1) * 64)
+                - GREATEST(doc_off, seq_id * 64) AS BIGINT) AS n_toks
+    FROM segs
+    """
+
+
+@query(
+    "docs_pretraining_pipeline",
+    _pretraining_pipeline_sql(),
+    doc="[EXT] The composed end-to-end pretraining data pipeline, one "
+    "declarative plan: hash_split (80/10/10) -> decontaminate the train "
+    "split against the eval splits (5-gram overlap, broadcast eval fps) "
+    "-> cap each source at 15 docs (md5 order, banded prefix COUNT) -> "
+    "fill a 6000-token budget (md5-order greedy, two-phase prefix-sum) "
+    "-> pack into 64-token cross-document training sequences (segment "
+    "map via the same prefix-sum).  The oracle replays every stage with "
+    "naive windows/subqueries; the engine's plan stays broadcast-join + "
+    "bucket-parallel throughout — the five stages compose without any "
+    "SinglePartition exchange, which is the whole point: a user runs "
+    "clean -> select -> pack as ONE Catalyst plan, not five jobs with "
+    "materialization barriers.  (The one driver round-trip is the "
+    "prefix-sum families' #buckets metadata collect.)",
+    tags=("text", "pipeline", "capstone", "bench"),
+)
+def docs_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        hash_split,
+        source_cap,
+        token_budget_sample,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.packing import (
+        pack_corpus_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    labeled = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = labeled.filter(F.col("split") == "train")
+    eval_docs = labeled.filter(F.col("split") != "train")
+    clean = decontaminate(train, eval_docs, k=5)
+    capped = source_cap(clean, cap=15)
+    scored = capped.select(
+        "doc_id",
+        F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    sampled = token_budget_sample(scored, "n_tokens", 6000)
+    return pack_corpus_segments(
+        sampled.select("doc_id", "n_tokens"), "n_tokens", seq_len=64
+    )

@@ -439,3 +439,14 @@ def test_lsh_knobs_edge_cases_fail_loud_not_degenerate():
     # documented ValueError refusal must come back, not a division crash
     with _pytest.raises(ValueError, match="plane pool"):
         lsh_config_for(1_000_000, threshold=0.2, recall=0.9)
+
+
+def test_pretraining_pipeline_composes_without_single_partition(spark):
+    """The r8 capstone: five composed stages (split -> decontaminate ->
+    cap -> budget -> pack) must stay one bucket-parallel Catalyst plan —
+    no SinglePartition exchange, no Python, no cartesian — or composing
+    them at 100 TB would serialize on whichever stage regressed."""
+    plan = plan_of(spark, "docs_pretraining_pipeline")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

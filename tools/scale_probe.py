@@ -345,6 +345,54 @@ def main() -> None:
         record("line_dedup_window_r7", n_docs, _timed(run_window_replica))
         lined.unpersist()
 
+        # ── r8 sampling/selection family: expected ~linear ────────────
+        # decontamination: the eval benchmark stays FIXED-size while the
+        # corpus grows (that is the production shape — eval sets are
+        # static); cost should be corpus-linear with a constant broadcast
+        from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+            source_cap,
+        )
+        from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
+            decontaminate,
+        )
+        from kafka_streams_dead_letter_publishing_spark.operators.dsir import (
+            dsir_sample,
+        )
+        from kafka_streams_dead_letter_publishing_spark.operators.vocab import (
+            vocab_ids,
+        )
+
+        eval_docs = synth_documents(spark, BASE_DOCS // 10, seed=99).persist()
+        eval_docs.count()
+        record(
+            "decontaminate",
+            n_docs,
+            _timed(lambda: _noop(decontaminate(docs, eval_docs, k=5))),
+        )
+        eval_docs.unpersist()
+        record(
+            "dsir_sample",
+            n_docs,
+            _timed(
+                lambda: _noop(
+                    dsir_sample(
+                        docs, None, n=100,
+                        target_pred=F.col("doc_id") % 5 == 0,
+                    )
+                )
+            ),
+        )
+        record(
+            "vocab_ids",
+            n_docs,
+            _timed(lambda: _noop(vocab_ids(docs))),
+        )
+        record(
+            "source_cap",
+            n_docs,
+            _timed(lambda: _noop(source_cap(docs, cap=BASE_DOCS // 40))),
+        )
+
         nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
         nd_idx = nd_idx._replace(
             bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
