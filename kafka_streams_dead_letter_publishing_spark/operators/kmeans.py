@@ -266,7 +266,17 @@ def nearest_cluster_quantized(centroids: list[list[int]], qe: Column) -> Column:
     """int cluster id: argmin over exact-bigint squared-L2 distances, single
     fold over the centroid matrix, ties to the lowest index (strict `<`
     keeps the earliest minimum) — the integer twin of :func:`_nearest`."""
-    cm = _centroid_matrix_fixed_expr(centroids)
+    return nearest_cluster_quantized_expr(
+        _centroid_matrix_fixed_expr(centroids), qe
+    )
+
+
+def nearest_cluster_quantized_expr(cm: Column, qe: Column) -> Column:
+    """:func:`nearest_cluster_quantized` over a centroid matrix that is
+    itself a Column (array<array<bigint>>) — lets a caller select a
+    per-row matrix (e.g. the PQ joint fit picks its subspace's codebook
+    from one nested literal) while keeping the identical fold/tie-break
+    semantics."""
     init = F.struct(
         F.lit(-1).alias("cluster"),
         F.lit(2**63 - 1).cast("long").alias("d2"),

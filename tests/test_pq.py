@@ -1,0 +1,137 @@
+"""Product quantization (operators/pq.py): encoding/ADC parity with a
+sequential Python reference, the normalization contract, a recall floor
+for the two-stage serve on real testdata, and plan shape (broadcast
+tables, no corpus-wide single-partition stage)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+    QUANT_SCALE,
+)
+from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+    adc_table,
+    l2_normalize,
+    pq_encode,
+    pq_fit,
+    pq_search_batch,
+)
+
+DIM, M, K = 8, 4, 4  # tiny geometry for the reference fixtures
+
+
+def _quant(v):
+    return [math.floor(x * QUANT_SCALE) for x in v]
+
+
+def _d2(a, b):
+    return sum((x - y) ** 2 for x, y in zip(a, b))
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Vectors drawn near 4 well-separated anchors, so sub-quantizers have
+    real structure to learn and the Python reference is unambiguous."""
+    rng = random.Random(5)
+    anchors = [[(1 if (i >> j) & 1 else -1) * 2.0 for j in range(DIM)] for i in range(4)]
+    rows = [
+        (i, [a + rng.uniform(-0.05, 0.05) for a in anchors[i % 4]])
+        for i in range(80)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_encode_assigns_nearest_subcentroid(clustered):
+    df, rows = clustered
+    books = pq_fit(df, DIM, M, K, iters=2, sample_mod=1)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, books, DIM).collect()}
+    sub = DIM // M
+    for vid, vec in rows:
+        q = _quant(vec)
+        for j in range(M):
+            qs = q[j * sub : (j + 1) * sub]
+            dists = [_d2(qs, c) for c in books[j]]
+            assert codes[vid][j] == dists.index(min(dists)), (vid, j)
+
+
+def test_adc_table_is_exact_subspace_distances(clustered):
+    _, rows = clustered
+    df, _ = clustered
+    books = pq_fit(df, DIM, M, K, iters=2, sample_mod=1)
+    q = rows[3][1]
+    qm = _quant(q)
+    tables = adc_table(books, qm)
+    sub = DIM // M
+    for j in range(M):
+        for c in range(len(books[j])):
+            assert tables[j][c] == _d2(qm[j * sub : (j + 1) * sub], books[j][c])
+
+
+def test_search_matches_python_adc_reference(clustered):
+    df, rows = clustered
+    books = pq_fit(df, DIM, M, K, iters=2, sample_mod=1)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, books, DIM).collect()}
+    queries = [rows[0][1], rows[1][1]]
+    got = pq_search_batch(
+        pq_encode(df, books, DIM), books, queries, k_top=5
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.vec_id, r.ad2))
+    for qi, q in enumerate(queries):
+        tables = adc_table(books, _quant(q))
+        ref = sorted(
+            (sum(tables[j][codes[v][j]] for j in range(M)), v) for v in codes
+        )[:5]
+        expect = [(i + 1, v, d) for i, (d, v) in enumerate(ref)]
+        assert sorted(by_q[qi]) == expect, qi
+
+
+def test_l2_normalize_units_and_drops_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [0.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.embedding for r in l2_normalize(df).collect()}
+    assert set(out) == {0, 2}
+    assert out[0] == [0.6, 0.8] and out[2] == [0.0, -1.0]
+
+
+def test_two_stage_recall_floor_on_real_data(spark):
+    """The registry row's two-stage serve must keep ≥0.5 average recall@10
+    vs the exact cosine top-10 at sf0.01 (measured 0.7–0.9; isotropic
+    vectors are PQ's hardest case)."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    pq = QUERIES["emb_pq_batch_topk"].spark(spark, sf).collect()
+    exact = QUERIES["emb_multi_query_topk"].spark(spark, sf).collect()
+    recalls = []
+    for qi in range(4):
+        p = {r.vec_id for r in pq if r.query_id == qi}
+        e = {r.vec_id for r in exact if r.query_id == qi}
+        recalls.append(len(p & e) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_serving_plan_shape(clustered):
+    df, rows = clustered
+    books = pq_fit(df, DIM, M, K, iters=2, sample_mod=1)
+    codes = pq_encode(df, books, DIM)
+    plan = (
+        pq_search_batch(codes, books, [rows[0][1]], k_top=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the Q-row table broadcast; the scan side never exchanges before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two-phase top-k: the global per-query window sees only ≤ k·partitions
+    # rows, never the full scored corpus
+    assert "SinglePartition" not in plan
