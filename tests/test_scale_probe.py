@@ -22,6 +22,10 @@ PROBE_OPS = (
     "line_dedup_partial_agg",
     "line_dedup_window_r7",
     "neardup_ingest_filter",
+    "decontaminate",
+    "dsir_sample",
+    "vocab_ids",
+    "source_cap",
     "ann_pairs_fixed4",
     "ann_pairs_scaled",
     "ann_ingest_filter",
