@@ -266,3 +266,69 @@ def pq_search_batch(
     return local.withColumn("rnk", F.row_number().over(w_global)).filter(
         F.col("rnk") <= k_top
     )
+
+
+def ivfpq_search_batch(
+    codes_df: DataFrame,
+    codebooks: Codebooks,
+    coarse_centroids: list[list[int]],
+    queries: list[list[float]],
+    nprobe: int,
+    k_top: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full FAISS IVF-PQ serving shape: route each query to its
+    ``nprobe`` nearest coarse cells driver-side (k×d centroid metadata),
+    prune the codes scan to the UNION of probed cells (``codes_df`` must
+    carry the coarse ``cluster`` column — written partitionBy(cluster),
+    so the filter is partition pruning), fan each code row out to exactly
+    the queries that probed its cell via a broadcast (query_id, cluster)
+    table, ADC-score with the broadcast distance tables, and take the
+    two-phase per-query top-k shortlist.  Returns (query_id, id_col, ad2,
+    rnk) — feed to an exact re-rank for final results."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        route_query,
+    )
+
+    if not queries:
+        raise ValueError("ivfpq_search_batch: empty query batch")
+    spark = codes_df.sparkSession
+    qm = [[math.floor(float(x) * QUANT_SCALE) for x in q] for q in queries]
+    probe_pairs = [
+        (qi, c)
+        for qi, q in enumerate(qm)
+        for c in route_query(coarse_centroids, q, nprobe)
+    ]
+    union_clusters = sorted({c for _, c in probe_pairs})
+    probes = spark.createDataFrame(probe_pairs, "query_id int, cluster int")
+    qt = spark.createDataFrame(
+        [(qi, adc_table(codebooks, q)) for qi, q in enumerate(qm)],
+        "query_id int, tables array<array<bigint>>",
+    )
+    m = len(codebooks)
+    ad2 = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("tables"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    scored = (
+        codes_df.filter(F.col("cluster").isin(union_clusters))  # partition prune
+        .join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(qt), "query_id")
+        .select("query_id", id_col, ad2.cast("long").alias("ad2"))
+    )
+    staged = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "query_id").orderBy(
+        F.asc("ad2"), F.asc(id_col)
+    )
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k_top)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc(id_col))
+    return local.withColumn("rnk", F.row_number().over(w_global)).filter(
+        F.col("rnk") <= k_top
+    )

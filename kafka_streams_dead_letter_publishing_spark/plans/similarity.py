@@ -831,28 +831,58 @@ QUERY_BATCH_UNIT_MICRO: list[list[int]] = [
 ]
 
 
-def _pq_sql() -> str:
-    """Full DuckDB replay of the PQ lifecycle: L2-normalize → quantize →
-    per-subspace sampled k-means fits (the unrolled-CTE idiom of
-    _ivf_fit_parts, one chain per subspace) → full-corpus encoding →
-    per-query ADC distance tables → summed table lookups → per-query
-    shortlist → EXACT cosine re-rank of the shortlist on the original
-    float vectors → top-k."""
-    dim, m, k, iters = EMBEDDING_DIM, PQ_M, PQ_K, PQ_ITERS
-    sub = dim // m
-
-    def assign(p: str, t: str, src: str, prev: str, cols: str) -> str:
-        return f"""{p}{t} AS (
+def _pq_assign_sql(p: str, t: str, src: str, prev: str, cols: str, nd: int) -> str:
+    """One argmin-assignment CTE (the _ivf_fit_parts idiom, prefixed)."""
+    return f"""{p}{t} AS (
       SELECT {cols} FROM (
         SELECT e.vec_id, e.qe, c.cluster,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                  list_sum([(e.qe[i] - c.cent[i]) * (e.qe[i] - c.cent[i])
-                           FOR i IN generate_series(1, {sub})]) ASC,
+                           FOR i IN generate_series(1, {nd})]) ASC,
                  c.cluster ASC) AS rn
         FROM {src} e CROSS JOIN {prev} c)
       WHERE rn = 1
     )"""
 
+
+def _pq_fit_chain_sql(p: str, src_sample: str, src_full: str, k: int, iters: int, nd: int) -> list[str]:
+    """Seeds → iters × (assign → exact floor-div update) → full-corpus
+    assignment ``{p}code`` — one quantized k-means chain over (vec_id, qe)
+    CTEs whose lists are ``nd`` long."""
+    parts = [f"""{p}c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             qe AS cent
+      FROM (SELECT vec_id, qe FROM {src_sample} ORDER BY vec_id LIMIT {k})
+    )"""]
+    for t in range(1, iters + 1):
+        parts.append(
+            _pq_assign_sql(p, f"a{t}", src_sample, f"{p}c{t-1}", "vec_id, qe, cluster", nd)
+        )
+        parts.append(f"""{p}n{t} AS (
+      SELECT cluster, list(cv ORDER BY dim) AS cent FROM (
+        SELECT cluster, g.i AS dim,
+               CAST((SUM(qe[g.i]) - ((SUM(qe[g.i]) % COUNT(*)) + COUNT(*))
+                     % COUNT(*)) // COUNT(*) AS BIGINT) AS cv
+        FROM {p}a{t}, generate_series(1, {nd}) g(i)
+        GROUP BY cluster, g.i)
+      GROUP BY cluster
+    )""")
+        parts.append(f"""{p}c{t} AS (
+      SELECT p.cluster, COALESCE(u.cent, p.cent) AS cent
+      FROM {p}c{t-1} p LEFT JOIN {p}n{t} u ON p.cluster = u.cluster
+    )""")
+    parts.append(
+        _pq_assign_sql(p, "code", src_full, f"{p}c{iters}", "vec_id, cluster", nd)
+    )
+    return parts
+
+
+def _pq_common_parts() -> list[str]:
+    """The CTEs both PQ rows share: normalization, quantization, the m
+    sub-fit chains + full-corpus codes, the ADC distance tables, and the
+    float query literals for the re-rank."""
+    dim, m, k, iters = EMBEDDING_DIM, PQ_M, PQ_K, PQ_ITERS
+    sub = dim // m
     parts = [
         f"""WITH en AS MATERIALIZED (
       -- unit-normalize (same fixed-order dot fold + IEEE sqrt/division
@@ -882,34 +912,8 @@ def _pq_sql() -> str:
         parts.append(
             f"{p}eqs AS MATERIALIZED (SELECT vec_id, qe[{lo}:{hi}] AS qe FROM eqs)"
         )
-        parts.append(f"""{p}c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
-             qe AS cent
-      FROM (SELECT vec_id, qe FROM {p}eqs ORDER BY vec_id LIMIT {k})
-    )""")
-        for t in range(1, iters + 1):
-            parts.append(
-                assign(p, f"a{t}", f"{p}eqs", f"{p}c{t-1}", "vec_id, qe, cluster")
-            )
-            parts.append(f"""{p}n{t} AS (
-      SELECT cluster, list(cv ORDER BY dim) AS cent FROM (
-        SELECT cluster, g.i AS dim,
-               CAST((SUM(qe[g.i]) - ((SUM(qe[g.i]) % COUNT(*)) + COUNT(*))
-                     % COUNT(*)) // COUNT(*) AS BIGINT) AS cv
-        FROM {p}a{t}, generate_series(1, {sub}) g(i)
-        GROUP BY cluster, g.i)
-      GROUP BY cluster
-    )""")
-            parts.append(f"""{p}c{t} AS (
-      SELECT p.cluster, COALESCE(u.cent, p.cent) AS cent
-      FROM {p}c{t-1} p LEFT JOIN {p}n{t} u ON p.cluster = u.cluster
-    )""")
-        parts.append(
-            f"{p}f AS (SELECT vec_id, qe[{lo}:{hi}] AS qe FROM eq)"
-        )
-        parts.append(
-            assign(p, "code", f"{p}f", f"{p}c{iters}", "vec_id, cluster")
-        )
+        parts.append(f"{p}f AS (SELECT vec_id, qe[{lo}:{hi}] AS qe FROM eq)")
+        parts.extend(_pq_fit_chain_sql(p, f"{p}eqs", f"{p}f", k, iters, sub))
 
     qm_rows = ", ".join(
         f"({i}, [" + ", ".join(f"CAST({v} AS BIGINT)" for v in q) + "])"
@@ -929,29 +933,29 @@ def _pq_sql() -> str:
     code_joins = " ".join(
         f"JOIN s{j}code ON s{j}code.vec_id = s0code.vec_id" for j in range(1, m)
     )
+    parts.append(
+        f"codes AS (SELECT s0code.vec_id, {code_cols} FROM s0code {code_joins})"
+    )
+    parts.append(f"qf(query_id, qv) AS (VALUES {_query_batch_values_sql()})")
+    return parts
+
+
+def _pq_adc_join_sql() -> tuple[str, str]:
+    """(extra t-table joins, summed-distance expression) for a ``scored``
+    CTE built on ``codes JOIN t0 ON t0.cluster = codes.k0``."""
+    m = PQ_M
     t_joins = " ".join(
         f"JOIN t{j} ON t{j}.cluster = codes.k{j} AND t{j}.query_id = t0.query_id"
         for j in range(1, m)
     )
     ad2 = " + ".join(f"t{j}.d2" for j in range(m))
-    parts.append(
-        f"codes AS (SELECT s0code.vec_id, {code_cols} FROM s0code {code_joins})"
-    )
-    parts.append(f"""scored AS (
-      SELECT t0.query_id, codes.vec_id, CAST({ad2} AS BIGINT) AS ad2
-      FROM codes JOIN t0 ON t0.cluster = codes.k0 {t_joins}
-    )""")
-    parts.append(f"""short AS (
-      SELECT query_id, vec_id FROM (
-        SELECT query_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY ad2 ASC, vec_id) AS srn
-        FROM scored)
-      WHERE srn <= {PQ_SHORTLIST}
-    )""")
-    parts.append(f"qf(query_id, qv) AS (VALUES {_query_batch_values_sql()})")
-    body = ",\n".join(parts)
-    return f"""{body}
+    return t_joins, ad2
+
+
+def _pq_rerank_tail_sql() -> str:
+    """Final SELECT: exact-cosine re-rank of a ``short(query_id, vec_id)``
+    CTE against the original float vectors, top-k per query."""
+    return f"""
     SELECT CAST(query_id AS INT) AS query_id, vec_id, cos, CAST(rnk AS INT) AS rnk
     FROM (
       SELECT query_id, vec_id, cos,
@@ -966,6 +970,30 @@ def _pq_sql() -> str:
       WHERE cos IS NOT NULL)
     WHERE rnk <= {TOPK_PER_QUERY}
     """
+
+
+def _pq_sql() -> str:
+    """Full DuckDB replay of the PQ lifecycle: L2-normalize → quantize →
+    per-subspace sampled k-means fits (the unrolled-CTE idiom of
+    _ivf_fit_parts, one chain per subspace) → full-corpus encoding →
+    per-query ADC distance tables → summed table lookups → per-query
+    shortlist → EXACT cosine re-rank of the shortlist on the original
+    float vectors → top-k."""
+    parts = _pq_common_parts()
+    t_joins, ad2 = _pq_adc_join_sql()
+    parts.append(f"""scored AS (
+      SELECT t0.query_id, codes.vec_id, CAST({ad2} AS BIGINT) AS ad2
+      FROM codes JOIN t0 ON t0.cluster = codes.k0 {t_joins}
+    )""")
+    parts.append(f"""short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ad2 ASC, vec_id) AS srn
+        FROM scored)
+      WHERE srn <= {PQ_SHORTLIST}
+    )""")
+    return ",\n".join(parts) + _pq_rerank_tail_sql()
 
 
 #: (codes parquet path, codebooks) per sf_dir — same build-once contract
@@ -1053,6 +1081,173 @@ def emb_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, books, QUERY_BATCH_UNIT, k_top=PQ_SHORTLIST
     ).select("query_id", "vec_id")
     # exact re-rank of the ≤ Q×shortlist candidates on the ORIGINAL floats
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.element_at(_query_batch_expr(), F.col("query_id") + 1)
+    qnorms = F.array(
+        *[
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in q)))
+            for q in QUERY_BATCH
+        ]
+    )
+    scored = (
+        emb.join(F.broadcast(short), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(
+                dot(F.col("embedding"), qv),
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.element_at(qnorms, F.col("query_id") + 1),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_PER_QUERY
+    )
+
+
+# ── IVF-PQ: coarse routing + ADC within probed cells ─────────────────────
+
+IVFPQ_NLIST = 8
+IVFPQ_NPROBE = 3
+
+
+def _ivfpq_sql() -> str:
+    """The full FAISS IVF-PQ replay: everything `_pq_sql` replays PLUS a
+    coarse full-dimension quantizer chain (prefix ``g``) over the same
+    normalized microunits, per-query probe routing, and an ADC ``scored``
+    restricted to each query's probed cells."""
+    parts = _pq_common_parts()
+    parts.extend(
+        _pq_fit_chain_sql("g", "eqs", "eq", IVFPQ_NLIST, PQ_ITERS, EMBEDDING_DIM)
+    )
+    parts.append(f"""probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum([(c.cent[i] - q.qmv[i]) * (c.cent[i] - q.qmv[i])
+                           FOR i IN generate_series(1, {EMBEDDING_DIM})]) ASC,
+                 c.cluster ASC) AS rn
+        FROM gc{PQ_ITERS} c CROSS JOIN qm q)
+      WHERE rn <= {IVFPQ_NPROBE}
+    )""")
+    t_joins, ad2 = _pq_adc_join_sql()
+    parts.append(f"""scored AS (
+      SELECT t0.query_id, codes.vec_id, CAST({ad2} AS BIGINT) AS ad2
+      FROM codes
+      JOIN gcode ON gcode.vec_id = codes.vec_id
+      JOIN probes ON probes.cluster = gcode.cluster
+      JOIN t0 ON t0.cluster = codes.k0 AND t0.query_id = probes.query_id
+      {t_joins}
+    )""")
+    parts.append(f"""short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ad2 ASC, vec_id) AS srn
+        FROM scored)
+      WHERE srn <= {PQ_SHORTLIST}
+    )""")
+    return ",\n".join(parts) + _pq_rerank_tail_sql()
+
+
+#: (codes-with-cluster path, codebooks, coarse centroids) per sf_dir.
+_IVFPQ_CACHE: dict[str, tuple[str, list, list]] = {}
+
+
+def ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]:
+    """Build (or reuse) the IVF-PQ index: the PQ codes table (shared with
+    `pq_index` — same books, same normalization) joined with a coarse
+    full-dimension cell assignment, persisted partitionBy(cluster) so
+    probe filters are partition pruning."""
+    import os
+    import tempfile
+
+    cached = _IVFPQ_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        indexable,
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        l2_normalize,
+    )
+
+    codes_path, books = pq_index(spark, sf_dir)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id").filter(
+        indexable(F.col("embedding"), EMBEDDING_DIM)
+    )
+    norm = l2_normalize(emb)
+    coarse = kmeans_fit_quantized(
+        norm.filter(F.col("vec_id") % PQ_SAMPLE_MOD == 0),
+        IVFPQ_NLIST,
+        PQ_ITERS,
+    )
+    assigned = norm.select(
+        "vec_id",
+        nearest_cluster_quantized(
+            coarse, quantize_embedding(F.col("embedding"))
+        ).alias("cluster"),
+    )
+    codes = spark.read.parquet(codes_path)
+    path = tempfile.mkdtemp(prefix="ivfpq-index-")
+    (
+        codes.join(assigned, "vec_id")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    _IVFPQ_CACHE[sf_dir] = (path, books, coarse)
+    return path, books, coarse
+
+
+@query(
+    "emb_ivfpq_batch_topk",
+    _ivfpq_sql(),
+    doc="[EXT] Full IVF-PQ serving (operators/pq.py ivfpq_search_batch — "
+    "the canonical FAISS billion-scale architecture, Jégou et al. 2011): "
+    f"the PQ row's normalized codes (16 sub-codebooks, 4-bit codes) "
+    f"joined with a LEARNED coarse quantizer's cell assignment "
+    f"(k={IVFPQ_NLIST}, same sampled microunit-integer Lloyd's), index "
+    "persisted partitionBy(cluster); each query routes driver-side to "
+    f"nprobe={IVFPQ_NPROBE} cells, the codes scan prunes to the union of "
+    "probed cells, a broadcast (query_id, cluster) table fans rows to "
+    "exactly the queries that probed them, ADC scores the survivors, "
+    f"top-{PQ_SHORTLIST} shortlist → exact-cosine re-rank.  vs plain PQ: "
+    f"scans ~nprobe/nlist of the codes; vs plain IVF: scores cells with "
+    "table lookups instead of full-dimension folds.  The oracle replays "
+    "the coarse chain AND all 16 sub-fits AND routing AND ADC AND the "
+    "re-rank — bit-for-bit.  BENCH NOTE: index caches per-process; "
+    "sample 1 carries both fits + persist, the median is warm pruned "
+    "serving.",
+    tags=("similarity", "topk", "pq", "ivf", "scale", "bench"),
+)
+def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        ivfpq_search_batch,
+    )
+
+    try:
+        path, books, coarse = ivfpq_index(spark, sf_dir)
+    except ValueError as e:
+        if "empty input" not in str(e):
+            raise
+        return spark.createDataFrame(
+            [], "query_id int, vec_id long, cos double, rnk int"
+        )
+    idx = spark.read.parquet(path)
+    short = ivfpq_search_batch(
+        idx, books, coarse, QUERY_BATCH_UNIT, nprobe=IVFPQ_NPROBE,
+        k_top=PQ_SHORTLIST,
+    ).select("query_id", "vec_id")
     emb = load_table(spark, sf_dir, "embeddings")
     qv = F.element_at(_query_batch_expr(), F.col("query_id") + 1)
     qnorms = F.array(

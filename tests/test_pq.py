@@ -135,3 +135,82 @@ def test_serving_plan_shape(clustered):
     # two-phase top-k: the global per-query window sees only ≤ k·partitions
     # rows, never the full scored corpus
     assert "SinglePartition" not in plan
+
+
+def test_ivfpq_with_full_probe_equals_plain_pq(clustered, spark):
+    """Probing every cell makes IVF-PQ's candidate set the whole corpus,
+    so its shortlist must equal plain PQ's exactly."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        ivfpq_search_batch,
+    )
+
+    df, rows = clustered
+    books = pq_fit(df, DIM, M, K, iters=2, sample_mod=1)
+    codes = pq_encode(df, books, DIM)
+    nlist = 3
+    coarse = kmeans_fit_quantized(df, nlist, 2)
+    idx = codes.join(
+        df.select(
+            "vec_id",
+            nearest_cluster_quantized(
+                coarse, quantize_embedding(F.col("embedding"))
+            ).alias("cluster"),
+        ),
+        "vec_id",
+    )
+    queries = [rows[0][1], rows[5][1]]
+    full = ivfpq_search_batch(idx, books, coarse, queries, nprobe=nlist, k_top=7)
+    plain = pq_search_batch(codes, books, queries, k_top=7)
+    got = sorted((r.query_id, r.vec_id, r.ad2, r.rnk) for r in full.collect())
+    want = sorted((r.query_id, r.vec_id, r.ad2, r.rnk) for r in plain.collect())
+    assert got == want
+
+
+def test_ivfpq_probed_results_come_from_probed_cells(clustered, spark):
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+        route_query,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        ivfpq_search_batch,
+    )
+
+    df, rows = clustered
+    books = pq_fit(df, DIM, M, K, iters=2, sample_mod=1)
+    codes = pq_encode(df, books, DIM)
+    coarse = kmeans_fit_quantized(df, 4, 2)
+    assign = df.select(
+        "vec_id",
+        nearest_cluster_quantized(
+            coarse, quantize_embedding(F.col("embedding"))
+        ).alias("cluster"),
+    )
+    idx = codes.join(assign, "vec_id")
+    q = rows[2][1]
+    got = ivfpq_search_batch(idx, books, coarse, [q], nprobe=1, k_top=10).collect()
+    probed = set(route_query(coarse, _quant(q), 1))
+    cells = {r.vec_id: r.cluster for r in assign.collect()}
+    assert got and all(cells[r.vec_id] in probed for r in got)
+
+
+def test_ivfpq_recall_floor_on_real_data(spark):
+    """nprobe=3 of nlist=8 cells: mean recall@10 vs exact must stay ≥0.3
+    (the price of scanning ~3/8 of the codes)."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    ivfpq = QUERIES["emb_ivfpq_batch_topk"].spark(spark, sf).collect()
+    exact = QUERIES["emb_multi_query_topk"].spark(spark, sf).collect()
+    recalls = []
+    for qi in range(4):
+        p = {r.vec_id for r in ivfpq if r.query_id == qi}
+        e = {r.vec_id for r in exact if r.query_id == qi}
+        recalls.append(len(p & e) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
