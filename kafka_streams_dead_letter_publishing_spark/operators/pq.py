@@ -332,3 +332,52 @@ def ivfpq_search_batch(
     return local.withColumn("rnk", F.row_number().over(w_global)).filter(
         F.col("rnk") <= k_top
     )
+
+
+def pq_append(
+    batch_df: DataFrame,
+    codebooks: Codebooks,
+    coarse_centroids: list[list[int]],
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF-PQ ingest: encode a micro-batch against FROZEN
+    codebooks, assign its coarse cell against FROZEN centroids, and APPEND
+    (id, codes, cluster) to a persisted partitionBy(cluster) codes table —
+    the `operators.kmeans.ivf_append` twin for the memory-bounded serving
+    tier, so a streaming ingest keeps a servable IVF-PQ index growing
+    without a rebuild.
+
+    Same frozen-parameter contract as ivf_append: an appended row gets
+    EXACTLY the codes and cell a one-shot encode with the same books and
+    centroids would give it (test-pinned), and re-fitting on drifted data
+    is a rebuild into a NEW path.  Normalization is applied here (the
+    books live in unit space); zero-norm and non-indexable rows drop,
+    matching the build path."""
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    norm = l2_normalize(
+        batch_df.filter(
+            F.size(
+                F.filter(
+                    F.col("embedding"),
+                    lambda x: F.abs(x.cast("double")) < F.lit(float("inf")),
+                )
+            )
+            == dim
+        ),
+        id_col=id_col,
+    )
+    codes = pq_encode(norm, codebooks, dim, id_col=id_col)
+    assigned = codes.join(
+        norm.select(
+            F.col(id_col),
+            nearest_cluster_quantized(
+                coarse_centroids, quantize_embedding(F.col("embedding"))
+            ).alias("cluster"),
+        ),
+        id_col,
+    )
+    assigned.repartition("cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(path)

@@ -132,17 +132,29 @@ class EmbeddingIngest:
         n_tables: int = N_TABLES,
         planes_per_table: int = PLANES_PER_TABLE,
         max_occupancy: int | None = None,
+        pq_books: list | None = None,
+        pq_coarse: list[list[int]] | None = None,
         id_col: str = "vec_id",
     ) -> None:
         self.base_dir = base_dir
         self.buckets_path = f"{base_dir}/buckets"
         self.vectors_path = f"{base_dir}/vectors"
         self.ivf_path = f"{base_dir}/ivf"
+        self.pq_path = f"{base_dir}/pqcodes"
         self.centroids_fixed = centroids_fixed
         self.min_cos = min_cos
         self.n_tables = n_tables
         self.planes_per_table = planes_per_table
         self.max_occupancy = max_occupancy
+        #: optional IVF-PQ lockstep: frozen codebooks (operators.pq.pq_fit
+        #: in UNIT space) keep a memory-bounded codes table growing beside
+        #: the float IVF index; ``pq_coarse`` are the routing centroids for
+        #: that table (fit them on normalized vectors — they default to
+        #: centroids_fixed for convenience, which costs some recall if
+        #: those were fit on raw vectors; cell assignment and serving stay
+        #: self-consistent either way)
+        self.pq_books = pq_books
+        self.pq_coarse = pq_coarse if pq_coarse is not None else centroids_fixed
         self.id_col = id_col
 
     def _build(self, df: DataFrame) -> AnnIndex:
@@ -256,6 +268,18 @@ class EmbeddingIngest:
             # (at-least-once, readers dedup on id); a replay after it
             # self-matches and appends nothing.
             ivf_append(kept, self.centroids_fixed, self.ivf_path, id_col=self.id_col)
+            if self.pq_books is not None:
+                from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+                    pq_append,
+                )
+
+                # payload store like ivf: before the bucket gate, so a
+                # crash replays with duplicates (readers dedup on id),
+                # never with rows missing from the PQ tier
+                pq_append(
+                    kept, self.pq_books, self.pq_coarse, self.pq_path,
+                    id_col=self.id_col,
+                )
             idx.vectors.write.mode("append").parquet(self.vectors_path)
             idx.buckets.write.mode("append").parquet(self.buckets_path)
         finally:
@@ -278,6 +302,10 @@ class EmbeddingIngest:
         spark.read.parquet(self.buckets_path).repartition("bk").write.mode(
             "errorifexists"
         ).parquet(f"{new_base_dir}/buckets")
+        if self.pq_books is not None and _store_exists(spark, self.pq_path):
+            spark.read.parquet(self.pq_path).repartition("cluster").write.mode(
+                "errorifexists"
+            ).partitionBy("cluster").parquet(f"{new_base_dir}/pqcodes")
         return EmbeddingIngest(
             new_base_dir,
             self.centroids_fixed,
@@ -285,6 +313,8 @@ class EmbeddingIngest:
             n_tables=self.n_tables,
             planes_per_table=self.planes_per_table,
             max_occupancy=self.max_occupancy,
+            pq_books=self.pq_books,
+            pq_coarse=self.pq_coarse,
             id_col=self.id_col,
         )
 

@@ -595,3 +595,83 @@ def test_document_ingest_composes_decontamination(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()
     } == set(range(30))
+
+
+def test_embedding_ingest_keeps_pq_codes_in_lockstep(spark, tmp_path):
+    """pq_books=… maintains a servable IVF-PQ codes table beside the float
+    IVF index: streamed appends must equal a one-shot encode of the
+    accepted corpus row-for-row, and the PQ tier's own search must find a
+    corpus vector for itself."""
+    import math
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        ivfpq_search_batch,
+        l2_normalize,
+        pq_encode,
+        pq_fit,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EmbeddingIngest,
+    )
+
+    emb = synth_embeddings(spark, 200, planted_every=10**9).persist()
+    dim = len(emb.first().embedding)
+    norm_all = l2_normalize(emb)
+    books = pq_fit(norm_all, dim, m=8, k=8, iters=2, sample_mod=2)
+    coarse = kmeans_fit_quantized(norm_all, k=4, iters=2)
+    base = str(tmp_path / "pq_ingest")
+    ingest = EmbeddingIngest(
+        base,
+        kmeans_fit_quantized(emb, k=4, iters=2),
+        min_cos=0.9,
+        pq_books=books,
+        pq_coarse=coarse,
+    )
+    _stream_batches(
+        spark, emb, str(tmp_path / "src"), str(tmp_path / "ck"),
+        ingest.process_batch,
+    )
+
+    accepted_ids = {
+        r.ref_id for r in spark.read.parquet(ingest.vectors_path).collect()
+    }
+    got = {
+        r.vec_id: (list(r.codes), r.cluster)
+        for r in spark.read.parquet(ingest.pq_path).collect()
+    }
+    # one-shot reference over the accepted corpus
+    acc = emb.filter(F.col("vec_id").isin(list(accepted_ids)))
+    norm = l2_normalize(acc)
+    ref_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(norm, books, dim).collect()
+    }
+    ref_cluster = {
+        r.vec_id: r.cluster
+        for r in norm.select(
+            "vec_id",
+            nearest_cluster_quantized(
+                coarse, quantize_embedding(F.col("embedding"))
+            ).alias("cluster"),
+        ).collect()
+    }
+    assert got == {v: (ref_codes[v], ref_cluster[v]) for v in accepted_ids}
+
+    # servable: a corpus vector's own (normalized) query finds it
+    probe_id = sorted(accepted_ids)[5]
+    q = [
+        list(map(float, r.embedding))
+        for r in emb.filter(F.col("vec_id") == probe_id).collect()
+    ][0]
+    n = math.sqrt(sum(x * x for x in q))
+    served = ivfpq_search_batch(
+        spark.read.parquet(ingest.pq_path), books, coarse,
+        [[x / n for x in q]], nprobe=4, k_top=1,
+    ).collect()
+    assert served and served[0].vec_id == probe_id
+    emb.unpersist()
