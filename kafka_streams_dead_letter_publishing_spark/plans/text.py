@@ -1730,3 +1730,117 @@ def docs_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_corpus_segments(
         sampled.select("doc_id", "n_tokens"), "n_tokens", seq_len=64
     )
+
+
+# ── corpus card ──────────────────────────────────────────────────────────
+
+
+def _corpus_card_sql() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        split_threshold_hex,
+    )
+
+    t_train = split_threshold_hex(0.8)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t
+                  FROM documents),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM toks),
+    dups AS (
+        SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_dup_docs FROM (
+            SELECT COUNT(*) AS n FROM (SELECT {_FP_SQL} AS fp FROM documents)
+            GROUP BY fp)),
+    contam AS (
+        SELECT CAST(COUNT(DISTINCT tf.doc_id) AS BIGINT) AS n_contaminated
+        FROM (
+            SELECT doc_id, md5(unnest({_shingles_sql('t', 5)})) AS fp
+            FROM toks
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                  < '{t_train}') tf
+        JOIN (
+            SELECT DISTINCT md5(unnest({_shingles_sql('t', 5)})) AS fp
+            FROM toks
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                  >= '{t_train}') ef
+        USING (fp))
+    SELECT stat, value FROM (
+        SELECT 'n_docs' AS stat, n_docs AS value FROM base
+        UNION ALL SELECT 'n_tokens', n_tokens FROM base
+        UNION ALL SELECT 'n_langs', n_langs FROM base
+        UNION ALL SELECT 'n_sources', n_sources FROM base
+        UNION ALL SELECT 'n_exact_dup_docs', n_dup_docs FROM dups
+        UNION ALL SELECT 'n_contaminated_train_docs', n_contaminated
+        FROM contam)
+    """
+
+
+@query(
+    "docs_corpus_card",
+    _corpus_card_sql(),
+    doc="[EXT] Corpus card (the audit report a dataset release ships): "
+    "one long-format row per headline stat — doc/token/lang/source "
+    "counts, exact-duplicate doc count (fingerprint groups), and the "
+    "count of train-split docs contaminated against the eval splits "
+    "(5-gram overlap, the docs_decontaminated rule).  Composes the "
+    "engine's own operators into a single report plan: every stat is a "
+    "partial-agg aggregate or a broadcast-join count — no windows, no "
+    "collects beyond the final six rows.",
+    tags=("text", "report", "card"),
+)
+def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        hash_split,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", "source", "text",
+        tokens(_norm(F.col("text"))).alias("_t"),
+    )
+    base = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_t")).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dups = (
+        docs.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n_dup"))
+    )
+    labeled = hash_split(docs.select("doc_id", "text"),
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+    contam = contamination_report(
+        labeled.filter(F.col("split") == "train"),
+        labeled.filter(F.col("split") != "train"),
+        k=5,
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_contam"))
+
+    # stack unpivots the 1-row aggregates IN PLACE — one corpus pass per
+    # aggregate subtree, not one per emitted stat row
+    return (
+        base.selectExpr(
+            "stack(4, 'n_docs', CAST(n_docs AS BIGINT), "
+            "'n_tokens', n_tokens, "
+            "'n_langs', CAST(n_langs AS BIGINT), "
+            "'n_sources', CAST(n_sources AS BIGINT)) AS (stat, value)"
+        )
+        .unionByName(
+            dups.selectExpr("'n_exact_dup_docs' AS stat", "n_dup AS value")
+        )
+        .unionByName(
+            contam.selectExpr(
+                "'n_contaminated_train_docs' AS stat", "n_contam AS value"
+            )
+        )
+    )
