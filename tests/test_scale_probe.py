@@ -30,6 +30,8 @@ PROBE_OPS = (
     "ann_pairs_scaled",
     "ann_ingest_filter",
     "ivf_build",
+    "pq_build",
+    "pq_adc_serve",
     "ivf_batch_serve",
     "brute_topk",
 )

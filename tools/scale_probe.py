@@ -562,6 +562,42 @@ def main() -> None:
             )
 
         record("brute_topk", n_vecs, _timed(run_brute))
+
+        # PQ tier (r8): joint codebook fit + encode (build, runs=1) and
+        # warm ADC shortlist serving — the memory-bounded scan should
+        # track brute_topk's shape at a fraction of the bytes
+        from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+            l2_normalize,
+            pq_encode,
+            pq_fit,
+            pq_search_batch,
+        )
+
+        dim = len(queries[0])
+        pq_dir = tempfile.mkdtemp(prefix="scale-probe-pq-")
+        books_box = {}
+
+        def run_pq_build():
+            norm = l2_normalize(emb)
+            books = pq_fit(norm, dim, m=16, k=16, iters=3)
+            pq_encode(norm, books, dim).write.mode("overwrite").parquet(pq_dir)
+            books_box["b"] = books
+
+        record("pq_build", n_vecs, _timed(run_pq_build, runs=1))
+        codes_df = spark.read.parquet(pq_dir)
+        unit_queries = [
+            [x / math.sqrt(sum(v * v for v in q)) for x in q] for q in queries
+        ]
+        record(
+            "pq_adc_serve",
+            n_vecs,
+            _timed(
+                lambda: _noop(
+                    pq_search_batch(codes_df, books_box["b"], unit_queries, k_top=50)
+                )
+            ),
+        )
+        shutil.rmtree(pq_dir, ignore_errors=True)
         emb.unpersist()
 
     # ── fitted exponents: slope of log t over log n ────────────────────
