@@ -184,3 +184,34 @@ def source_cap(
         group_col=group_col,
     )
     return capped.withColumnRenamed("running_tokens", rank_col).drop("_one")
+
+
+_TWO52 = 1 << 52
+
+
+def quality_weighted_keep(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Deterministic score-proportional sampling (the FineWeb-style SOFT
+    quality filter: instead of a hard threshold, keep each document with
+    probability ≈ its quality score in [0, 1] — mid-quality docs survive
+    at reduced rate, preserving diversity a hard cutoff destroys).
+
+    No RNG: a row is kept iff its md5(id) 13-hex-char position is below
+    ``lpad(hex(floor(score · 2^52)))`` — the per-row threshold twin of
+    :func:`hash_split`'s fixed thresholds, so the decision is a pure
+    function of (id, score): reproducible across runs and partitionings,
+    stable under corpus growth, and identically computable by the DuckDB
+    oracle (float multiply and floor are IEEE exact-rounded; hex/lpad
+    formatting verified byte-identical).  Scores are clamped to
+    [0, (2^52-1)/2^52]; a clamped-to-max score keeps all but the
+    2^-52-probability top hash.  Per-row narrow expression — no shuffle."""
+    thr = F.expr(
+        f"lpad(lower(hex(CAST(least(greatest(floor({score_col} * {float(_TWO52)}), 0),"
+        f" {_TWO52 - 1}) AS BIGINT))), 13, '0')"
+    )
+    h13 = F.substring(hash_order_key(id_col), 1, 13)
+    return df.withColumn(keep_col, h13 < thr)

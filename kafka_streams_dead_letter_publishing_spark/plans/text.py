@@ -1844,3 +1844,39 @@ def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "docs_quality_weighted_sample",
+    f"""
+    SELECT doc_id, score,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+           < lpad(lower(hex(CAST(least(greatest(floor(score * 4503599627370496.0),
+                                               0), 4503599627370495) AS BIGINT))),
+                  13, '0') AS kept
+    FROM (
+        SELECT doc_id,
+               len(list_distinct({_TOKS_SQL})) / len({_TOKS_SQL}) AS score
+        FROM documents)
+    """,
+    doc="[EXT] Quality-weighted stochastic filtering (operators/budget.py "
+    "quality_weighted_keep — the FineWeb-style SOFT filter): each doc "
+    "kept with probability ≈ its quality score (here lexical diversity: "
+    "distinct/total tokens) via a per-row md5-position threshold — no "
+    "RNG, reproducible, growth-stable, dialect-safe through the same "
+    "13-hex-char machinery as hash_split.  Per-row narrow expressions; "
+    "no shuffle.",
+    tags=("text", "sampling", "quality"),
+)
+def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        quality_weighted_keep,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select("doc_id", tokens(_norm(F.col("text"))).alias("_t"))
+    scored = staged.select(
+        "doc_id",
+        (F.size(F.array_distinct("_t")) / F.size("_t")).alias("score"),
+    )
+    return quality_weighted_keep(scored, "score")

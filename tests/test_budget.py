@@ -276,3 +276,40 @@ def test_source_cap_mapping_budgets(spark):
     got = source_cap(docs, cap={"a": 3}).collect()
     assert sum(1 for r in got if r.source == "a") == 3
     assert sum(1 for r in got if r.source == "b") == 0
+
+
+def test_quality_weighted_keep_tracks_score(spark):
+    """Statistical contract: keep rate over many ids approximates the
+    score; determinism contract: pure function of (id, score); edges:
+    score 0 keeps nothing, score ≥ 1 keeps ~everything, negative clamps."""
+    import hashlib
+
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        quality_weighted_keep,
+    )
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, 0.3) for i in range(n)]
+        + [(10_000 + i, 0.0) for i in range(200)]
+        + [(20_000 + i, 1.0) for i in range(200)]
+        + [(30_000 + i, -0.5) for i in range(50)],
+        "doc_id long, score double",
+    )
+    out = quality_weighted_keep(df, "score").collect()
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r.score, []).append(r)
+    rate = sum(r.kept for r in by_band[0.3]) / n
+    assert abs(rate - 0.3) < 0.03, rate
+    assert not any(r.kept for r in by_band[0.0])
+    assert all(r.kept for r in by_band[1.0])  # 2^-52 miss chance per row
+    assert not any(r.kept for r in by_band[-0.5])
+
+    # pure function of (id, score): python reference agrees row-for-row
+    for r in out[:500]:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13]
+        thr = format(
+            min(max(int(r.score * (1 << 52)), 0), (1 << 52) - 1), "013x"
+        )
+        assert r.kept == (h < thr), r
