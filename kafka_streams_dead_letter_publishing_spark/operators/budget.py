@@ -215,3 +215,44 @@ def quality_weighted_keep(
     )
     h13 = F.substring(hash_order_key(id_col), 1, 13)
     return df.withColumn(keep_col, h13 < thr)
+
+
+def epoch_order(
+    items: DataFrame,
+    epoch: int,
+    id_col: str = "seq_id",
+    pos_col: str = "position",
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle of training items (the
+    multi-epoch data-ordering a trainer needs: every epoch visits all
+    items in a DIFFERENT uniform order, reproducibly, without rewriting a
+    byte of data — the order is a mapping table, not a data move).
+
+    Position = 1-based rank of ``md5(epoch || ':' || id)`` — a fresh
+    uniform permutation per epoch, pure function of (epoch, id).  The
+    rank is the bucketed two-phase prefix COUNT (hash-prefix buckets →
+    driver prefix over #buckets metadata rows → bucket-partitioned
+    windows), never a SinglePartition global row_number."""
+    h = F.md5(
+        F.concat(F.lit(f"{int(epoch)}:"), F.col(id_col).cast("string")).cast(
+            "binary"
+        )
+    )
+    staged = (
+        items.withColumn("_h", h)
+        .withColumn("_bk", F.substring("_h", 1, bucket_chars))
+        .withColumn("_one", F.lit(1))
+    )
+    res = bucketed_running_sum(
+        staged,
+        value_col="_one",
+        order_col="_h",
+        bucket_col="_bk",
+        out_col=pos_col,
+    )
+    if res is None:
+        return items.withColumn(
+            "epoch", F.lit(int(epoch))
+        ).withColumn(pos_col, F.lit(None).cast("long")).limit(0)
+    return res.withColumn("epoch", F.lit(int(epoch))).drop("_h", "_bk", "_one", "_off")

@@ -1880,3 +1880,37 @@ def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct("_t")) / F.size("_t")).alias("score"),
     )
     return quality_weighted_keep(scored, "score")
+
+
+@query(
+    "docs_epoch_order",
+    """
+    SELECT seq_id, epoch, CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch
+               ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                            || CAST(seq_id AS VARCHAR))) AS BIGINT)
+               AS position
+    FROM (SELECT DISTINCT doc_id % 256 AS seq_id FROM documents)
+    CROSS JOIN (SELECT unnest([0, 1]) AS epoch)
+    """,
+    doc="[EXT] Multi-epoch deterministic reshuffle (operators/budget.py "
+    "epoch_order): every epoch visits all training items in a fresh "
+    "uniform order — position = rank of md5(epoch:id), a pure function "
+    "of (epoch, id), so the schedule is reproducible and is a MAPPING "
+    "table, not a data rewrite.  The oracle is the naive per-epoch "
+    "global row_number; the engine runs the bucketed two-phase prefix "
+    "COUNT (no SinglePartition).  Registered over two epochs so the "
+    "orders' decorrelation is part of the pinned result.",
+    tags=("text", "sampling", "epochs", "prefix-sum"),
+)
+def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        epoch_order,
+    )
+
+    items = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 256).alias("seq_id"))
+        .distinct()
+    )
+    return epoch_order(items, 0).unionByName(epoch_order(items, 1))

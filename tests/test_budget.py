@@ -313,3 +313,39 @@ def test_quality_weighted_keep_tracks_score(spark):
             min(max(int(r.score * (1 << 52)), 0), (1 << 52) - 1), "013x"
         )
         assert r.kept == (h < thr), r
+
+
+def test_epoch_order_is_a_fresh_permutation_per_epoch(spark):
+    import hashlib
+
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        epoch_order,
+    )
+
+    items = spark.createDataFrame([(i,) for i in range(300)], "seq_id long")
+    e0 = {r.seq_id: r.position for r in epoch_order(items, 0).collect()}
+    e1 = {r.seq_id: r.position for r in epoch_order(items, 1).collect()}
+    # each epoch is a complete 1..N permutation
+    assert sorted(e0.values()) == list(range(1, 301))
+    assert sorted(e1.values()) == list(range(1, 301))
+    # epochs are decorrelated (identical orders would agree everywhere)
+    agree = sum(1 for k in e0 if e0[k] == e1[k])
+    assert agree < 30
+    # pure function of (epoch, id): python reference agrees
+    ref = {
+        i: rank + 1
+        for rank, i in enumerate(
+            sorted(
+                range(300),
+                key=lambda i: hashlib.md5(f"0:{i}".encode()).hexdigest(),
+            )
+        )
+    }
+    assert e0 == ref
+    # re-run is identical; empty input yields the typed empty frame
+    assert {r.seq_id: r.position for r in epoch_order(items, 0).collect()} == e0
+    empty = epoch_order(spark.createDataFrame([], "seq_id long"), 3)
+    assert empty.count() == 0 and set(empty.columns) == {"seq_id", "epoch", "position"}
+
+    plan = epoch_order(items, 0)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
