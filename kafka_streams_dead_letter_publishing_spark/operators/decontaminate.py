@@ -124,9 +124,15 @@ def decontaminate_by_fps(
     text_col: str = "text",
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """`decontaminate` against a precomputed eval fingerprint frame."""
+    """`decontaminate` against a precomputed eval fingerprint frame.
+
+    The contaminated-id anti-join is deliberately NOT force-broadcast:
+    although the flagged set is usually benchmark-scale, ONE common gram
+    in the eval set (boilerplate like "all rights reserved") can flag a
+    corpus-scale fraction of training docs — a forced broadcast would OOM
+    exactly then.  AQE broadcasts it when it really is small."""
     bad = contamination_report_fps(docs, fps, id_col, text_col, k).select(id_col)
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    return docs.join(bad, id_col, "left_anti")
 
 
 def decontaminate(
@@ -138,8 +144,8 @@ def decontaminate(
 ) -> DataFrame:
     """The corpus with every contaminated doc removed (schema unchanged).
 
-    The contaminated-id set is benchmark-bounded (≤ #eval grams can match
-    at most that many docs per gram, and in practice ≪ corpus), so the
-    anti-join broadcasts it rather than shuffling the corpus."""
+    See :func:`decontaminate_by_fps` for why the removal anti-join is left
+    to AQE instead of force-broadcast (a single common eval gram can flag
+    a corpus-scale doc set)."""
     fps = eval_gram_fps(eval_docs, text_col=text_col, k=k)
     return decontaminate_by_fps(docs, fps, id_col, text_col, k)

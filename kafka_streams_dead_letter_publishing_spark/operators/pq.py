@@ -223,26 +223,21 @@ def adc_table(codebooks: Codebooks, q_micro: list[int]) -> list[list[int]]:
     ]
 
 
-def pq_search_batch(
-    codes_df: DataFrame,
-    codebooks: Codebooks,
-    queries: list[list[float]],
-    k_top: int = 10,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """ADC top-k for a query batch over the codes table: one scan, a
-    Q-row broadcast of precomputed distance tables, approximate distance =
-    sum of table lookups by code, two-phase per-query top-k.  Returns
-    (query_id, id_col, ad2, rnk) — ad2 ascending (smaller = closer)."""
+def _query_tables_df(spark, codebooks: Codebooks, queries: list[list[float]]):
+    """(query_id, tables) broadcast side: per-query ADC distance tables
+    computed driver-side from quantized queries (m·k BIGINTs each)."""
     if not queries:
-        raise ValueError("pq_search_batch: empty query batch")
-    spark = codes_df.sparkSession
+        raise ValueError("ADC search: empty query batch")
     qm = [[math.floor(float(x) * QUANT_SCALE) for x in q] for q in queries]
-    qt = spark.createDataFrame(
+    return spark.createDataFrame(
         [(qi, adc_table(codebooks, q)) for qi, q in enumerate(qm)],
         "query_id int, tables array<array<bigint>>",
     )
-    m = len(codebooks)
+
+
+def _adc_sum(m: int) -> F.Column:
+    """Approximate squared distance: sum of per-subspace table lookups by
+    code index — the ONE definition both serving paths share."""
     ad2 = None
     for j in range(m):
         term = F.element_at(
@@ -250,9 +245,13 @@ def pq_search_batch(
             F.element_at(F.col("codes"), j + 1) + 1,
         )
         ad2 = term if ad2 is None else ad2 + term
-    scored = codes_df.crossJoin(F.broadcast(qt)).select(
-        "query_id", id_col, ad2.cast("long").alias("ad2")
-    )
+    return ad2.cast("long")
+
+
+def _two_phase_topk(scored: DataFrame, k_top: int, id_col: str) -> DataFrame:
+    """Per-query ascending-ad2 top-k: partition-local row_number caps
+    k rows per (partition, query) before the final per-query rank — never
+    the full scored set into Q reducers (the ivf_search_batch shape)."""
     staged = scored.withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid", "query_id").orderBy(
         F.asc("ad2"), F.asc(id_col)
@@ -266,6 +265,24 @@ def pq_search_batch(
     return local.withColumn("rnk", F.row_number().over(w_global)).filter(
         F.col("rnk") <= k_top
     )
+
+
+def pq_search_batch(
+    codes_df: DataFrame,
+    codebooks: Codebooks,
+    queries: list[list[float]],
+    k_top: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k for a query batch over the codes table: one scan, a
+    Q-row broadcast of precomputed distance tables, approximate distance =
+    sum of table lookups by code, two-phase per-query top-k.  Returns
+    (query_id, id_col, ad2, rnk) — ad2 ascending (smaller = closer)."""
+    qt = _query_tables_df(codes_df.sparkSession, codebooks, queries)
+    scored = codes_df.crossJoin(F.broadcast(qt)).select(
+        "query_id", id_col, _adc_sum(len(codebooks)).alias("ad2")
+    )
+    return _two_phase_topk(scored, k_top, id_col)
 
 
 def ivfpq_search_batch(
@@ -301,37 +318,14 @@ def ivfpq_search_batch(
     ]
     union_clusters = sorted({c for _, c in probe_pairs})
     probes = spark.createDataFrame(probe_pairs, "query_id int, cluster int")
-    qt = spark.createDataFrame(
-        [(qi, adc_table(codebooks, q)) for qi, q in enumerate(qm)],
-        "query_id int, tables array<array<bigint>>",
-    )
-    m = len(codebooks)
-    ad2 = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(F.col("tables"), j + 1),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        )
-        ad2 = term if ad2 is None else ad2 + term
+    qt = _query_tables_df(spark, codebooks, queries)
     scored = (
         codes_df.filter(F.col("cluster").isin(union_clusters))  # partition prune
         .join(F.broadcast(probes), "cluster")
         .join(F.broadcast(qt), "query_id")
-        .select("query_id", id_col, ad2.cast("long").alias("ad2"))
+        .select("query_id", id_col, _adc_sum(len(codebooks)).alias("ad2"))
     )
-    staged = scored.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("pid", "query_id").orderBy(
-        F.asc("ad2"), F.asc(id_col)
-    )
-    local = (
-        staged.withColumn("rn", F.row_number().over(w_local))
-        .filter(F.col("rn") <= k_top)
-        .drop("pid", "rn")
-    )
-    w_global = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc(id_col))
-    return local.withColumn("rnk", F.row_number().over(w_global)).filter(
-        F.col("rnk") <= k_top
-    )
+    return _two_phase_topk(scored, k_top, id_col)
 
 
 def pq_append(

@@ -27,11 +27,16 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 
 
+#: the segment-map columns both content fingerprints hash — ONE constant
+#: so fp_sum and fp_xor can never silently diverge onto different bases
+_FP_COLS = ("seq_id", "doc_id", "tok_start", "n_toks")
+
+
 def _row_fp() -> F.Column:
-    """64-bit row fingerprint over the segment-map columns (stable
-    column order; xxhash64 is fine here — the fingerprint never crosses
-    engines, it is written and verified by this module alone)."""
-    return F.xxhash64("seq_id", "doc_id", "tok_start", "n_toks")
+    """64-bit row fingerprint over ``_FP_COLS`` (stable column order;
+    xxhash64 is fine here — the fingerprint never crosses engines, it is
+    written and verified by this module alone)."""
+    return F.xxhash64(*_FP_COLS)
 
 
 def _shard_stats(seg: DataFrame) -> DataFrame:
@@ -46,9 +51,9 @@ def _shard_stats(seg: DataFrame) -> DataFrame:
         F.sum(_row_fp().cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("fp_sum"),
-        F.expr("CAST(bit_xor(xxhash64(seq_id, doc_id, tok_start, n_toks)) AS BIGINT)").alias(
-            "fp_xor"
-        ),
+        F.expr(
+            f"CAST(bit_xor(xxhash64({', '.join(_FP_COLS)})) AS BIGINT)"
+        ).alias("fp_xor"),
     )
 
 

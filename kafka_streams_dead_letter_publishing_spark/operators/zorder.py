@@ -105,6 +105,13 @@ def zorder_write(
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(x), F.max(x), F.min(y), F.max(y)
     ).first()
+    if lo_x is None or lo_y is None:
+        # empty input (or an all-NULL dimension): no bounds exist —
+        # interpolating None into the SQL would parse as a column named
+        # `None`.  Write the (empty) frame as-is; the layout of nothing
+        # is nothing.
+        df.write.mode("overwrite").parquet(path)
+        return
     keyed = df.withColumn(
         "__zkey",
         F.expr(
@@ -148,9 +155,14 @@ def candidate_files(path: str, bounds: dict[str, tuple[int, int]]) -> tuple[int,
             fmin, fmax = None, None
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    # stats disabled / all-NULL chunk: a zone-map consumer
+                    # must treat the file as a candidate (sound direction)
+                    fmin, fmax = None, None
+                    break
                 fmin = st.min if fmin is None else min(fmin, st.min)
                 fmax = st.max if fmax is None else max(fmax, st.max)
-            if fmax < lo or fmin > hi:
+            if fmin is not None and (fmax < lo or fmin > hi):
                 survives = False
                 break
         hit += survives

@@ -996,6 +996,41 @@ def _pq_sql() -> str:
     return ",\n".join(parts) + _pq_rerank_tail_sql()
 
 
+def _exact_rerank(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFrame:
+    """Final stage both PQ rows share: exact cosine of the shortlist's
+    (query_id, vec_id) candidates against the ORIGINAL float vectors —
+    a broadcast-candidate join touching shortlist×Q rows, not the corpus —
+    then per-query top-k.  One definition so the tie-break and NULL-cos
+    semantics can never fork between the serving paths."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.element_at(_query_batch_expr(), F.col("query_id") + 1)
+    qnorms = F.array(
+        *[
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in q)))
+            for q in QUERY_BATCH
+        ]
+    )
+    scored = (
+        emb.join(F.broadcast(short), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(
+                dot(F.col("embedding"), qv),
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.element_at(qnorms, F.col("query_id") + 1),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_PER_QUERY
+    )
+
+
 #: (codes parquet path, codebooks) per sf_dir — same build-once contract
 #: as _LEARNED_INDEX_CACHE.
 _PQ_CACHE: dict[str, tuple[str, list]] = {}
@@ -1062,8 +1097,6 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     tags=("similarity", "topk", "pq", "scale", "bench"),
 )
 def emb_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from kafka_streams_dead_letter_publishing_spark.operators.pq import (
         pq_search_batch,
     )
@@ -1080,32 +1113,7 @@ def emb_pq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = pq_search_batch(
         codes, books, QUERY_BATCH_UNIT, k_top=PQ_SHORTLIST
     ).select("query_id", "vec_id")
-    # exact re-rank of the ≤ Q×shortlist candidates on the ORIGINAL floats
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.element_at(_query_batch_expr(), F.col("query_id") + 1)
-    qnorms = F.array(
-        *[
-            F.lit(math.sqrt(sum(float(x) * float(x) for x in q)))
-            for q in QUERY_BATCH
-        ]
-    )
-    scored = (
-        emb.join(F.broadcast(short), "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.try_divide(
-                dot(F.col("embedding"), qv),
-                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                * F.element_at(qnorms, F.col("query_id") + 1),
-            ).alias("cos"),
-        )
-        .filter(F.col("cos").isNotNull())
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= TOPK_PER_QUERY
-    )
+    return _exact_rerank(spark, sf_dir, short)
 
 
 # ── IVF-PQ: coarse routing + ADC within probed cells ─────────────────────
@@ -1229,8 +1237,6 @@ def ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, list, list]:
     tags=("similarity", "topk", "pq", "ivf", "scale", "bench"),
 )
 def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from kafka_streams_dead_letter_publishing_spark.operators.pq import (
         ivfpq_search_batch,
     )
@@ -1248,28 +1254,4 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, books, coarse, QUERY_BATCH_UNIT, nprobe=IVFPQ_NPROBE,
         k_top=PQ_SHORTLIST,
     ).select("query_id", "vec_id")
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.element_at(_query_batch_expr(), F.col("query_id") + 1)
-    qnorms = F.array(
-        *[
-            F.lit(math.sqrt(sum(float(x) * float(x) for x in q)))
-            for q in QUERY_BATCH
-        ]
-    )
-    scored = (
-        emb.join(F.broadcast(short), "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.try_divide(
-                dot(F.col("embedding"), qv),
-                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                * F.element_at(qnorms, F.col("query_id") + 1),
-            ).alias("cos"),
-        )
-        .filter(F.col("cos").isNotNull())
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= TOPK_PER_QUERY
-    )
+    return _exact_rerank(spark, sf_dir, short)

@@ -1625,6 +1625,11 @@ def docs_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── composed pretraining pipeline (capstone) ─────────────────────────────
 
 
+#: memoized persisted (doc_id, n_tokens) stage boundary per sf_dir — see
+#: docs_pretraining_pipeline's persist note
+_PIPELINE_SCORED_CACHE: dict = {}
+
+
 def _pretraining_pipeline_sql() -> str:
     from kafka_streams_dead_letter_publishing_spark.operators.budget import (
         split_threshold_hex,
@@ -1728,10 +1733,16 @@ def docs_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1).  The cached frame is (doc_id, n_tokens) over the CAPPED set
     # — #sources × cap rows, eviction-safe (recomputable) — exactly the
     # materialization a production pipeline puts between select and pack.
-    scored = capped.select(
-        "doc_id",
-        F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
-    ).persist()
+    # MEMOIZED per sf_dir (review fix): repeated invocations in one
+    # process (bench passes, sweeps) must reuse ONE cached frame, not
+    # stack a new never-unpersisted cache entry per call.
+    scored = _PIPELINE_SCORED_CACHE.get(sf_dir)
+    if scored is None:
+        scored = capped.select(
+            "doc_id",
+            F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
+        ).persist()
+        _PIPELINE_SCORED_CACHE[sf_dir] = scored
     sampled = token_budget_sample(scored, "n_tokens", 6000)
     return pack_corpus_segments(
         sampled.select("doc_id", "n_tokens"), "n_tokens", seq_len=64

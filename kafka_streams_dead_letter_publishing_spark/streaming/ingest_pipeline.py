@@ -556,9 +556,19 @@ class DocumentIngest:
                 gopher_repetition_keep(F.col(self.text_col), F.col("_toks"))
             )
         batch = admitted.drop("_toks")
-        if self.decontam_fps_path is not None and _store_exists(
-            spark, self.decontam_fps_path
-        ):
+        if self.decontam_fps_path is not None:
+            # FAIL CLOSED: unlike the self-growing line-fp store (which is
+            # legitimately absent before the first batch), the eval fp
+            # store is external and static — absence is always a
+            # misconfiguration, and skipping the stage silently would let
+            # contaminated docs into the corpus AND the dedup stores
+            if not _store_exists(spark, self.decontam_fps_path):
+                raise ValueError(
+                    f"decontam_fps_path {self.decontam_fps_path!r} does not "
+                    "exist — write it with operators.decontaminate."
+                    "eval_gram_fps(...).write.parquet(...) before starting "
+                    "the ingest"
+                )
             from kafka_streams_dead_letter_publishing_spark.operators.decontaminate import (
                 decontaminate_by_fps,
             )

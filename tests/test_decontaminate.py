@@ -115,15 +115,17 @@ def test_plan_broadcasts_eval_grams_no_corpus_shuffle(corpus):
         )
 
 
-def test_decontaminate_anti_join_is_broadcast(corpus):
+def test_decontaminate_anti_join_left_to_aqe(corpus):
+    """The removal is a LeftAnti whose flagged side is NOT force-broadcast
+    (one common eval gram can flag a corpus-scale doc set); at toy size
+    AQE still picks a broadcast — assert the shape, not a forced hint."""
     train_df, eval_df, _, _ = corpus
-    plan = (
-        decontaminate(train_df, eval_df, k=K)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    df = decontaminate(train_df, eval_df, k=K)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly one broadcast hint (the eval gram fps); none on the flagged set
+    assert analyzed.count("ResolvedHint") <= 1
 
 
 def test_normalization_matches_dedup_family(spark):

@@ -675,3 +675,21 @@ def test_embedding_ingest_keeps_pq_codes_in_lockstep(spark, tmp_path):
     ).collect()
     assert served and served[0].vec_id == probe_id
     emb.unpersist()
+
+
+def test_document_ingest_decontam_fails_closed_on_missing_store(spark, tmp_path):
+    """A configured-but-missing eval fp store is always a misconfiguration
+    (the store is external and static) — the batch must raise, not
+    silently ingest contaminated docs (review fix)."""
+    import pytest as _pytest
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    docs = synth_documents(spark, 5, planted_every=10**9)
+    ingest = DocumentIngest(
+        str(tmp_path / "fc"), decontam_fps_path=str(tmp_path / "no_such_store")
+    )
+    with _pytest.raises(ValueError, match="decontam_fps_path"):
+        ingest.process_batch(docs, 0)

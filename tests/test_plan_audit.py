@@ -2,7 +2,7 @@
 executed plan must be free of scale anti-patterns — SinglePartition
 serial stages (scalar-agg finals above partials are structurally
 exempted), cartesian products, keyless joins, Python evaluation, and
-sort-merge joins — except the four DOCUMENTED exceptions in the tool's
+sort-merge joins — except the five DOCUMENTED exceptions in the tool's
 allowlist.  Per-family plan gates pin specific shapes; this catches the
 query nobody wrote a gate for."""
 

@@ -148,3 +148,14 @@ def test_imbalanced_dimension_ranges_still_prune(spark, tmp_path):
     zy, _ = candidate_files(path, {"y": (0, 5399)})
     assert n == 16
     assert zx <= 8 and zy <= 8
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """No bounds exist for an empty frame — the write must produce a valid
+    (empty) parquet dataset instead of interpolating None into SQL
+    (review fix)."""
+    df = spark.createDataFrame([], "x long, y long, v long")
+    path = str(tmp_path / "empty")
+    zorder_write(df, path, "x", "y", n_files=4)
+    out = spark.read.parquet(path)
+    assert out.count() == 0 and set(out.columns) == {"x", "y", "v"}
