@@ -1056,11 +1056,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND en > es AND en > de
     ),
     deduped AS (
-        SELECT doc_id, fp FROM (
-            SELECT doc_id, fp,
-                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-            FROM filtered
-        ) WHERE rn = 1
+        SELECT fp, MIN(doc_id) AS doc_id FROM filtered GROUP BY fp
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
@@ -1072,7 +1068,14 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-multiplication), marker-majority language filter (en), exact "
     "dedup pick-first — i.e. the standard LLM training-data prep flow; "
     "Catalyst fuses all per-row stages into one pass before the dedup "
-    "shuffle.",
+    "shuffle.  Keeper pick (r9 de-skew): downstream only aggregates over "
+    "keepers, so the keeper IS groupBy(fp).agg(min(doc_id)) — a hash "
+    "aggregate whose map-side PARTIAL step collapses a mass-duplicated "
+    "boilerplate fingerprint (parked domains, licence pages — the hot "
+    "keys of web-scale exact dedup) to one row per task before the "
+    "shuffle; the previous Window.partitionBy(fp)+row_number funneled "
+    "every occurrence of a hot fp through one task's sort.  Window-free "
+    "plan gated in tests/test_plans.py.",
     tags=("text", "dedup", "quality", "pipeline"),
 )
 def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,8 +1097,7 @@ def docs_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop") * 100 >= F.col("n_tokens") * 5)
         & (F.col("lang_guessed") == "en")
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    deduped = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return deduped.agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.min("doc_id").alias("first_doc"),

@@ -119,3 +119,16 @@ def test_registry_query_plan_is_window_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_clean_corpus_pipeline_plan_is_window_free(spark):
+    """r9 de-skew (VERDICT r8 #1): the composed clean-corpus pipeline's
+    exact-dedup keeper pick must be the partial-agg groupBy(fp).min shape,
+    not Window.partitionBy(fp)+row_number — a mass-duplicated boilerplate
+    fingerprint must collapse map-side, never funnel through one task."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    df = QUERIES["docs_clean_corpus_pipeline"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan

@@ -3,9 +3,12 @@ sf0.001 and flag scale anti-patterns in the EXECUTED plan —
 SinglePartition exchanges (a serial stage), CartesianProduct (unbounded
 products), BroadcastNestedLoopJoin (keyless joins — legal only for
 metadata-sized literal sides), row-at-a-time/Arrow Python evaluation
-(legal only where semantics genuinely need Python), and sort-merge joins
+(legal only where semantics genuinely need Python), sort-merge joins
 (at toy SF everything broadcastable should broadcast; SMJs that appear
-only at scale are AQE's call, not the plan's).
+only at scale are AQE's call, not the plan's), and — r9 — physical
+Window operators (a data-key window cannot partial-aggregate, so a hot
+partition key funnels through one task with no AQE rescue; allowed only
+where per-key cardinality is bounded by construction).
 
 Findings are printed one JSON line per (query, pattern); the exit code is
 1 if any finding is NOT in the ALLOWLIST below.  tests/test_plan_audit.py
@@ -29,6 +32,7 @@ PATTERNS = (
     "ArrowEvalPython",
     "MapInPandas",
     "SortMergeJoin",
+    "Window",
 )
 
 #: (query, pattern) -> reason.  Every entry is a DOCUMENTED exception.
@@ -57,7 +61,69 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "events_zorder_cells",
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast 1-row dimension-bounds aggregate",
+    # ── Window allowlist (r9): every entry must be bounded-cardinality-
+    # per-partition-key BY CONSTRUCTION, not by data luck.  A window that
+    # partitions on a data key with unbounded per-key multiplicity (a
+    # dedup fingerprint, a line value) is a violation — use the partial-
+    # agg groupBy shape (operators/lines.py).
+    **{
+        (q, "Window"): "two-phase prefix-sum (operators/prefix.py:93): the "
+        "window partitions on (group, bucket) where the bucket count is a "
+        "config knob — per-key rows ~ N/n_buckets by construction; the "
+        "global cumulative sum this replaces would be SinglePartition"
+        for q in (
+            "docs_token_budget_sample",
+            "docs_source_mixture_sample",
+            "docs_global_packing",
+            "docs_vocab_ids",
+            "docs_source_capped",
+            "docs_epoch_order",
+            "docs_pretraining_pipeline",
+        )
+    },
+    **{
+        (q, "Window"): "two-phase top-k: the local window partitions on "
+        "(pid, query_id) — one physical partition's rows; the global "
+        "window on query_id sees only the <= n_partitions*k local winners"
+        for q in (
+            "emb_multi_query_topk",
+            "emb_ivf_batch_topk",
+            "emb_pq_batch_topk",
+            "emb_ivfpq_batch_topk",
+        )
+    },
+    (
+        "window_functions_showcase",
+        "Window",
+    ): "the query IS SURVEY §2.2's window-function coverage; partitions "
+    "on o_custkey — one customer's order history, bounded per key by the "
+    "domain (TPC-H: <= ~40 orders/customer at any SF)",
+    **{
+        (q, "Window"): "AS-OF join (operators/asof.py:135): partitions on "
+        "the join entity key — one entity's merged event timeline, the "
+        "operator's documented per-entity-history contract"
+        for q in ("events_asof_purchase_click", "events_asof_left_tolerance")
+    },
 }
+
+
+def _window_node_lines(plan_lines: list[str]) -> list[int]:
+    """Indices of physical Window / WindowGroupLimit operator nodes.  A
+    Window.partitionBy(<data key>) funnels EVERY occurrence of a hot key
+    through one task's sort — it cannot partial-aggregate, so unlike a
+    skewed join or groupBy there is no map-side collapse and no AQE
+    rescue (the shape r8 purged from line dedup and r9 from the
+    clean-corpus pipeline; this pattern exists so the class cannot
+    reappear unreviewed).  Allowlisted windows must be bounded-cardinality
+    -per-key BY CONSTRUCTION.  Matched on the node name at line start
+    (after tree-drawing chars) so lowercase `window` COLUMNS from
+    F.window() time-bucketing don't false-positive."""
+    out = []
+    for i, ln in enumerate(plan_lines):
+        node = ln.lstrip(" :+-|*()0123456789")
+        if node.startswith("Window"):
+            out.append(i)
+    return out
 
 
 def _benign_scalar_agg_exchange(plan_lines: list[str], i: int) -> bool:
@@ -112,6 +178,11 @@ def main() -> int:
                 ]
                 if not flagged:
                     continue  # all occurrences are scalar-agg finals
+                count = len(flagged)
+            elif pat == "Window":
+                flagged = _window_node_lines(lines)
+                if not flagged:
+                    continue  # only lowercase window COLUMNS, no operator
                 count = len(flagged)
             allowed = ALLOWLIST.get((name, pat))
             print(
