@@ -1000,7 +1000,10 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the shuffle), where the previous Window.partitionBy(line) funneled "
     "every occurrence of a hot line through one task's sort.  The winner "
     "join-back is skewed on the same hot lines but is AQE-skew-splittable "
-    "(a join, not a window); plan gate: tests/test_plans.py.",
+    "(a join, not a window); plan gate: tests/test_plans.py.  r9: the "
+    "dedup key is md5(line) — fixed 32 chars through the aggregation and "
+    "join-back shuffles; raw line bytes ride only as rebuild payload "
+    "(oracle keys on the raw line: equal modulo md5 collisions).",
     tags=("text", "dedup", "lines", "bench"),
 )
 def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,7 +1020,17 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = boiler.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos0", "line")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
-    flagged = corpus_line_first_occurrence(lines, id_col="doc_id", pos_col="pos")
+    # r9: dedup on the fixed-width md5 of the line (the ingest form's key),
+    # not the raw text — the winners aggregation and join-back then shuffle
+    # 32-char keys instead of arbitrary-length line bytes; the raw line
+    # rides along only as payload for the rebuild.  blank_col is passed
+    # because blankness is not derivable from a hash.
+    keyed = lines.withColumn("lfp", F.md5("line")).withColumn(
+        "blank", F.coalesce(F.length(F.trim("line")) == 0, F.lit(True))
+    )
+    flagged = corpus_line_first_occurrence(
+        keyed, line_col="lfp", id_col="doc_id", pos_col="pos", blank_col="blank"
+    )
     rebuilt = F.concat_ws(
         "\n",
         F.transform(
