@@ -450,17 +450,22 @@ def ivf_search_batch(
         )
         .filter(F.col("cos").isNotNull())
     )
+    # duplicate-proof two-phase top-k (r9): ivf_append replay can leave
+    # identical (id, embedding) rows — dense_rank lets same-partition
+    # copies share one local rank (no genuine candidate displaced), and
+    # the id dedup runs on the <= n_partitions*k local winners only
     staged = scored.withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid", "query_id").orderBy(
         F.desc("cos"), F.asc(id_col)
     )
     local = (
-        staged.withColumn("rn", F.row_number().over(w_local))
+        staged.withColumn("rn", F.dense_rank().over(w_local))
         .filter(F.col("rn") <= k)
         .drop("pid", "rn")
     )
+    deduped = local.dropDuplicates(["query_id", id_col])
     w_global = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
-    return local.withColumn("rnk", F.row_number().over(w_global)).filter(
+    return deduped.withColumn("rnk", F.row_number().over(w_global)).filter(
         F.col("rnk") <= k
     )
 

@@ -249,20 +249,30 @@ def _adc_sum(m: int) -> F.Column:
 
 
 def _two_phase_topk(scored: DataFrame, k_top: int, id_col: str) -> DataFrame:
-    """Per-query ascending-ad2 top-k: partition-local row_number caps
-    k rows per (partition, query) before the final per-query rank — never
-    the full scored set into Q reducers (the ivf_search_batch shape)."""
+    """Per-query ascending-ad2 top-k: a partition-local rank caps k keys
+    per (partition, query) before the final per-query rank — never the
+    full scored set into Q reducers (the ivf_search_batch shape).
+
+    Duplicate-proof (r9, the at-least-once contract): ``pq_append`` /
+    ``ivf_append`` replay after a crash can leave IDENTICAL (id, codes)
+    rows in the store, so serving must dedup on id.  The local cut uses
+    ``dense_rank`` — identical (ad2, id) copies share one rank, so a
+    same-partition replay duplicate cannot displace the k-th genuine
+    candidate — and the explicit ``dropDuplicates([query_id, id])`` runs
+    on the <= n_partitions*k local winners only, never a full-table
+    shuffle."""
     staged = scored.withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid", "query_id").orderBy(
         F.asc("ad2"), F.asc(id_col)
     )
     local = (
-        staged.withColumn("rn", F.row_number().over(w_local))
+        staged.withColumn("rn", F.dense_rank().over(w_local))
         .filter(F.col("rn") <= k_top)
         .drop("pid", "rn")
     )
+    deduped = local.dropDuplicates(["query_id", id_col])
     w_global = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc(id_col))
-    return local.withColumn("rnk", F.row_number().over(w_global)).filter(
+    return deduped.withColumn("rnk", F.row_number().over(w_global)).filter(
         F.col("rnk") <= k_top
     )
 
@@ -375,3 +385,21 @@ def pq_append(
     assigned.repartition("cluster").write.mode("append").partitionBy(
         "cluster"
     ).parquet(path)
+
+
+def pq_compact(spark, src_path: str, dst_path: str) -> None:
+    """Compact a streamed-into PQ codes table: every ``pq_append`` adds
+    files-per-touched-cell per micro-batch — the same small-files
+    pathology ``operators.kmeans.ivf_compact`` fixes for the float IVF
+    index.  The codes table carries the same ``cluster`` partition
+    column, and ``ivf_compact`` is schema-agnostic (one shuffle on the
+    partition column into a NEW path, row-for-row preserved), so
+    compaction IS ``ivf_compact`` — this alias exists to make that
+    contract explicit and test-pinned (a compacted codes table serves
+    identically via ``ivfpq_search_batch``).  Swap by repoint, never in
+    place."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        ivf_compact,
+    )
+
+    ivf_compact(spark, src_path, dst_path)

@@ -401,3 +401,38 @@ def test_ivf_compact_preserves_rows_and_collapses_files(spark, tmp_path):
     with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
         ivf_compact(spark, path, compacted)
     emb.unpersist()
+
+
+def test_ivf_replayed_append_duplicates_never_distort_serving(spark, tmp_path):
+    """At-least-once contract (r9, ADVICE): an ivf_append crash replay
+    leaves identical (id, embedding, cluster) rows; ivf_search_batch must
+    dedup on id so a duplicate cannot occupy two ranks or displace a
+    genuine candidate — double-append serving equals single-append
+    serving row-for-row."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        ivf_append,
+        ivf_search_batch,
+        kmeans_fit_quantized,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(200).persist()
+    emb.count()
+    cents = kmeans_fit_quantized(emb, k=4, iters=2)
+    once, twice = str(tmp_path / "once"), str(tmp_path / "twice")
+    ivf_append(emb, cents, once)
+    ivf_append(emb, cents, twice)
+    ivf_append(emb, cents, twice)  # the crash replay
+
+    queries = [[float(i % 5 - 2) for i in range(64)]]
+    serve = lambda p: [
+        (r.query_id, r.vec_id, r.cos, r.rnk)
+        for r in ivf_search_batch(
+            spark.read.parquet(p), cents, queries, nprobe=2, k=10
+        ).orderBy("rnk").collect()
+    ]
+    ref, got = serve(once), serve(twice)
+    assert got == ref
+    ids = [(g[0], g[1]) for g in got]
+    assert len(ids) == len(set(ids))
+    assert len(got) == 10
+    emb.unpersist()

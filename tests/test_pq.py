@@ -214,3 +214,105 @@ def test_ivfpq_recall_floor_on_real_data(spark):
         e = {r.vec_id for r in exact if r.query_id == qi}
         recalls.append(len(p & e) / len(e))
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_replayed_append_duplicates_never_distort_serving(clustered, spark, tmp_path):
+    """At-least-once ingest contract (r9, ADVICE): pq_append replayed after
+    a crash leaves identical (id, codes, cluster) rows in the codes store;
+    serving must dedup on id so a duplicate can neither occupy two
+    shortlist ranks nor displace a genuine candidate.  Double-append
+    serving must equal single-append serving row-for-row, for both the
+    plain-PQ and the IVF-PQ path."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        ivfpq_search_batch,
+        pq_append,
+    )
+
+    df, rows = clustered
+    norm = l2_normalize(df)
+    books = pq_fit(norm, DIM, m=M, k=K, iters=2, sample_mod=1)
+    coarse = kmeans_fit_quantized(norm, k=2, iters=2)
+    once, twice = str(tmp_path / "once"), str(tmp_path / "twice")
+    pq_append(df, books, coarse, once)
+    pq_append(df, books, coarse, twice)
+    pq_append(df, books, coarse, twice)  # the crash replay
+
+    q = [list(rows[3][1])]
+    n = math.sqrt(sum(x * x for x in q[0]))
+    q = [[x / n for x in q[0]]]
+
+    def serve(path, fn):
+        codes = spark.read.parquet(path)
+        if fn == "pq":
+            out = pq_search_batch(codes, books, q, k_top=10)
+        else:
+            out = ivfpq_search_batch(codes, books, coarse, q, nprobe=2, k_top=10)
+        return [(r.query_id, r.vec_id, r.ad2, r.rnk) for r in
+                out.orderBy("query_id", "rnk").collect()]
+
+    for fn in ("pq", "ivfpq"):
+        ref, got = serve(once, fn), serve(twice, fn)
+        assert got == ref, (fn, ref, got)
+        ids = [(g[0], g[1]) for g in got]
+        assert len(ids) == len(set(ids)), f"{fn}: duplicate ids in shortlist"
+        assert len(got) == 10
+
+
+def test_pq_compact_preserves_codes_and_serving(clustered, spark, tmp_path):
+    """VERDICT r8 #5: the pq_append codes table accumulates
+    files-per-touched-cell exactly like the float IVF index; pq_compact
+    (= ivf_compact, schema-agnostic) must collapse files into a NEW path
+    with rows preserved and IVF-PQ serving identical row-for-row."""
+    import glob
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pq import (
+        ivfpq_search_batch,
+        pq_append,
+        pq_compact,
+    )
+
+    df, rows = clustered
+    norm = l2_normalize(df)
+    books = pq_fit(norm, DIM, m=M, k=K, iters=2, sample_mod=1)
+    coarse = kmeans_fit_quantized(norm, k=2, iters=2)
+    path = str(tmp_path / "codes")
+    for m in range(4):  # four micro-batch appends
+        pq_append(df.filter(F.col("vec_id") % 4 == m), books, coarse, path)
+    files_before = len(glob.glob(f"{path}/cluster=*/*.parquet"))
+    assert files_before > 2
+
+    compacted = str(tmp_path / "codes_compacted")
+    pq_compact(spark, path, compacted)
+    files_after = len(glob.glob(f"{compacted}/cluster=*/*.parquet"))
+    assert files_after <= 2  # one file per cell at this scale
+
+    def table(p):
+        return sorted(
+            (r.vec_id, list(r.codes), r.cluster)
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert table(compacted) == table(path)
+
+    q = [list(rows[7][1])]
+    n = math.sqrt(sum(x * x for x in q[0]))
+    q = [[x / n for x in q[0]]]
+
+    def serve(p):
+        return [
+            (r.query_id, r.vec_id, r.ad2, r.rnk)
+            for r in ivfpq_search_batch(
+                spark.read.parquet(p), books, coarse, q, nprobe=2, k_top=10
+            ).orderBy("rnk").collect()
+        ]
+
+    assert serve(compacted) == serve(path)
+    # compacting onto an existing path must refuse (swap is by repoint)
+    with pytest.raises(Exception):
+        pq_compact(spark, path, compacted)
