@@ -1752,6 +1752,11 @@ def docs_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process (bench passes, sweeps) must reuse ONE cached frame, not
     # stack a new never-unpersisted cache entry per call.
     scored = _PIPELINE_SCORED_CACHE.get(sf_dir)
+    if scored is not None and scored.sparkSession is not spark:
+        # the cached frame is bound to a stopped/replaced SparkSession —
+        # using it would fail confusingly (ADVICE r8); rebuild against the
+        # active session (nothing to unpersist: the old session is gone)
+        scored = None
     if scored is None:
         scored = capped.select(
             "doc_id",
