@@ -70,6 +70,108 @@ DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+#: the SATURATED merge table for the fixture corpus: training on
+#: sf0.01 halts after 89 merges because the corpus's 31-word
+#: vocabulary has fully collapsed to single tokens — more merges
+#: CANNOT be trained from this fixture (tools/train_bpe.py, any
+#: n_merges >= 89 reproduces this table verbatim; DEFAULT_MERGES
+#: is its 16-entry prefix).  Production vocabularies (30k-50k
+#: merges) need a production corpus; the executor-choice machinery
+#: below is measured with no-op-padded tables instead (a merge
+#: that never fires still costs a full string scan per pass).
+TRAINED_MERGES_FULL: tuple[tuple[str, str], ...] = (
+    ('e', 'r'),
+    ('i', 'n'),
+    ('o', 'w'),
+    ('o', 'r'),
+    ('s', 't'),
+    ('m', 'er'),
+    ('a', 't'),
+    ('l', 'u'),
+    ('p', 'a'),
+    ('pa', 'r'),
+    ('o', 'in'),
+    ('j', 'oin'),
+    ('s', 'h'),
+    ('h', 'a'),
+    ('ha', 'sh'),
+    ('r', 'ow'),
+    ('c', 'h'),
+    ('b', 'at'),
+    ('bat', 'ch'),
+    ('s', 'c'),
+    ('sc', 'a'),
+    ('sca', 'n'),
+    ('u', 'st'),
+    ('ust', 'o'),
+    ('usto', 'mer'),
+    ('o', 'lu'),
+    ('olu', 'm'),
+    ('olum', 'n'),
+    ('c', 'ustomer'),
+    ('c', 'olumn'),
+    ('t', 'er'),
+    ('l', 'ter'),
+    ('i', 'lter'),
+    ('f', 'ilter'),
+    ('s', 'm'),
+    ('sm', 'a'),
+    ('sma', 'l'),
+    ('smal', 'l'),
+    ('s', 'l'),
+    ('sl', 'ow'),
+    ('mer', 'g'),
+    ('merg', 'e'),
+    ('v', 'e'),
+    ('ve', 'c'),
+    ('vec', 't'),
+    ('vect', 'or'),
+    ('or', 'd'),
+    ('ord', 'er'),
+    ('l', 'in'),
+    ('lin', 'e'),
+    ('t', 'a'),
+    ('ta', 'b'),
+    ('tab', 'l'),
+    ('tabl', 'e'),
+    ('d', 'at'),
+    ('dat', 'a'),
+    ('u', 'p'),
+    ('g', 'g'),
+    ('a', 'gg'),
+    ('v', 'a'),
+    ('va', 'lu'),
+    ('valu', 'e'),
+    ('k', 'e'),
+    ('ke', 'y'),
+    ('st', 'r'),
+    ('str', 'e'),
+    ('stre', 'a'),
+    ('strea', 'm'),
+    ('w', 'in'),
+    ('win', 'd'),
+    ('wind', 'ow'),
+    ('s', 'par'),
+    ('spar', 'k'),
+    ('r', 'o'),
+    ('ro', 'up'),
+    ('par', 't'),
+    ('g', 'roup'),
+    ('i', 'g'),
+    ('b', 'ig'),
+    ('s', 'or'),
+    ('sor', 't'),
+    ('u', 'er'),
+    ('uer', 'y'),
+    ('q', 'uery'),
+    ('f', 'a'),
+    ('fa', 'st'),
+    ('t', 'h'),
+    ('th', 'e'),
+    ('d', 'up'),
+)
+
+
 def _validate(merges: Sequence[tuple[str, str]]) -> None:
     for a, b in merges:
         if not a or not b:
@@ -198,3 +300,140 @@ def train_bpe_merges(
                     acc.append(t)
             vocab[w] = acc
     return merges
+
+
+# ── Arrow-batched executor (large vocabularies) ──────────────────────────
+#
+# The expression chain above costs O(len × M) string scans per row — every
+# merge is one full replace() pass whether or not it fires.  At a
+# production vocabulary (30k–50k merges) that is prohibitive, and far
+# before that the chained-replace expression tree blows past whole-stage
+# codegen's JVM method limits.  The scale path is the documented
+# Python-legal Arrow surface (like multimodal decode): a pandas_udf whose
+# per-WORD cost is independent of M — words are segmented by iteratively
+# merging the lowest-rank adjacent pair (the GPT-2 tokenizer shape), and
+# every unique word's count is memoized, so the corpus-scale cost is
+# ~ one dict lookup per word occurrence plus one segmentation per unique
+# word.  Equivalence to the pass-in-rank-order fold holds for WELL-NESTED
+# tables (each merge side is a single char or an earlier merge's product —
+# every trained table is, by construction); non-nested tables fall back to
+# the literal per-word fold.  Fuzz-pinned in tests/test_bpe.py.
+
+
+def _well_nested(merges: Sequence[tuple[str, str]]) -> bool:
+    products: set[str] = set()
+    for a, b in merges:
+        for side in (a, b):
+            if len(side) > 1 and side not in products:
+                return False
+        products.add(a + b)
+    return True
+
+
+def _merge_word_minrank(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    toks = list(word)
+    while len(toks) > 1:
+        best: tuple[str, str] | None = None
+        best_rank = None
+        for p in zip(toks, toks[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, p
+        if best is None:
+            break
+        a, b = best
+        acc: list[str] = []
+        for t in toks:
+            if acc and acc[-1] == a and t == b:
+                acc[-1] = a + b
+            else:
+                acc.append(t)
+        toks = acc
+    return toks
+
+
+def _merge_word_fold(
+    word: str, merges: Sequence[tuple[str, str]]
+) -> list[str]:
+    toks = list(word)
+    for a, b in merges:
+        acc: list[str] = []
+        for t in toks:
+            if acc and acc[-1] == a and t == b:
+                acc[-1] = a + b
+            else:
+                acc.append(t)
+        toks = acc
+    return toks
+
+
+def bpe_token_count_arrow(
+    text: Column, merges: Sequence[tuple[str, str]] | None = None
+) -> Column:
+    """``bpe_token_count`` on the Arrow path: same count, M-independent
+    per-word cost, word-memoized across the batch (cache is per-executor
+    and bounded by the corpus's unique-word vocabulary).  NULL ⇒ NULL."""
+    merges = DEFAULT_MERGES if merges is None else tuple(merges)
+    _validate(merges)
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    nested = _well_nested(merges)
+    cache: dict[str, int] = {}
+
+    # no parameter annotations: under `from __future__ import annotations`
+    # they are unresolved strings, which Spark's hint parser rejects
+    @F.pandas_udf("long")
+    def _count(s):
+        def one(t):
+            if t is None:
+                return None
+            total = 0
+            for w in _norm_py(t).split(" "):
+                if not w:
+                    continue
+                n = cache.get(w)
+                if n is None:
+                    n = len(
+                        _merge_word_minrank(w, ranks)
+                        if nested
+                        else _merge_word_fold(w, merges)
+                    )
+                    cache[w] = n
+                total += n
+            return total
+
+        return s.map(one)
+
+    return _count(text)
+
+
+#: cutover for engine='auto', from the SCALE.md "BPE executor choice"
+#: measurement (sf0.1, 5000 docs, local[32]): expr is linear in M —
+#: 0.75 s @16, 1.56 @89, 3.21 @256 — and FAILS outright past ~1024
+#: merges (JVM optimizer StackOverflowError on the chained-replace tree);
+#: arrow is flat ~0.33 s at every size.  On raw throughput arrow wins
+#: even at M=16 on the fixture (its 31-word vocabulary makes the word
+#: cache near-perfect), but small tables stay on expr by default: the
+#: whole plan remains UDF-free whole-stage codegen (fusable with
+#: surrounding expressions, no Python workers, symbolically
+#: oracle-replayable) at a sub-second absolute cost.  Past this bound
+#: the purity trade is indefensible and auto switches to arrow.
+BPE_EXPR_MAX_MERGES = 128
+
+
+def bpe_counter(
+    text: Column,
+    merges: Sequence[tuple[str, str]] | None = None,
+    engine: str = "auto",
+) -> Column:
+    """The executor-choice rule, as one entry point: ``engine='expr'``
+    forces the codegen replace chain, ``'arrow'`` the batched Python
+    tokenizer, ``'auto'`` picks by table size against the measured
+    ``BPE_EXPR_MAX_MERGES`` cutover."""
+    merges = DEFAULT_MERGES if merges is None else tuple(merges)
+    if engine == "auto":
+        engine = "expr" if len(merges) <= BPE_EXPR_MAX_MERGES else "arrow"
+    if engine == "expr":
+        return bpe_token_count(text, merges)
+    if engine == "arrow":
+        return bpe_token_count_arrow(text, merges)
+    raise ValueError(f"unknown bpe engine {engine!r}")

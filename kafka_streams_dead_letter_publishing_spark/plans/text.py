@@ -1405,10 +1405,12 @@ def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── character-level BPE token counting ───────────────────────────────────
 
 from kafka_streams_dead_letter_publishing_spark.functions.bpe import (  # noqa: E402
+    TRAINED_MERGES_FULL,
     bpe_count_sql,
     bpe_marked,
     bpe_marked_sql,
     bpe_token_count,
+    bpe_token_count_arrow,
 )
 
 
@@ -1439,6 +1441,36 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_ws_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.md5(bpe_marked(F.col("text"))).alias("seg_fp"),
+    )
+
+
+@query(
+    "docs_bpe_token_counts_full",
+    f"""
+    SELECT doc_id,
+           {bpe_count_sql('text', TRAINED_MERGES_FULL)} AS n_bpe_tokens_full
+    FROM documents
+    """,
+    doc="[EXT] BPE counting at the fixture-SATURATED 89-merge vocabulary "
+    "via the ARROW executor (functions/bpe.py bpe_token_count_arrow): "
+    "this row exists to cross-engine-validate the production-scale path "
+    "— the word-cached min-rank Python tokenizer (M-independent per-word "
+    "cost; the JVM replace chain is O(len*M) and collapses with a "
+    "StackOverflowError past ~1024 merges, measured in SCALE.md) against "
+    "a DuckDB oracle that replays the rank-ordered marked-string replace "
+    "chain symbolically.  Hash-green means the GPT-2-shape iterative "
+    "min-rank merge and the pass-in-rank-order fold agree on every doc — "
+    "the well-nested-table equivalence the executor relies on.  "
+    "Python-legal by contract (lint-allowlisted like multimodal decode).",
+    tags=("text", "tokens", "bpe"),
+)
+def docs_bpe_token_counts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count_arrow(F.col("text"), TRAINED_MERGES_FULL).alias(
+            "n_bpe_tokens_full"
+        ),
     )
 
 

@@ -156,3 +156,113 @@ def test_bpe_counts_plug_into_budget_sampler(spark):
         if run <= 120:
             expect[i] = counts[i]
     assert rows == expect
+
+
+# ── r9: production-scale path (Arrow executor + saturated table) ─────────
+
+
+def test_trained_full_table_is_saturated_and_prefixed():
+    """TRAINED_MERGES_FULL is what the pinned trainer produces on the
+    sf0.01 fixture when asked for MORE merges than the vocabulary can
+    yield — training halts at 89 because the 31-word vocab fully
+    collapses; DEFAULT_MERGES is its 16-entry prefix."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        TRAINED_MERGES_FULL,
+    )
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            "SELECT text FROM read_parquet("
+            "'/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+        if t is not None
+    ]
+    got = train_bpe_merges(texts, 256)
+    assert tuple(got) == TRAINED_MERGES_FULL
+    assert TRAINED_MERGES_FULL[:16] == DEFAULT_MERGES
+
+
+@given(st.text(alphabet="the aing\t\n.x", max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_minrank_merge_equals_fold_on_well_nested_tables(text):
+    """The Arrow executor's load-bearing equivalence: iterative
+    lowest-rank-pair merging (the GPT-2 tokenizer shape, M-independent)
+    == the pass-in-rank-order fold, for WELL-NESTED tables.  Fuzzed on
+    both pinned trained tables."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        TRAINED_MERGES_FULL,
+        _merge_word_minrank,
+        _norm_py,
+        _well_nested,
+    )
+
+    for table in (DEFAULT_MERGES, TRAINED_MERGES_FULL):
+        assert _well_nested(table)
+        ranks = {(a, b): i for i, (a, b) in enumerate(table)}
+        expect = bpe_tokens_py(text, table)
+        got = [
+            t
+            for w in _norm_py(text).split(" ")
+            for t in (_merge_word_minrank(w, ranks) if w else [])
+        ]
+        assert got == expect, (table is DEFAULT_MERGES, text)
+
+
+def test_arrow_engine_matches_expr_engine_on_real_docs(spark):
+    """Cross-engine parity at the saturated table on real fixture docs —
+    the Spark-level counterpart of the registry row's oracle hash."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        TRAINED_MERGES_FULL,
+        bpe_token_count_arrow,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    both = docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), TRAINED_MERGES_FULL).alias("e"),
+        bpe_token_count_arrow(F.col("text"), TRAINED_MERGES_FULL).alias("a"),
+    )
+    assert both.filter("e IS DISTINCT FROM a").count() == 0
+
+
+def test_counter_auto_rule_and_nonnested_fallback(spark):
+    """engine='auto' stays on the UDF-free expr chain at/below the
+    measured cutover and switches to Arrow above it; a NON-well-nested
+    table still counts correctly via the per-word fold fallback."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        BPE_EXPR_MAX_MERGES,
+        bpe_counter,
+        bpe_token_count_arrow,
+        _well_nested,
+    )
+
+    df = spark.createDataFrame([(1, "the thing in the bag")], "id long, t string")
+
+    small = bpe_counter(F.col("t"), DEFAULT_MERGES, engine="auto")
+    plan = df.select(small)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # expr chain: pure JVM
+
+    # pad well-nested past the cutover -> auto goes to arrow
+    pad, prod = [], "\x01"
+    while len(DEFAULT_MERGES) + len(pad) <= BPE_EXPR_MAX_MERGES:
+        pad.append((prod, "\x01"))
+        prod += "\x01"
+    big = tuple(DEFAULT_MERGES) + tuple(pad)
+    big_col = bpe_counter(F.col("t"), big, engine="auto")
+    plan = df.select(big_col)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    a, b = df.select(small.alias("s"), big_col.alias("b")).first()
+    assert a == b  # padding never fires
+
+    # non-nested table: ('aa','bb') sides are not earlier products
+    weird = (("a", "b"), ("aa", "bb"))
+    assert not _well_nested(weird)
+    got = df.select(bpe_token_count_arrow(F.col("t"), weird).alias("n")).first().n
+    assert got == len(bpe_tokens_py("the thing in the bag", weird))
+
+    with pytest.raises(ValueError, match="unknown bpe engine"):
+        bpe_counter(F.col("t"), DEFAULT_MERGES, engine="nope")

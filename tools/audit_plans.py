@@ -47,6 +47,13 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ): "the operator IS the Python error-capture surface (Arrow-batched "
     "pandas_udf wrapper — reference op #3's general form)",
     (
+        "docs_bpe_token_counts_full",
+        "ArrowEvalPython",
+    ): "large-vocabulary BPE is the documented Python-legal surface "
+    "(functions/bpe.py: the JVM replace chain is O(len*M) and "
+    "StackOverflows past ~1k merges — SCALE.md cost curve); the row "
+    "cross-validates the Arrow tokenizer against the symbolic oracle",
+    (
         "docs_neardup_keepers",
         "SortMergeJoin",
     ): "band/pair joins are fact-fact (both sides corpus-derived) — SMJ is "
