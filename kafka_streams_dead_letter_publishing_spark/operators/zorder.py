@@ -75,8 +75,9 @@ def scaled16_sql(v: str, lo: str, hi: str, floordiv: str = "DIV") -> str:
     raw-key layout pruned user probes not at all).  Delta's OPTIMIZE
     ZORDER normalizes via sampled range-partition ranks for the same
     reason; the affine form here is exact, oracle-reproducible, and right
-    for roughly-uniform dimensions — for heavily skewed ones substitute a
-    rank expression for *v*.
+    for roughly-uniform dimensions — for heavily skewed ones use
+    ``normalization="rank"`` (``rank_scaled16_sql``), measured in
+    tests/test_zorder.py.
 
     ``floordiv`` is the one dialect split: Spark spells integer floor
     division ``DIV``, DuckDB ``//`` (operands here are non-negative, where
@@ -87,21 +88,77 @@ def scaled16_sql(v: str, lo: str, hi: str, floordiv: str = "DIV") -> str:
     return f"(CASE WHEN {span} <= 0 THEN 0 ELSE ({num}) {floordiv} ({span}) END)"
 
 
+#: rank normalization resolution: quantile buckets per dimension.  256
+#: buckets = 8 meaningful bits per dimension — ample for file-level
+#: pruning (file count per layout is orders of magnitude below 256²),
+#: while the boundary list stays a driver-side metadata constant.
+RANK_BUCKETS = 256
+
+
+def rank_scaled16_sql(v: str, boundaries: list) -> str:
+    """Quantile-rank-normalize a dimension expression onto the 16-bit
+    keyspace: ``bucket(v) * (65536 / B)`` where ``bucket(v)`` counts the
+    sampled quantile boundaries strictly below *v* — the Delta-style
+    sampled range-rank, for dimensions whose VALUE distribution is too
+    skewed for the affine map (which sends a heavy-tailed dimension's
+    dense mass to one or two cells, so probes on the dense region stop
+    pruning; measured in tests/test_zorder.py).
+
+    Operator-only SQL (a sum of CASE comparisons against literal
+    boundaries), portable to DuckDB verbatim like the rest of the key
+    math.  NULL *v* compares NULL against every boundary → every CASE
+    takes the ELSE 0 branch → bucket 0 (zone-map stats ignore NULLs, so
+    any placement is sound)."""
+    if not boundaries:
+        return "0"
+    terms = " + ".join(
+        f"(CASE WHEN (CAST({v} AS DOUBLE)) > {float(b)!r} THEN 1 ELSE 0 END)"
+        for b in boundaries
+    )
+    step = 65536 // (len(boundaries) + 1)
+    return f"((({terms})) * {step})"
+
+
+def _rank_boundaries(df: DataFrame, col: str) -> list:
+    """Deduplicated internal quantile boundaries for *col* — one
+    approxQuantile sketch pass (driver traffic = ≤RANK_BUCKETS floats,
+    the same metadata-constant policy as the affine min/max row)."""
+    probs = [i / RANK_BUCKETS for i in range(1, RANK_BUCKETS)]
+    qs = df.approxQuantile(col, probs, 0.001)
+    out: list = []
+    for q in qs:
+        if not out or q > out[-1]:
+            out.append(q)
+    return out
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     x: str,
     y: str,
     n_files: int,
+    normalization: str = "affine",
 ) -> None:
     """Write *df* as parquet clustered on the Z-curve of (x, y): one
     range-shuffle on the interleaved key, sorted within each output file so
     row-group zone maps are tight on both dimensions.  The zkey itself is
     not persisted — it is a layout device, not data.
 
-    Dimension bounds for the 16-bit normalization come from one metadata
-    aggregate (a 4-value row — driver traffic bounded by config, same
-    policy as the prefix-sum family's bucket totals)."""
+    ``normalization`` picks the per-dimension 16-bit map:
+
+    * ``"affine"`` (default) — exact ``(v-lo)*65535 div (hi-lo)``; right
+      for roughly-uniform dimensions, one 4-value metadata aggregate.
+    * ``"rank"`` — sampled quantile range-rank (``rank_scaled16_sql``);
+      right for heavily skewed dimensions, where affine sends the dense
+      mass to a handful of cells and probes on it stop pruning.  One
+      approxQuantile sketch pass per dimension, boundary lists are
+      driver-side metadata constants.
+
+    Either way the bounds/boundaries are metadata-sized driver traffic —
+    the same policy as the prefix-sum family's bucket totals."""
+    if normalization not in ("affine", "rank"):
+        raise ValueError(f"unknown normalization {normalization!r}")
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(x), F.max(x), F.min(y), F.max(y)
     ).first()
@@ -112,15 +169,13 @@ def zorder_write(
         # is nothing.
         df.write.mode("overwrite").parquet(path)
         return
-    keyed = df.withColumn(
-        "__zkey",
-        F.expr(
-            zkey_sql(
-                scaled16_sql(x, str(lo_x), str(hi_x)),
-                scaled16_sql(y, str(lo_y), str(hi_y)),
-            )
-        ),
-    )
+    if normalization == "rank":
+        sx = rank_scaled16_sql(x, _rank_boundaries(df, x))
+        sy = rank_scaled16_sql(y, _rank_boundaries(df, y))
+    else:
+        sx = scaled16_sql(x, str(lo_x), str(hi_x))
+        sy = scaled16_sql(y, str(lo_y), str(hi_y))
+    keyed = df.withColumn("__zkey", F.expr(zkey_sql(sx, sy)))
     (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
