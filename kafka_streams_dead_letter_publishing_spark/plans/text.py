@@ -824,9 +824,10 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_gopher_repetition",
-    f"""
+#: the full per-document Gopher repetition table as ONE oracle SQL —
+#: shared by the per-doc registry row and the corpus card's flagged-
+#: doc count (r9 card v2)
+_GOPHER_DOC_SQL = f"""
     WITH lines AS (
         SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
                               l -> len(trim(l)) > 0)) AS line
@@ -899,7 +900,12 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
     LEFT JOIN top2 t2 ON d.doc_id = t2.doc_id
     LEFT JOIN top3 t3 ON d.doc_id = t3.doc_id
-    """,
+    """
+
+
+@query(
+    "docs_gopher_repetition",
+    _GOPHER_DOC_SQL,
     doc="[EXT] Gopher/MassiveText repetition-quality rules (Rae et al. "
     "2021, §A1.1) per document: duplicate-line count/character mass, the "
     "dominant 2-/3-gram and the characters it spans, and the composed "
@@ -1823,6 +1829,26 @@ def _corpus_card_sql() -> str:
         SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_dup_docs FROM (
             SELECT COUNT(*) AS n FROM (SELECT {_FP_SQL} AS fp FROM documents)
             GROUP BY fp)),
+    gopher AS (
+        SELECT CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gopher_flagged
+        FROM ({_GOPHER_DOC_SQL})),
+    pii AS (
+        SELECT CAST(SUM(CASE
+                   WHEN len(regexp_extract_all(text, '{PII_EMAIL_RE}')) > 0
+                     OR len(regexp_extract_all(
+                            regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{PII_IPV4_RE}')) > 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+        FROM documents),
+    linedups AS (
+        SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_dup_lines FROM (
+            SELECT COUNT(*) AS n FROM (
+                SELECT unnest(list_filter(string_split(text, chr(10)),
+                              l -> len(trim(l)) > 0)) AS line
+                FROM documents)
+            GROUP BY line)),
     contam AS (
         SELECT CAST(COUNT(DISTINCT tf.doc_id) AS BIGINT) AS n_contaminated
         FROM (
@@ -1842,6 +1868,9 @@ def _corpus_card_sql() -> str:
         UNION ALL SELECT 'n_langs', n_langs FROM base
         UNION ALL SELECT 'n_sources', n_sources FROM base
         UNION ALL SELECT 'n_exact_dup_docs', n_dup_docs FROM dups
+        UNION ALL SELECT 'n_gopher_flagged_docs', n_gopher_flagged FROM gopher
+        UNION ALL SELECT 'n_pii_docs', n_pii_docs FROM pii
+        UNION ALL SELECT 'n_corpus_dup_lines', n_dup_lines FROM linedups
         UNION ALL SELECT 'n_contaminated_train_docs', n_contaminated
         FROM contam)
     """
@@ -1850,14 +1879,18 @@ def _corpus_card_sql() -> str:
 @query(
     "docs_corpus_card",
     _corpus_card_sql(),
-    doc="[EXT] Corpus card (the audit report a dataset release ships): "
+    doc="[EXT] Corpus card v2 (the audit report a dataset release ships): "
     "one long-format row per headline stat — doc/token/lang/source "
-    "counts, exact-duplicate doc count (fingerprint groups), and the "
-    "count of train-split docs contaminated against the eval splits "
-    "(5-gram overlap, the docs_decontaminated rule).  Composes the "
-    "engine's own operators into a single report plan: every stat is a "
-    "partial-agg aggregate or a broadcast-join count — no windows, no "
-    "collects beyond the final six rows.",
+    "counts, exact-duplicate doc count (fingerprint groups), "
+    "Gopher-repetition-flagged doc count and PII-bearing doc count (r9: "
+    "both fold into the base aggregate's corpus pass as per-row "
+    "predicates), corpus-wide duplicate line occurrences (the mass exact "
+    "line dedup would drop; partial-agg per line hash), and the count of "
+    "train-split docs contaminated against the eval splits (5-gram "
+    "overlap, the docs_decontaminated rule).  Composes the engine's own "
+    "operators into a single report plan: every stat is a partial-agg "
+    "aggregate or a broadcast-join count — no windows, no collects "
+    "beyond the final nine rows.",
     tags=("text", "report", "card"),
 )
 def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,16 +1904,45 @@ def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint,
     )
 
+    from kafka_streams_dead_letter_publishing_spark.functions.quality import (
+        gopher_repetition_keep,
+    )
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        pii_counts,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id", "lang", "source", "text",
         tokens(_norm(F.col("text"))).alias("_t"),
     )
+    # card v2 (r9): the Gopher-flag and PII-presence counts FOLD INTO the
+    # base aggregate — per-row narrow predicates riding the same corpus
+    # pass, no extra scan
+    keep = gopher_repetition_keep(F.col("text"), F.col("_t"))
+    pii = pii_counts(F.col("text"))
     base = staged.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("_t")).cast("long").alias("n_tokens"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
+        F.sum((~keep).cast("long")).alias("n_gopher_flagged"),
+        F.sum(((pii["n_emails"] + pii["n_ips"]) > 0).cast("long")).alias(
+            "n_pii_docs"
+        ),
+    )
+    # corpus-wide duplicate LINE occurrences (what exact line dedup would
+    # drop): explode → non-blank filter → partial-agg count per line hash
+    line_dups = (
+        docs.select(F.explode(F.split("text", "\n")).alias("line"))
+        .filter(F.length(F.trim("line")) > 0)
+        .groupBy(F.md5("line").alias("lfp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_dup_lines")
+        )
     )
     dups = (
         docs.groupBy(fingerprint(F.col("text")).alias("fp"))
@@ -1899,13 +1961,20 @@ def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate subtree, not one per emitted stat row
     return (
         base.selectExpr(
-            "stack(4, 'n_docs', CAST(n_docs AS BIGINT), "
+            "stack(6, 'n_docs', CAST(n_docs AS BIGINT), "
             "'n_tokens', n_tokens, "
             "'n_langs', CAST(n_langs AS BIGINT), "
-            "'n_sources', CAST(n_sources AS BIGINT)) AS (stat, value)"
+            "'n_sources', CAST(n_sources AS BIGINT), "
+            "'n_gopher_flagged_docs', n_gopher_flagged, "
+            "'n_pii_docs', n_pii_docs) AS (stat, value)"
         )
         .unionByName(
             dups.selectExpr("'n_exact_dup_docs' AS stat", "n_dup AS value")
+        )
+        .unionByName(
+            line_dups.selectExpr(
+                "'n_corpus_dup_lines' AS stat", "n_dup_lines AS value"
+            )
         )
         .unionByName(
             contam.selectExpr(
