@@ -153,38 +153,14 @@ def emb_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by tests/test_plan_quality.py's occupancy gate instead of a registry row.
 
 
-@query(
-    "emb_label_centroids",
-    f"""
-    WITH per AS (
-        SELECT label,
-               list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
-               COUNT(*) AS n
-        FROM embeddings GROUP BY label
-    ),
-    cent AS (
-        SELECT label, n,
-               [x / n FOR x IN list_reduce(vs,
-                   (a, b) -> [a[i] + b[i] FOR i IN generate_series(1, {EMBEDDING_DIM})])]
-                   AS centroid
-        FROM per
-    )
-    SELECT label, n, CAST(i AS INT) - 1 AS dim, centroid[i] AS val
-    FROM cent, generate_series(1, {EMBEDDING_DIM}) g(i)
-    """,
-    doc="[EXT] Per-label centroid vectors (the IVF index build step of ANN "
-    "search): element-wise mean over each label's embeddings, emitted as "
-    "(label, dim, val) rows so the comparator sees only scalars.  Summation "
-    "is an order-PINNED fold (sorted by vec_id) so both engines produce "
-    "bit-identical doubles — at corpus scale you would trade this for "
-    "commutative per-partition partial sums and tolerance-compare instead.",
-    tags=("similarity", "aggregation"),
-)
-def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = _centroids(spark, sf_dir)
-    return agg.select(
-        "label", "n", F.posexplode("centroid").alias("dim", "val")
-    ).select("label", "n", F.col("dim").cast("int").alias("dim"), "val")
+# NOTE (r9): emb_label_centroids (the order-PINNED collect_list fold) was
+# folded away per the r8 verdict's registry-hygiene note — the centroid
+# computation stays hash-oracled through emb_label_centroids_scale (the
+# commutative fixed-point partial-sum mode that is the 100 TB plan), and
+# the fold-mode helper `_centroids` remains a library surface behind the
+# ORACLE_CENTROID_MAX_GROUP fail-fast guard (tests/test_plan_quality.py),
+# which was always its only legitimate regime.  Same retirement pattern as
+# docs_dedup_pick_first in r6.
 
 
 # ── scale-mode centroids: commutative fixed-point partial sums ───────────

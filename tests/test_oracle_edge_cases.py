@@ -403,7 +403,6 @@ def degenerate_embeddings_dir(tmp_path):
 EMB_FAMILY_QUERIES = (
     "emb_multi_query_topk",
     "emb_ann_multitable_pairs",
-    "emb_label_centroids",
     "emb_label_centroids_scale",
     "emb_ivf_batch_topk",
 )

@@ -188,7 +188,13 @@ def test_oracle_centroid_mode_refuses_oversized_groups(spark):
     # default cap admits the oracle SFs (sf0.01 ≈ 1e3 vectors/label) with
     # ~100× headroom, and the registry row stays green
     assert ORACLE_CENTROID_MAX_GROUP >= 100_000
-    assert plan_of(spark, "emb_label_centroids")  # still buildable
+    # fold mode stays buildable as a library helper (registry row retired
+    # r9 — emb_label_centroids_scale is the registered centroid surface)
+    assert _centroids(spark, "/root/testdata/sf0.001").columns == [
+        "label",
+        "n",
+        "centroid",
+    ]
 
 
 def test_learned_ivf_serves_from_partition_pruned_scan(spark):
