@@ -114,9 +114,10 @@ def kafka_sink_writer(cfg: EngineConfig) -> SinkWriter:
     headers array, topic string) is the documented Spark Kafka sink schema;
     wire-level behavior (serialization, max.request.size enforcement) is
     pinned logically by the pre-flight guard tests instead.  (Re-verified
-    r7: a docker CLIENT now exists at /usr/local/bin/docker but there is
-    no dockerd binary and no daemon socket; no spark-sql-kafka connector
-    jars, no kafka distribution, no kafka-python/confluent_kafka.)
+    r9: a docker CLIENT exists at /usr/local/bin/docker but there is no
+    dockerd binary and no daemon socket — `dockerd` not found, an explicit
+    start attempt fails; no spark-sql-kafka connector jars under
+    pyspark/jars, no kafka distribution, no kafka-python/confluent_kafka.)
     """
 
     def write(df: DataFrame, topic: str) -> None:
