@@ -1468,7 +1468,7 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-rank merge and the pass-in-rank-order fold agree on every doc — "
     "the well-nested-table equivalence the executor relies on.  "
     "Python-legal by contract (lint-allowlisted like multimodal decode).",
-    tags=("text", "tokens", "bpe"),
+    tags=("text", "tokens", "bpe", "bench"),
 )
 def docs_bpe_token_counts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
