@@ -15,4 +15,31 @@ from kafka_streams_dead_letter_publishing_spark.plans import (  # noqa: E402,F40
     relational,
 )
 
-__all__ = ["QUERIES", "Query", "query"]
+def clear_plan_caches() -> None:
+    """Evict every per-sf_dir memo the plan modules keep for the process
+    lifetime (r8 watch item: bench sweeps want the reuse, a long-lived
+    multi-tenant process wants an eviction hook).  Persisted frames are
+    unpersisted against their owning session when it is still alive;
+    on-disk index/codebook memos are dropped (the tmp dirs they point at
+    are left to the OS reaper, as documented at their build sites)."""
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        _IVFPQ_CACHE,
+        _LEARNED_INDEX_CACHE,
+        _PQ_CACHE,
+    )
+    from kafka_streams_dead_letter_publishing_spark.plans.text import (
+        _PIPELINE_SCORED_CACHE,
+    )
+
+    for df in _PIPELINE_SCORED_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — owning session already stopped
+            pass
+    _PIPELINE_SCORED_CACHE.clear()
+    _LEARNED_INDEX_CACHE.clear()
+    _PQ_CACHE.clear()
+    _IVFPQ_CACHE.clear()
+
+
+__all__ = ["QUERIES", "Query", "query", "clear_plan_caches"]

@@ -107,3 +107,29 @@ def test_approx_distinct_within_hll_error_bounds(spark, sf):
     assert set(approx) == set(exact)
     for etype, n in exact.items():
         assert abs(approx[etype] - n) <= max(3, 3 * 0.05 * n), (etype, approx[etype], n)
+
+
+def test_clear_plan_caches_evicts_and_rebuilds(spark):
+    """r8 watch item: the per-sf_dir memos (pipeline stage boundary,
+    learned-IVF/PQ/IVF-PQ index paths) must be evictable in a long-lived
+    process; after eviction the queries rebuild and return identical
+    results."""
+    from kafka_streams_dead_letter_publishing_spark.plans import (
+        QUERIES,
+        clear_plan_caches,
+    )
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        _LEARNED_INDEX_CACHE,
+    )
+    from kafka_streams_dead_letter_publishing_spark.plans.text import (
+        _PIPELINE_SCORED_CACHE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    before = QUERIES["docs_pretraining_pipeline"].spark(spark, sf).count()
+    assert _PIPELINE_SCORED_CACHE  # populated by the run
+    clear_plan_caches()
+    assert not _PIPELINE_SCORED_CACHE
+    assert not _LEARNED_INDEX_CACHE
+    after = QUERIES["docs_pretraining_pipeline"].spark(spark, sf).count()
+    assert after == before
