@@ -1,0 +1,92 @@
+"""SemDeDup — semantic deduplication via coarse-cluster-scoped cosine
+([EXT] scale surface; published method: Abbas et al. 2023, "SemDeDup:
+Data-efficient learning at web-scale through semantic deduplication").
+
+The web-scale observation: semantically duplicate training examples
+(re-hosted articles, templated product pages, paraphrase mirrors) hurt
+data efficiency but are NOT exact or near-exact dups, so fingerprint /
+MinHash dedup misses them.  SemDeDup finds them in embedding space — but
+an all-pairs cosine over the corpus is O(N²) and impossible at scale, so
+the published method first k-means-clusters the embeddings and compares
+ONLY within each cluster.
+
+Spark shape here:
+
+* cell assignment is the engine's frozen quantized coarse quantizer
+  (``operators.kmeans.nearest_cluster_quantized`` — the IVF routing fold,
+  exact integer arithmetic, oracle-replayable);
+* the within-cell pair search is an EQUI-join on the cluster id with the
+  cosine threshold as a residual condition — never a cartesian product;
+  the N² term is confined to single cells, and production sizing picks
+  k ≈ N / target_cell so cells stay ~10³–10⁴ rows (the same knob that
+  sizes the IVF index; a hot cell is bounded by the quantizer, not by
+  data luck);
+* the keeper rule is the engine-wide deterministic one (see
+  ``streaming/ingest_pipeline._intra_batch_dedup``): a vector is DROPPED
+  iff any LOWER-id cell-mate is cosine-similar at ``tau`` — greedy
+  lowest-id survivor, batch-order-free, reproducible.
+
+Registry row: ``emb_semdedup_keepers`` (plans/similarity.py) plants
+deterministic semantic twins and replays assignment + pair search in
+DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.similarity import cosine
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+    nearest_cluster_quantized,
+    quantize_embedding,
+)
+
+
+def semdedup_flags(
+    emb_df: DataFrame,
+    centroids: list[list[int]],
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, kept) for every row of *emb_df*: assign each vector
+    to its coarse cell against the FROZEN microunit *centroids*, then keep
+    a vector iff no lower-id cell-mate has cosine ≥ *tau*.
+
+    The caller guarantees rows satisfy the indexable contract (exactly
+    dim finite components — same precondition as every IVF path).  Zero-
+    norm vectors have NULL cosine against everything (the engine-wide
+    ``cosine`` contract) and are therefore always kept.
+    """
+    assigned = emb_df.select(
+        id_col,
+        emb_col,
+        nearest_cluster_quantized(
+            centroids, quantize_embedding(F.col(emb_col))
+        ).alias("cluster"),
+    )
+    left = assigned.select(
+        F.col(id_col).alias("_aid"),
+        F.col("cluster").alias("_ac"),
+        F.col(emb_col).alias("_ae"),
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_bid"),
+        F.col("cluster").alias("_bc"),
+        F.col(emb_col).alias("_be"),
+    )
+    pair_cond = (
+        (F.col("_ac") == F.col("_bc"))
+        & (F.col("_bid") < F.col("_aid"))
+        & (cosine(F.col("_ae"), F.col("_be")) >= F.lit(float(tau)))
+    )
+    dup_ids = (
+        left.join(right, pair_cond, "leftsemi")
+        .select(F.col("_aid").alias(id_col))
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(id_col, "cluster", F.col("_dup").isNull().alias("kept"))
+    )

@@ -1,0 +1,137 @@
+"""SemDeDup (operators/semdedup.py): planted-twin ground truth on the
+registry row, Python-reference parity on a synthetic clustered corpus,
+the zero-norm/NULL-cosine contract, and plan shape (equi-join on the
+cluster id — never a cartesian pair search)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+    kmeans_fit_quantized,
+)
+from kafka_streams_dead_letter_publishing_spark.operators.semdedup import (
+    semdedup_flags,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Vectors near 4 well-separated anchors plus exact-perturbation twins
+    of a known subset."""
+    rng = random.Random(3)
+    anchors = [
+        [(1 if (i >> j) & 1 else -1) * 2.0 for j in range(DIM)] for i in range(4)
+    ]
+    rows = [
+        (i, [a + rng.uniform(-0.05, 0.05) for a in anchors[i % 4]])
+        for i in range(60)
+    ]
+    twins = [
+        (i + 1000, [x + (0.01 if j == 0 else 0.0) for j, x in enumerate(v)])
+        for i, v in rows
+        if i % 10 == 0
+    ]
+    df = spark.createDataFrame(
+        rows + twins, "vec_id long, embedding array<double>"
+    )
+    return df, rows + twins
+
+
+def _py_reference(rows, assign, tau):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return d / (na * nb)
+
+    by_id = dict(rows)
+    out = {}
+    for i, v in rows:
+        dup = any(
+            assign[j] == assign[i]
+            and j < i
+            and (c := cos(by_id[j], v)) is not None
+            and c >= tau
+            for j, _ in rows
+        )
+        out[i] = not dup
+    return out
+
+
+def test_matches_python_reference_and_drops_only_twins(spark, clustered):
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=4, iters=2)
+    flags = semdedup_flags(df, cents, tau=0.95)
+    got = {r.vec_id: (r.cluster, r.kept) for r in flags.collect()}
+    assign = {i: got[i][0] for i, _ in rows}
+    expect = _py_reference(rows, assign, 0.95)
+    assert {i: k for i, (_, k) in got.items()} == expect
+    # every twin (higher id, same cell, cos~0.99996) drops.  Same-anchor
+    # ORIGINALS also legitimately dedup against each other at this tau
+    # (2.5% noise around one anchor ⇒ cos~0.999 — they ARE semantic dups,
+    # which is the method's point); the reference parity above governs
+    # those, plus the anchor-minimum invariant below.
+    for i, _ in rows:
+        if i >= 1000:
+            assert not got[i][1], i
+    # the lowest-id vector of each anchor family can have no lower-id
+    # cell-mate from its own family: ids 0..3 are one-per-anchor
+    for i in range(4):
+        assert got[i][1], i
+
+
+def test_zero_norm_vectors_are_always_kept(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * DIM), (1, [0.0] * DIM), (2, [0.0] * DIM)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0] * DIM]  # one cell: everything is a cell-mate
+    flags = {r.vec_id: r.kept for r in semdedup_flags(df, cents, 0.5).collect()}
+    # cosine against a zero-norm vector is NULL -> never >= tau
+    assert flags == {0: True, 1: True, 2: True}
+
+
+def test_pair_search_is_equi_join_no_cartesian(spark, clustered):
+    df, _ = clustered
+    cents = kmeans_fit_quantized(df, k=4, iters=2)
+    plan = (
+        semdedup_flags(df, cents, 0.95)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_registry_row_drops_exactly_the_planted_twins(spark):
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        SEMDEDUP_PLANT_EVERY,
+        SEMDEDUP_TWIN_OFFSET,
+    )
+
+    rows = QUERIES["emb_semdedup_keepers"].spark(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    dropped = {r.vec_id for r in rows if not r.kept}
+    planted = {
+        r.vec_id
+        for r in rows
+        if r.vec_id >= SEMDEDUP_TWIN_OFFSET
+    }
+    assert planted and dropped == planted
+    assert all(
+        v - SEMDEDUP_TWIN_OFFSET == 0 or (v - SEMDEDUP_TWIN_OFFSET) % SEMDEDUP_PLANT_EVERY == 0
+        for v in planted
+    )
