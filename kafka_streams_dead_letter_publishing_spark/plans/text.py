@@ -1480,6 +1480,58 @@ def docs_bpe_token_counts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_NGRAM_K = 8
+
+
+@query(
+    "docs_dup_ngram_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, md5(g) AS fp FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_DUP_NGRAM_K}
+                          THEN [array_to_string(t[i:i+{_DUP_NGRAM_K - 1}], ' ')
+                                FOR i IN generate_series(
+                                    1, len(t) - {_DUP_NGRAM_K - 1})]
+                          ELSE [] END) AS g
+            FROM toks)),
+    counts AS (SELECT fp, COUNT(*) AS n_occ FROM grams GROUP BY fp),
+    per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM grams g JOIN counts c USING (fp) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+    doc="[EXT] Exact-substring duplication signal at k-gram granularity "
+    "(operators/substrings.py; Lee et al. 2021 'Deduplicating Training "
+    "Data Makes LMs Better' — the ExactSubstr redundancy their suffix "
+    f"array measures, approximated with k={_DUP_NGRAM_K}-token windows "
+    "WITH multiplicity and positions): per doc, the window count and how "
+    "many windows hold a gram occurring more than once corpus-wide.  "
+    "Line-dedup scale posture applied to token windows: fixed-width md5 "
+    "fps through the shuffles, partial-agg occurrence counts (a "
+    "boilerplate gram collapses map-side, never a window), "
+    "AQE-splittable count join-back, partial-agg per-doc rollup.  The "
+    "fixture's natural cross-doc repetition (~9% of positions) is the "
+    "ground truth — no planting needed.",
+    tags=("text", "dedup", "substrings"),
+)
+def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.substrings import (
+        dup_ngram_stats,
+    )
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    staged = docs.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+    return dup_ngram_stats(staged, _DUP_NGRAM_K)
+
+
 # ── benchmark decontamination ────────────────────────────────────────────
 
 
