@@ -279,6 +279,16 @@ def train_bpe_merges(
         for w in _norm_py(t).split(" "):
             if w:
                 words[w] += 1
+    return train_bpe_on_counts(words, n_merges)
+
+
+def train_bpe_on_counts(
+    words: dict, n_merges: int
+) -> list[tuple[str, str]]:
+    """The training loop over a (word -> count) histogram — what BPE
+    training ACTUALLY consumes (subword-NMT lineage trains on the word
+    vocabulary, never the raw corpus).  Split out so the distributed
+    trainer can feed it a Spark-aggregated histogram."""
     vocab = {w: list(w) for w in words}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -437,3 +447,48 @@ def bpe_counter(
     if engine == "arrow":
         return bpe_token_count_arrow(text, merges)
     raise ValueError(f"unknown bpe engine {engine!r}")
+
+
+# ── distributed training (Spark histogram → driver loop) ─────────────────
+
+
+def word_histogram(
+    docs, text_col: str = "text", min_count: int = 1, max_vocab: int | None = None
+):
+    """(word, n) DataFrame: the corpus word-count histogram BPE training
+    consumes — one explode + partial-agg hash aggregate over the corpus
+    (a hot word collapses map-side).  ``min_count`` floors and
+    ``max_vocab`` caps (by (n desc, word) — deterministic) what a caller
+    will collect: the driver traffic bound.  The corpus never leaves the
+    cluster; only the bounded vocabulary does, which is exactly the
+    subword-NMT design (training reads the word vocabulary, not text)."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    hist = (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+    if max_vocab is not None:
+        hist = hist.orderBy(F.desc("n"), F.asc("word")).limit(int(max_vocab))
+    return hist
+
+
+def train_bpe_distributed(
+    docs,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> list[tuple[str, str]]:
+    """BPE training with the corpus-scale part distributed: Spark
+    aggregates the word histogram (TakeOrdered cap ⇒ bounded collect),
+    the driver runs the classic merge loop on it
+    (:func:`train_bpe_on_counts`).  With min_count=1 and no cap this is
+    EXACTLY ``train_bpe_merges`` over the same corpus (test-pinned) —
+    the collected histogram is metadata-sized (unique words after the
+    floor), never the corpus."""
+    hist = word_histogram(docs, text_col, min_count, max_vocab)
+    words = {r.word: r.n for r in hist.collect()}
+    return train_bpe_on_counts(words, n_merges)

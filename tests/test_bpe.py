@@ -266,3 +266,33 @@ def test_counter_auto_rule_and_nonnested_fallback(spark):
 
     with pytest.raises(ValueError, match="unknown bpe engine"):
         bpe_counter(F.col("t"), DEFAULT_MERGES, engine="nope")
+
+
+def test_distributed_trainer_equals_sequential_on_fixture(spark):
+    """train_bpe_distributed (Spark word histogram + driver loop) must
+    reproduce train_bpe_merges on the same corpus verbatim — i.e. the
+    pinned TRAINED_MERGES_FULL — and its histogram plan must be a
+    partial-agg aggregate (the corpus never reaches the driver)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        TRAINED_MERGES_FULL,
+        train_bpe_distributed,
+        word_histogram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = train_bpe_distributed(docs, 256)
+    assert tuple(got) == TRAINED_MERGES_FULL
+
+    plan = (
+        word_histogram(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+    # the driver-traffic knobs: floor + cap bound the collected vocab
+    capped = word_histogram(docs, min_count=2, max_vocab=5).collect()
+    assert len(capped) == 5
+    assert all(r.n >= 2 for r in capped)
