@@ -74,3 +74,74 @@ def dup_ngram_stats(
             .alias("n_dup_grams"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """The Lee-et-al dedup ACTION at k-gram granularity: every token
+    position covered by a duplicated window that is NOT the gram's
+    corpus-wide first occurrence (lowest (doc, pos)) is removed, and the
+    document is rebuilt from the surviving tokens.  Exactly one copy of
+    every shared span survives, at its first occurrence — the line-dedup
+    contract applied to token windows.
+
+    Returns (id, n_tokens, n_removed, new_text) per input document.
+
+    Plan shape: winners + occurrence counts come from ONE
+    ``groupBy(fp).agg(min(struct(doc,pos)), count)`` partial-agg hash
+    aggregate (never a window); the join-back is AQE-skew-splittable; the
+    per-doc coverage union is array arithmetic inside a per-doc
+    aggregate, bounded by document length."""
+    grams = docs.select(
+        id_col, F.posexplode(ngrams(F.col(toks_col), k)).alias("pos0", "gram")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),  # 1-based token position
+        F.md5("gram").alias("fp"),
+    )
+    winners = grams.groupBy("fp").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("_w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup_windows = (
+        grams.join(winners, "fp")
+        .filter(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col(id_col) == F.col("_w.i"))
+                & (F.col("pos") == F.col("_w.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    coverage = dup_windows.groupBy(id_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+                )
+            )
+        ).alias("_cov")
+    )
+    toks = F.col(toks_col)
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks, lambda x, i: ~F.array_contains(cov, (i + 1).cast("int"))
+    )
+    return (
+        docs.join(coverage, id_col, "left")
+        .select(
+            id_col,
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.coalesce(F.col("_cov"), F.array().cast("array<int>")))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(" ", kept).alias("new_text"),
+        )
+    )

@@ -1532,6 +1532,71 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(staged, _DUP_NGRAM_K)
 
 
+@query(
+    "docs_dup_span_removal",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, r.u AS pos, r.fp FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(u := i,
+                           fp := md5(array_to_string(
+                                     t[i:i+{_DUP_NGRAM_K - 1}], ' ')))
+                           FOR i IN generate_series(
+                               1, len(t) - {_DUP_NGRAM_K - 1})]) AS r
+            FROM toks WHERE len(t) >= {_DUP_NGRAM_K})),
+    winners AS (
+        SELECT fp, MIN(struct_pack(i := doc_id, p := pos)) AS w,
+               COUNT(*) AS n_occ
+        FROM grams GROUP BY fp),
+    dupw AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN winners x USING (fp)
+        WHERE x.n_occ > 1 AND NOT (g.doc_id = x.w.i AND g.pos = x.w.p)),
+    covp AS (
+        SELECT DISTINCT doc_id, u FROM (
+            SELECT doc_id,
+                   unnest([pos + j
+                           FOR j IN generate_series(0, {_DUP_NGRAM_K - 1})])
+                       AS u
+            FROM dupw)),
+    cov AS (SELECT doc_id, list(u ORDER BY u) AS c FROM covp GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.c), 0) AS BIGINT) AS n_removed,
+           -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+           -- (Spark's concat_ws is ''), so an all-removed doc needs the
+           -- explicit empty-string floor to hash identically
+           md5(COALESCE(array_to_string(
+               [d.t[i] FOR i IN generate_series(1, len(d.t))
+                IF NOT list_contains(COALESCE(c.c, []), i)], ' '), ''))
+               AS new_fp
+    FROM toks d LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="[EXT] Exact-substring dedup ACTION (operators/substrings.py "
+    "remove_dup_spans; the Lee et al. 2021 removal step): every token "
+    "position covered by a duplicated k-gram window that is not the "
+    "gram's corpus-wide first occurrence (lowest (doc,pos) — one "
+    "partial-agg groupBy(fp).agg(min(struct),count), never a window) is "
+    "removed; docs rebuilt from surviving tokens, exactly one copy of "
+    "every shared span surviving at its first occurrence.  new_fp pins "
+    "the rebuilt text byte-for-byte.  Per-doc coverage union is array "
+    "arithmetic inside a doc-bounded aggregate.",
+    tags=("text", "dedup", "substrings"),
+)
+def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.substrings import (
+        remove_dup_spans,
+    )
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    staged = docs.select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
+    out = remove_dup_spans(staged, _DUP_NGRAM_K)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("new_text").alias("new_fp")
+    )
+
+
 # ── benchmark decontamination ────────────────────────────────────────────
 
 
