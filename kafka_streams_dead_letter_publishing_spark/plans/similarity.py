@@ -767,7 +767,7 @@ def _semdedup_sql() -> str:
     "ground truth: exactly the twins drop, nothing natural does (max "
     "natural pair cos 0.513, measured).  Oracle replays fit + "
     "assignment + pair search bit-for-bit.",
-    tags=("similarity", "dedup", "semdedup"),
+    tags=("similarity", "dedup", "semdedup", "bench"),
 )
 def emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (

@@ -1518,7 +1518,7 @@ _DUP_NGRAM_K = 8
     "AQE-splittable count join-back, partial-agg per-doc rollup.  The "
     "fixture's natural cross-doc repetition (~9% of positions) is the "
     "ground truth — no planting needed.",
-    tags=("text", "dedup", "substrings"),
+    tags=("text", "dedup", "substrings", "bench"),
 )
 def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.substrings import (
