@@ -640,3 +640,81 @@ def test_grouped_budget_fuzz_matches_python_oracle(spark, case):
         ).collect()
     }
     assert got == _py_grouped_reference(rows, budgets), (rows, budgets)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_substring_family_matches_python_reference(spark, docs, k):
+    """dup_ngram_stats and remove_dup_spans on ARBITRARY small corpora
+    (tiny alphabet forces heavy gram collisions, incl. within-doc
+    repeats) must match a direct Python reference: counts, removal
+    positions, and the rebuilt text."""
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        norm_text,
+        tokens,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.substrings import (
+        dup_ngram_stats,
+        remove_dup_spans,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # Python reference — tokenize exactly like the engine: split(' ') of
+    # the joined text, so an EMPTY doc holds one empty-string token
+    # (the engine-wide tokens()/_TOKS_SQL semantics, same on both engines)
+    ref_toks = [text.split(" ") for _, text in rows]
+    grams = [
+        (i, pos + 1, tuple(toks[pos : pos + k]))
+        for i, toks in enumerate(ref_toks)
+        for pos in range(len(toks) - k + 1)
+    ]
+    from collections import Counter
+
+    occ = Counter(g for _, _, g in grams)
+    first = {}
+    for i, pos, g in sorted(grams):
+        first.setdefault(g, (i, pos))
+    exp_stats = {
+        i: (
+            sum(1 for d, _, _ in grams if d == i),
+            sum(1 for d, _, g in grams if d == i and occ[g] > 1),
+        )
+        for i in range(len(docs))
+    }
+    removed = {i: set() for i in range(len(docs))}
+    for i, pos, g in grams:
+        if occ[g] > 1 and first[g] != (i, pos):
+            removed[i].update(range(pos, pos + k))
+    exp_removal = {
+        i: (
+            len(ref_toks[i]),
+            len(removed[i]),
+            " ".join(
+                t
+                for j, t in enumerate(ref_toks[i], start=1)
+                if j not in removed[i]
+            ),
+        )
+        for i in range(len(docs))
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = df.select("doc_id", tokens(norm_text(F.col("text"))).alias("toks"))
+    got_stats = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in dup_ngram_stats(staged, k).collect()
+    }
+    got_removal = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.new_text)
+        for r in remove_dup_spans(staged, k).collect()
+    }
+    assert got_stats == exp_stats, (docs, k)
+    assert got_removal == exp_removal, (docs, k)
