@@ -68,6 +68,9 @@ MIN_COS = 0.9
 #: spend its whole budget demonstrating a slope two points already show
 FIXED_DEPTH_MAX_FACTOR = 4
 
+#: SemDeDup scale contract: k grows so cells stay ~this many rows
+SEMDEDUP_TARGET_CELL = 250
+
 
 def _timed(fn, runs: int = 2) -> float:
     best = math.inf
@@ -393,6 +396,30 @@ def main() -> None:
             _timed(lambda: _noop(source_cap(docs, cap=BASE_DOCS // 40))),
         )
 
+        # ── r9 substring family: expected ~linear (explode + partial-agg
+        # count + skew-splittable join-back; the gram blow-up is the
+        # method's honest k-independent row-count price) ────────────────
+        from kafka_streams_dead_letter_publishing_spark.operators.substrings import (
+            dup_ngram_stats,
+            remove_dup_spans,
+        )
+
+        tok_staged = docs.select(
+            "doc_id", tokens(norm_text(F.col("text"))).alias("toks")
+        ).persist()
+        tok_staged.count()
+        record(
+            "dup_ngram_stats",
+            n_docs,
+            _timed(lambda: _noop(dup_ngram_stats(tok_staged, 8))),
+        )
+        record(
+            "dup_span_removal",
+            n_docs,
+            _timed(lambda: _noop(remove_dup_spans(tok_staged, 8))),
+        )
+        tok_staged.unpersist()
+
         nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
         nd_idx = nd_idx._replace(
             bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
@@ -496,6 +523,43 @@ def main() -> None:
             cents_box["c"] = cents
 
         record("ivf_build", n_vecs, _timed(run_ivf_build, runs=1))
+
+        # ── r9 SemDeDup: the within-cell pairwise is (N/k)² per cell, so
+        # FIXED k is expected ~quadratic (probed only at small factors,
+        # like fixed-depth LSH) and the scale contract is k ∝ N — cells
+        # stay ~SEMDEDUP_TARGET_CELL rows and cost stays ~linear.  The
+        # quantizer fit itself rides the ivf_build row above.
+        from kafka_streams_dead_letter_publishing_spark.operators.semdedup import (
+            semdedup_flags,
+        )
+
+        clean_emb = emb.filter(indexable(F.col("embedding"), 64))
+        if f <= FIXED_DEPTH_MAX_FACTOR:
+            cents_fixed = kmeans_fit_quantized(
+                clean_emb.filter(F.col("vec_id") % 4 == 0), k=8, iters=2
+            )
+            record(
+                "semdedup_fixed_k",
+                n_vecs,
+                _timed(lambda: _noop(semdedup_flags(clean_emb, cents_fixed, 0.9))),
+                k=8,
+            )
+        else:
+            print(json.dumps({
+                "op": "semdedup_fixed_k", "n": n_vecs,
+                "skipped": "fixed-k cells grow with N -> ~quadratic pair "
+                f"search; factor {f} omitted by design",
+            }))
+        k_scaled = max(8, n_vecs // SEMDEDUP_TARGET_CELL)
+        cents_scaled = kmeans_fit_quantized(
+            clean_emb.filter(F.col("vec_id") % 4 == 0), k=k_scaled, iters=2
+        )
+        record(
+            "semdedup_scaled_k",
+            n_vecs,
+            _timed(lambda: _noop(semdedup_flags(clean_emb, cents_scaled, 0.9))),
+            k=k_scaled,
+        )
 
         queries = [
             [float(x) for x in r.embedding]
