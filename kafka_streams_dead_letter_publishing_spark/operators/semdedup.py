@@ -45,27 +45,43 @@ from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
 
 def semdedup_flags(
     emb_df: DataFrame,
-    centroids: list[list[int]],
+    centroids: list[list[int]] | None,
     tau: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """(id, cluster, kept) for every row of *emb_df*: assign each vector
     to its coarse cell against the FROZEN microunit *centroids*, then keep
     a vector iff no lower-id cell-mate has cosine ≥ *tau*.
+
+    ``cluster_col`` names a PRE-ASSIGNED cell column instead (pass
+    ``centroids=None``) — the production path when a persisted IVF index
+    already carries (id, embedding, cluster): flat routing costs O(N·k)
+    argmin folds (a narrow map — embarrassingly parallel, but compute
+    that the index build already paid; measured curves in SCALE.md), so
+    SemDeDup over the index reuses that assignment for free and pays only
+    the cell-scoped pair search.
 
     The caller guarantees rows satisfy the indexable contract (exactly
     dim finite components — same precondition as every IVF path).  Zero-
     norm vectors have NULL cosine against everything (the engine-wide
     ``cosine`` contract) and are therefore always kept.
     """
-    assigned = emb_df.select(
-        id_col,
-        emb_col,
-        nearest_cluster_quantized(
-            centroids, quantize_embedding(F.col(emb_col))
-        ).alias("cluster"),
-    )
+    if (centroids is None) == (cluster_col is None):
+        raise ValueError("pass exactly one of centroids / cluster_col")
+    if cluster_col is not None:
+        assigned = emb_df.select(
+            id_col, emb_col, F.col(cluster_col).alias("cluster")
+        )
+    else:
+        assigned = emb_df.select(
+            id_col,
+            emb_col,
+            nearest_cluster_quantized(
+                centroids, quantize_embedding(F.col(emb_col))
+            ).alias("cluster"),
+        )
     left = assigned.select(
         F.col(id_col).alias("_aid"),
         F.col("cluster").alias("_ac"),

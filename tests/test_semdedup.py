@@ -135,3 +135,43 @@ def test_registry_row_drops_exactly_the_planted_twins(spark):
         v - SEMDEDUP_TWIN_OFFSET == 0 or (v - SEMDEDUP_TWIN_OFFSET) % SEMDEDUP_PLANT_EVERY == 0
         for v in planted
     )
+
+
+def test_preassigned_cluster_col_equals_inline_assignment(spark, clustered):
+    """The production path: SemDeDup over a persisted IVF index reuses its
+    cluster column — results must equal inline assignment with the same
+    frozen centroids, row for row; passing both/neither routing source is
+    an error."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        nearest_cluster_quantized,
+        quantize_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    df, _ = clustered
+    cents = kmeans_fit_quantized(df, k=4, iters=2)
+    preassigned = df.select(
+        "vec_id",
+        "embedding",
+        nearest_cluster_quantized(
+            cents, quantize_embedding(F.col("embedding"))
+        ).alias("cell"),
+    )
+    inline = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup_flags(df, cents, 0.95).collect()
+    }
+    reused = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup_flags(
+            preassigned, None, 0.95, cluster_col="cell"
+        ).collect()
+    }
+    assert inline == reused
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        semdedup_flags(preassigned, cents, 0.95, cluster_col="cell")
+    with _pytest.raises(ValueError, match="exactly one"):
+        semdedup_flags(df, None, 0.95)
