@@ -26,6 +26,10 @@ PROBE_OPS = (
     "dsir_sample",
     "vocab_ids",
     "source_cap",
+    "dup_ngram_stats",
+    "dup_span_removal",
+    "semdedup_fixed_k",
+    "semdedup_scaled_k",
     "ann_pairs_fixed4",
     "ann_pairs_scaled",
     "ann_ingest_filter",
