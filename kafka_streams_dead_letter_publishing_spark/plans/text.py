@@ -2169,3 +2169,111 @@ def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return epoch_order(items, 0).unionByName(epoch_order(items, 1))
+
+
+# ── Bloom-filter dedup gate ──────────────────────────────────────────────
+
+from kafka_streams_dead_letter_publishing_spark.operators.bloom import (  # noqa: E402
+    bloom_build,
+    bloom_maybe_contains,
+)
+
+#: gate sizing: 2^17 bits / 5 hashes keeps the registry result saturation-
+#: free at sf0.1 (load ~19% -> FP ~2.5e-4); the FP path itself is pinned
+#: with a deliberately tiny filter in tests/test_bloom.py.
+_BLOOM_M = 1 << 17
+_BLOOM_K = 5
+
+_BLOOM_SQL = f"""
+WITH seen AS (
+    SELECT DISTINCT {_FP_SQL} AS fp FROM documents
+),
+probe AS (
+    SELECT DISTINCT fp FROM (
+        SELECT md5(regexp_replace(lower(replace(upper(text), ' ', '  ')),
+                                  '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT md5(regexp_replace(lower(substring(text, instr(text, ' ') + 1)),
+                                  '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 4 = 1
+    )
+),
+seen_pos AS (
+    SELECT ('0x' || substr(md5(fp || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % {_BLOOM_M} AS pos
+    FROM seen CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS j)
+),
+words AS (
+    SELECT pos // 63 AS word_idx, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+    FROM seen_pos GROUP BY 1
+),
+probe_pos AS (
+    SELECT fp,
+           ('0x' || substr(md5(fp || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % {_BLOOM_M} AS pos
+    FROM probe CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS j)
+),
+flags AS (
+    SELECT p.fp,
+           bool_and(w.word IS NOT NULL
+                    AND (w.word & (1::BIGINT << CAST(p.pos % 63 AS INT))) != 0)
+               AS maybe_seen
+    FROM probe_pos p LEFT JOIN words w ON p.pos // 63 = w.word_idx
+    GROUP BY p.fp
+)
+SELECT f.maybe_seen,
+       (s.fp IS NOT NULL) AS is_dup,
+       COUNT(*) AS n_keys
+FROM flags f LEFT JOIN seen s ON f.fp = s.fp
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "docs_bloom_dedup_gate",
+    _BLOOM_SQL,
+    doc="[EXT] Bloom-filter membership gate for incremental dedup "
+    "(operators/bloom.py): build a 2^17-bit / 5-hash filter over the raw "
+    "corpus' fingerprints, probe a derived 'next batch' (formatting-noise "
+    "true dups ∪ first-token-dropped genuinely-new docs), and report the "
+    "(maybe_seen, is_dup) confusion counts against the exact answer.  No "
+    "false negatives by construction — the (false, true) cell is provably "
+    "empty; false positives are deterministic given the md5 positions, so "
+    "the oracle replays the whole build bit-for-bit.  Scale posture: the "
+    "filter is <= m/63 words via map-side bit_or (per-partition-bounded "
+    "shuffle regardless of key skew); probe is k rows/key against the "
+    "metadata-sized words table — the 100 TB gate shape is 'Bloom drops "
+    "certain-new keys, the exact fp store confirms only maybe-dups'.",
+    tags=("text", "dedup", "bloom", "sketch"),
+)
+def docs_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    probe = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            fingerprint(
+                F.replace(F.upper("text"), F.lit(" "), F.lit("  "))
+            ).alias("fp")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                fingerprint(
+                    F.expr("substring(text, instr(text, ' ') + 1)")
+                ).alias("fp")
+            )
+        )
+        .distinct()
+    )
+    words = bloom_build(seen, "fp", n_hashes=_BLOOM_K, m_bits=_BLOOM_M)
+    flags = bloom_maybe_contains(
+        probe, "fp", words, n_hashes=_BLOOM_K, m_bits=_BLOOM_M
+    )
+    truth = seen.withColumn("is_dup", F.lit(True))
+    return (
+        flags.join(truth, "fp", "left")
+        .select("maybe_seen", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        .groupBy("maybe_seen", "is_dup")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
