@@ -1102,3 +1102,71 @@ def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("max_z"),
         )
     )
+
+
+# ── count-min sketch heavy hitters ───────────────────────────────────────
+
+_CMS_W = 512
+_CMS_D = 4
+
+_CMS_SQL = f"""
+WITH cells AS (
+    SELECT user_id,
+           j,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                               || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % {_CMS_W} AS col
+    FROM events CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+),
+sketch AS (
+    SELECT j, col, COUNT(*) AS cnt FROM cells GROUP BY j, col
+),
+est AS (
+    SELECT c.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+    FROM (SELECT DISTINCT user_id, j, col FROM cells) c
+    LEFT JOIN sketch s ON c.j = s.j AND c.col = s.col
+    GROUP BY c.user_id
+),
+truth AS (
+    SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.est_count, t.true_count
+FROM est e JOIN truth t ON e.user_id = t.user_id
+ORDER BY e.est_count DESC, e.user_id
+LIMIT 10
+"""
+
+
+@query(
+    "events_cms_heavy_hitters",
+    _CMS_SQL,
+    doc="[EXT] Count-min-sketch heavy hitters (operators/cms.py): a 4x512 "
+    "integer sketch over the event stream's user ids, probed for every "
+    "distinct user; top-10 by estimate with the exact count alongside — "
+    "the overestimate-only guarantee (est >= true, est <= true + eps*N) "
+    "is visible in the pinned result.  Unlike HLL, the sketch is a pure "
+    "integer function of the multiset given the md5 cell hashes, so the "
+    "oracle replays it bit-for-bit and the row is hash-green.  Scale "
+    "posture: build is map-side-combinable groupBy(j,col) — the shuffle "
+    "carries <= d*w pre-summed cells per partition regardless of key "
+    "skew; the sketch table is metadata-sized and mergeable (cms_merge) "
+    "for incremental streams; the exact `truth` pass exists only to "
+    "exhibit the error bound (production uses the sketch precisely to "
+    "skip it).  Top-10 via TakeOrderedAndProject (no global window).",
+    tags=("events", "sketch", "heavy-hitters"),
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(events, "user_id", depth=_CMS_D, width=_CMS_W)
+    est = cms_estimate(events, "user_id", sketch, depth=_CMS_D, width=_CMS_W)
+    truth = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(truth, "user_id")
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
+    )

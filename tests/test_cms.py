@@ -1,0 +1,96 @@
+"""Count-min sketch (operators/cms.py).
+
+Pins the contracts the heavy-hitter query rests on: the one-sided error
+guarantee (estimate >= true count, always), exactness when the sketch is
+wide enough that no cells collide, associative merge, hash parity with a
+pure-Python md5 reference (so the DuckDB oracle's bit-for-bit replay is
+guaranteed by construction), and the partial-agg build plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    _cells,
+)
+
+
+def _py_cell(key: str, row: int, width: int) -> int:
+    return int(hashlib.md5(f"{key}#{row}".encode()).hexdigest()[:15], 16) % width
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def _est_map(spark, keys, depth, width):
+    df = _keys_df(spark, keys)
+    sketch = cms_build(df, "k", depth=depth, width=width)
+    est = cms_estimate(df, "k", sketch, depth=depth, width=width)
+    return {r["k"]: r["est_count"] for r in est.collect()}
+
+
+def test_cells_match_python_reference(spark):
+    keys = [f"key-{i}" for i in range(20)]
+    got = {
+        (r["k"], r["j"], r["col"])
+        for r in _cells(_keys_df(spark, keys), "k", 4, 509).collect()
+    }
+    want = {(k, j, _py_cell(k, j, 509)) for k in keys for j in range(1, 5)}
+    assert got == want
+
+
+def test_never_underestimates_and_exact_when_wide(spark):
+    # Zipf-ish multiset: key-0 appears 64 times, key-1 32, ...
+    keys = [f"key-{i}" for i in range(8) for _ in range(64 >> i)]
+    truth = Counter(keys)
+    # narrow sketch (collisions likely): overestimate-only
+    for k, est in _est_map(spark, keys, depth=3, width=16).items():
+        assert est >= truth[k], (k, est, truth[k])
+    # wide sketch: with 8 distinct keys in 4x4096 cells, any collision in
+    # ALL 4 rows is md5-deterministic; verify exactness via the Python ref
+    cells = {
+        j: Counter(_py_cell(k, j, 4096) for k in truth) for j in range(1, 5)
+    }
+    collision_free = all(
+        max(cells[j][_py_cell(k, j, 4096)] for k in truth) >= 1 for j in cells
+    )
+    assert collision_free
+    wide = _est_map(spark, keys, depth=4, width=4096)
+    for k, n in truth.items():
+        # exact unless some OTHER key shares this key's cell in every row
+        colliders = [
+            any(
+                _py_cell(o, j, 4096) == _py_cell(k, j, 4096)
+                for o in truth
+                if o != k
+            )
+            for j in range(1, 5)
+        ]
+        if not all(colliders):
+            assert wide[k] == n, (k, wide[k], n)
+
+
+def test_merge_equals_joint_build(spark):
+    a = _keys_df(spark, [f"a-{i % 7}" for i in range(40)])
+    b = _keys_df(spark, [f"b-{i % 5}" for i in range(40)])
+    joint = cms_build(a.unionByName(b), "k", depth=3, width=64)
+    merged = cms_merge(
+        cms_build(a, "k", depth=3, width=64),
+        cms_build(b, "k", depth=3, width=64),
+    )
+    assert {tuple(r) for r in joint.collect()} == {tuple(r) for r in merged.collect()}
+
+
+def test_build_is_partial_agg_no_window(spark):
+    # the build must partial-aggregate (map-side partial_count) — the
+    # shuffle carrying <= d*w pre-summed cells per partition is the point
+    sketch = cms_build(_keys_df(spark, ["x", "y", "x"]), "k")
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
