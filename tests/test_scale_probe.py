@@ -25,6 +25,7 @@ PROBE_OPS = (
     "decontaminate",
     "dsir_sample",
     "vocab_ids",
+    "perplexity_buckets",
     "source_cap",
     "dup_ngram_stats",
     "dup_span_removal",

@@ -390,6 +390,22 @@ def main() -> None:
             n_docs,
             _timed(lambda: _noop(vocab_ids(docs))),
         )
+        from kafka_streams_dead_letter_publishing_spark.operators.perplexity import (
+            perplexity_buckets,
+        )
+
+        # expected ~linear: LM fit is partial-agg + driver-bounded
+        # TakeOrdered; scoring is two broadcast joins + per-doc sum
+        # (includes the one metadata-scalar driver read per call)
+        record(
+            "perplexity_buckets",
+            n_docs,
+            _timed(
+                lambda: _noop(
+                    perplexity_buckets(docs, F.col("doc_id") % 5 == 0)
+                )
+            ),
+        )
         record(
             "source_cap",
             n_docs,
