@@ -213,6 +213,22 @@ def bpe_token_count(
     return (n_all - n_space).cast("long")
 
 
+def bpe_tokens_arr(
+    text: Column, merges: Sequence[tuple[str, str]] | None = None
+) -> Column:
+    """The BPE token ARRAY (spaces included as their own tokens) — the
+    marked segmentation with the outer markers trimmed, split on the
+    ``␟␟`` inter-token boundary.  NULL text or text that normalizes to
+    nothing yields an empty array.  This is the id-delivery entry point:
+    downstream maps terms to vocabulary ids and reassembles ``input_ids``
+    sequences."""
+    m = bpe_marked(text, merges)
+    inner = F.substring(m, 2, F.length(m) - F.lit(2))
+    return F.when(F.length(m) >= 2, F.split(inner, _US + _US)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 # ── DuckDB oracle twins (same marked-string construction, verbatim) ──────
 
 _NORM_SQL_TPL = "regexp_replace(lower({expr}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"

@@ -2367,3 +2367,100 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_positions").cast("long").alias("sum_positions"),
         F.sum("score").cast("long").alias("sum_score"),
     )
+
+
+# ── BPE token-id delivery ────────────────────────────────────────────────
+
+
+@query(
+    "docs_bpe_token_ids",
+    f"""
+    WITH seg AS (SELECT doc_id, {bpe_marked_sql('text')} AS m FROM documents),
+    toks AS (
+        SELECT doc_id,
+               CASE WHEN len(m) >= 2
+                    THEN string_split(m[2:len(m)-1], chr(31) || chr(31))
+                    ELSE [] END AS t
+        FROM seg),
+    stream AS (
+        SELECT doc_id, i AS pos, t[i] AS term
+        FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+    vocab AS (
+        SELECT term,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term)
+                   AS BIGINT) AS token_id
+        FROM stream GROUP BY term),
+    ids AS (
+        SELECT s.doc_id, s.pos, v.token_id
+        FROM stream s JOIN vocab v ON s.term = v.term)
+    SELECT d.doc_id,
+           CAST(COALESCE(i.n_ids, 0) AS BIGINT) AS n_ids,
+           md5(COALESCE(i.ids_csv, '')) AS ids_fp
+    FROM toks d
+    LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_ids,
+               string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos)
+                   AS ids_csv
+        FROM ids GROUP BY doc_id) i
+        ON d.doc_id = i.doc_id
+    """,
+    doc="[EXT] BPE token-ID delivery (functions/bpe.py bpe_tokens_arr + "
+    "operators/vocab.py assign_ids): the step that turns the counting "
+    "family into actual input_ids — segment every doc with the pinned "
+    "16-merge expression chain (JVM-side, zero UDFs), posexplode the "
+    "token array, assign contiguous corpus-frequency vocabulary ids "
+    "(band-parallel prefix COUNT, no SinglePartition window), broadcast-"
+    "join ids onto the position stream, and reassemble each doc's id "
+    "sequence in position order.  The row pins (doc_id, n_ids, "
+    "md5(comma-joined ids)) — the full id SEQUENCE byte-for-byte, not "
+    "just lengths.  Scale shape: the one shuffle keyed by doc_id is the "
+    "honest price of sequence reassembly (unique keys, no skew; "
+    "collect_list partial-aggregates per doc, state bounded by doc "
+    "length); the vocab side is broadcast.  Space tokens keep their own "
+    "ids (they are real tokens of this char-BPE segmentation).",
+    tags=("text", "tokens", "bpe", "vocab"),
+)
+def docs_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        bpe_tokens_arr,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.vocab import (
+        assign_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", bpe_tokens_arr(F.col("text")).alias("t"))
+    stream = toks.select(
+        "doc_id", F.posexplode_outer("t").alias("pos", "term")
+    )
+    vocab = assign_ids(
+        stream.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).select("term", "token_id")
+    return (
+        stream.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("term").cast("long").alias("n_ids"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("term").isNotNull(),
+                                    F.struct(
+                                        F.col("pos").alias("pos"),
+                                        F.col("token_id").alias("token_id"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda x: x["token_id"].cast("string"),
+                    ),
+                )
+            ).alias("ids_fp"),
+        )
+    )

@@ -296,3 +296,37 @@ def test_distributed_trainer_equals_sequential_on_fixture(spark):
     capped = word_histogram(docs, min_count=2, max_vocab=5).collect()
     assert len(capped) == 5
     assert all(r.n >= 2 for r in capped)
+
+
+def test_tokens_arr_matches_python_and_counter(spark):
+    """bpe_tokens_arr (the id-delivery token ARRAY, spaces kept as their
+    own tokens) must equal the Python marked-string split, degrade to []
+    on empty/None, and its non-space length must equal bpe_token_count."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        bpe_tokens_arr,
+    )
+
+    texts = [
+        "The theme of the thing",
+        "aaaa aaaaa a",
+        "",
+        "   ",
+        None,
+        "mixed\tthe\nwhitespace\x0bthe",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        F.col("t"),
+        bpe_tokens_arr(F.col("t"), MERGES).alias("arr"),
+        bpe_token_count(F.col("t"), MERGES).alias("n"),
+    ).collect()
+    for r in rows:
+        m = _marked_py(r.t or "", MERGES)
+        expect = m[1:-1].split("\x1f\x1f") if len(m) >= 2 else []
+        assert r.arr == expect, (r.t, r.arr, expect)
+        # counter contract: NULL text counts NULL (not 0) — array is []
+        assert sum(1 for t in r.arr if t != " ") == (r.n or 0), (
+            r.t,
+            r.arr,
+            r.n,
+        )

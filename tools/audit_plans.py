@@ -83,6 +83,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             "docs_source_mixture_sample",
             "docs_global_packing",
             "docs_vocab_ids",
+            "docs_bpe_token_ids",
             "docs_source_capped",
             "docs_epoch_order",
             "docs_pretraining_pipeline",
