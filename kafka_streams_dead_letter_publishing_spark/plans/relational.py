@@ -1170,3 +1170,277 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# ── TPC-H subquery-shape family (r9): the decorrelation battery ──────────
+# The oracle keeps the textbook correlated EXISTS / NOT EXISTS / scalar-
+# subquery SQL; the Spark side is the decorrelated plan a 100 TB engine
+# actually wants — semi/anti hash joins, per-key partial aggregates joined
+# back, and cross-multiplied comparisons instead of divided averages (the
+# division-free trick keeps every comparison in exact DECIMAL arithmetic,
+# so both engines agree bit-for-bit).
+
+
+@query(
+    "q4_late_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 120 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped priority check (adapted: the synthetic lineitem "
+    "has no commit/receipt dates, so 'late' is ships >120 days after "
+    "order placement).  Correlated EXISTS in the oracle; the Spark plan "
+    "is a LEFT SEMI hash join on l_orderkey with the date comparison as "
+    "the join residual — match multiplicity never duplicates the order "
+    "row, and the quarter filter prunes the probe side before the join.",
+    tags=("relational", "join", "semi", "subquery"),
+)
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 120 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM({PRICE}) AS VARCHAR) AS DOUBLE) AS small_qty_revenue
+    FROM lineitem l1, part
+    WHERE p_partkey = l1.l_partkey
+      AND p_brand = 'Brand#4'
+      AND {QTY.replace('l_quantity', 'l1.l_quantity')} * 5 * (
+          SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+      ) < (
+          SELECT SUM({QTY.replace('l_quantity', 'l2.l_quantity')})
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+      )
+    GROUP BY ()
+    """,
+    doc="TPC-H Q17-shaped small-quantity revenue: lines of one brand "
+    "whose quantity is below 20% of that part's corpus-wide average.  "
+    "The oracle carries two correlated scalar subqueries; Spark "
+    "decorrelates to a per-part partial aggregate joined back — and the "
+    "avg comparison is cross-multiplied (qty*5*cnt < sum) so it stays in "
+    "exact DECIMAL with no division.  Scale shape: the brand dimension "
+    "broadcast-prunes lineitem FIRST, so the per-part aggregate runs "
+    "over ~1/25th of the fact table, keyed by l_partkey (unique keys "
+    "after agg, no skew).",
+    tags=("relational", "join", "subquery", "aggregation"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(
+        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
+    ).drop("p_partkey")
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum(F.expr(QTY)).alias("_sq"), F.count(F.lit(1)).alias("_cq")
+    )
+    small = li_b.join(per_part, "l_partkey").filter(
+        F.expr(f"{QTY} * 5 * _cq < _sq")
+    )
+    return small.groupBy().agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.expr(PRICE)).cast(_DBL).alias("small_qty_revenue"),
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST({TOTALPRICE} AS DOUBLE) AS o_totalprice,
+           CAST(CAST(sum_qty AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM customer, orders, (
+        SELECT l_orderkey, SUM({QTY}) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM({QTY}) > 300
+    ) big
+    WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18-shaped large-volume customers: orders whose total "
+    "quantity exceeds 300 (the ~top 0.3%), joined back to orders and "
+    "customer.  The oracle phrases it as IN-over-grouped-HAVING; Spark "
+    "runs the partial-agg groupBy + filter and joins the (tiny, "
+    "selectivity-bounded) qualifying set into the facts — join strategy "
+    "deliberately left to AQE: at toy SF the filtered agg broadcasts, at "
+    "100 TB it may not fit and AQE picks the shuffle join.  Top-100 by "
+    "totalprice with the unique orderkey tie-break.",
+    tags=("relational", "join", "subquery", "aggregation", "bench"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr(QTY)).alias("_sq"))
+        .filter(F.expr(f"_sq > 300"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr(TOTALPRICE).cast(_DBL).alias("o_totalprice"),
+            F.col("_sq").cast(_DBL).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q21_latest_shipper",
+    """
+    WITH pairs AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM pairs p
+    JOIN orders ON o_orderkey = p.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = p.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = p.l_orderkey AND l2.l_suppkey <> p.l_suppkey
+    ) AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = p.l_orderkey AND l3.l_suppkey <> p.l_suppkey
+          AND l3.l_shipdate > p.s_max
+    )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21-shaped blame query (adapted: no receipt/commit dates, "
+    "so the 'supplier who kept the order waiting' is the LAST shipper in "
+    "a multi-supplier finished order; shipdate ties blame every tied "
+    "supplier, matching the oracle's strict NOT EXISTS).  The oracle "
+    "keeps the EXISTS + NOT EXISTS pair over the fact table; the Spark "
+    "plan replaces BOTH correlated self-joins with per-order partial "
+    "aggregates — (order,supplier) max-shipdate pairs, then per-order "
+    "supplier count + global max — so no lineitem-lineitem join ever "
+    "happens: EXISTS-other ⇔ n_supp >= 2, NOT-EXISTS-later ⇔ the "
+    "supplier attains the order max.  Supplier dim broadcasts; the "
+    "orders join stays an AQE-planned equi-join.",
+    tags=("relational", "join", "subquery", "anti", "bench"),
+)
+def q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    ordagg = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"), F.max("s_max").alias("_o_max")
+    )
+    blamed = (
+        pairs.join(ordagg, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("s_max") == F.col("_o_max")))
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    """
+    WITH bal AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+               COUNT(*) AS n
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+               AS DOUBLE) AS totacctbal
+    FROM customer, bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= DATE '1999-06-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22-shaped dormant-capital query (adapted: every synthetic "
+    "customer has SOME order, so 'dormant' means no order since "
+    "1999-06-01; mktsegment stands in for the phone country code).  "
+    "Above-average balance via the global scalar subquery, dormancy via "
+    "NOT EXISTS.  Spark: the 1-row (sum,count) aggregate broadcasts into "
+    "a literal crossJoin, the average test is cross-multiplied "
+    "(bal * n > sum — exact DECIMAL, division-free), and dormancy is a "
+    "LEFT ANTI hash join against the date-pruned orders scan.",
+    tags=("relational", "join", "subquery", "anti"),
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderdate >= DATE '1999-06-01'"))
+        .select("o_custkey")
+    )
+    dormant = cust.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    rich = dormant.crossJoin(F.broadcast(bal)).filter(
+        F.expr("CAST(c_acctbal AS DECIMAL(18,2)) * _n > _s")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast(_DBL).alias(
+            "totacctbal"
+        ),
+    )

@@ -68,6 +68,18 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "events_zorder_cells",
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast 1-row dimension-bounds aggregate",
+    (
+        "q22_dormant_high_balance",
+        "BroadcastNestedLoopJoin",
+    ): "crossJoin against the broadcast 1-row (sum,count) balance "
+    "aggregate — the decorrelated global scalar subquery",
+    (
+        "q17_small_quantity_revenue",
+        "SortMergeJoin",
+    ): "fact joined to ITS OWN per-partkey aggregate — both sides share "
+    "the l_partkey shuffle, so the SMJ is exchange-free (co-partitioned); "
+    "broadcasting the agg would not fit at scale (one row per brand part "
+    "~ |part|/25) and would add an exchange the SMJ avoids",
     # ── Window allowlist (r9): every entry must be bounded-cardinality-
     # per-partition-key BY CONSTRUCTION, not by data luck.  A window that
     # partitions on a data key with unbounded per-key multiplicity (a
