@@ -1,0 +1,244 @@
+"""Exact-integer BM25 ranked retrieval over the documents corpus.
+
+The operator the reference lacks and a training-data pipeline wants for
+query-driven corpus selection (retrieve-then-filter, eval-set curation,
+topic probes).  Classic BM25 is transcendental (ln in the IDF) and
+float-summed — both cross-engine hash-unstable (libm last-bit drift;
+shuffle-order-dependent double addition).  This implementation keeps the
+RANKING function but makes every step exact integer arithmetic, the same
+policy as operators/dsir.py (integer-ratio weights) and
+operators/perplexity.py (floor-log2 via ``bin()``):
+
+* **IDF** — the Lucene-shaped non-negative idf ``log(1 + (N-df+.5)/(df+.5))
+  = log((2N+2)/(2df+1))`` is computed in base 2 with 10 fractional bits by
+  linear mantissa interpolation::
+
+      r    = (num * 1024) DIV den          -- >= 1024 since num >= den
+      e    = length(bin(r)) - 11           -- floor(log2 r) - 10
+      mant = r DIV (1 << e)                -- in [1024, 2048)
+      idf_mb = e*1024 + mant - 1024        -- "millibits", exact BIGINT
+
+  Monotone in num/den (exact rational compare feeding a monotone fixed-
+  point map), identical in Spark SQL and DuckDB (integer DIV + bin()).
+  Using log2 instead of ln is a constant positive factor — rank-neutral.
+
+* **TF normalization** — with the standard k1=1.2, b=0.75 written as
+  rationals (6/5, 3/4), ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+  multiplies out to ``22000*tf / (10000*tf + 3000 + 9*ratio_milli)``
+  where ``ratio_milli = (1000*dl*N) DIV T`` quantizes dl/avgdl to milli
+  units (documented rank-affecting quantization, same contract as DSIR's
+  integer-ratio deviation from log-sum: deterministic and monotone, not
+  bit-identical to float BM25).
+
+* **Score** — each term's contribution ``(idf_mb * 22000 * tf) DIV
+  (10000*tf + 3000 + 9*ratio_milli)`` is one BIGINT; the per-(query,doc)
+  score is a SUM of BIGINTs — order-independent, safe to shuffle.
+
+Scale shape (the 100 TB plan): the query-term table broadcasts into the
+exploded token scan (corpus never shuffles on a token key), tf is a
+partial-agg groupBy keyed by (query, term, doc), document frequencies
+partial-aggregate down to <= |query terms| rows and broadcast back, and
+the final ranking is the repo's two-phase top-k (partition-local window
+on (pid, query_id), global window over the <= P*k survivors).  (N, T)
+corpus stats are one metadata-sized driver row folded in as literals —
+the perplexity module's V-scalar pattern.
+
+Magnitude audit (BIGINT overflow): idf_mb <= ~64*1024; 22000*tf with
+tf <= dl <= ~1e6 gives 2.2e10; product <= 1.5e15 << 2^63.  ratio_milli
+uses 1000*dl*N which at N=1e12 docs and dl=1e6 would overflow — so the
+ratio is computed as 1000*dl DIV avg_dl_int with avg-first rounding when
+T > 2^40 (documented coarser quantization on the giant-corpus path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.functions.text import norm_text, tokens
+
+#: (query_id, terms) probes used by the registry row — drawn from the
+#: synthetic documents' vocabulary so every query matches a real subset.
+DEFAULT_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("spark", "join", "broadcast")),
+    (1, ("window", "agg", "stream")),
+    (2, ("hash", "table", "scan")),
+)
+
+DEFAULT_TOPK = 10
+
+# giant-corpus cutover for the dl/avgdl quantization (see module doc)
+_BIG_T = 1 << 40
+
+
+def _qlog2_mb(num_sql: str, den_sql: str) -> str:
+    """Spark-SQL fragment: quantized log2((num)/(den)) in millibits (10
+    fractional bits, linear mantissa interpolation) for BIGINT-valued
+    fragments with num >= den >= 1.  Exact integer ops only."""
+    r = f"((({num_sql}) * 1024) DIV ({den_sql}))"
+    e = f"(length(bin({r})) - 11)"
+    mant = f"({r} DIV shiftleft(CAST(1 AS BIGINT), {e}))"
+    return f"(({e}) * 1024 + {mant} - 1024)"
+
+
+def _qlog2_mb_duck(num_sql: str, den_sql: str) -> str:
+    """DuckDB spelling of :func:`_qlog2_mb` (// division, << shift)."""
+    r = f"((({num_sql}) * 1024) // ({den_sql}))"
+    e = f"(length(bin({r})) - 11)"
+    mant = f"({r} // (CAST(1 AS BIGINT) << ({e})))"
+    return f"(({e}) * 1024 + {mant} - 1024)"
+
+
+def _contrib_sql(div: str) -> str:
+    """The per-term integer score contribution; ``div`` is the dialect's
+    integer-division operator (``DIV`` or ``//``)."""
+    return (
+        f"((idf_mb * 22000 * tf) {div} "
+        f"(10000 * tf + 3000 + 9 * ratio_milli))"
+    )
+
+
+def query_terms_df(spark, queries: Sequence[tuple[int, Sequence[str]]]) -> DataFrame:
+    rows = [(int(qid), t) for qid, terms in queries for t in terms]
+    return spark.createDataFrame(rows, "query_id bigint, term string")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, Sequence[str]]] = DEFAULT_QUERIES,
+    k_top: int = DEFAULT_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k_top`` documents per query by exact-integer BM25.
+
+    Returns (query_id, doc_id, score_mb, n_terms, rnk) — ``score_mb`` is
+    the millibit-scaled BIGINT score, ``n_terms`` the number of distinct
+    query terms the doc matched, ``rnk`` 1-based with the unique doc-id
+    tie-break.  Documents matching no query term never appear."""
+    spark = docs.sparkSession
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(norm_text(F.col(text_col))).alias("_t"),
+    )
+    lens = toks_df.select("doc_id", F.size("_t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.sum("dl").cast("long").alias("tt"), F.count(F.lit(1)).alias("nn")
+    ).first()
+    total_t, n_docs = stats.tt, stats.nn
+    if not n_docs or not total_t:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, doc_id bigint, score_mb bigint, "
+            "n_terms bigint, rnk int",
+        )
+    if total_t > _BIG_T:
+        # giant-corpus path: avg-first rounding keeps 1000*dl*N in range
+        avg_dl = total_t // n_docs
+        ratio_sql = f"(1000 * dl) DIV {avg_dl}"
+    else:
+        ratio_sql = f"(1000 * dl * {n_docs}) DIV {total_t}"
+
+    qdf = query_terms_df(spark, queries)
+    postings = toks_df.select(
+        "doc_id", F.size("_t").cast("long").alias("dl"), F.explode("_t").alias("term")
+    )
+    tf = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("dfc"))
+        .withColumn(
+            "idf_mb",
+            F.expr(_qlog2_mb(f"{2 * n_docs} + 2", "2 * dfc + 1")).cast("long"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", "idf_mb")), "term")
+        .withColumn("ratio_milli", F.expr(ratio_sql).cast("long"))
+        .withColumn("contrib", F.expr(_contrib_sql("DIV")).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("score_mb"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    # two-phase top-k: local cut per (physical partition, query), exact
+    # rank over the <= P*k survivors (the pq.py serving shape)
+    staged = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "query_id").orderBy(
+        F.desc("score_mb"), F.asc("doc_id")
+    )
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k_top)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("score_mb"), F.asc("doc_id")
+    )
+    return local.withColumn(
+        "rnk", F.row_number().over(w_global)
+    ).filter(F.col("rnk") <= k_top)
+
+
+def bm25_oracle_sql(
+    toks_sql: str,
+    queries: Sequence[tuple[int, Sequence[str]]] = DEFAULT_QUERIES,
+    k_top: int = DEFAULT_TOPK,
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` — same integer arithmetic,
+    dialect-spelled (``//``, ``<<``, unnest).  ``toks_sql`` is the token
+    list fragment over the ``documents`` view."""
+    vals = ", ".join(
+        f"({int(qid)}, '{t}')" for qid, terms in queries for t in terms
+    )
+    idf = _qlog2_mb_duck("2 * nn + 2", "2 * dfc + 1")
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM documents),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT SUM(dl) AS tt, COUNT(*) AS nn FROM lens),
+    q(query_id, term) AS (VALUES {vals}),
+    words AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (
+        SELECT q.query_id, w.term, w.doc_id, COUNT(*) AS tf
+        FROM words w JOIN q ON q.term = w.term
+        GROUP BY 1, 2, 3
+    ),
+    idf AS (
+        SELECT term, {idf} AS idf_mb
+        FROM (SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tf GROUP BY 1),
+             stats
+    ),
+    scored AS (
+        SELECT query_id, tf.doc_id,
+               CAST(SUM({_contrib_sql('//')}) AS BIGINT) AS score_mb,
+               COUNT(*) AS n_terms
+        FROM (
+            SELECT tf.*, idf_mb,
+                   CASE WHEN tt > {_BIG_T}
+                        THEN (1000 * dl) // (tt // nn)
+                        ELSE (1000 * dl * nn) // tt END AS ratio_milli
+            FROM tf JOIN idf USING (term)
+            JOIN lens ON lens.doc_id = tf.doc_id
+            CROSS JOIN stats
+        ) tf
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_mb, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score_mb DESC, doc_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {k_top}
+    """

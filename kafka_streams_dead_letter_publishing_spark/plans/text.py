@@ -2464,3 +2464,41 @@ def docs_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids_fp"),
         )
     )
+
+
+# ── BM25 ranked retrieval ────────────────────────────────────────────────
+
+
+def _bm25_oracle() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_oracle_sql,
+    )
+
+    return bm25_oracle_sql(_TOKS_SQL)
+
+
+@query(
+    "docs_bm25_topk",
+    _bm25_oracle(),
+    doc="[EXT] Exact-integer BM25 ranked retrieval (operators/bm25.py): "
+    "top-10 documents per probe query under the Lucene-shaped BM25 with "
+    "every transcendental replaced by exact integer arithmetic — the "
+    "IDF is quantized log2 in millibits (bin()-length exponent + linear "
+    "mantissa interpolation, the perplexity module's trick extended to "
+    "fractional bits), the tf normalization is the k1=6/5, b=3/4 "
+    "rational multiplied out to one integer fraction, and per-term "
+    "contributions are BIGINTs so the per-(query,doc) SUM is shuffle-"
+    "order-independent.  Scale shape: broadcast query-term table into "
+    "the exploded token scan (corpus never shuffles on a token key), "
+    "partial-agg tf keyed by (query,term,doc), document frequencies "
+    "partial-agg to <= |terms| rows broadcast back, (N,T) corpus stats "
+    "one metadata driver row folded as literals, two-phase top-k.",
+    tags=("text", "retrieval", "bm25", "bench"),
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs)

@@ -1,0 +1,133 @@
+"""Exact-integer BM25 (operators/bm25.py): Python-reference exact parity,
+ranking properties, quantized-log2 correctness, and plan quality."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+    bm25_topk,
+    query_terms_df,
+)
+
+CORPUS = [
+    (0, "spark join broadcast join join table"),
+    (1, "window agg stream window data"),
+    (2, "hash table scan hash hash hash scan"),
+    (3, "spark spark spark spark spark spark spark spark"),
+    (4, "the a of and"),
+    (5, "join"),
+    (6, ""),
+    (7, "broadcast window hash spark agg table"),
+]
+QUERIES = [(0, ("spark", "join")), (1, ("hash", "window"))]
+
+
+def _qlog2_mb(num: int, den: int) -> int:
+    r = (num * 1024) // den
+    e = r.bit_length() - 11
+    mant = r // (1 << e)
+    return e * 1024 + mant - 1024
+
+
+def _py_bm25(corpus, queries, k_top=10):
+    toks = {d: t.lower().split(" ") for d, t in corpus}
+    dl = {d: len(t) for d, t in toks.items()}
+    total_t, n_docs = sum(dl.values()), len(toks)
+    out = {}
+    for qid, terms in queries:
+        tf = {}
+        for d, t in toks.items():
+            for term in terms:
+                c = t.count(term)
+                if c:
+                    tf[(d, term)] = c
+        dfc = {term: sum(1 for (d, tm) in tf if tm == term) for term in terms}
+        scores = {}
+        for (d, term), c in tf.items():
+            idf_mb = _qlog2_mb(2 * n_docs + 2, 2 * dfc[term] + 1)
+            ratio_milli = (1000 * dl[d] * n_docs) // total_t
+            contrib = (idf_mb * 22000 * c) // (
+                10000 * c + 3000 + 9 * ratio_milli
+            )
+            s, n = scores.get(d, (0, 0))
+            scores[d] = (s + contrib, n + 1)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        out[qid] = [
+            (d, s, n, i + 1) for i, (d, (s, n)) in enumerate(ranked[:k_top])
+        ]
+    return out
+
+
+def test_quantized_log2_tracks_real_log2():
+    """idf_mb/1024 is within 0.09 bits of true log2 (linear mantissa
+    interpolation max error) and exactly monotone in the ratio."""
+    prev = -1
+    for num in range(2, 400):
+        mb = _qlog2_mb(num, 1)
+        assert abs(mb / 1024 - math.log2(num)) < 0.09
+    for den in range(1, 100):
+        mb = _qlog2_mb(400, den)
+        assert mb <= _qlog2_mb(400, max(1, den - 1))
+
+
+def test_engine_matches_python_reference_exactly(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.score_mb, r.n_terms, r.rnk)
+        for r in bm25_topk(docs, QUERIES).collect()
+    }
+    want = _py_bm25(CORPUS, QUERIES)
+    flat = {
+        (qid, d): (s, n, rnk)
+        for qid, rows in want.items()
+        for (d, s, n, rnk) in rows
+    }
+    assert got == flat
+
+
+def test_ranking_properties(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    rows = bm25_topk(docs, QUERIES).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        # scores non-increasing with rank; all positive; no empty-doc hits
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score_mb, -a.doc_id) >= (b.score_mb, -b.doc_id)
+        assert all(r.score_mb > 0 for r in rs)
+        assert all(r.doc_id != 6 for r in rs)
+    # the spam doc repeating one term 8x must NOT beat the doc matching
+    # both terms of query 0 (tf saturation is the point of BM25)
+    q0 = {r.doc_id: r.rnk for r in by_q[0]}
+    assert q0[0] < q0[3]
+
+
+def test_empty_corpus_yields_typed_empty(spark):
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_topk(docs, QUERIES)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "doc_id",
+        "score_mb",
+        "n_terms",
+        "rnk",
+    ]
+
+
+def test_plan_quality(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    df = bm25_topk(docs, QUERIES)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # query-term and dfreq joins must broadcast (never shuffle the corpus
+    # on a token key)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -110,6 +110,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             "emb_ivf_batch_topk",
             "emb_pq_batch_topk",
             "emb_ivfpq_batch_topk",
+            "docs_bm25_topk",
         )
     },
     (
