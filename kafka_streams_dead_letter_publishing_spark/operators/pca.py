@@ -1,0 +1,182 @@
+"""PCA low-rank projection for the embedding corpus ([EXT]).
+
+Dimensionality reduction is the standard pre-step for embedding dedup /
+ANN at scale (SemDeDup-style pipelines project to 32-64 dims before
+clustering; IVF-PQ recall improves after decorrelation).  The Spark-first
+split mirrors the k-means fit (operators/kmeans.py): the DATA-sized pass
+is an exact-integer partial aggregate the oracle can replay bit-for-bit,
+and only a METADATA-sized d x d matrix reaches the driver, where numpy's
+symmetric eigensolver runs (d <= a few hundred; the eigensolve is O(d^3)
+driver work, never cluster work).
+
+Exactness contract: embeddings quantize to microunit BIGINTs
+(floor(x * 1e6) — the QUANT_SCALE resolution shared with the quantized
+k-means and FIXED_SCALE serving), so the second-moment (gram) matrix and
+per-dimension sums are INTEGER sums — shuffle-order-independent, identical
+in Spark and DuckDB.  The scaled covariance ``N * gram_ij - s_i * s_j``
+(the division-free form of N^2 * cov) is computed in DECIMAL(38,0): the
+N * gram product overflows BIGINT past ~1e18 (reached at corpus scale),
+while DECIMAL(38,0) carries it exactly in both engines.
+
+The eigensolve itself is NOT cross-engine replayable (LAPACK), so the
+registry row pins the covariance build (the distributed work) and pytest
+pins the projection's invariants: orthonormal components, descending
+eigenvalues, per-component projected variance == eigenvalue, and the
+deterministic sign convention (largest-|loading| coordinate positive —
+eigenvectors are sign-ambiguous and LAPACK's choice is build-dependent).
+
+Scale shape: the gram build explodes each vector to its d(d+1)/2 upper-
+triangle products and partial-aggregates per partition — the shuffle
+carries <= d^2 pre-summed cells per partition regardless of N (the CMS
+build shape).  The projection is a broadcast d x r literal matrix applied
+with zip_with/aggregate — JVM-side, no UDFs, no shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+    QUANT_SCALE,
+    quantize_embedding,
+)
+
+_DEC = "decimal(38,0)"
+
+
+def second_moments(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(i, j, gram, s_i, s_j, n) for the upper triangle i <= j — every
+    value an exact integer aggregate of the microunit-quantized vectors.
+
+    ``gram`` = sum of qx_i * qx_j (BIGINT); ``s_i``/``s_j`` the
+    per-dimension sums; ``n`` the row count.  The scaled covariance
+    ``n*gram - s_i*s_j`` is left to the caller so this one frame serves
+    both the covariance build and mean extraction."""
+    q = emb.select(quantize_embedding(F.col(vec_col)).alias("qx"))
+    rows_i = q.select(
+        "qx", F.posexplode("qx").alias("i", "xi")
+    )
+    prods = rows_i.select(
+        "i",
+        "xi",
+        F.posexplode(
+            F.transform("qx", lambda xj: xj * F.col("xi"))
+        ).alias("j", "p"),
+    ).filter(F.col("j") >= F.col("i"))
+    gram = prods.groupBy("i", "j").agg(
+        F.sum("p").cast("long").alias("gram"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sums = rows_i.groupBy("i").agg(F.sum("xi").cast("long").alias("s"))
+    return (
+        gram.join(F.broadcast(sums.withColumnRenamed("s", "s_i")), "i")
+        .join(
+            F.broadcast(
+                sums.withColumnRenamed("s", "s_j").withColumnRenamed("i", "j")
+            ),
+            "j",
+        )
+        .select("i", "j", "gram", "s_i", "s_j", "n")
+    )
+
+
+def scaled_covariance(moments: DataFrame) -> DataFrame:
+    """(i, j, cov_scaled) upper triangle: ``n*gram - s_i*s_j`` in exact
+    DECIMAL(38,0) — equal to n^2 * Cov_ij in microunit^2 units."""
+    return moments.select(
+        "i",
+        "j",
+        (
+            F.col("n").cast(_DEC) * F.col("gram").cast(_DEC)
+            - F.col("s_i").cast(_DEC) * F.col("s_j").cast(_DEC)
+        ).alias("cov_scaled"),
+    )
+
+
+@dataclass
+class PcaModel:
+    mean: list[float]  # unit space
+    components: list[list[float]]  # r rows of d loadings, orthonormal
+    eigenvalues: list[float]  # descending, unit^2 space
+    n: int
+
+    @property
+    def r(self) -> int:
+        return len(self.components)
+
+    @property
+    def d(self) -> int:
+        return len(self.mean)
+
+
+def pca_fit(emb: DataFrame, r: int, vec_col: str = "embedding") -> PcaModel:
+    """Fit top-``r`` principal components.  One distributed integer pass
+    (second_moments) + a d x d driver eigensolve."""
+    import numpy as np
+
+    rows = second_moments(emb, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty embedding corpus")
+    n = rows[0].n
+    d = max(row.j for row in rows) + 1
+    gram = np.zeros((d, d), dtype=np.float64)
+    s = np.zeros(d, dtype=np.float64)
+    for row in rows:
+        gram[row.i, row.j] = row.gram
+        gram[row.j, row.i] = row.gram
+        if row.i == row.j:
+            s[row.i] = row.s_i
+    # covariance in unit^2 space from the exact integer moments
+    cov = (gram / n - np.outer(s, s) / (n * n)) / (QUANT_SCALE * QUANT_SCALE)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:r]
+    comps = []
+    for k in order:
+        v = vecs[:, k]
+        # deterministic sign: the largest-|loading| coordinate positive
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return PcaModel(
+        mean=[float(x) for x in s / n / QUANT_SCALE],
+        components=comps,
+        eigenvalues=[float(vals[k]) for k in order],
+        n=int(n),
+    )
+
+
+def _dot_centered(vec_col: Column, comp: list[float], mean: list[float]) -> Column:
+    """JVM-side (x - mean) . comp via zip_with + aggregate — no UDFs."""
+    c = F.array(*[F.lit(float(v)) for v in comp])
+    m = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(
+        vec_col.cast("array<double>"), m, lambda x, mu: x - mu
+    )
+    prods = F.zip_with(centered, c, lambda x, w: x * w)
+    return F.aggregate(
+        prods, F.lit(0.0), lambda acc, p: acc + p
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    model: PcaModel,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Append ``out_col`` = the r-dim projection.  The model is a d x r
+    literal folded into the plan (broadcast by value) — per-row narrow,
+    no shuffle, no UDFs."""
+    y = F.array(
+        *[
+            _dot_centered(F.col(vec_col), comp, model.mean)
+            for comp in model.components
+        ]
+    )
+    return emb.withColumn(out_col, y)

@@ -1352,3 +1352,68 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_top=PQ_SHORTLIST,
     ).select("query_id", "vec_id")
     return _exact_rerank(spark, sf_dir, short)
+
+
+# ── PCA covariance build (operators/pca.py) ──────────────────────────────
+
+
+@query(
+    "emb_pca_covariance",
+    f"""
+    WITH q AS (
+        SELECT list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE})
+                        AS BIGINT)
+               ) AS qx
+        FROM embeddings
+    ),
+    rows_i AS (
+        SELECT qx, i - 1 AS i, qx[i] AS xi
+        FROM q, LATERAL unnest(generate_series(1, len(qx))) AS g(i)
+    ),
+    prods AS (
+        SELECT i, j - 1 AS j, qx[j] * xi AS p
+        FROM rows_i, LATERAL unnest(generate_series(1, len(qx))) AS g(j)
+        WHERE j - 1 >= i
+    ),
+    gram AS (
+        SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram, COUNT(*) AS n
+        FROM prods GROUP BY i, j
+    ),
+    sums AS (
+        SELECT i, CAST(SUM(xi) AS BIGINT) AS s FROM rows_i GROUP BY i
+    )
+    SELECT g.i, g.j,
+           CAST(CAST(g.n AS DECIMAL(38,0)) * CAST(g.gram AS DECIMAL(38,0))
+                - CAST(si.s AS DECIMAL(38,0)) * CAST(sj.s AS DECIMAL(38,0))
+                AS DECIMAL(38,0)) AS cov_scaled
+    FROM gram g
+    JOIN sums si ON si.i = g.i
+    JOIN sums sj ON sj.i = g.j
+    """,
+    doc="[EXT] PCA covariance build (operators/pca.py second_moments + "
+    "scaled_covariance): the distributed pass of the low-rank projection "
+    "fit — microunit-quantized vectors (the QUANT_SCALE contract shared "
+    "with the quantized k-means), upper-triangle gram matrix and per-"
+    "dimension sums as exact INTEGER partial aggregates, scaled "
+    "covariance n*gram - s_i*s_j in DECIMAL(38,0) (the division-free "
+    "n^2-scaled covariance; BIGINT would overflow the n*gram product at "
+    "corpus scale).  2080 rows for d=64 — the d x d frame that reaches "
+    "the driver for the numpy eigensolve in pca_fit.  Scale shape: the "
+    "gram explode partial-aggregates per partition, so the shuffle "
+    "carries <= d^2 pre-summed cells per partition regardless of N (the "
+    "CMS build shape); the eigensolve is driver-side O(d^3) on metadata. "
+    "The projection itself (pca_project) is pytest-pinned (orthonormal "
+    "components, descending eigenvalues, variance-matches-eigenvalue, "
+    "deterministic sign) — LAPACK output is not cross-engine replayable.",
+    tags=("similarity", "pca", "bench"),
+)
+def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        scaled_covariance,
+        second_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return scaled_covariance(second_moments(emb))

@@ -1,0 +1,117 @@
+"""PCA projection (operators/pca.py): numpy cross-check of the integer
+moment build, eigen invariants of the fitted model, projection variance,
+and plan quality of the distributed pass."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.kmeans import QUANT_SCALE
+from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+    pca_fit,
+    pca_project,
+    scaled_covariance,
+    second_moments,
+)
+
+D, N, R = 8, 200, 3
+
+
+def _corpus():
+    rng = np.random.RandomState(7)
+    # anisotropic: 3 strong directions + noise, so top-3 is meaningful
+    basis = np.linalg.qr(rng.randn(D, D))[0]
+    scales = np.array([5.0, 3.0, 2.0] + [0.1] * (D - 3))
+    x = rng.randn(N, D) @ np.diag(scales) @ basis.T + rng.randn(D)
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    x = _corpus()
+    rows = [(i, [float(v) for v in x[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_moments_match_numpy_exactly(emb):
+    x = _corpus()
+    qx = np.floor(x.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    rows = second_moments(emb).collect()
+    assert len(rows) == D * (D + 1) // 2
+    for r in rows:
+        assert r.n == N
+        assert r.gram == int((qx[:, r.i] * qx[:, r.j]).sum())
+        assert r.s_i == int(qx[:, r.i].sum())
+        assert r.s_j == int(qx[:, r.j].sum())
+    cov = {(r.i, r.j): r.cov_scaled for r in scaled_covariance(second_moments(emb)).collect()}
+    for (i, j), v in cov.items():
+        want = N * int((qx[:, i] * qx[:, j]).sum()) - int(qx[:, i].sum()) * int(
+            qx[:, j].sum()
+        )
+        assert int(v) == want
+
+
+def test_fit_invariants(emb):
+    m = pca_fit(emb, R)
+    comps = np.array(m.components)
+    # orthonormal rows
+    assert np.allclose(comps @ comps.T, np.eye(R), atol=1e-9)
+    # eigenvalues descending, positive, and the strong directions dominate
+    assert all(
+        a >= b for a, b in zip(m.eigenvalues, m.eigenvalues[1:])
+    ) and m.eigenvalues[-1] > 0
+    assert m.eigenvalues[0] > 10 * 0.1**2
+    # deterministic sign convention: pivot loading positive
+    for v in comps:
+        assert v[int(np.argmax(np.abs(v)))] > 0
+    # mean matches numpy to quantization resolution
+    x = _corpus().astype(np.float64)
+    assert np.allclose(m.mean, x.mean(axis=0), atol=2.0 / QUANT_SCALE)
+
+
+def test_projection_variance_matches_eigenvalues(emb):
+    m = pca_fit(emb, R)
+    proj = pca_project(emb, m).select("projected").collect()
+    y = np.array([r.projected for r in proj])
+    # per-component variance == eigenvalue (up to quantization + float32)
+    got = y.var(axis=0)
+    assert np.allclose(got, m.eigenvalues, rtol=1e-3)
+    # components decorrelated
+    c = np.cov(y.T)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-2 * m.eigenvalues[0]
+
+
+def test_projection_beats_random_reconstruction(emb):
+    """Top-R PCA reconstruction error must be far below a random-R basis —
+    the operator actually concentrates variance."""
+    m = pca_fit(emb, R)
+    x = _corpus().astype(np.float64)
+    xc = x - np.array(m.mean)
+    v = np.array(m.components).T  # d x r
+    err_pca = ((xc - (xc @ v) @ v.T) ** 2).sum()
+    rng = np.random.RandomState(0)
+    q = np.linalg.qr(rng.randn(D, R))[0]
+    err_rand = ((xc - (xc @ q) @ q.T) ** 2).sum()
+    assert err_pca < 0.25 * err_rand
+
+
+def test_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(empty, 2)
+
+
+def test_plan_quality(emb):
+    df = scaled_covariance(second_moments(emb))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial aggregation before the shuffle (d^2-bounded shuffle payload)
+    assert "partial_sum" in plan
+    proj = pca_project(emb, pca_fit(emb, R))
+    pplan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in pplan  # projection is per-row narrow
+    assert "Python" not in pplan
