@@ -115,3 +115,30 @@ def test_plan_quality(emb):
     pplan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in pplan  # projection is per-row narrow
     assert "Python" not in pplan
+
+
+def test_projected_space_preserves_neighbors(emb):
+    """The composition the operator exists for: brute-force cosine top-k
+    in the r-dim projected space must recover most of the full-space
+    top-k on an anisotropic corpus (the SemDeDup/ANN pre-step contract)."""
+    m = pca_fit(emb, R)
+    proj = pca_project(emb, m).select("vec_id", "projected").collect()
+    y = {r.vec_id: np.array(r.projected) for r in proj}
+    x = _corpus().astype(np.float64)
+
+    def topk(vecs, qid, k=10):
+        q = vecs[qid]
+        scores = {}
+        for i, v in vecs.items() if isinstance(vecs, dict) else enumerate(vecs):
+            if i == qid:
+                continue
+            denom = np.linalg.norm(q) * np.linalg.norm(v)
+            scores[i] = (v @ q) / denom if denom else -2
+        return set(sorted(scores, key=lambda i: (-scores[i], i))[:k])
+
+    recalls = []
+    for qid in (0, 17, 42, 99):
+        full = topk({i: x[i] for i in range(N)}, qid)
+        low = topk(y, qid)
+        recalls.append(len(full & low) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -436,6 +436,19 @@ def main() -> None:
         )
         tok_staged.unpersist()
 
+        # ── r9 BM25 retrieval: expected ~linear (broadcast query terms
+        # into the exploded scan, partial-agg tf, two-phase top-k; the
+        # only corpus-sized shuffle is the (query,term,doc) tf groupBy)
+        from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+            bm25_topk,
+        )
+
+        record(
+            "bm25_topk",
+            n_docs,
+            _timed(lambda: _noop(bm25_topk(docs))),
+        )
+
         nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
         nd_idx = nd_idx._replace(
             bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
@@ -642,6 +655,20 @@ def main() -> None:
             )
 
         record("brute_topk", n_vecs, _timed(run_brute))
+
+        # r9 PCA: the covariance build explodes d(d+1)/2 products per
+        # vector but partial-aggregates to <= d^2 cells per partition —
+        # expected ~linear in N with a d^2 constant
+        from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+            scaled_covariance,
+            second_moments,
+        )
+
+        record(
+            "pca_covariance",
+            n_vecs,
+            _timed(lambda: _noop(scaled_covariance(second_moments(emb)))),
+        )
 
         # PQ tier (r8): joint codebook fit + encode (build, runs=1) and
         # warm ADC shortlist serving — the memory-bounded scan should
