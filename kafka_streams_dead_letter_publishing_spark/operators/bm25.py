@@ -73,7 +73,7 @@ DEFAULT_TOPK = 10
 _BIG_T = 1 << 40
 
 
-def _qlog2_mb(num_sql: str, den_sql: str) -> str:
+def qlog2_mb_sql(num_sql: str, den_sql: str) -> str:
     """Spark-SQL fragment: quantized log2((num)/(den)) in millibits (10
     fractional bits, linear mantissa interpolation) for BIGINT-valued
     fragments with num >= den >= 1.  Exact integer ops only."""
@@ -83,8 +83,8 @@ def _qlog2_mb(num_sql: str, den_sql: str) -> str:
     return f"(({e}) * 1024 + {mant} - 1024)"
 
 
-def _qlog2_mb_duck(num_sql: str, den_sql: str) -> str:
-    """DuckDB spelling of :func:`_qlog2_mb` (// division, << shift)."""
+def qlog2_mb_duck_sql(num_sql: str, den_sql: str) -> str:
+    """DuckDB spelling of :func:`qlog2_mb_sql` (// division, << shift)."""
     r = f"((({num_sql}) * 1024) // ({den_sql}))"
     e = f"(length(bin({r})) - 11)"
     mant = f"({r} // (CAST(1 AS BIGINT) << ({e})))"
@@ -157,7 +157,7 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("long").alias("dfc"))
         .withColumn(
             "idf_mb",
-            F.expr(_qlog2_mb(f"{2 * n_docs} + 2", "2 * dfc + 1")).cast("long"),
+            F.expr(qlog2_mb_sql(f"{2 * n_docs} + 2", "2 * dfc + 1")).cast("long"),
         )
     )
     scored = (
@@ -200,7 +200,7 @@ def bm25_oracle_sql(
     vals = ", ".join(
         f"({int(qid)}, '{t}')" for qid, terms in queries for t in terms
     )
-    idf = _qlog2_mb_duck("2 * nn + 2", "2 * dfc + 1")
+    idf = qlog2_mb_duck_sql("2 * nn + 2", "2 * dfc + 1")
     return f"""
     WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM documents),
     lens AS (SELECT doc_id, len(t) AS dl FROM toks),

@@ -2502,3 +2502,86 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs)
+
+
+# ── Naive Bayes language classifier ──────────────────────────────────────
+
+_NB_TRAIN_WHERE = "doc_id % 5 <> 0"
+
+
+def _nb_oracle() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_model_sql,
+    )
+
+    model = nb_model_sql(_NB_TRAIN_WHERE, _TOKS_SQL)
+    return f"""
+    WITH {model},
+    test AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
+        WHERE NOT ({_NB_TRAIN_WHERE})
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM test)
+        GROUP BY 1, 2
+    ),
+    percls AS (
+        SELECT doc_id, cls,
+               CAST(SUM(tf * COALESCE(s_mb, oov_mb)) + ANY_VALUE(prior_mb)
+                   AS BIGINT) AS score_mb
+        FROM tf
+        CROSS JOIN nb_classes
+        LEFT JOIN nb_model USING (term, cls)
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT doc_id, cls AS pred
+        FROM (
+            SELECT doc_id, cls, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score_mb, cls
+            ) AS rn
+            FROM percls
+        ) WHERE rn = 1
+    )
+    SELECT t.lang, p.pred, COUNT(*) AS n
+    FROM pred p JOIN test t USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "docs_nb_lang_confusion",
+    _nb_oracle(),
+    doc="[EXT] Exact-integer multinomial Naive Bayes language classifier "
+    "(operators/nbayes.py): the quality/language-classifier tier of a "
+    "production data pipeline (the CCNet/GPT-3 fastText slot), with the "
+    "one classifier whose TRAINING is pure counting — per-class token "
+    "counts and totals as partial-agg groupBys — and whose scoring is "
+    "exact integer arithmetic: add-one-smoothed surprise in quantized-"
+    "log2 millibits, per-(doc,class) scores as BIGINT sums, argmin via "
+    "a partial-agg min over a (score, cls) struct (no window).  Trains "
+    "on the doc_id%5!=0 split, classifies the held-out 20%, and pins "
+    "the full confusion matrix (lang, pred, n) hash-green — the oracle "
+    "replays training AND scoring bit-for-bit.  Scale shape: the model "
+    "is driver-bounded (top-V TakeOrdered, V*C broadcast rows); the "
+    "corpus explodes to (doc,term,tf) partial aggregates joined against "
+    "the broadcast model — no token-keyed shuffle, no UDFs.",
+    tags=("text", "classifier", "nbayes", "bench"),
+)
+def docs_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_classify,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.expr(_NB_TRAIN_WHERE))
+    test = docs.filter(~F.expr(_NB_TRAIN_WHERE))
+    model = nb_train(train, "lang")
+    preds = nb_classify(test, model)
+    return (
+        preds.join(test.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

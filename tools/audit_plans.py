@@ -74,6 +74,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ): "crossJoin against the broadcast 1-row (sum,count) balance "
     "aggregate — the decorrelated global scalar subquery",
     (
+        "docs_nb_lang_confusion",
+        "BroadcastNestedLoopJoin",
+    ): "crossJoin against the broadcast C-row class table (C = #languages "
+    "— every class must score every doc; the model join itself is a "
+    "broadcast hash join)",
+    (
         "q17_small_quantity_revenue",
         "SortMergeJoin",
     ): "fact joined to ITS OWN per-partkey aggregate — both sides share "
