@@ -356,7 +356,16 @@ class DocumentIngest:
     persisted once — the benchmark is static, so it is NOT re-shingled per
     micro-batch): any batch doc sharing a ``decontam_k``-gram with the
     eval set is rejected before dedup and never enters the corpus or the
-    stores.  The fingerprint frame is benchmark-sized and broadcast."""
+    stores.  The fingerprint frame is benchmark-sized and broadcast.
+
+    ``lang_model`` (optional, an ``operators.nbayes.NbModel``) adds the
+    CCNet-style language gate: each batch doc is classified with the
+    broadcast exact-integer NB model and rejected unless the predicted
+    class is in ``lang_keep`` — BEFORE dedup, same ordering contract as
+    the quality filter (a wrong-language doc must not enter the stores,
+    where it would suppress a later in-language near-dup of itself).
+    The model is trained once offline (``nb_train``) — it is static
+    across batches, like the decontam fingerprint store."""
 
     def __init__(
         self,
@@ -368,6 +377,8 @@ class DocumentIngest:
         line_dedup: bool = False,
         decontam_fps_path: str | None = None,
         decontam_k: int = 5,
+        lang_model=None,
+        lang_keep: tuple[str, ...] = ("en",),
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
@@ -383,6 +394,8 @@ class DocumentIngest:
         self.line_dedup = line_dedup
         self.decontam_fps_path = decontam_fps_path
         self.decontam_k = decontam_k
+        self.lang_model = lang_model
+        self.lang_keep = lang_keep
         self.id_col = id_col
         self.text_col = text_col
 
@@ -556,6 +569,20 @@ class DocumentIngest:
                 gopher_repetition_keep(F.col(self.text_col), F.col("_toks"))
             )
         batch = admitted.drop("_toks")
+        if self.lang_model is not None:
+            from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+                nb_classify,
+            )
+
+            # language gate BEFORE dedup (the quality-filter ordering
+            # contract): a wrong-language doc never enters the stores.
+            # nb_classify is a broadcast-model aggregate; the semi-join
+            # back keys on the unique doc id.
+            keep = nb_classify(
+                batch, self.lang_model, text_col=self.text_col,
+                id_col=self.id_col,
+            ).filter(F.col("pred").isin(*self.lang_keep)).select(self.id_col)
+            batch = batch.join(keep, self.id_col, "left_semi")
         if self.decontam_fps_path is not None:
             # FAIL CLOSED: unlike the self-growing line-fp store (which is
             # legitimately absent before the first batch), the eval fp

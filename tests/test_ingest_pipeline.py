@@ -693,3 +693,48 @@ def test_document_ingest_decontam_fails_closed_on_missing_store(spark, tmp_path)
     )
     with _pytest.raises(ValueError, match="decontam_fps_path"):
         ingest.process_batch(docs, 0)
+
+
+def test_document_ingest_composes_language_gate(spark, tmp_path):
+    """lang_model gates each batch on the broadcast NB classifier BEFORE
+    dedup: wrong-language docs never reach the corpus or the stores, and
+    replay stays idempotent."""
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_train,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma shared words here") for i in range(15)]
+        + [(50 + i, "xx", "uno dos tres palabras compartidas aqui") for i in range(15)],
+        "doc_id long, lang string, text string",
+    )
+    model = nb_train(labeled, "lang")
+
+    def doc(i, text):
+        return (i, text, "en", "src0", len(text))
+
+    batch = spark.createDataFrame(
+        [
+            doc(0, "alpha beta gamma shared words here today"),
+            doc(1, "uno dos tres palabras compartidas aqui ahora"),
+            doc(2, "beta gamma alpha words shared here again"),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ingest = DocumentIngest(
+        str(tmp_path / "lg"), lang_model=model, lang_keep=("en",)
+    )
+    ingest.process_batch(batch, 0)
+    accepted = {r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()}
+    assert accepted == {0, 2}
+    assert (
+        spark.read.parquet(ingest.shingles_path)
+        .filter(F.col("ref_id") == 1).count() == 0
+    )
+    ingest.process_batch(batch, 0)  # replay: nothing new
+    assert {
+        r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()
+    } == {0, 2}
