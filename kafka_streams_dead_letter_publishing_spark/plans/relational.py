@@ -1444,3 +1444,92 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "totacctbal"
         ),
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST({PRICE} * {DISC} AS DECIMAL(24,6)))
+               AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND {DISC} BETWEEN CAST(0.05 AS DECIMAL(8,4))
+                     AND CAST(0.07 AS DECIMAL(8,4))
+      AND {QTY} < 24
+    GROUP BY ()
+    """,
+    doc="TPC-H Q6-shaped forecasting-revenue change: the pure scan-filter-"
+    "aggregate with NO join and NO grouping — the query whose entire cost "
+    "is the scan, so it pins predicate pushdown and whole-stage codegen "
+    "(every predicate and the DECIMAL product run inside the scan stage; "
+    "the one exchange carries a single partial-agg row per partition).  "
+    "Discount bounds compare in the pinned DECIMAL(8,4) space so both "
+    "engines cut the same boundary rows.",
+    tags=("relational", "aggregation", "scan", "bench"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'"
+        )
+        & F.expr(
+            f"{DISC} BETWEEN CAST(0.05 AS DECIMAL(8,4)) "
+            "AND CAST(0.07 AS DECIMAL(8,4))"
+        )
+        & F.expr(f"{QTY} < 24")
+    )
+    return li.groupBy().agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.expr(f"CAST({PRICE} * {DISC} AS DECIMAL(24,6))"))
+        .cast(_DBL)
+        .alias("revenue"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey, SUM({DISC_PRICE}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15-shaped top supplier: quarterly revenue per supplier "
+    "(the view), then the suppliers attaining the MAXIMUM — the scalar-"
+    "subquery-over-an-aggregate shape.  Spark decorrelates to a 1-row "
+    "max aggregate broadcast into a crossJoin and an exact DECIMAL "
+    "equality (ties all surface; the sum is exact so equality is "
+    "well-defined — the float version of this query would be "
+    "nondeterministic).  The supplier dim broadcasts.",
+    tags=("relational", "join", "subquery", "aggregation"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'"
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(DISC_PRICE)).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast(_DBL).alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
