@@ -256,3 +256,32 @@ def epoch_order(
             "epoch", F.lit(int(epoch))
         ).withColumn(pos_col, F.lit(None).cast("long")).limit(0)
     return res.withColumn("epoch", F.lit(int(epoch))).drop("_h", "_bk", "_one", "_off")
+
+
+def temperature_budgets(
+    group_tokens: Mapping[str, int], total_budget: int
+) -> dict[str, int]:
+    """Per-group token budgets under sampling temperature alpha = 1/2
+    (the standard multilingual/multi-source rebalancing: budget_g
+    proportional to sqrt(tokens_g), so rare sources are upsampled
+    relative to their mass and spam sources damped — the Gopher/
+    XLM-R-style recipe).
+
+    Exactness contract: weights are INTEGER sqrt (``math.isqrt``) and the
+    allocation ``total_budget * w_g DIV sum(w)`` is integer arithmetic,
+    so the oracle reproduces every budget bit-for-bit — a float
+    sqrt-sum would differ in the last bit across engines depending on
+    summation order and flip boundary documents.  floor allocation can
+    leave up to ``len(groups)-1`` budget tokens unassigned (documented;
+    the greedy walk underfills anyway on doc granularity).  NULL-keyed
+    groups are excluded (consistent with :func:`token_budget_sample`).
+    """
+    import math
+
+    weights = {
+        g: math.isqrt(int(n)) for g, n in group_tokens.items() if g is not None
+    }
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        return {g: 0 for g in weights}
+    return {g: (int(total_budget) * w) // wsum for g, w in weights.items()}

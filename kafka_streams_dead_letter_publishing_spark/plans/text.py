@@ -2585,3 +2585,70 @@ def docs_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "docs_temperature_mixture",
+    f"""
+    WITH scored AS (
+        SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    grp AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS gt
+        FROM scored GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(gt) AS BIGINT) AS t FROM grp),
+    w AS (
+        SELECT source, CAST(floor(sqrt(CAST(gt AS DOUBLE))) AS BIGINT) AS w
+        FROM grp
+    ),
+    alloc AS (
+        SELECT source,
+               ((SELECT t // 4 FROM tot) * w)
+                   // (SELECT SUM(w) FROM w) AS budget
+        FROM w
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_tokens
+        FROM scored
+    )
+    SELECT c.source, c.doc_id, c.n_tokens, c.running_tokens
+    FROM cum c JOIN alloc a ON a.source = c.source
+    WHERE c.running_tokens <= a.budget
+    """,
+    doc="[EXT] Temperature-based mixture sampling (operators/budget.py "
+    "temperature_budgets + token_budget_sample): per-source budgets "
+    "proportional to sqrt(source token mass) — sampling temperature "
+    "alpha=1/2, the Gopher/XLM-R multilingual rebalancing recipe (rare "
+    "sources upsampled relative to their mass, spam sources damped) — "
+    "then the deterministic md5-order greedy walk fills each budget.  "
+    "Budget math is INTEGER (isqrt weights, floor allocation), so both "
+    "engines draw identical boundaries; a float sqrt-sum would be "
+    "summation-order-dependent in the last bit.  Scale shape: per-source "
+    "token totals are a partial-agg scalar read (#sources metadata "
+    "rows), the walk is the two-phase prefix-sum — windows only on "
+    "(source, bucket), never a global partition.",
+    tags=("text", "tokens", "sampling", "mixture", "temperature"),
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        temperature_budgets,
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    # #sources metadata rows to the driver (group token totals)
+    grp = scored.groupBy("source").agg(F.sum("n_tokens").alias("gt")).collect()
+    totals = {r.source: int(r.gt or 0) for r in grp}
+    budgets = temperature_budgets(totals, sum(totals.values()) // 4)
+    return token_budget_sample(scored, "n_tokens", budgets, group_col="source")

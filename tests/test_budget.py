@@ -349,3 +349,19 @@ def test_epoch_order_is_a_fresh_permutation_per_epoch(spark):
 
     plan = epoch_order(items, 0)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_temperature_budgets_integer_exact():
+    """alpha=1/2 allocation: integer isqrt weights, floor allocation,
+    NULL groups excluded, degenerate cases safe."""
+    from kafka_streams_dead_letter_publishing_spark.operators.budget import (
+        temperature_budgets,
+    )
+
+    b = temperature_budgets({"a": 100, "b": 400}, 1000)
+    assert b == {"a": 333, "b": 666}  # 10/30 and 20/30, floored
+    # upsampling property: the rare source's share EXCEEDS its mass share
+    assert b["a"] / 1000 > 100 / 500
+    assert temperature_budgets({"a": 0, "b": 0}, 100) == {"a": 0, "b": 0}
+    assert temperature_budgets({None: 100, "a": 4}, 10) == {"a": 10}
+    assert temperature_budgets({}, 100) == {}
