@@ -99,6 +99,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         for q in (
             "docs_token_budget_sample",
             "docs_source_mixture_sample",
+            "docs_temperature_mixture",
             "docs_global_packing",
             "docs_vocab_ids",
             "docs_bpe_token_ids",
