@@ -1224,51 +1224,50 @@ def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(CAST(SUM({PRICE}) AS VARCHAR) AS DOUBLE) AS small_qty_revenue
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(CAST(SUM({PRICE}) AS VARCHAR) AS DOUBLE) AS small_revenue
     FROM lineitem l1, part
     WHERE p_partkey = l1.l_partkey
-      AND p_brand = 'Brand#4'
       AND {QTY.replace('l_quantity', 'l1.l_quantity')} * 5 * (
           SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
       ) < (
           SELECT SUM({QTY.replace('l_quantity', 'l2.l_quantity')})
           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
       )
-    GROUP BY ()
+    GROUP BY p_brand
     """,
-    doc="TPC-H Q17-shaped small-quantity revenue: lines of one brand "
-    "whose quantity is below 20% of that part's corpus-wide average.  "
-    "The oracle carries two correlated scalar subqueries; Spark "
-    "decorrelates to a per-part partial aggregate joined back — and the "
-    "avg comparison is cross-multiplied (qty*5*cnt < sum) so it stays in "
-    "exact DECIMAL with no division.  Scale shape: the brand dimension "
-    "broadcast-prunes lineitem FIRST, so the per-part aggregate runs "
-    "over ~1/25th of the fact table, keyed by l_partkey (unique keys "
-    "after agg, no skew).",
+    doc="TPC-H Q17-shaped small-quantity revenue per brand: lines whose "
+    "quantity is below 20% of their part's corpus-wide average.  The "
+    "oracle carries two correlated scalar subqueries; Spark decorrelates "
+    "to a per-part partial aggregate joined back — and the avg "
+    "comparison is cross-multiplied (qty*5*cnt < sum) so it stays in "
+    "exact DECIMAL with no division (the boundary fixture in "
+    "tests/test_oracle_edge_cases.py plants a line EXACTLY on the "
+    "threshold to pin the strict inequality).  Scale shape: per-part "
+    "aggregate keyed by l_partkey (unique keys after agg, no skew), "
+    "joined back exchange-free on the shared partkey shuffle; the part "
+    "dim broadcasts for the brand rollup.",
     tags=("relational", "join", "subquery", "aggregation"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bparts = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#4")
-        .select("p_partkey")
-    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_b = li.join(
-        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
-    ).drop("p_partkey")
-    per_part = li_b.groupBy("l_partkey").agg(
+    per_part = li.groupBy("l_partkey").agg(
         F.sum(F.expr(QTY)).alias("_sq"), F.count(F.lit(1)).alias("_cq")
     )
-    small = li_b.join(per_part, "l_partkey").filter(
+    small = li.join(per_part, "l_partkey").filter(
         F.expr(f"{QTY} * 5 * _cq < _sq")
     )
-    return small.groupBy().agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.expr(PRICE)).cast(_DBL).alias("small_qty_revenue"),
+    brands = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        small.join(F.broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.expr(PRICE)).cast(_DBL).alias("small_revenue"),
+        )
     )
 
 

@@ -2578,7 +2578,14 @@ def docs_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     train = docs.filter(F.expr(_NB_TRAIN_WHERE))
     test = docs.filter(~F.expr(_NB_TRAIN_WHERE))
-    model = nb_train(train, "lang")
+    try:
+        model = nb_train(train, "lang")
+    except ValueError as e:
+        if "empty" not in str(e):
+            raise
+        # empty corpus: no model can exist — typed empty, matching the
+        # oracle's empty result (edge-tier contract)
+        return spark.createDataFrame([], "lang string, pred string, n bigint")
     preds = nb_classify(test, model)
     return (
         preds.join(test.select("doc_id", "lang"), "doc_id")

@@ -29,6 +29,8 @@ PROBE_OPS = (
     "source_cap",
     "dup_ngram_stats",
     "dup_span_removal",
+    "bm25_topk",
+    "pca_covariance",
     "semdedup_fixed_k",
     "semdedup_scaled_k",
     "ann_pairs_fixed4",
