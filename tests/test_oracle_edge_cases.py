@@ -668,6 +668,16 @@ RELATIONAL_BOUNDARY_QUERIES = (
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
+    # r9 subquery battery: q4's quarter filter catches the 1997-01-01
+    # `>=` edge (order 105 IN); q22's positive-balance average excludes
+    # the exactly-0.00 balance (c3); q18/q21/q6 go empty on this corpus —
+    # agreement on empty IS the edge for them (HAVING/EXISTS over nothing)
+    "q4_late_order_priority",
+    "q18_large_volume_customers",
+    "q21_latest_shipper",
+    "q22_dormant_high_balance",
+    "q6_forecast_revenue",
+    "q15_top_supplier",
     "rollup_order_stats",
     "grouping_analytics_order_stats",
     "pivot_status_by_priority",
