@@ -566,46 +566,6 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_small_quantity_revenue",
-    f"""
-    SELECT p_brand,
-           COUNT(*) AS n_small,
-           CAST(CAST(SUM({PRICE}) AS VARCHAR) AS DOUBLE) AS small_revenue
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN (
-        SELECT l_partkey AS pk, SUM({QTY}) AS sq, COUNT(*) AS cq
-        FROM lineitem GROUP BY l_partkey
-    ) ON pk = l_partkey
-    WHERE {QTY} * 5 * cq < sq
-    GROUP BY p_brand
-    """,
-    doc="TPC-H Q17-shaped: lineitems whose quantity is below 20% of their "
-    "part's average — the correlated scalar subquery decorrelated into a "
-    "self-aggregation join, with the avg threshold cross-multiplied "
-    "(5·qty·cnt < sum) so the comparison is exact DECIMAL on both engines "
-    "(decimal division rounds differently across engines; avoided).",
-    tags=("relational", "join", "aggregation", "subquery"),
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.expr(QTY)).alias("sq"), F.count(F.lit(1)).alias("cq")
-    )
-    joined = (
-        li.join(per_part, F.col("pk") == F.col("l_partkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .filter(F.expr(f"{QTY} * 5 * cq < sq"))
-    )
-    return (
-        joined.groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_small"), F.sum(F.expr(PRICE)).alias("sr"))
-        .select("p_brand", "n_small", F.col("sr").cast(_DBL).alias("small_revenue"))
-    )
-
-
-@query(
     "events_asof_purchase_click",
     """
     SELECT p.event_id AS purchase_id, p.user_id AS user_id,
