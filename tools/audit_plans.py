@@ -79,13 +79,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ): "crossJoin against the broadcast C-row class table (C = #languages "
     "— every class must score every doc; the model join itself is a "
     "broadcast hash join)",
-    (
-        "q17_small_quantity_revenue",
-        "SortMergeJoin",
-    ): "fact joined to ITS OWN per-partkey aggregate — both sides share "
-    "the l_partkey shuffle, so the SMJ is exchange-free (co-partitioned); "
-    "broadcasting the agg would not fit at scale (one row per brand part "
-    "~ |part|/25) and would add an exchange the SMJ avoids",
     # ── Window allowlist (r9): every entry must be bounded-cardinality-
     # per-partition-key BY CONSTRUCTION, not by data luck.  A window that
     # partitions on a data key with unbounded per-key multiplicity (a
