@@ -1492,3 +1492,71 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+_CENTS_SQL = 'CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT)'
+_CENTS_SPARK = "CAST(CAST(`value` AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_D38 = "DECIMAL(38,0)"
+
+
+@query(
+    "events_value_outliers",
+    f"""
+    WITH c AS (
+        SELECT event_type, {_CENTS_SQL} AS cents FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS {_D38}) AS n,
+               CAST(SUM(CAST(cents AS {_D38})) AS {_D38}) AS s,
+               CAST(SUM(CAST(cents AS {_D38}) * cents) AS {_D38}) AS ss
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (n * cents - s) * (n * cents - s)
+                              > 9 * (n * ss - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN (n * cents - s) * (n * cents - s)
+                              > 9 * (n * ss - s * s)
+                         THEN cents ELSE 0 END) AS BIGINT) AS outlier_cents
+    FROM c JOIN stats ON stats.event_type = c.event_type
+    GROUP BY c.event_type
+    """,
+    doc="[EXT] Exact-moment 3-sigma outlier detection per event type — the "
+    "data-quality gate (drop anomalous records before training) done "
+    "without a single float: values quantize to cents through the pinned "
+    "DECIMAL(18,2) cast, per-type count/sum/sum-of-squares accumulate in "
+    "DECIMAL(38,0), and the z-test |x-mean| > 3*stddev is cross-"
+    "multiplied to the division- and sqrt-free integer form "
+    "(n*x - s)^2 > 9*(n*ss - s^2) — algebraically identical, exact in "
+    "both engines, no libm.  Scale shape: one partial-agg pass for the "
+    "5-row moments table, broadcast back over the scan, partial-agg "
+    "flags — two linear passes, no window, no skew (type cardinality is "
+    "domain-bounded).  Magnitude audit: (n*cents)^2 fits DECIMAL(38,0) "
+    "through n ~ 1e12 rows of <= 1e6-cent values; beyond that rescale "
+    "the unit (documented, same contract as the BM25 giant-corpus path).",
+    tags=("events", "aggregation", "quality", "outliers"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_CENTS_SPARK).alias("cents")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum(F.col("cents").cast(_D38)).cast(_D38).alias("s"),
+        F.sum(F.col("cents").cast(_D38) * F.col("cents")).cast(_D38).alias("ss"),
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "is_out",
+        F.expr("(n * cents - s) * (n * cents - s) > 9 * (n * ss - s * s)"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.sum(F.when(F.col("is_out"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("outlier_cents"),
+    )
