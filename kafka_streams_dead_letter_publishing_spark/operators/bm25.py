@@ -242,3 +242,138 @@ def bm25_oracle_sql(
     )
     WHERE rnk <= {k_top}
     """
+
+
+# ── persisted postings index + partition-pruned serving ──────────────────
+#
+# The IVF shape for text: one offline pass writes the inverted postings
+# partitioned by a hash bucket of the term; serving a query batch scans
+# ONLY the buckets its terms hash to (PartitionFilters at the parquet
+# scan — the same pruning contract operators/kmeans.ivf_search_batch pins
+# for vectors).  Scoring replays bm25_topk's integer arithmetic from the
+# stored (tf, dl) postings + the persisted (N, T) stats row, so a served
+# batch is row-for-row identical to the full-scan operator (test-pinned).
+
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(term: Column, n_buckets: int = N_TERM_BUCKETS) -> Column:
+    """Deterministic bucket: first 8 md5 hex chars mod n_buckets (the
+    md5-prefix routing used by every store in the repo — no engine hash)."""
+    return F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def _py_term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Write the postings index: ``{path}/postings`` partitioned by
+    ``bucket`` with rows (term, doc_id, tf, dl), and ``{path}/stats``
+    with the one (n_docs, total_tokens) row.  One tokenize pass; the
+    postings shuffle keys on (term, doc) — tf partial-aggregates map-side.
+    Stats are written LAST (the completion gate: serving fail-closes on a
+    half-written index because the stats file is missing)."""
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(norm_text(F.col(text_col))).alias("_t"),
+    )
+    postings = (
+        toks_df.select(
+            "doc_id",
+            F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    lens = toks_df.select(F.size("_t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_serve(
+    spark,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[str]]] = DEFAULT_QUERIES,
+    k_top: int = DEFAULT_TOPK,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """Serve a query batch from the persisted index, scanning only the
+    term buckets the batch needs (partition-pruned IN-filter on
+    ``bucket``).  Row-for-row identical to :func:`bm25_topk` on the same
+    corpus — document frequencies are exact because a term's postings
+    live entirely in its bucket."""
+    srow = spark.read.parquet(f"{path}/stats").first()
+    n_docs, total_t = srow.n_docs, srow.total_tokens
+    if not n_docs or not total_t:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, doc_id bigint, score_mb bigint, "
+            "n_terms bigint, rnk int",
+        )
+    needed = sorted(
+        {_py_term_bucket(t, n_buckets) for _, terms in queries for t in terms}
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(needed)
+    )
+    qdf = query_terms_df(spark, queries)
+    tf = postings.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "doc_id", "dl", "tf"
+    )
+    if total_t > _BIG_T:
+        avg_dl = total_t // n_docs
+        ratio_sql = f"(1000 * dl) DIV {avg_dl}"
+    else:
+        ratio_sql = f"(1000 * dl * {n_docs}) DIV {total_t}"
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("dfc"))
+        .withColumn(
+            "idf_mb",
+            F.expr(qlog2_mb_sql(f"{2 * n_docs} + 2", "2 * dfc + 1")).cast("long"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", "idf_mb")), "term")
+        .withColumn("ratio_milli", F.expr(ratio_sql).cast("long"))
+        .withColumn("contrib", F.expr(_contrib_sql("DIV")).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("score_mb"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    staged = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "query_id").orderBy(
+        F.desc("score_mb"), F.asc("doc_id")
+    )
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k_top)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("score_mb"), F.asc("doc_id")
+    )
+    return local.withColumn(
+        "rnk", F.row_number().over(w_global)
+    ).filter(F.col("rnk") <= k_top)

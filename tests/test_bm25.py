@@ -131,3 +131,62 @@ def test_plan_quality(spark):
     # on a token key)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_index_serving_matches_full_scan(spark, tmp_path):
+    """bm25_serve from the persisted postings index must equal bm25_topk
+    row-for-row, and its postings scan must be partition-pruned to the
+    query terms' buckets (the IVF pruning contract, for text)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        N_TERM_BUCKETS,
+        _py_term_bucket,
+        bm25_index,
+        bm25_serve,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    path = str(tmp_path / "bmidx")
+    bm25_index(docs, path)
+    served = bm25_serve(spark, path, QUERIES)
+    rows_served = sorted(
+        (r.query_id, r.doc_id, r.score_mb, r.n_terms, r.rnk)
+        for r in served.collect()
+    )
+    rows_full = sorted(
+        (r.query_id, r.doc_id, r.score_mb, r.n_terms, r.rnk)
+        for r in bm25_topk(docs, QUERIES).collect()
+    )
+    assert rows_served == rows_full and rows_full
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:")[1][:250]
+    # Spark-side and driver-side bucket routing agree (the pruning is
+    # only correct if both hash the term identically)
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _term_bucket,
+    )
+
+    terms = spark.createDataFrame(
+        [(t,) for _, ts in QUERIES for t in ts], "term string"
+    )
+    got = {
+        r.term: r.b
+        for r in terms.select("term", _term_bucket(F.col("term")).alias("b")).collect()
+    }
+    assert got == {t: _py_term_bucket(t) for t in got}
+
+
+def test_serving_fails_closed_on_missing_stats(spark, tmp_path):
+    """A half-written index (postings without the stats completion gate)
+    must refuse to serve, not silently score with garbage constants."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_serve,
+    )
+
+    with _pytest.raises((AnalysisException, Py4JJavaError)):
+        bm25_serve(spark, str(tmp_path / "nope"), QUERIES)
