@@ -28,6 +28,7 @@ def clear_plan_caches() -> None:
         _PQ_CACHE,
     )
     from kafka_streams_dead_letter_publishing_spark.plans.text import (
+        _BM25_INDEX_CACHE,
         _PIPELINE_SCORED_CACHE,
     )
 
@@ -40,6 +41,7 @@ def clear_plan_caches() -> None:
     _LEARNED_INDEX_CACHE.clear()
     _PQ_CACHE.clear()
     _IVFPQ_CACHE.clear()
+    _BM25_INDEX_CACHE.clear()
 
 
 __all__ = ["QUERIES", "Query", "query", "clear_plan_caches"]

@@ -2659,3 +2659,42 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = {r.source: int(r.gt or 0) for r in grp}
     budgets = temperature_budgets(totals, sum(totals.values()) // 4)
     return token_budget_sample(scored, "n_tokens", budgets, group_col="source")
+
+
+# ── BM25 serving (persisted postings index) ──────────────────────────────
+
+#: sf_dir -> postings index path (tmp dir; OS reaper cleans, same contract
+#: as the PQ/IVF caches — evicted by plans.clear_plan_caches)
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
+@query(
+    "docs_bm25_served_topk",
+    _bm25_oracle(),
+    doc="[EXT] BM25 serving from the persisted postings index "
+    "(operators/bm25.py bm25_index/bm25_serve): the SAME oracle as "
+    "docs_bm25_topk — the serving path is contractually row-for-row "
+    "identical to the full scan, and this row proves it against DuckDB "
+    "rather than against the other Spark plan.  The scan reads ONLY the "
+    "term buckets the query batch hashes to (PartitionFilters-pruned "
+    "parquet, the ivf_search_batch contract for text); document "
+    "frequencies stay exact because a term's postings live entirely in "
+    "its bucket.  Index build memoized per sf_dir (cold build ~one "
+    "tokenize pass; evicted by plans.clear_plan_caches).",
+    tags=("text", "retrieval", "bm25", "serving"),
+)
+def docs_bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_index,
+        bm25_serve,
+    )
+
+    path = _BM25_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        path = tempfile.mkdtemp(prefix="bm25-postings-")
+        bm25_index(docs, path)
+        _BM25_INDEX_CACHE[sf_dir] = path
+    return bm25_serve(spark, path)

@@ -111,6 +111,7 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             "emb_pq_batch_topk",
             "emb_ivfpq_batch_topk",
             "docs_bm25_topk",
+            "docs_bm25_served_topk",
         )
     },
     (
