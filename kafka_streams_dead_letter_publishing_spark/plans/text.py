@@ -2698,3 +2698,235 @@ def docs_bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index(docs, path)
         _BM25_INDEX_CACHE[sf_dir] = path
     return bm25_serve(spark, path)
+
+
+# ── the composed quality-filter funnel ───────────────────────────────────
+
+
+def _funnel_oracle() -> str:
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_model_sql,
+    )
+
+    nb_block = nb_model_sql(_NB_TRAIN_WHERE, _TOKS_SQL)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+    {nb_block},
+    nbs_tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY 1, 2
+    ),
+    nbs_percls AS (
+        SELECT doc_id, cls,
+               CAST(SUM(tf * COALESCE(s_mb, oov_mb)) + ANY_VALUE(prior_mb)
+                   AS BIGINT) AS score_mb
+        FROM nbs_tf
+        CROSS JOIN nb_classes
+        LEFT JOIN nb_model USING (term, cls)
+        GROUP BY 1, 2
+    ),
+    nbs_pred AS (
+        SELECT doc_id, cls AS pred
+        FROM (
+            SELECT doc_id, cls, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score_mb, cls
+            ) AS rn
+            FROM nbs_percls
+        ) WHERE rn = 1
+    ),
+    ref AS (SELECT t FROM toks WHERE lang = 'en'),
+    uc AS (SELECT a, COUNT(*) AS ca
+           FROM (SELECT unnest(t) AS a FROM ref)
+           GROUP BY a ORDER BY ca DESC, a LIMIT 65536),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM uc),
+    bc AS (SELECT bg, COUNT(*) AS cab
+           FROM (SELECT unnest({_BIGRAMS_SQL}) AS bg FROM ref)
+           GROUP BY bg ORDER BY cab DESC, bg LIMIT 4194304),
+    pstream AS (
+        SELECT doc_id, t[i] AS a, array_to_string(t[i:i+1], ' ') AS bg
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    pos AS (
+        SELECT s.doc_id,
+               length(bin((COALESCE(uc.ca, 0) + tot.V + 1)
+                          // (COALESCE(bc.cab, 0) + 1))) - 1 AS w
+        FROM pstream s
+        CROSS JOIN tot
+        LEFT JOIN uc ON s.a = uc.a
+        LEFT JOIN bc ON s.bg = bc.bg),
+    ppl AS (
+        SELECT d.doc_id,
+               CAST(len(d.t) - 1 AS BIGINT) AS n_positions,
+               CAST(COALESCE(p.score, 0) AS BIGINT) AS score
+        FROM toks d
+        LEFT JOIN (SELECT doc_id, SUM(w) AS score FROM pos GROUP BY doc_id) p
+            ON d.doc_id = p.doc_id),
+    glines AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                              l -> len(trim(l)) > 0)) AS line
+        FROM documents
+    ),
+    line_groups AS (
+        SELECT doc_id, line, COUNT(*) AS cnt FROM glines GROUP BY doc_id, line
+    ),
+    line_stats AS (
+        SELECT doc_id, SUM(cnt) AS n_lines,
+               SUM(cnt - 1) AS dup_lines,
+               SUM((cnt - 1) * len(line)) AS dup_chars
+        FROM line_groups GROUP BY doc_id
+    ),
+    grams2 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i + 1]
+                               FOR i IN generate_series(1, len(t) - 1)]) AS gram
+        FROM toks WHERE len(t) >= 2
+    ),
+    gram2_groups AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams2 GROUP BY doc_id, gram
+    ),
+    top2 AS (
+        SELECT doc_id, gram, cnt FROM (
+            SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM gram2_groups) WHERE rn = 1
+    ),
+    grams3 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                               FOR i IN generate_series(1, len(t) - 2)]) AS gram
+        FROM toks WHERE len(t) >= 3
+    ),
+    gram3_groups AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams3 GROUP BY doc_id, gram
+    ),
+    top3 AS (
+        SELECT doc_id, gram, cnt FROM (
+            SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM gram3_groups) WHERE rn = 1
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               COALESCE(np.pred, '') = 'en' AS lang_ok,
+               ((COALESCE(ls.n_lines, 0) = 0)
+                OR (CAST(COALESCE(ls.dup_lines, 0) AS DOUBLE)
+                        <= CAST(0.30 AS DOUBLE) * COALESCE(ls.n_lines, 0)
+                    AND CAST(COALESCE(ls.dup_chars, 0) AS DOUBLE)
+                        <= CAST(0.20 AS DOUBLE) * length(d.text)))
+               AND (COALESCE(t2.cnt, 0) <= 1
+                    OR CAST(COALESCE(t2.cnt * len(t2.gram), 0) AS DOUBLE)
+                        <= CAST(0.20 AS DOUBLE) * length(d.text))
+               AND (COALESCE(t3.cnt, 0) <= 1
+                    OR CAST(COALESCE(t3.cnt * len(t3.gram), 0) AS DOUBLE)
+                        <= CAST(0.18 AS DOUBLE) * length(d.text))
+               AS rep_ok,
+               (pp.n_positions <= 0
+                OR pp.score * 1000 < pp.n_positions * {_PPL_TAIL}) AS ppl_ok
+        FROM documents d
+        LEFT JOIN nbs_pred np ON d.doc_id = np.doc_id
+        LEFT JOIN ppl pp ON d.doc_id = pp.doc_id
+        LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
+        LEFT JOIN top2 t2 ON d.doc_id = t2.doc_id
+        LEFT JOIN top3 t3 ON d.doc_id = t3.doc_id
+    )
+    SELECT doc_id, lang_ok, rep_ok, ppl_ok,
+           (lang_ok AND rep_ok AND ppl_ok) AS keep
+    FROM flags
+    """
+
+
+@query(
+    "docs_quality_funnel",
+    _funnel_oracle(),
+    doc="[EXT] The composed quality-filter funnel — the CCNet/RedPajama "
+    "filter stack as ONE Catalyst plan: NB language gate (broadcast "
+    "exact-integer model trained on the 80% labeled split, applied to "
+    "every doc), Gopher repetition rules (per-row narrow sorted-run "
+    "folds), and the perplexity tail cut (broadcast bigram-LM surprise, "
+    "integer cross-multiplied threshold).  Per-doc verdict row "
+    "(doc_id, lang_ok, rep_ok, ppl_ok, keep) pinned hash-green — every "
+    "stage's decision for every document, replayed bit-for-bit in "
+    "DuckDB.  Scale shape: all three models/tables broadcast (V x C NB "
+    "model, driver-bounded LM tables); the two doc_id-keyed aggregate "
+    "joins (NB pred, perplexity score) shuffle on the unique doc id — "
+    "no token-keyed corpus shuffle anywhere; the repetition stage is "
+    "pure narrow expressions.",
+    tags=("text", "quality", "pipeline", "bench"),
+)
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.quality import (
+        duplicate_line_stats,
+        top_ngram_stats,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_classify,
+        nb_train,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.perplexity import (
+        bigram_lm,
+        surprise_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    try:
+        model = nb_train(docs.filter(F.expr(_NB_TRAIN_WHERE)), "lang")
+    except ValueError as e:
+        if "empty" not in str(e):
+            raise
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, lang_ok boolean, rep_ok boolean, "
+            "ppl_ok boolean, keep boolean",
+        )
+    preds = nb_classify(docs, model).select(
+        "doc_id", (F.col("pred") == "en").alias("lang_ok")
+    )
+    uni, bi, v = bigram_lm(docs.filter(F.col("lang") == "en"))
+    scores = surprise_scores(docs, uni, bi, v).select(
+        "doc_id",
+        (
+            (F.col("n_positions") <= 0)
+            | (F.col("score") * 1000 < F.col("n_positions") * _PPL_TAIL)
+        ).alias("ppl_ok"),
+    )
+    staged = docs.select(
+        "doc_id", "text", tokens(_norm(F.col("text"))).alias("toks")
+    )
+    ls = duplicate_line_stats(F.col("text"))
+    g2 = top_ngram_stats(F.col("toks"), 2)
+    g3 = top_ngram_stats(F.col("toks"), 3)
+    rep = staged.select(
+        "doc_id",
+        ls["n_lines"].alias("_nl"),
+        ls["dup_lines"].alias("_dl"),
+        ls["dup_chars"].alias("_dc"),
+        F.length("text").alias("_nc"),
+        g2["count"].alias("_c2"),
+        g2["chars"].alias("_h2"),
+        g3["count"].alias("_c3"),
+        g3["chars"].alias("_h3"),
+    ).select(
+        "doc_id",
+        (
+            (
+                (F.col("_nl") == 0)
+                | (
+                    (F.col("_dl") <= F.lit(0.30) * F.col("_nl"))
+                    & (F.col("_dc") <= F.lit(0.20) * F.col("_nc"))
+                )
+            )
+            & ((F.col("_c2") <= 1) | (F.col("_h2") <= F.lit(0.20) * F.col("_nc")))
+            & ((F.col("_c3") <= 1) | (F.col("_h3") <= F.lit(0.18) * F.col("_nc")))
+        ).alias("rep_ok"),
+    )
+    return (
+        rep.join(preds, "doc_id")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "lang_ok",
+            "rep_ok",
+            "ppl_ok",
+            (F.col("lang_ok") & F.col("rep_ok") & F.col("ppl_ok")).alias("keep"),
+        )
+    )

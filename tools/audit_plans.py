@@ -79,6 +79,19 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ): "crossJoin against the broadcast C-row class table (C = #languages "
     "— every class must score every doc; the model join itself is a "
     "broadcast hash join)",
+    (
+        "docs_quality_funnel",
+        "BroadcastNestedLoopJoin",
+    ): "the NB language-gate stage's crossJoin against the broadcast "
+    "C-row class table (counted twice: reused across the scoring and "
+    "argmin subtrees)",
+    (
+        "docs_quality_funnel",
+        "SortMergeJoin",
+    ): "per-doc verdict assembly joins the NB-pred and perplexity-score "
+    "aggregates on the UNIQUE doc id — both sides corpus-derived, "
+    "neither broadcastable at scale; a unique-key SMJ has no skew by "
+    "construction",
     # ── Window allowlist (r9): every entry must be bounded-cardinality-
     # per-partition-key BY CONSTRUCTION, not by data luck.  A window that
     # partitions on a data key with unbounded per-key multiplicity (a
