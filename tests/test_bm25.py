@@ -190,3 +190,38 @@ def test_serving_fails_closed_on_missing_stats(spark, tmp_path):
 
     with _pytest.raises((AnalysisException, Py4JJavaError)):
         bm25_serve(spark, str(tmp_path / "nope"), QUERIES)
+
+
+def test_qlog2_three_engine_fuzz(spark):
+    """The quantized-log2 primitive (shared by BM25 and Naive Bayes) must
+    agree bit-for-bit across Spark SQL, DuckDB, and Python on a sweep of
+    (num, den) pairs including powers of two, off-by-ones, and equal
+    inputs."""
+    import duckdb
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        qlog2_mb_duck_sql,
+        qlog2_mb_sql,
+    )
+
+    pairs = [(n, d) for n in (1, 2, 3, 7, 8, 1023, 1024, 1025, 10**6, 10**12)
+             for d in (1, 2, 3, 7, 1024, 999) if n >= d]
+    pairs += [(k, k) for k in (1, 5, 1 << 40)]
+    df = spark.createDataFrame(pairs, "n long, d long")
+    got_spark = {
+        (r.n, r.d): r.mb
+        for r in df.selectExpr(
+            "n", "d", f"{qlog2_mb_sql('n', 'd')} AS mb"
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        (n, d): con.sql(
+            f"SELECT {qlog2_mb_duck_sql(str(n), str(d))}"
+        ).fetchone()[0]
+        for n, d in pairs
+    }
+    for n, d in pairs:
+        want = _qlog2_mb(n, d)
+        assert got_spark[(n, d)] == want, (n, d, got_spark[(n, d)], want)
+        assert got_duck[(n, d)] == want, (n, d, got_duck[(n, d)], want)

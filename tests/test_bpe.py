@@ -330,3 +330,19 @@ def test_tokens_arr_matches_python_and_counter(spark):
             r.arr,
             r.n,
         )
+
+
+@given(st.text(alphabet="the aing\t\n.x", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_tokens_arr_detokenizes_to_normalized_text(text):
+    """Round-trip invariant: concatenating the token array (spaces are
+    real tokens) reproduces the normalized text exactly — the id-delivery
+    segmentation loses nothing.  Checked on the Python twin (fuzz); the
+    Spark expression is pinned ≡ the twin by
+    test_tokens_arr_matches_python_and_counter."""
+    import re
+
+    m = _marked_py(text, MERGES)
+    arr = m[1:-1].split("\x1f\x1f") if len(m) >= 2 else []
+    norm = re.sub("[ \t\n\x0b\f\r]+", " ", text.replace("\x1f", "").lower())
+    assert "".join(arr) == norm
