@@ -2930,3 +2930,57 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_ok") & F.col("rep_ok") & F.col("ppl_ok")).alias("keep"),
         )
     )
+
+
+def _fertility_oracle() -> str:
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        bpe_count_sql,
+    )
+
+    return f"""
+    WITH scored AS (
+        SELECT lang,
+               CAST(length({_NORM_SQL}) AS BIGINT) AS n_chars,
+               CAST({bpe_count_sql('text')} AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+           CAST((1000 * SUM(n_chars)) // GREATEST(SUM(n_bpe), 1)
+               AS BIGINT) AS chars_per_token_milli
+    FROM scored GROUP BY lang
+    """
+
+
+@query(
+    "docs_tokenizer_fertility",
+    _fertility_oracle(),
+    doc="[EXT] Tokenizer fertility report per language: normalized chars "
+    "per BPE token (milli units, integer division) — the tokenizer-"
+    "efficiency audit a multilingual corpus release reports (languages "
+    "the merges under-serve show low chars/token, i.e. high fertility "
+    "cost).  Uses the pinned 16-merge chain (zero UDFs) and the pinned "
+    "normalization; the ratio is integer cross-divided so both engines "
+    "agree exactly.  One partial-agg pass; per-row narrow counting.",
+    tags=("text", "tokens", "bpe", "report"),
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        bpe_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.length(_norm(F.col("text"))).cast("long").alias("n_chars"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_bpe").cast("long").alias("sum_bpe"),
+        F.expr("CAST((1000 * SUM(n_chars)) DIV GREATEST(SUM(n_bpe), 1) AS BIGINT)")
+        .alias("chars_per_token_milli"),
+    )
