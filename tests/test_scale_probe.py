@@ -30,6 +30,8 @@ PROBE_OPS = (
     "dup_ngram_stats",
     "dup_span_removal",
     "bm25_topk",
+    "nb_train",
+    "nb_classify",
     "pca_covariance",
     "semdedup_fixed_k",
     "semdedup_scaled_k",

@@ -449,6 +449,28 @@ def main() -> None:
             _timed(lambda: _noop(bm25_topk(docs))),
         )
 
+        # ── r9 NB classifier: train (two partial-agg counts + driver
+        # model) and classify (broadcast model, doc-id-keyed agg) —
+        # both expected ~linear with broadcast-size constants
+        from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+            nb_classify,
+            nb_train,
+        )
+
+        model_box = {}
+
+        def run_nb_train():
+            model_box["m"] = nb_train(
+                docs.filter(F.col("doc_id") % 5 != 0), "lang"
+            )
+
+        record("nb_train", n_docs, _timed(run_nb_train, runs=1))
+        record(
+            "nb_classify",
+            n_docs,
+            _timed(lambda: _noop(nb_classify(docs, model_box["m"]))),
+        )
+
         nd_idx = build_neardup_index(docs.filter(F.col("doc_id") % 10 != 0))
         nd_idx = nd_idx._replace(
             bands=nd_idx.bands.persist(), shingles=nd_idx.shingles.persist()
