@@ -53,8 +53,10 @@ def second_moments(
     """(i, j, gram, s_i, s_j, n) for the upper triangle i <= j — every
     value an exact integer aggregate of the microunit-quantized vectors.
 
-    ``gram`` = sum of qx_i * qx_j (BIGINT); ``s_i``/``s_j`` the
-    per-dimension sums; ``n`` the row count.  The scaled covariance
+    ``gram`` = sum of qx_i * qx_j (DECIMAL(38,0) — the per-row products
+    are ~1e12, so a BIGINT sum wraps around 1e7 rows); ``s_i``/``s_j``
+    the per-dimension BIGINT sums (|x| <= 1 keeps them < n * 1e6, safe
+    to ~9e12 rows); ``n`` the row count.  The scaled covariance
     ``n*gram - s_i*s_j`` is left to the caller so this one frame serves
     both the covariance build and mean extraction."""
     q = emb.select(quantize_embedding(F.col(vec_col)).alias("qx"))
@@ -68,8 +70,12 @@ def second_moments(
             F.transform("qx", lambda xj: xj * F.col("xi"))
         ).alias("j", "p"),
     ).filter(F.col("j") >= F.col("i"))
+    # gram accumulates in DECIMAL(38,0): per-row products reach ~1e12
+    # (microunit^2), so a BIGINT sum wraps silently (non-ANSI Spark)
+    # around 1e7 rows — inside this module's advertised scale — while
+    # DuckDB's HUGEINT sum would not, silently diverging the engines.
     gram = prods.groupBy("i", "j").agg(
-        F.sum("p").cast("long").alias("gram"),
+        F.sum(F.col("p").cast(_DEC)).cast(_DEC).alias("gram"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     sums = rows_i.groupBy("i").agg(F.sum("xi").cast("long").alias("s"))

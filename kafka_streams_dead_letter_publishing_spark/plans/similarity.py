@@ -1378,16 +1378,16 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE j - 1 >= i
     ),
     gram AS (
-        SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram, COUNT(*) AS n
+        SELECT i, j, CAST(SUM(p) AS DECIMAL(38,0)) AS gram, COUNT(*) AS n
         FROM prods GROUP BY i, j
     ),
     sums AS (
         SELECT i, CAST(SUM(xi) AS BIGINT) AS s FROM rows_i GROUP BY i
     )
     SELECT g.i, g.j,
-           CAST(CAST(g.n AS DECIMAL(38,0)) * CAST(g.gram AS DECIMAL(38,0))
+           CAST(CAST(CAST(g.n AS DECIMAL(38,0)) * g.gram
                 - CAST(si.s AS DECIMAL(38,0)) * CAST(sj.s AS DECIMAL(38,0))
-                AS DECIMAL(38,0)) AS cov_scaled
+                AS DECIMAL(38,0)) AS VARCHAR) AS cov_scaled
     FROM gram g
     JOIN sums si ON si.i = g.i
     JOIN sums sj ON sj.i = g.j
@@ -1399,7 +1399,10 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dimension sums as exact INTEGER partial aggregates, scaled "
     "covariance n*gram - s_i*s_j in DECIMAL(38,0) (the division-free "
     "n^2-scaled covariance; BIGINT would overflow the n*gram product at "
-    "corpus scale).  2080 rows for d=64 — the d x d frame that reaches "
+    "corpus scale), emitted as STRING: |cov_scaled| exceeds 2^53 already "
+    "at sf0.1, so any float bridge (Spark Decimal vs DuckDB float64 on "
+    "the pandas hop) is lossy — the decimal digits ARE the value.  "
+    "2080 rows for d=64 — the d x d frame that reaches "
     "the driver for the numpy eigensolve in pca_fit.  Scale shape: the "
     "gram explode partial-aggregates per partition, so the shuffle "
     "carries <= d^2 pre-summed cells per partition regardless of N (the "
@@ -1416,4 +1419,10 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    return scaled_covariance(second_moments(emb))
+    cov = scaled_covariance(second_moments(emb))
+    # STRING, not DOUBLE: |cov_scaled| passes 2^53 at sf0.1, and the
+    # pandas bridge otherwise delivers Decimal (Spark) vs float64
+    # (DuckDB) to the hasher — representation drift on equal values.
+    return cov.select(
+        "i", "j", F.col("cov_scaled").cast("string").alias("cov_scaled")
+    )
