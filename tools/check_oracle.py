@@ -37,6 +37,14 @@ def canon(v):
     if isinstance(v, (float, np.floating)):
         return struct.pack(">d", float(v)).hex()
     if isinstance(v, decimal.Decimal):
+        # Integral decimals hash as EXACT ints: float(v) is lossy past
+        # 2^53, which would wave through a genuine low-order-digit drift
+        # on any wide-DECIMAL surface (and is exactly how the driver's
+        # Decimal-vs-float64 PCA mismatch slipped the local gate).
+        # Matches the int branch above, so a Spark BIGINT compares equal
+        # to a DuckDB HUGEINT/DECIMAL of the same integer value.
+        if v == v.to_integral_value():
+            return int(v)
         return struct.pack(">d", float(v)).hex()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
