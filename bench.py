@@ -133,6 +133,20 @@ def main() -> None:
     # be diagnosed by re-running later — recording the 1/5/15-min load
     # averages makes each BENCH json self-interpreting (a run whose start
     # load rivals the worker count is suspect on its face).
+    #
+    # Warn-and-sample was not enough (r9/r10: two consecutive recorded runs
+    # contaminated — r10 started at load 3.28, UNDER the warning threshold,
+    # and ended at 8.79, a uniform 1.065x drift across 39 bit-identical
+    # entries).  So DEFEND, don't just annotate: wait (bounded) for the
+    # 1-min load to drop below cpus/8 before starting, and at the end flag
+    # the artifact if the END load breached the threshold mid-run — start
+    # load alone is demonstrably insufficient.
+    load_threshold = (cpus if isinstance(cpus, int) else 32) / 8
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+    load_waited = 0.0
+    while os.getloadavg()[0] > load_threshold and load_waited < wait_budget:
+        time.sleep(15)
+        load_waited += 15
     load_start = os.getloadavg()
 
     from pyspark.sql import SparkSession
@@ -285,6 +299,7 @@ def main() -> None:
         "cpus": cpus,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
+        "load_wait_sec": round(load_waited, 1),
     }
     # Detail line FIRST (samples, per-batch streaming progress): this is the
     # line that can grow without bound, so it must never sit between the
@@ -320,12 +335,17 @@ def main() -> None:
         "rows_per_sec": rows_per_sec,
         "env": env,
     }
-    # A run started on a busy box is suspect on its face (the r5/r6 weak
-    # entries were all load contamination) — flag it in the artifact.
-    if isinstance(cpus, int) and load_start[0] > cpus / 8:
+    # A run started OR FINISHED on a busy box is suspect (the r5/r6 weak
+    # entries were start-load contamination; r10 started clean and got
+    # contaminated mid-run) — flag whichever end breached.
+    breaches = [
+        f"load_avg_{which} {val:.2f} exceeds cpus/8={load_threshold:.1f}"
+        for which, val in (("start", load_start[0]), ("end", load_end[0]))
+        if val > load_threshold
+    ]
+    if breaches:
         headline["load_warning"] = (
-            f"load_avg_start {load_start[0]:.2f} exceeds cpus/8={cpus / 8:.1f}; "
-            "medians may be contaminated"
+            "; ".join(breaches) + "; medians may be contaminated"
         )
     out = json.dumps(headline)
     # NEVER abort after a completed run (the crash-after-measurement class
