@@ -46,8 +46,12 @@ the perplexity module's V-scalar pattern.
 Magnitude audit (BIGINT overflow): idf_mb <= ~64*1024; 22000*tf with
 tf <= dl <= ~1e6 gives 2.2e10; product <= 1.5e15 << 2^63.  ratio_milli
 uses 1000*dl*N which at N=1e12 docs and dl=1e6 would overflow — so the
-ratio is computed as 1000*dl DIV avg_dl_int with avg-first rounding when
-T > 2^40 (documented coarser quantization on the giant-corpus path).
+ratio is computed as 1000*dl DIV avg_dl_int with avg-first rounding on
+the giant-corpus path.  The cutover keys on the ACTUAL overflow bound
+``1000 * max(dl) * N >= 2^62`` (one extra MAX scalar from the stats
+aggregate), not on total tokens: a skewed corpus — few docs, one huge
+one — overflows long before T does (r9 advisory), while a uniform short
+corpus with astronomic doc COUNT was being degraded needlessly.
 """
 
 from __future__ import annotations
@@ -69,8 +73,18 @@ DEFAULT_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 
 DEFAULT_TOPK = 10
 
-# giant-corpus cutover for the dl/avgdl quantization (see module doc)
-_BIG_T = 1 << 40
+# giant-corpus cutover for the dl/avgdl quantization (see module doc):
+# precise path while 1000 * max(dl) * n_docs stays under 2^62 (a 2x
+# margin below the BIGINT line, exact in driver-side Python ints)
+_RATIO_GUARD = 1 << 62
+
+
+def _ratio_sql(n_docs: int, total_t: int, max_dl: int) -> str:
+    """Spark-SQL fragment for ratio_milli = quantized 1000*dl/avgdl,
+    choosing the precise or avg-first form by the exact overflow bound."""
+    if 1000 * max_dl * n_docs >= _RATIO_GUARD:
+        return f"(1000 * dl) DIV {total_t // n_docs}"
+    return f"(1000 * dl * {n_docs}) DIV {total_t}"
 
 
 def qlog2_mb_sql(num_sql: str, den_sql: str) -> str:
@@ -105,51 +119,18 @@ def query_terms_df(spark, queries: Sequence[tuple[int, Sequence[str]]]) -> DataF
     return spark.createDataFrame(rows, "query_id bigint, term string")
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: Sequence[tuple[int, Sequence[str]]] = DEFAULT_QUERIES,
-    k_top: int = DEFAULT_TOPK,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+_EMPTY_RESULT_SCHEMA = (
+    "query_id bigint, doc_id bigint, score_mb bigint, n_terms bigint, rnk int"
+)
+
+
+def _score_topk(
+    tf: DataFrame, n_docs: int, total_t: int, max_dl: int, k_top: int
 ) -> DataFrame:
-    """Top-``k_top`` documents per query by exact-integer BM25.
-
-    Returns (query_id, doc_id, score_mb, n_terms, rnk) — ``score_mb`` is
-    the millibit-scaled BIGINT score, ``n_terms`` the number of distinct
-    query terms the doc matched, ``rnk`` 1-based with the unique doc-id
-    tie-break.  Documents matching no query term never appear."""
-    spark = docs.sparkSession
-    toks_df = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(norm_text(F.col(text_col))).alias("_t"),
-    )
-    lens = toks_df.select("doc_id", F.size("_t").cast("long").alias("dl"))
-    stats = lens.agg(
-        F.sum("dl").cast("long").alias("tt"), F.count(F.lit(1)).alias("nn")
-    ).first()
-    total_t, n_docs = stats.tt, stats.nn
-    if not n_docs or not total_t:
-        return spark.createDataFrame(
-            [],
-            "query_id bigint, doc_id bigint, score_mb bigint, "
-            "n_terms bigint, rnk int",
-        )
-    if total_t > _BIG_T:
-        # giant-corpus path: avg-first rounding keeps 1000*dl*N in range
-        avg_dl = total_t // n_docs
-        ratio_sql = f"(1000 * dl) DIV {avg_dl}"
-    else:
-        ratio_sql = f"(1000 * dl * {n_docs}) DIV {total_t}"
-
-    qdf = query_terms_df(spark, queries)
-    postings = toks_df.select(
-        "doc_id", F.size("_t").cast("long").alias("dl"), F.explode("_t").alias("term")
-    )
-    tf = (
-        postings.join(F.broadcast(qdf), "term")
-        .groupBy("query_id", "term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    """Shared scoring tail of the full-scan and served paths: document
+    frequencies from the (query_id, term, doc_id, dl, tf) frame (exact —
+    a term's postings are complete in ``tf`` on both paths), quantized
+    idf, integer contributions, and the repo's two-phase top-k."""
     dfreq = (
         tf.select("term", "doc_id")
         .distinct()
@@ -162,7 +143,9 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq.select("term", "idf_mb")), "term")
-        .withColumn("ratio_milli", F.expr(ratio_sql).cast("long"))
+        .withColumn(
+            "ratio_milli", F.expr(_ratio_sql(n_docs, total_t, max_dl)).cast("long")
+        )
         .withColumn("contrib", F.expr(_contrib_sql("DIV")).cast("long"))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -189,6 +172,46 @@ def bm25_topk(
     ).filter(F.col("rnk") <= k_top)
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, Sequence[str]]] = DEFAULT_QUERIES,
+    k_top: int = DEFAULT_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k_top`` documents per query by exact-integer BM25.
+
+    Returns (query_id, doc_id, score_mb, n_terms, rnk) — ``score_mb`` is
+    the millibit-scaled BIGINT score, ``n_terms`` the number of distinct
+    query terms the doc matched, ``rnk`` 1-based with the unique doc-id
+    tie-break.  Documents matching no query term never appear."""
+    spark = docs.sparkSession
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(norm_text(F.col(text_col))).alias("_t"),
+    )
+    lens = toks_df.select("doc_id", F.size("_t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.sum("dl").cast("long").alias("tt"),
+        F.count(F.lit(1)).alias("nn"),
+        F.max("dl").alias("mx"),
+    ).first()
+    total_t, n_docs = stats.tt, stats.nn
+    if not n_docs or not total_t:
+        return spark.createDataFrame([], _EMPTY_RESULT_SCHEMA)
+
+    qdf = query_terms_df(spark, queries)
+    postings = toks_df.select(
+        "doc_id", F.size("_t").cast("long").alias("dl"), F.explode("_t").alias("term")
+    )
+    tf = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return _score_topk(tf, n_docs, total_t, stats.mx, k_top)
+
+
 def bm25_oracle_sql(
     toks_sql: str,
     queries: Sequence[tuple[int, Sequence[str]]] = DEFAULT_QUERIES,
@@ -204,7 +227,7 @@ def bm25_oracle_sql(
     return f"""
     WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM documents),
     lens AS (SELECT doc_id, len(t) AS dl FROM toks),
-    stats AS (SELECT SUM(dl) AS tt, COUNT(*) AS nn FROM lens),
+    stats AS (SELECT SUM(dl) AS tt, COUNT(*) AS nn, MAX(dl) AS mx FROM lens),
     q(query_id, term) AS (VALUES {vals}),
     words AS (SELECT doc_id, unnest(t) AS term FROM toks),
     tf AS (
@@ -223,7 +246,10 @@ def bm25_oracle_sql(
                COUNT(*) AS n_terms
         FROM (
             SELECT tf.*, idf_mb,
-                   CASE WHEN tt > {_BIG_T}
+                   -- cutover on the exact overflow bound (HUGEINT-safe
+                   -- compare; Spark evaluates the same bound driver-side
+                   -- in Python ints)
+                   CASE WHEN 1000 * CAST(mx AS HUGEINT) * nn >= {_RATIO_GUARD}
                         THEN (1000 * dl) // (tt // nn)
                         ELSE (1000 * dl * nn) // tt END AS ratio_milli
             FROM tf JOIN idf USING (term)
@@ -269,19 +295,28 @@ def _py_term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
 
 
-def bm25_index(
-    docs: DataFrame,
-    path: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = N_TERM_BUCKETS,
-) -> None:
-    """Write the postings index: ``{path}/postings`` partitioned by
-    ``bucket`` with rows (term, doc_id, tf, dl), and ``{path}/stats``
-    with the one (n_docs, total_tokens) row.  One tokenize pass; the
-    postings shuffle keys on (term, doc) — tf partial-aggregates map-side.
-    Stats are written LAST (the completion gate: serving fail-closes on a
-    half-written index because the stats file is missing)."""
+def _store_exists(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one data file — the Hadoop
+    FileSystem probe (streaming/ingest_pipeline.py's contract: a
+    driver-local listdir would silently disengage on hdfs:// / s3a://)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
+
+
+def _batch_postings(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int, epoch: int
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) frames for one document set, both stamped with
+    ``epoch``.  One tokenize pass; the postings shuffle keys on
+    (term, doc) — tf partial-aggregates map-side."""
     toks_df = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(norm_text(F.col(text_col))).alias("_t"),
@@ -295,16 +330,127 @@ def bm25_index(
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-    )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
+        .withColumn("epoch", F.lit(epoch).cast("long"))
     )
     lens = toks_df.select(F.size("_t").cast("long").alias("dl"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
+        F.coalesce(F.max("dl"), F.lit(0)).cast("long").alias("max_dl"),
+    ).withColumn("epoch", F.lit(epoch).cast("long"))
+    return postings, stats
+
+
+def bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Write the postings index: ``{path}/postings`` partitioned by
+    ``bucket`` with rows (term, doc_id, tf, dl, epoch), and
+    ``{path}/stats`` with one RUNNING-TOTAL row per epoch
+    (n_docs, total_tokens, max_dl, epoch) — the one-shot build is epoch 0.
+    Stats are written LAST (the completion gate: serving fail-closes on a
+    half-written index because the stats row is missing, and on a
+    half-APPENDED index because orphan postings epochs sit above the
+    newest stats epoch and are filtered out — see :func:`bm25_append`)."""
+    postings, stats = _batch_postings(docs, text_col, id_col, n_buckets, epoch=0)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_append(
+    batch_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> int:
+    """Incremental BM25 ingest: append a micro-batch's postings to the
+    persisted index and advance the stats epoch — the ``ivf_append`` /
+    ``pq_append`` twin for the text-retrieval store, so a streaming
+    corpus keeps a servable BM25 index growing without a rebuild.
+    Returns the index's current epoch.
+
+    Unlike the vector stores, naive appends are WRONG here: scoring
+    depends on global (N, sum dl, max dl), so each append writes a new
+    RUNNING-TOTAL stats row (associative merges — base + batch, exactly
+    the CMS cell-merge contract) stamped with epoch = prior + 1, and the
+    batch's postings carry the same epoch.  Write order is postings
+    FIRST, stats LAST: a crash between the two leaves orphan postings at
+    epoch E+1 with the newest stats row still at E, and ``bm25_serve``
+    scans only ``epoch <= stats.epoch`` — it keeps serving the last
+    COMPLETE snapshot (postings and the stats they were scored against
+    always agree; the orphans are reclaimed by :func:`bm25_compact`).
+    Bootstrapping on an empty path is epoch 0, identical to
+    :func:`bm25_index` on the same batch (test-pinned).
+
+    Single-writer contract (same as every store in the repo): appends
+    come from a serialized ``foreachBatch`` body, never concurrently.
+    Appended docs are NEW docs — re-sending a doc_id double-counts it,
+    exactly as it would in the vector stores."""
+    spark = batch_docs.sparkSession
+    if _store_exists(spark, f"{path}/stats"):
+        base = (
+            spark.read.parquet(f"{path}/stats")
+            .orderBy(F.desc("epoch"))
+            .first()
+        )
+        base_n, base_t = base.n_docs, base.total_tokens
+        base_mx, epoch = base.max_dl, base.epoch
+    else:
+        base_n = base_t = base_mx = 0
+        epoch = -1
+    postings, stats = _batch_postings(
+        batch_docs, text_col, id_col, n_buckets, epoch=epoch + 1
+    )
+    srow = stats.first()
+    if not srow.n_docs:
+        return epoch  # empty batch: no postings, no epoch advance
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    merged = stats.sparkSession.createDataFrame(
+        [
+            (
+                base_n + srow.n_docs,
+                base_t + srow.total_tokens,
+                max(base_mx, srow.max_dl),
+                epoch + 1,
+            )
+        ],
+        "n_docs bigint, total_tokens bigint, max_dl bigint, epoch bigint",
+    )
+    merged.write.mode("append").parquet(f"{path}/stats")
+    return epoch + 1
+
+
+def bm25_compact(spark, src_path: str, dst_path: str) -> None:
+    """Compact a streamed-into BM25 index: every append adds files per
+    touched bucket, so a long-lived ingest accumulates small files (the
+    ``ivf_compact`` problem).  Rewrites the postings <= the newest stats
+    epoch (orphans from a crashed append are dropped — they were never
+    servable) with one shuffle on the bucket partition column, collapses
+    the stats history to its newest row, and writes to a NEW path — swap
+    by repoint, never in place, so a concurrent reader always sees a
+    complete index.  Served results are preserved row-for-row
+    (test-pinned)."""
+    srow = (
+        spark.read.parquet(f"{src_path}/stats").orderBy(F.desc("epoch")).first()
+    )
+    spark.read.parquet(f"{src_path}/postings").filter(
+        F.col("epoch") <= srow.epoch
+    ).repartition("bucket").write.mode("errorifexists").partitionBy(
+        "bucket"
+    ).parquet(f"{dst_path}/postings")
+    spark.createDataFrame(
+        [(srow.n_docs, srow.total_tokens, srow.max_dl, srow.epoch)],
+        "n_docs bigint, total_tokens bigint, max_dl bigint, epoch bigint",
+    ).write.mode("errorifexists").parquet(f"{dst_path}/stats")
 
 
 def bm25_serve(
@@ -316,64 +462,33 @@ def bm25_serve(
 ) -> DataFrame:
     """Serve a query batch from the persisted index, scanning only the
     term buckets the batch needs (partition-pruned IN-filter on
-    ``bucket``).  Row-for-row identical to :func:`bm25_topk` on the same
-    corpus — document frequencies are exact because a term's postings
-    live entirely in its bucket."""
-    srow = spark.read.parquet(f"{path}/stats").first()
+    ``bucket``) and only the postings epochs the newest stats row covers
+    (``epoch <= stats.epoch`` — orphan postings from a crashed append
+    are invisible, so a served snapshot's postings and global stats
+    always agree; fail-closed, see :func:`bm25_append`).  Row-for-row
+    identical to :func:`bm25_topk` on the same corpus — document
+    frequencies are exact because a term's postings live entirely in its
+    bucket."""
+    srow = (
+        spark.read.parquet(f"{path}/stats").orderBy(F.desc("epoch")).first()
+    )
+    if srow is None:
+        raise ValueError(
+            f"bm25_serve: {path}/stats holds no rows — the index build "
+            "never completed (stats are the completion gate); rebuild "
+            "with bm25_index or re-run the failed bm25_append"
+        )
     n_docs, total_t = srow.n_docs, srow.total_tokens
     if not n_docs or not total_t:
-        return spark.createDataFrame(
-            [],
-            "query_id bigint, doc_id bigint, score_mb bigint, "
-            "n_terms bigint, rnk int",
-        )
+        return spark.createDataFrame([], _EMPTY_RESULT_SCHEMA)
     needed = sorted(
         {_py_term_bucket(t, n_buckets) for _, terms in queries for t in terms}
     )
     postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(needed)
+        F.col("bucket").isin(needed) & (F.col("epoch") <= srow.epoch)
     )
     qdf = query_terms_df(spark, queries)
     tf = postings.join(F.broadcast(qdf), "term").select(
         "query_id", "term", "doc_id", "dl", "tf"
     )
-    if total_t > _BIG_T:
-        avg_dl = total_t // n_docs
-        ratio_sql = f"(1000 * dl) DIV {avg_dl}"
-    else:
-        ratio_sql = f"(1000 * dl * {n_docs}) DIV {total_t}"
-    dfreq = (
-        tf.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("dfc"))
-        .withColumn(
-            "idf_mb",
-            F.expr(qlog2_mb_sql(f"{2 * n_docs} + 2", "2 * dfc + 1")).cast("long"),
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq.select("term", "idf_mb")), "term")
-        .withColumn("ratio_milli", F.expr(ratio_sql).cast("long"))
-        .withColumn("contrib", F.expr(_contrib_sql("DIV")).cast("long"))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("contrib").cast("long").alias("score_mb"),
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-        )
-    )
-    staged = scored.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("pid", "query_id").orderBy(
-        F.desc("score_mb"), F.asc("doc_id")
-    )
-    local = (
-        staged.withColumn("rn", F.row_number().over(w_local))
-        .filter(F.col("rn") <= k_top)
-        .drop("pid", "rn")
-    )
-    w_global = Window.partitionBy("query_id").orderBy(
-        F.desc("score_mb"), F.asc("doc_id")
-    )
-    return local.withColumn(
-        "rnk", F.row_number().over(w_global)
-    ).filter(F.col("rnk") <= k_top)
+    return _score_topk(tf, n_docs, total_t, srow.max_dl, k_top)

@@ -192,6 +192,152 @@ def test_serving_fails_closed_on_missing_stats(spark, tmp_path):
         bm25_serve(spark, str(tmp_path / "nope"), QUERIES)
 
 
+def _served_rows(spark, path, queries=QUERIES):
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import bm25_serve
+
+    return sorted(
+        (r.query_id, r.doc_id, r.score_mb, r.n_terms, r.rnk)
+        for r in bm25_serve(spark, path, queries).collect()
+    )
+
+
+def test_streamed_appends_match_one_shot(spark, tmp_path):
+    """Batch-by-batch bm25_append (bootstrap from an empty path) must
+    serve row-for-row identically to a one-shot bm25_index of the same
+    corpus — the ivf_append/pq_append equivalence contract, which for
+    BM25 additionally requires the global (N, sum dl, max dl) stats to
+    merge associatively across epochs."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_append,
+        bm25_index,
+    )
+
+    streamed = str(tmp_path / "streamed")
+    epochs = []
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):
+        batch = spark.createDataFrame(CORPUS[lo:hi], "doc_id bigint, text string")
+        epochs.append(bm25_append(batch, streamed))
+    assert epochs == [0, 1, 2]
+
+    oneshot = str(tmp_path / "oneshot")
+    bm25_index(
+        spark.createDataFrame(CORPUS, "doc_id bigint, text string"), oneshot
+    )
+    got = _served_rows(spark, streamed)
+    assert got == _served_rows(spark, oneshot) and got
+
+
+def test_empty_batch_append_is_a_noop(spark, tmp_path):
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_append,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    assert bm25_append(docs, path) == 0
+    before = _served_rows(spark, path)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bm25_append(empty, path) == 0  # epoch does not advance
+    assert _served_rows(spark, path) == before
+
+
+def test_orphan_postings_from_crashed_append_are_invisible(spark, tmp_path):
+    """Crash-between-writes shape: postings for epoch E+1 land but the
+    stats row (written LAST) never does.  Serving must keep returning
+    the last complete snapshot — the orphan epoch is filtered out by the
+    epoch <= stats.epoch gate, never half-scored against stale stats."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _batch_postings,
+        bm25_append,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(CORPUS[:6], "doc_id bigint, text string")
+    epoch = bm25_append(docs, path)
+    before = _served_rows(spark, path)
+    assert before
+
+    # simulate the crashed append: postings written, stats write lost
+    tail = spark.createDataFrame(CORPUS[6:], "doc_id bigint, text string")
+    orphan, _ = _batch_postings(tail, "text", "doc_id", 64, epoch=epoch + 1)
+    orphan.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+
+    assert _served_rows(spark, path) == before
+    # the retried append heals the index: next epoch advances past the
+    # orphan and the new docs become servable
+    healed_epoch = bm25_append(tail, path)
+    assert healed_epoch == epoch + 1
+
+
+def test_compact_preserves_served_results_and_drops_orphans(spark, tmp_path):
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _batch_postings,
+        bm25_append,
+        bm25_compact,
+    )
+
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 4), (4, 8)):
+        bm25_append(
+            spark.createDataFrame(CORPUS[lo:hi], "doc_id bigint, text string"),
+            src,
+        )
+    # plant an orphan epoch (crashed append) that compaction must drop
+    orphan, _ = _batch_postings(
+        spark.createDataFrame([(99, "spark join")], "doc_id bigint, text string"),
+        "text", "doc_id", 64, epoch=5,
+    )
+    orphan.write.mode("append").partitionBy("bucket").parquet(f"{src}/postings")
+
+    dst = str(tmp_path / "dst")
+    bm25_compact(spark, src, dst)
+    assert _served_rows(spark, dst) == _served_rows(spark, src)
+    compacted = spark.read.parquet(f"{dst}/postings")
+    assert compacted.filter(F.col("doc_id") == 99).count() == 0
+    assert spark.read.parquet(f"{dst}/stats").count() == 1
+
+
+def test_serving_fails_closed_on_empty_stats(spark, tmp_path):
+    """A stats store that exists but holds no rows is a never-completed
+    build — serve must raise, not score with garbage constants."""
+    import pytest as _pytest
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_serve,
+    )
+
+    path = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [], "n_docs bigint, total_tokens bigint, max_dl bigint, epoch bigint"
+    ).write.parquet(f"{path}/stats")
+    with _pytest.raises(ValueError, match="no rows"):
+        bm25_serve(spark, path, QUERIES)
+
+
+def test_giant_corpus_cutover_keys_on_max_dl():
+    """The avg-first degradation must engage exactly when the precise
+    form's intermediate 1000*dl*N can overflow — bound 1000*max(dl)*N,
+    NOT total tokens: a skewed corpus (few docs, one huge) overflows
+    long before T grows, and a huge uniform corpus was degraded
+    needlessly under the old T > 2^40 keying."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _RATIO_GUARD,
+        _ratio_sql,
+    )
+
+    # skewed: tiny corpus, one astronomically long doc -> must degrade
+    # (old keying: T = 2e15 < 2^40*? no — 2e15 > 2^40; pick T under 2^40)
+    n, mx = 4, 2**52
+    assert 1000 * mx * n >= _RATIO_GUARD
+    assert "DIV " + str((mx + 3) // n) in _ratio_sql(n, mx + 3, mx)
+
+    # huge uniform corpus: T far beyond 2^40 but no overflow risk ->
+    # must stay on the precise path
+    n, t, mx = 10**10, 10**13, 5000
+    assert t > (1 << 40) and 1000 * mx * n < _RATIO_GUARD
+    assert f"* {n}) DIV {t}" in _ratio_sql(n, t, mx)
+
+
 def test_qlog2_three_engine_fuzz(spark):
     """The quantized-log2 primitive (shared by BM25 and Naive Bayes) must
     agree bit-for-bit across Spark SQL, DuckDB, and Python on a sweep of
