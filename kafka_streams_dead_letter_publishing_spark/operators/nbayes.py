@@ -206,10 +206,15 @@ def nb_model_sql(
     ),
     nb_ntot AS (SELECT SUM(n_cls) AS n_total FROM nb_nd),
     nb_classes AS (
+        -- LEFT join + COALESCE: a class whose every training doc is
+        -- token-free appears in nb_nd but not nb_tot; the engine keeps
+        -- it with T_cls = 0 (nb_train's t_cls.get(cls, 0)), so an INNER
+        -- join here would silently drop its prior/OOV rows and the two
+        -- engines would diverge on any doc that class should win.
         SELECT cls,
                {qlog2_mb_duck_sql('n_total', 'n_cls')} AS prior_mb,
-               {qlog2_mb_duck_sql('t_cls + vprime', '1')} AS oov_mb
-        FROM nb_nd JOIN nb_tot USING (cls), nb_ntot, nb_vp
+               {qlog2_mb_duck_sql('COALESCE(t_cls, 0) + vprime', '1')} AS oov_mb
+        FROM nb_nd LEFT JOIN nb_tot USING (cls), nb_ntot, nb_vp
     ),
     nb_model AS (
         SELECT term, cls,

@@ -86,6 +86,51 @@ def test_empty_training_raises(spark):
         nb_train(empty, "lang")
 
 
+def test_zero_token_training_class_kept_by_both_engines(spark):
+    """Edge fixture (r9 advisory): a class whose every training doc is
+    token-free (empty text) has doc counts but NO token rows.  The
+    engine keeps it (T_cls = 0, smoothed); the DuckDB oracle's
+    nb_classes CTE used an INNER join to the token totals and silently
+    dropped it — LEFT JOIN + COALESCE must agree with the engine on the
+    class's prior and OOV millibits."""
+    import duckdb
+
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_model_sql,
+    )
+
+    # NULL text is the genuinely token-free doc: tokens() of '' is ['']
+    # (split never returns an empty array) in BOTH engines, but explode/
+    # unnest of a NULL array drops the row — so an all-NULL-text class
+    # has doc counts and zero token rows.
+    rows = [(i, "a", A) for i in range(4)] + [(10 + i, "z", None) for i in range(4)]
+    train = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    model = nb_train(train, "lang")
+    assert model.classes == ["a", "z"]
+    assert "z" in model.oov_mb and "z" in model.priors_mb
+
+    # the all-OOV doc must be scorable against BOTH classes — with equal
+    # doc counts the priors tie and 'z' (T_cls=0 -> lowest OOV surprise)
+    # wins; under the dropped-class oracle it could never win
+    test = spark.createDataFrame([(99, "unseen words")], "doc_id bigint, text string")
+    pred = nb_classify(test, model).collect()[0]
+    assert pred.pred == "z"
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    block = nb_model_sql("TRUE", "string_split(lower(text), ' ')")
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            f"WITH {block} SELECT cls, prior_mb, oov_mb FROM nb_classes ORDER BY cls"
+        ).fetchall()
+    }
+    assert set(got) == {"a", "z"}, "oracle dropped the zero-token class"
+    assert got["a"] == (model.priors_mb["a"], model.oov_mb["a"])
+    assert got["z"] == (model.priors_mb["z"], model.oov_mb["z"])
+
+
 def test_plan_quality(spark, model):
     test = spark.createDataFrame(
         [(d, t) for d, t in TEST], "doc_id bigint, text string"
