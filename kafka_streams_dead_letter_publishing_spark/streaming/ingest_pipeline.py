@@ -365,7 +365,16 @@ class DocumentIngest:
     the quality filter (a wrong-language doc must not enter the stores,
     where it would suppress a later in-language near-dup of itself).
     The model is trained once offline (``nb_train``) — it is static
-    across batches, like the decontam fingerprint store."""
+    across batches, like the decontam fingerprint store.
+
+    ``bm25_store=True`` keeps a servable BM25 postings index in lockstep
+    with the accepted corpus (``operators.bm25.bm25_append`` — the text
+    twin of EmbeddingIngest's ivf/pq stores): each batch's survivors are
+    appended right after the corpus sink, so retrieval over the growing
+    corpus never needs a rebuild.  Same at-least-once caveat as the
+    corpus sink on a crash-and-replay (duplicate doc postings inflate
+    df/N until a reader-side dedup or rebuild); a crash INSIDE the
+    append is invisible to serving (epoch gate, see bm25_append)."""
 
     def __init__(
         self,
@@ -379,6 +388,7 @@ class DocumentIngest:
         decontam_k: int = 5,
         lang_model=None,
         lang_keep: tuple[str, ...] = ("en",),
+        bm25_store: bool = False,
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
@@ -387,6 +397,8 @@ class DocumentIngest:
         self.shingles_path = f"{base_dir}/shingles"
         self.corpus_path = f"{base_dir}/corpus"
         self.lines_path = f"{base_dir}/lines"
+        self.bm25_path = f"{base_dir}/bm25"
+        self.bm25_store = bm25_store
         self.threshold_pct = threshold_pct
         self.max_occupancy = max_occupancy
         self.quality_filter = quality_filter
@@ -636,6 +648,20 @@ class DocumentIngest:
             kept = kept.localCheckpoint(eager=True)
             idx = self._build(kept)
             kept.write.mode("append").parquet(self.corpus_path)
+            if self.bm25_store:
+                from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+                    bm25_append,
+                )
+
+                # right after the corpus sink: the searchable index never
+                # references a doc the corpus lacks; a crash between the
+                # two replays with duplicates in both (the corpus sink's
+                # at-least-once contract), a crash inside the append is
+                # invisible to serving (epoch gate)
+                bm25_append(
+                    kept, self.bm25_path,
+                    text_col=self.text_col, id_col=self.id_col,
+                )
             idx.shingles.write.mode("append").parquet(self.shingles_path)
             idx.bands.write.mode("append").parquet(self.bands_path)
             if self.line_dedup:
@@ -664,6 +690,12 @@ class DocumentIngest:
             spark.read.parquet(self.lines_path).distinct().repartition(
                 "line_fp"
             ).write.mode("errorifexists").parquet(f"{new_base_dir}/lines")
+        if self.bm25_store and _store_exists(spark, f"{self.bm25_path}/stats"):
+            from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+                bm25_compact,
+            )
+
+            bm25_compact(spark, self.bm25_path, f"{new_base_dir}/bm25")
         return DocumentIngest(
             new_base_dir,
             threshold_pct=self.threshold_pct,
@@ -675,6 +707,12 @@ class DocumentIngest:
             # pipeline keeps pointing at the same benchmark
             decontam_fps_path=self.decontam_fps_path,
             decontam_k=self.decontam_k,
+            # every GATE must survive compaction: dropping lang_model here
+            # silently fail-opened the language filter on the compacted
+            # pipeline (found r11; regression-pinned)
+            lang_model=self.lang_model,
+            lang_keep=self.lang_keep,
+            bm25_store=self.bm25_store,
             id_col=self.id_col,
             text_col=self.text_col,
         )

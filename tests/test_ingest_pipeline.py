@@ -738,3 +738,93 @@ def test_document_ingest_composes_language_gate(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(ingest.corpus_path).collect()
     } == {0, 2}
+
+
+def test_document_ingest_keeps_bm25_store_in_lockstep(spark, tmp_path):
+    """bm25_store=True maintains a servable postings index alongside the
+    corpus (the text twin of the IVF/PQ lockstep stores): after a real
+    multi-batch stream, serving from the streamed-into index must equal
+    a full bm25_topk over exactly the accepted corpus — same docs, same
+    scores, same ranks — and survive compaction unchanged."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        bm25_serve,
+        bm25_topk,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    docs = synth_documents(spark, 120, planted_every=6).persist()
+    base = str(tmp_path / "doc_bm25")
+    ingest = DocumentIngest(base, threshold_pct=60, bm25_store=True)
+    _stream_batches(
+        spark, docs, str(tmp_path / "src"), str(tmp_path / "ck"),
+        ingest.process_batch,
+    )
+
+    # synth vocabulary is w0..w{VOCAB}: probe real terms (+ the planted
+    # 'wx' marker) so the assertion is over non-empty rankings
+    queries = [(0, ("w1", "w2", "wx")), (1, ("w3", "w7"))]
+    corpus = spark.read.parquet(ingest.corpus_path)
+    want = sorted(
+        (r.query_id, r.doc_id, r.score_mb, r.n_terms, r.rnk)
+        for r in bm25_topk(corpus, queries).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score_mb, r.n_terms, r.rnk)
+        for r in bm25_serve(spark, ingest.bm25_path, queries).collect()
+    )
+    assert got == want and want
+
+    compacted = ingest.compact(str(tmp_path / "doc_bm25_c"))
+    got_c = sorted(
+        (r.query_id, r.doc_id, r.score_mb, r.n_terms, r.rnk)
+        for r in bm25_serve(spark, compacted.bm25_path, queries).collect()
+    )
+    assert got_c == want
+    docs.unpersist()
+
+
+def test_document_ingest_compact_preserves_the_language_gate(spark, tmp_path):
+    """Regression (r11): compact() returned a pipeline WITHOUT lang_model
+    /lang_keep — the language filter silently fail-opened after every
+    compaction.  The compacted pipeline must keep rejecting."""
+    from kafka_streams_dead_letter_publishing_spark.operators.nbayes import (
+        nb_train,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma shared words here") for i in range(10)]
+        + [(50 + i, "xx", "uno dos tres palabras compartidas aqui") for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    model = nb_train(labeled, "lang")
+
+    def doc(i, text):
+        return (i, text, "en", "src0", len(text))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    ingest = DocumentIngest(
+        str(tmp_path / "lg"), lang_model=model, lang_keep=("en",)
+    )
+    ingest.process_batch(
+        spark.createDataFrame(
+            [doc(0, "alpha beta gamma shared words here today")], schema
+        ),
+        0,
+    )
+    compacted = ingest.compact(str(tmp_path / "lg_c"))
+    assert compacted.lang_model is model and compacted.lang_keep == ("en",)
+    compacted.process_batch(
+        spark.createDataFrame(
+            [doc(1, "uno dos tres palabras compartidas aqui ahora")], schema
+        ),
+        1,
+    )
+    accepted = {
+        r.doc_id for r in spark.read.parquet(compacted.corpus_path).collect()
+    }
+    assert accepted == {0}, "compacted pipeline accepted a wrong-language doc"
