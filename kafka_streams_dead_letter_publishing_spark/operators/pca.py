@@ -170,6 +170,78 @@ def _dot_centered(vec_col: Column, comp: list[float], mean: list[float]) -> Colu
     )
 
 
+# ── exact-integer top-direction power iteration ──────────────────────────
+#
+# The eigensolve in pca_fit is LAPACK (not cross-engine replayable), so
+# the ORACLED composition of PCA into the similarity stack uses power
+# iteration instead: v_{t+1} = C·v_t, rescaled to scale_bits fixed-point
+# after every step — nothing but integer multiply/sum/compare/divide, so
+# Python (driver), Spark SQL, and DuckDB produce the SAME vector bit for
+# bit.  K iterations of a d x d integer matrix is O(K·d²) DRIVER work on
+# the metadata-sized covariance — the cluster never sees it.
+
+POWER_ITERS = 4
+POWER_SCALE_BITS = 20
+
+
+def power_direction(
+    cov_rows,
+    iters: int = POWER_ITERS,
+    scale_bits: int = POWER_SCALE_BITS,
+) -> list[int]:
+    """Approximate top-eigenvector direction (fixed-point, |v| <=
+    2^scale_bits) from the COLLECTED upper-triangle scaled covariance
+    (``scaled_covariance`` rows: i, j, cov_scaled).  Exact integer
+    arithmetic throughout — Python bigints here, HUGEINT in the DuckDB
+    oracle replay — with the division made sign-safe (divide magnitudes,
+    reapply the sign), because Python ``//`` floors while Spark DIV and
+    DuckDB ``//`` truncate toward zero: they disagree exactly on
+    negative numerators."""
+    if not cov_rows:
+        return []
+    d = max(int(r.j) for r in cov_rows) + 1
+    cov = [[0] * d for _ in range(d)]
+    for r in cov_rows:
+        c = int(r.cov_scaled)
+        cov[int(r.i)][int(r.j)] = c
+        cov[int(r.j)][int(r.i)] = c
+    v = [1] * d
+    half = 1 << scale_bits
+    for _ in range(iters):
+        w = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [
+            -((-x * half) // mx) if x < 0 else (x * half) // mx
+            for x in w
+        ]
+    return v
+
+
+def power_project(
+    emb: DataFrame,
+    direction: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+) -> DataFrame:
+    """(id, proj): exact-integer projection onto the fixed-point
+    direction — proj = sum_i qx_i * y_i over the microunit-quantized
+    vector.  Magnitude: |qx| <= ~1e6 (unit-ish inputs) x |y| <= 2^20 x
+    d=64 terms -> <= ~2^47, comfortably BIGINT.  The direction is a
+    d-element literal folded into the plan (broadcast by value): per-row
+    narrow, JVM-side zip_with/aggregate, no shuffle, no UDFs."""
+    y = F.array(*[F.lit(int(c)).cast("long") for c in direction])
+    prods = F.zip_with(
+        quantize_embedding(F.col(vec_col)), y, lambda a, b: a * b
+    )
+    return emb.select(
+        F.col(id_col),
+        F.aggregate(
+            prods, F.lit(0).cast("long"), lambda acc, p: acc + p
+        ).alias(out_col),
+    )
+
+
 def pca_project(
     emb: DataFrame,
     model: PcaModel,

@@ -1354,13 +1354,15 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(spark, sf_dir, short)
 
 
-# ── PCA covariance build (operators/pca.py) ──────────────────────────────
+# ── PCA covariance build + power-direction projection (operators/pca.py) ─
 
 
-@query(
-    "emb_pca_covariance",
-    f"""
-    WITH q AS (
+def _pca_cov_ctes() -> str:
+    """Shared DuckDB CTE block replaying second_moments +
+    scaled_covariance: microunit quantization → upper-triangle integer
+    moments → exact DECIMAL(38,0) scaled covariance (covut)."""
+    return f"""
+    q AS (
         SELECT list_transform(
                    embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE})
@@ -1383,14 +1385,24 @@ def emb_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
         SELECT i, CAST(SUM(xi) AS BIGINT) AS s FROM rows_i GROUP BY i
+    ),
+    covut AS (
+        SELECT g.i, g.j,
+               CAST(CAST(g.n AS DECIMAL(38,0)) * g.gram
+                    - CAST(si.s AS DECIMAL(38,0)) * CAST(sj.s AS DECIMAL(38,0))
+                    AS DECIMAL(38,0)) AS cov
+        FROM gram g
+        JOIN sums si ON si.i = g.i
+        JOIN sums sj ON sj.i = g.j
     )
-    SELECT g.i, g.j,
-           CAST(CAST(CAST(g.n AS DECIMAL(38,0)) * g.gram
-                - CAST(si.s AS DECIMAL(38,0)) * CAST(sj.s AS DECIMAL(38,0))
-                AS DECIMAL(38,0)) AS VARCHAR) AS cov_scaled
-    FROM gram g
-    JOIN sums si ON si.i = g.i
-    JOIN sums sj ON sj.i = g.j
+    """
+
+
+@query(
+    "emb_pca_covariance",
+    f"""
+    WITH {_pca_cov_ctes()}
+    SELECT i, j, CAST(cov AS VARCHAR) AS cov_scaled FROM covut
     """,
     doc="[EXT] PCA covariance build (operators/pca.py second_moments + "
     "scaled_covariance): the distributed pass of the low-rank projection "
@@ -1425,4 +1437,114 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DuckDB) to the hasher — representation drift on equal values.
     return cov.select(
         "i", "j", F.col("cov_scaled").cast("string").alias("cov_scaled")
+    )
+
+
+_POWER_TOPK = 20
+
+
+def _pca_power_oracle() -> str:
+    """DuckDB replay of the power-direction projection: the covariance
+    CTEs feed K unrolled exact-integer power-iteration steps (HUGEINT —
+    the matvec intermediates reach ~1e24, far past BIGINT but far under
+    int128), then every vector projects onto the final fixed-point
+    direction.  The rescale division is sign-split (divide magnitudes,
+    reapply sign) because DuckDB ``//`` truncates toward zero while
+    Python ``//`` floors — they disagree exactly on negative
+    numerators."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        POWER_ITERS,
+        POWER_SCALE_BITS,
+    )
+
+    half = 1 << POWER_SCALE_BITS
+    steps = []
+    prev = "v0"
+    for k in range(1, POWER_ITERS + 1):
+        steps.append(f"""
+    m{k} AS (
+        SELECT c.i, SUM(c.cov * v.v) AS w
+        FROM covfull c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+    ),
+    s{k} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM m{k}),
+    v{k} AS (
+        SELECT i AS j,
+               CASE WHEN w < 0 THEN -((-w * {half}) // mx)
+                    ELSE (w * {half}) // mx END AS v
+        FROM m{k}, s{k}
+    )""")
+        prev = f"v{k}"
+    return f"""
+    WITH {_pca_cov_ctes()},
+    covfull AS (
+        SELECT i, j, CAST(cov AS HUGEINT) AS cov FROM covut
+        UNION ALL
+        SELECT j AS i, i AS j, CAST(cov AS HUGEINT) AS cov
+        FROM covut WHERE i <> j
+    ),
+    v0 AS (SELECT DISTINCT i AS j, CAST(1 AS HUGEINT) AS v FROM covfull),
+    {",".join(steps)},
+    pr AS (
+        SELECT e.vec_id, CAST(SUM(e.xi * y.v) AS BIGINT) AS proj
+        FROM (
+            SELECT vec_id, i - 1 AS i, qx2[i] AS xi
+            FROM (
+                SELECT vec_id,
+                       list_transform(
+                           embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE})
+                                AS BIGINT)
+                       ) AS qx2
+                FROM embeddings
+            ), LATERAL unnest(generate_series(1, len(qx2))) AS g(i)
+        ) e
+        JOIN {prev} y ON y.j = e.i
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, proj FROM pr
+    ORDER BY ABS(proj) DESC, vec_id
+    LIMIT {_POWER_TOPK}
+    """
+
+
+@query(
+    "emb_pca_power_projection",
+    _pca_power_oracle(),
+    doc="[EXT] PCA composed into the similarity stack (operators/pca.py "
+    "power_direction + power_project): the distributed covariance build "
+    "feeds a driver-side EXACT-INTEGER power iteration (K=4 steps, "
+    "fixed-point rescale to 2^20 after each — O(K*d^2) on the d x d "
+    "metadata; Python bigints, replayed bit-for-bit by the oracle's "
+    "HUGEINT CTE chain, unlike pca_fit's LAPACK eigensolve which is NOT "
+    "cross-engine replayable), and every embedding projects onto the "
+    "resulting top-principal direction with a folded-literal zip_with "
+    "dot product — per-row narrow, JVM-side, no shuffle.  Output: the "
+    f"{_POWER_TOPK} most-extreme vectors along the dominant variance "
+    "axis (|proj| DESC, vec_id tie-break) — the PC1-outlier probe a "
+    "curation pipeline runs to find corpus-skewing documents.  Scale "
+    "shape: covariance is the <= d^2-cell partial agg (CMS shape); the "
+    "projection scan is embarrassingly parallel; top-k is "
+    "TakeOrderedAndProject (per-partition heads + driver merge, no "
+    "window, no single-partition exchange).",
+    tags=("similarity", "pca", "bench"),
+)
+def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_direction,
+        power_project,
+        scaled_covariance,
+        second_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cov_rows = scaled_covariance(second_moments(emb)).collect()
+    direction = power_direction(cov_rows)
+    if not direction:
+        return spark.createDataFrame([], "vec_id long, proj long")
+    proj = power_project(emb, direction)
+    return (
+        proj.withColumn("_apj", F.abs(F.col("proj")))
+        .orderBy(F.desc("_apj"), F.asc("vec_id"))
+        .limit(_POWER_TOPK)
+        .select("vec_id", "proj")
     )

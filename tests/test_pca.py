@@ -142,3 +142,77 @@ def test_projected_space_preserves_neighbors(emb):
         low = topk(y, qid)
         recalls.append(len(full & low) / 10)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_power_direction_tracks_dominant_eigenvector(emb):
+    """The exact-integer power iteration (the ORACLED composition path —
+    pca_fit's LAPACK solve is not cross-engine replayable) must land
+    near the true top eigenvector of the quantized covariance on the
+    anisotropic corpus: |cos| >= 0.98 after K=4 rescaled iterations."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_direction,
+    )
+
+    rows = scaled_covariance(second_moments(emb)).collect()
+    v = np.array(power_direction(rows), dtype=np.float64)
+    assert len(v) == D and np.abs(v).max() == 2**20  # fixed-point rescale
+
+    cov = np.zeros((D, D))
+    for r in rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = float(r.cov_scaled)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, int(np.argmax(vals))]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.98, cos
+
+
+def test_power_direction_sign_split_division_matches_trunc_semantics():
+    """Python // floors, Spark DIV / DuckDB // truncate toward zero —
+    the iteration's rescale must use the sign-split form everywhere or
+    engines diverge on the first negative component.  Pin the Python
+    side against explicit truncating division."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_direction,
+    )
+    from pyspark.sql import Row
+
+    # 2x2 covariance with a negative off-diagonal forces negative
+    # components mid-iteration
+    rows = [
+        Row(i=0, j=0, cov_scaled=7),
+        Row(i=0, j=1, cov_scaled=-5),
+        Row(i=1, j=1, cov_scaled=3),
+    ]
+    v = power_direction(rows, iters=3, scale_bits=8)
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    w = [1, 1]
+    for _ in range(3):
+        nxt = [7 * w[0] - 5 * w[1], -5 * w[0] + 3 * w[1]]
+        mx = max(max(abs(x) for x in nxt), 1)
+        w = [trunc_div(x * 256, mx) for x in nxt]
+    assert v == w
+
+
+def test_power_direction_empty_is_empty():
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_direction,
+    )
+
+    assert power_direction([]) == []
+
+
+def test_power_project_plan_is_narrow(emb):
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_direction,
+        power_project,
+    )
+
+    rows = scaled_covariance(second_moments(emb)).collect()
+    df = power_project(emb, power_direction(rows))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
