@@ -295,7 +295,7 @@ def train_bpe_merges(
         for w in _norm_py(t).split(" "):
             if w:
                 words[w] += 1
-    return train_bpe_on_counts(words, n_merges)
+    return train_bpe_on_counts_fast(words, n_merges)
 
 
 def train_bpe_on_counts(
@@ -304,7 +304,13 @@ def train_bpe_on_counts(
     """The training loop over a (word -> count) histogram — what BPE
     training ACTUALLY consumes (subword-NMT lineage trains on the word
     vocabulary, never the raw corpus).  Split out so the distributed
-    trainer can feed it a Spark-aggregated histogram."""
+    trainer can feed it a Spark-aggregated histogram.
+
+    This is the REFERENCE loop: O(n_merges x total vocab chars) because
+    every merge recounts every pair and rescans every word — fine to a
+    few hundred merges, prohibitive at a production 30k-50k vocabulary.
+    :func:`train_bpe_on_counts_fast` is the production path (identical
+    output, fuzz-pinned); this one stays as the parity oracle."""
     vocab = {w: list(w) for w in words}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -325,6 +331,100 @@ def train_bpe_on_counts(
                 else:
                     acc.append(t)
             vocab[w] = acc
+    return merges
+
+
+def _apply_merge(toks: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right non-overlapping merge pass (the replace() pass
+    the executors run)."""
+    acc: list[str] = []
+    for t in toks:
+        if acc and acc[-1] == a and t == b:
+            acc[-1] = a + b
+        else:
+            acc.append(t)
+    return acc
+
+
+def train_bpe_on_counts_fast(
+    words: dict, n_merges: int
+) -> list[tuple[str, str]]:
+    """Incremental-count BPE training (the subword-NMT ``fast`` shape):
+    maintain the global pair histogram and a pair -> {words containing
+    it} index, and on each merge touch ONLY the words that contain the
+    winning pair — per-merge cost is proportional to the affected slice
+    of the vocabulary, not to all of it.  Output is IDENTICAL to
+    :func:`train_bpe_on_counts` (same greedy objective, same
+    (count, pair) lexicographic tie-break, same stop rule; fuzz-pinned
+    in tests/test_bpe.py), only the bookkeeping differs.
+
+    Cost: the reference loop is O(M x C) for C total vocab characters;
+    this is O(C + sum over merges of affected-word chars x log), with
+    the per-merge WINNER selection a lazy max-heap pop (stale entries —
+    counts changed since push — are discarded on pop against the live
+    histogram), not an O(|pairs|) scan: the scan was the residual
+    superlinear term past ~1k merges.  Measured curve in SCALE.md (r11).
+    """
+    import heapq
+
+    vocab = {w: list(w) for w in words}
+    pair_counts: Counter = Counter()
+    occ: dict[tuple[str, str], set] = {}
+    for w, cnt in words.items():
+        toks = vocab[w]
+        for p in zip(toks, toks[1:]):
+            pair_counts[p] += cnt
+            occ.setdefault(p, set()).add(w)
+
+    # max-heap on (count, pair) with the SAME lexicographic-greatest
+    # tie-break as the reference loop: negate the count, reverse the
+    # string ordering via a wrapper.
+    class _Rev(str):
+        __slots__ = ()
+
+        def __lt__(self, other):  # inverted: max-lex pops first
+            return str.__gt__(self, other)
+
+    def entry(p, n):
+        return (-n, _Rev(p[0]), _Rev(p[1]), p)
+
+    heap = [entry(p, n) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negn, _ra, _rb, best = heapq.heappop(heap)
+        if pair_counts.get(best) != -negn:
+            continue  # stale: count changed since this entry was pushed
+        merges.append(best)
+        a, b = best
+        touched: set = set()
+        for w in list(occ.get(best, ())):
+            toks = vocab[w]
+            cnt = words[w]
+            # retract this word's old pair contributions...
+            for p in zip(toks, toks[1:]):
+                touched.add(p)
+                left = pair_counts[p] - cnt
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
+                s = occ.get(p)
+                if s is not None:
+                    s.discard(w)
+                    if not s:
+                        del occ[p]
+            # ...apply the merge, then re-add the new ones
+            toks = _apply_merge(toks, a, b)
+            vocab[w] = toks
+            for p in zip(toks, toks[1:]):
+                touched.add(p)
+                pair_counts[p] += cnt
+                occ.setdefault(p, set()).add(w)
+        for p in touched:
+            n = pair_counts.get(p)
+            if n:
+                heapq.heappush(heap, entry(p, n))
     return merges
 
 
@@ -507,4 +607,4 @@ def train_bpe_distributed(
     floor), never the corpus."""
     hist = word_histogram(docs, text_col, min_count, max_vocab)
     words = {r.word: r.n for r in hist.collect()}
-    return train_bpe_on_counts(words, n_merges)
+    return train_bpe_on_counts_fast(words, n_merges)

@@ -346,3 +346,53 @@ def test_tokens_arr_detokenizes_to_normalized_text(text):
     arr = m[1:-1].split("\x1f\x1f") if len(m) >= 2 else []
     norm = re.sub("[ \t\n\x0b\f\r]+", " ", text.replace("\x1f", "").lower())
     assert "".join(arr) == norm
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdexyz", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_fast_trainer_equals_reference_loop(words, n_merges):
+    """train_bpe_on_counts_fast (incremental pair bookkeeping — the
+    production path) must produce the EXACT merge sequence of the
+    reference recount-everything loop: same greedy objective, same
+    (count, pair) tie-break, same stop rule.  Fuzzed over histograms
+    with overlapping runs ('aaa'-style words), repeated words, and
+    merge budgets past saturation."""
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        train_bpe_on_counts,
+        train_bpe_on_counts_fast,
+    )
+
+    assert train_bpe_on_counts_fast(words, n_merges) == train_bpe_on_counts(
+        words, n_merges
+    )
+
+
+def test_fast_trainer_reaches_production_merge_counts():
+    """The reference loop was never measured past 256 merges (r9->r10
+    verdicts); the fast loop must train >= 1k merges from a vocabulary
+    rich enough to support them, and its full sequence must equal the
+    reference loop's on the same histogram (one deep non-fuzz pin)."""
+    import random
+
+    from kafka_streams_dead_letter_publishing_spark.functions.bpe import (
+        train_bpe_on_counts,
+        train_bpe_on_counts_fast,
+    )
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = {}
+    for _ in range(3000):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+        words[w] = words.get(w, 0) + rng.randint(1, 200)
+    fast = train_bpe_on_counts_fast(words, 1024)
+    assert len(fast) == 1024  # the vocab sustains a production-scale run
+    assert fast == train_bpe_on_counts(words, 1024)
