@@ -299,6 +299,69 @@ def nearest_cluster_quantized_expr(cm: Column, qe: Column) -> Column:
     return F.aggregate(cm, init, step)["cluster"]
 
 
+def two_level_groups(
+    centroids_fixed: list[list[int]], n_coarse: int | None = None
+) -> tuple[list[list[int]], list[list[list[int]]], list[list[int]]]:
+    """Deterministic two-level routing metadata from a flat k x d
+    microunit centroid matrix: stride-sampled coarse representatives
+    (every ceil(k/n1)-th fine centroid — no re-fit, no randomness) and
+    the exact-integer argmin grouping of every fine centroid under its
+    nearest representative (ties to the lowest index — the engine fold's
+    tie-break).  Empty groups are dropped.  All driver-side Python-int
+    arithmetic on k x d metadata.
+
+    Returns (reps, members, ids): ``reps`` the n1 x d coarse matrix,
+    ``members[g]`` the fine centroid vectors in group g, ``ids[g]`` the
+    matching GLOBAL fine indices."""
+    k = len(centroids_fixed)
+    if n_coarse is None:
+        n_coarse = max(1, math.isqrt(k))
+    stride = -(-k // n_coarse)  # ceil
+    reps = [centroids_fixed[i] for i in range(0, k, stride)][:n_coarse]
+    groups: list[list[int]] = [[] for _ in reps]
+    for idx, c in enumerate(centroids_fixed):
+        best, bd = 0, None
+        for gi, r in enumerate(reps):
+            d2 = sum((a - b) * (a - b) for a, b in zip(c, r))
+            if bd is None or d2 < bd:
+                best, bd = gi, d2
+        groups[best].append(idx)
+    keep = [gi for gi in range(len(reps)) if groups[gi]]
+    reps = [reps[gi] for gi in keep]
+    ids = [groups[gi] for gi in keep]
+    members = [[centroids_fixed[i] for i in g] for g in ids]
+    return reps, members, ids
+
+
+def nearest_cluster_two_level(
+    centroids_fixed: list[list[int]], qe: Column, n_coarse: int | None = None
+) -> Column:
+    """Two-level routing: argmin over the n1 ≈ sqrt(k) coarse
+    representatives, then argmin over ONLY that group's fine members —
+    O(sqrt(k)) distance folds per row instead of the flat fold's O(k)
+    (the IMI/IVF-HNSW idea at its simplest).  Returns the GLOBAL fine
+    cluster id.
+
+    APPROXIMATE by design: a vector whose true nearest fine centroid
+    lives in a different coarse group routes to its group-local best
+    instead.  For cell-partitioning uses (SemDeDup, IVF cell files) any
+    deterministic assignment is a valid contract — both engines replay
+    the same folds — but probe-set routing and the on-disk partition
+    must come from the SAME function (the ivf_append rebuild rule).
+    Determinism: same strict-< / lowest-index tie-breaks as the flat
+    fold, and the grouping itself is driver-side exact integers."""
+    reps, members, ids = two_level_groups(centroids_fixed, n_coarse)
+    coarse = nearest_cluster_quantized(reps, qe)
+    mm = F.array(*[_centroid_matrix_fixed_expr(m) for m in members])
+    idm = F.array(
+        *[F.array(*[F.lit(int(i)) for i in g]) for g in ids]
+    )
+    local = nearest_cluster_quantized_expr(
+        F.element_at(mm, coarse + 1), qe
+    )
+    return F.element_at(F.element_at(idm, coarse + 1), local + 1)
+
+
 def kmeans_fit_quantized(
     emb_df: DataFrame, k: int, iters: int, id_col: str = "vec_id"
 ) -> list[list[int]]:

@@ -39,8 +39,17 @@ from pyspark.sql import functions as F
 from kafka_streams_dead_letter_publishing_spark.functions.similarity import cosine
 from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
     nearest_cluster_quantized,
+    nearest_cluster_two_level,
     quantize_embedding,
 )
+
+#: flat routing pays an O(N·k) argmin fold; production sizing sets
+#: k ≈ N / target_cell, so k grows WITH the corpus and the fold's cost
+#: exponent was measured at 1.27 (SCALE.md, semdedup_scaled_k).  Past
+#: this k the engine refuses flat routing instead of silently paying it:
+#: use routing="two_level" (O(sqrt k) folds) or reuse a persisted
+#: index's assignment via cluster_col (free).
+SEMDEDUP_FLAT_MAX_K = 4096
 
 
 def semdedup_flags(
@@ -50,6 +59,7 @@ def semdedup_flags(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cluster_col: str | None = None,
+    routing: str = "auto",
 ) -> DataFrame:
     """(id, cluster, kept) for every row of *emb_df*: assign each vector
     to its coarse cell against the FROZEN microunit *centroids*, then keep
@@ -63,6 +73,15 @@ def semdedup_flags(
     SemDeDup over the index reuses that assignment for free and pays only
     the cell-scoped pair search.
 
+    ``routing`` picks the cell-assignment strategy when ``centroids``
+    are given: "flat" (exact argmin, O(k) folds per row — REFUSED past
+    ``SEMDEDUP_FLAT_MAX_K``, the measured-1.27-exponent cost cliff),
+    "two_level" (O(sqrt k) folds via
+    ``kmeans.nearest_cluster_two_level`` — deterministic, approximate:
+    cell boundaries shift slightly, which SemDeDup tolerates since any
+    deterministic partition is a valid dedup scope), or "auto" (flat
+    while k allows, two_level beyond).
+
     The caller guarantees rows satisfy the indexable contract (exactly
     dim finite components — same precondition as every IVF path).  Zero-
     norm vectors have NULL cosine against everything (the engine-wide
@@ -75,13 +94,28 @@ def semdedup_flags(
             id_col, emb_col, F.col(cluster_col).alias("cluster")
         )
     else:
-        assigned = emb_df.select(
-            id_col,
-            emb_col,
-            nearest_cluster_quantized(
+        k = len(centroids)
+        if routing == "auto":
+            routing = "flat" if k <= SEMDEDUP_FLAT_MAX_K else "two_level"
+        if routing == "flat" and k > SEMDEDUP_FLAT_MAX_K:
+            raise ValueError(
+                f"semdedup_flags: flat routing over k={k} centroids pays "
+                f"an O(N*k) argmin fold (> SEMDEDUP_FLAT_MAX_K="
+                f"{SEMDEDUP_FLAT_MAX_K}; measured cost exponent 1.27, "
+                "SCALE.md) — use routing='two_level', or reuse a "
+                "persisted index's assignment via cluster_col"
+            )
+        if routing == "flat":
+            route = nearest_cluster_quantized(
                 centroids, quantize_embedding(F.col(emb_col))
-            ).alias("cluster"),
-        )
+            )
+        elif routing == "two_level":
+            route = nearest_cluster_two_level(
+                centroids, quantize_embedding(F.col(emb_col))
+            )
+        else:
+            raise ValueError(f"unknown routing {routing!r}")
+        assigned = emb_df.select(id_col, emb_col, route.alias("cluster"))
     left = assigned.select(
         F.col(id_col).alias("_aid"),
         F.col("cluster").alias("_ac"),

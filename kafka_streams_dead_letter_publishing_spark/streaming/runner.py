@@ -114,10 +114,10 @@ def kafka_sink_writer(cfg: EngineConfig) -> SinkWriter:
     headers array, topic string) is the documented Spark Kafka sink schema;
     wire-level behavior (serialization, max.request.size enforcement) is
     pinned logically by the pre-flight guard tests instead.  (Re-verified
-    r9: a docker CLIENT exists at /usr/local/bin/docker but there is no
-    dockerd binary and no daemon socket — `dockerd` not found, an explicit
-    start attempt fails; no spark-sql-kafka connector jars under
-    pyspark/jars, no kafka distribution, no kafka-python/confluent_kafka.)
+    r11: a docker CLIENT exists at /usr/local/bin/docker but `docker info`
+    reports no daemon at /var/run/docker.sock; no spark-sql-kafka
+    connector jars under pyspark/jars or /opt/spark/jars, no kafka
+    distribution, no kafka-python/confluent_kafka.)
     """
 
     def write(df: DataFrame, topic: str) -> None:

@@ -35,6 +35,7 @@ PROBE_OPS = (
     "pca_covariance",
     "semdedup_fixed_k",
     "semdedup_scaled_k",
+    "semdedup_two_level_scaled_k",
     "ann_pairs_fixed4",
     "ann_pairs_scaled",
     "ann_ingest_filter",

@@ -175,3 +175,123 @@ def test_preassigned_cluster_col_equals_inline_assignment(spark, clustered):
         semdedup_flags(preassigned, cents, 0.95, cluster_col="cell")
     with _pytest.raises(ValueError, match="exactly one"):
         semdedup_flags(df, None, 0.95)
+
+
+def _py_two_level(centroids, q):
+    """Driver-side replay of nearest_cluster_two_level for one quantized
+    vector — the exactness oracle for the Spark fold."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        two_level_groups,
+    )
+
+    reps, members, ids = two_level_groups(centroids)
+
+    def argmin(mat):
+        best, bd = 0, None
+        for i, c in enumerate(mat):
+            d2 = sum((a - b) * (a - b) for a, b in zip(c, q))
+            if bd is None or d2 < bd:
+                best, bd = i, d2
+        return best
+
+    g = argmin(reps)
+    return ids[g][argmin(members[g])]
+
+
+def test_two_level_routing_matches_python_replay(spark, clustered):
+    """The Spark two-level fold must equal the driver-side exact-integer
+    replay on every vector (the cross-engine determinism contract that
+    lets an oracle or a rebuild reproduce the same cells)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        nearest_cluster_two_level,
+        quantize_embedding,
+    )
+
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=9, iters=2)
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id",
+            nearest_cluster_two_level(
+                cents, quantize_embedding(F.col("embedding"))
+            ).alias("c"),
+        ).collect()
+    }
+    by_id = dict(rows)
+    for vid, v in rows:
+        q = [math.floor(x * 1_000_000) for x in by_id[vid]]
+        assert got[vid] == _py_two_level(cents, q), vid
+
+
+def test_two_level_routing_agrees_with_flat_on_separated_clusters(
+    spark, clustered
+):
+    """On well-separated clusters the approximation is near-exact: the
+    overwhelming majority of vectors route to the same fine cell as the
+    flat argmin (boundary vectors may differ — that is the documented
+    trade)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        nearest_cluster_quantized,
+        nearest_cluster_two_level,
+        quantize_embedding,
+    )
+
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=4, iters=3)
+    qe = quantize_embedding(F.col("embedding"))
+    both = df.select(
+        nearest_cluster_quantized(cents, qe).alias("flat"),
+        nearest_cluster_two_level(cents, qe).alias("two"),
+    ).collect()
+    agree = sum(1 for r in both if r.flat == r.two)
+    assert agree / len(both) >= 0.9, agree / len(both)
+
+
+def test_two_level_keeps_the_dedup_invariant(spark, clustered):
+    """routing='two_level' must (a) still drop every planted twin — a
+    twin is a tiny perturbation of its base, so it routes with it — and
+    (b) match the Python reference exactly under its OWN assignment (the
+    dedup semantics are routing-independent once cells are fixed)."""
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=9, iters=2)
+    got = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_flags(df, cents, 0.95, routing="two_level").collect()
+    }
+    assign = {i: got[i][0] for i, _ in rows}
+    expect = _py_reference(rows, assign, 0.95)
+    assert {i: k for i, (_, k) in got.items()} == expect
+    for i, _ in rows:
+        if i >= 1000:
+            assert not got[i][1], i  # every planted twin drops
+
+
+def test_flat_routing_refused_past_max_k(spark, clustered):
+    """The cost guard: silent O(N*k) flat folds past SEMDEDUP_FLAT_MAX_K
+    are a refusal, not a slow surprise; auto picks two_level instead."""
+    from kafka_streams_dead_letter_publishing_spark.operators.semdedup import (
+        SEMDEDUP_FLAT_MAX_K,
+    )
+
+    df, _ = clustered
+    k = SEMDEDUP_FLAT_MAX_K + 1
+    fake_cents = [[i] * DIM for i in range(k)]
+    with pytest.raises(ValueError, match="two_level"):
+        semdedup_flags(df, fake_cents, 0.9, routing="flat")
+    with pytest.raises(ValueError, match="unknown routing"):
+        semdedup_flags(df, fake_cents, 0.9, routing="nope")
+
+
+def test_two_level_groups_partition_the_centroids():
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        two_level_groups,
+    )
+
+    cents = [[i * 7 % 13, i * 3 % 11] for i in range(25)]
+    reps, members, ids = two_level_groups(cents)
+    flat = sorted(i for g in ids for i in g)
+    assert flat == list(range(25))  # exact partition, nothing lost
+    assert len(reps) == len(members) == len(ids) <= 5
+    for g, m in zip(ids, members):
+        assert [cents[i] for i in g] == m

@@ -608,7 +608,28 @@ def main() -> None:
         record(
             "semdedup_scaled_k",
             n_vecs,
-            _timed(lambda: _noop(semdedup_flags(clean_emb, cents_scaled, 0.9))),
+            _timed(
+                lambda: _noop(
+                    semdedup_flags(clean_emb, cents_scaled, 0.9, routing="flat")
+                )
+            ),
+            k=k_scaled,
+        )
+        # r11: two-level routing over the SAME scaled centroids — the
+        # O(sqrt k) fold that replaces the flat O(k) fold past the
+        # SEMDEDUP_FLAT_MAX_K refusal guard; with k ∝ N the flat fold's
+        # compute is O(N²/cell) (measured 1.27) while two-level is
+        # O(N·sqrt(N/cell)) — expected exponent ≈ 1.1 at probe sizes
+        record(
+            "semdedup_two_level_scaled_k",
+            n_vecs,
+            _timed(
+                lambda: _noop(
+                    semdedup_flags(
+                        clean_emb, cents_scaled, 0.9, routing="two_level"
+                    )
+                )
+            ),
             k=k_scaled,
         )
 
