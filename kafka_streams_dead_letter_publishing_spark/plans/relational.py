@@ -1560,3 +1560,93 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("outlier_cents"),
     )
+
+
+# ── KMV distinct sketch (the oracle-replayable approx-distinct) ──────────
+
+KMV_K = 64
+_KMV_SCALE = 1 << 52  # 13 hex chars
+
+
+@query(
+    "events_kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
+        FROM events
+    ),
+    mins AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY h
+                   ) AS rn
+            FROM h
+        ) WHERE rn <= {KMV_K}
+    ),
+    ex AS (
+        SELECT event_type, COUNT(*) AS exact_users FROM h GROUP BY 1
+    ),
+    km AS (
+        SELECT event_type, MAX(h) AS kth, COUNT(*) AS nh
+        FROM mins GROUP BY 1
+    )
+    SELECT e.event_type, CAST(e.exact_users AS BIGINT) AS exact_users,
+           CAST(CASE WHEN m.nh < {KMV_K} THEN m.nh
+                ELSE ({KMV_K - 1} * {_KMV_SCALE})
+                     // CAST(('0x' || m.kth) AS BIGINT) END
+                AS BIGINT) AS est_users
+    FROM ex e JOIN km m USING (event_type)
+    """,
+    doc="[EXT] KMV (k-minimum-values) distinct sketch — the "
+    "oracle-replayable companion to events_approx_distinct_users: HLL "
+    "register layouts are engine-specific (that row is rows-only by "
+    "design), but the KMV estimator (Bar-Yossef et al. 2002) is nothing "
+    "engines can disagree on — the K smallest md5 values of the key are "
+    "a deterministic SET, and the estimate (K-1)*2^52 DIV kth_min is "
+    "exact integer arithmetic.  Hashes stay 13-char lowercase-hex "
+    "STRINGS through the ordering (fixed-width hex compares identically "
+    "as a string in both engines — the hash_split trick); only the one "
+    "kth value per group parses to an integer.  Groups with fewer than "
+    "K distinct keys report their exact count (the sketch is exact below "
+    "its capacity).  exact_users rides along so the artifact shows the "
+    "estimator's error against truth (expected ~1/sqrt(K-2) ~ 13%).  "
+    "Scale shape: the distinct is one hash-shuffle; the top-K is the "
+    "repo's two-phase cut (partition-local window on (pid, event_type), "
+    "global rank over the <= P*K survivors); sketches MERGE by "
+    "union-then-retake-K (pytest-pinned), the CMS mergeability contract.",
+    tags=("events", "approx", "sketch"),
+)
+def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13).alias("h"),
+    ).distinct()
+    staged = h.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "event_type").orderBy(F.asc("h"))
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    mins = (
+        local.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    km = mins.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("nh")
+    )
+    ex = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_users")
+    )
+    est = F.when(F.col("nh") < KMV_K, F.col("nh")).otherwise(
+        F.expr(
+            f"({KMV_K - 1}L * {_KMV_SCALE}L) DIV CAST(conv(kth, 16, 10) AS BIGINT)"
+        )
+    )
+    return ex.join(km, "event_type").select(
+        "event_type", "exact_users", est.cast("long").alias("est_users")
+    )

@@ -94,3 +94,64 @@ def test_build_is_partial_agg_no_window(spark):
     plan = sketch._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan, plan
     assert "Window" not in plan, plan
+
+
+# ── KMV distinct sketch (plans/relational.events_kmv_distinct_users) ─────
+
+
+def _kmv_py(keys, k=64):
+    hs = sorted({hashlib.md5(str(u).encode()).hexdigest()[:13] for u in keys})
+    mins = hs[:k]
+    if len(mins) < k:
+        return len(mins), mins
+    return (k - 1) * (1 << 52) // int(mins[-1], 16), mins
+
+
+def test_kmv_merge_is_union_then_retake_k():
+    """Two partial sketches merge by unioning their min-sets and
+    re-taking the K smallest — the result is EXACTLY the sketch of the
+    combined stream (KMV's defining property; what makes per-partition /
+    per-batch builds composable like CMS cells)."""
+    a = [f"user{i}" for i in range(500)]
+    b = [f"user{i}" for i in range(300, 900)]  # overlapping
+    _, mins_a = _kmv_py(a)
+    _, mins_b = _kmv_py(b)
+    merged = sorted(set(mins_a) | set(mins_b))[:64]
+    _, mins_ab = _kmv_py(a + b)
+    assert merged == mins_ab
+
+
+def test_kmv_estimator_error_and_exact_below_capacity():
+    est, _ = _kmv_py([f"u{i}" for i in range(2000)])
+    assert abs(est - 2000) / 2000 < 0.4  # ~1/sqrt(62) expected, bound loose
+    est_small, mins = _kmv_py(["x", "y", "z"])
+    assert est_small == 3 and len(mins) == 3  # exact below capacity
+
+
+def test_kmv_registry_row_matches_python_reference(spark):
+    """The Spark two-phase top-K + integer estimate must equal the pure
+    Python KMV on the same rows, per event type (the same construction
+    the DuckDB oracle replays — three-way agreement by transitivity)."""
+    from kafka_streams_dead_letter_publishing_spark.plans.relational import (
+        events_kmv_distinct_users,
+    )
+
+    got = {
+        r.event_type: (r.exact_users, r.est_users)
+        for r in events_kmv_distinct_users(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT event_type, user_id FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    by_type: dict = {}
+    for t, u in rows:
+        by_type.setdefault(t, []).append(u)
+    for t, users in by_type.items():
+        est, _ = _kmv_py(users)
+        exact = len(set(users))
+        assert got[t] == (exact, est), t

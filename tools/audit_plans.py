@@ -125,6 +125,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             "emb_ivfpq_batch_topk",
             "docs_bm25_topk",
             "docs_bm25_served_topk",
+            # KMV sketch: local window on (pid, event_type), global rank
+            # over the <= P*K survivors — same two-phase cut, K smallest
+            "events_kmv_distinct_users",
         )
     },
     (
