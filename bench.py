@@ -337,11 +337,18 @@ def main() -> None:
     }
     # A run started OR FINISHED on a busy box is suspect (the r5/r6 weak
     # entries were start-load contamination; r10 started clean and got
-    # contaminated mid-run) — flag whichever end breached.
+    # contaminated mid-run) — flag whichever end breached.  The END
+    # threshold is cpus/4, not cpus/8: the bench's OWN local[32] stages
+    # legitimately leave a 1-min load of ~5 (r9 clean run ended at 5.68,
+    # the r11 clean run at 5.21), while the r10 contamination ended at
+    # 8.79 — cpus/4 separates self-load from foreign load.
     breaches = [
-        f"load_avg_{which} {val:.2f} exceeds cpus/8={load_threshold:.1f}"
-        for which, val in (("start", load_start[0]), ("end", load_end[0]))
-        if val > load_threshold
+        f"load_avg_{which} {val:.2f} exceeds {label}"
+        for which, val, label in (
+            ("start", load_start[0], f"cpus/8={load_threshold:.1f}"),
+            ("end", load_end[0], f"cpus/4={2 * load_threshold:.1f}"),
+        )
+        if val > (load_threshold if which == "start" else 2 * load_threshold)
     ]
     if breaches:
         headline["load_warning"] = (
