@@ -1548,3 +1548,102 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_POWER_TOPK)
         .select("vec_id", "proj")
     )
+
+
+# ── semantic decontamination (the n-gram decontaminate family's
+#    embedding-space twin) ─────────────────────────────────────────────────
+
+SEMDECON_EVERY = 37  # testdata stand-in for the fixed external benchmark
+SEMDECON_TAU = 0.85
+
+
+@query(
+    "emb_semantic_decontaminated",
+    f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id,
+               [CAST(embedding[i] AS DOUBLE)
+                FOR i IN generate_series(1, {EMBEDDING_DIM})] AS fe
+        FROM embeddings WHERE vec_id % {SEMDECON_EVERY} = 0
+    ),
+    corpus AS (
+        SELECT vec_id,
+               [CAST(embedding[i] AS DOUBLE)
+                FOR i IN generate_series(1, {EMBEDDING_DIM})] AS fe
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SEMDEDUP_TWIN_OFFSET},
+               [CAST(embedding[i] AS DOUBLE)
+                + CASE WHEN i = 1 THEN CAST('{SEMDEDUP_EPS}' AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END
+                FOR i IN generate_series(1, {EMBEDDING_DIM})]
+        FROM embeddings
+        WHERE vec_id % {2 * SEMDECON_EVERY} = 0
+    ),
+    hits AS (
+        SELECT c.vec_id, e.eval_id,
+               {cosine_sql('c.fe', 'e.fe')} AS cos
+        FROM corpus c CROSS JOIN ev e
+        WHERE {cosine_sql('c.fe', 'e.fe')} >= CAST('{SEMDECON_TAU!r}' AS DOUBLE)
+    )
+    SELECT vec_id, eval_id, cos FROM (
+        SELECT vec_id, eval_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, eval_id
+               ) AS rn
+        FROM hits
+    ) WHERE rn = 1
+    """,
+    doc="[EXT] Semantic decontamination — the embedding-space twin of the "
+    "n-gram eval-overlap gate (operators/decontaminate.py): a corpus "
+    "vector is CONTAMINATED if it is cosine-similar (tau=0.85) to any "
+    "vector of the eval benchmark; paraphrased or re-embedded eval "
+    "leakage that shares no 5-gram still lands here (the gap Gopher/GPT-3 "
+    "style n-gram decontamination is known to miss).  The eval set is "
+    f"the deterministic vec_id % {SEMDECON_EVERY} slice — a testdata "
+    "stand-in for a FIXED external benchmark (benchmark-sized by "
+    "definition, so the broadcast crossJoin is O(N x |benchmark|) with a "
+    "constant benchmark factor: the emb_multi_query_topk batch shape, "
+    "embarrassingly parallel, no shuffle).  Verbatim leaks flag at "
+    "cos=1.0 (the eval rows themselves, present in the corpus), near "
+    "leaks below; each flagged vector reports its argmax eval partner "
+    "(ties: lowest eval_id).  At production scale the same predicate "
+    "composes with the LSH-bucketed admission filter "
+    "(operators/ann_filter.py) instead of the brute-force scan — this "
+    "row pins the SEMANTICS both paths must agree on.  Planted "
+    "PARAPHRASE leaks (the SemDeDup twin construction: +0.05 on one "
+    "component of every second eval vector, cos~0.9999) flag through "
+    "the near-match path alongside the verbatim cos=1.0 self-leaks — "
+    "both leak classes exercised, nothing natural flags (max natural "
+    "pair cos 0.513).  Cosines are the engine-wide IEEE-pinned "
+    "left-to-right folds, bit-identical in DuckDB.",
+    tags=("similarity", "decontamination", "eval"),
+)
+def emb_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fe = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    eps = F.lit(float(SEMDEDUP_EPS))
+    leaks = emb.filter(F.col("vec_id") % (2 * SEMDECON_EVERY) == 0).select(
+        (F.col("vec_id") + SEMDEDUP_TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") + F.when(i == 0, eps).otherwise(F.lit(0.0)),
+        ).alias("cfe"),
+    )
+    corpus = emb.select("vec_id", fe.alias("cfe")).unionByName(leaks)
+    ev = emb.filter(F.col("vec_id") % SEMDECON_EVERY == 0).select(
+        F.col("vec_id").alias("eval_id"), fe.alias("efe")
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("cos", cosine(F.col("cfe"), F.col("efe")))
+        .filter(F.col("cos") >= F.lit(float(SEMDECON_TAU)))
+    )
+    best = hits.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("eval_id")).alias("neg"))).alias("_b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("_b.neg")).alias("eval_id"),
+        F.col("_b.cos").alias("cos"),
+    )

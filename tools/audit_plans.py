@@ -69,6 +69,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast 1-row dimension-bounds aggregate",
     (
+        "emb_semantic_decontaminated",
+        "BroadcastNestedLoopJoin",
+    ): "crossJoin against the broadcast EVAL BENCHMARK batch — an "
+    "external eval set is fixed-size by definition (the % selector is "
+    "the testdata stand-in), so the scan is O(N x const), the "
+    "emb_multi_query_topk batch shape; the production-scale composition "
+    "is the LSH-bucketed ann_filter, which this row's semantics pin",
+    (
         "q22_dormant_high_balance",
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast 1-row (sum,count) balance "
