@@ -123,9 +123,14 @@ class PcaModel:
 def pca_fit(emb: DataFrame, r: int, vec_col: str = "embedding") -> PcaModel:
     """Fit top-``r`` principal components.  One distributed integer pass
     (second_moments) + a d x d driver eigensolve."""
+    return _fit_from_rows(second_moments(emb, vec_col).collect(), r)
+
+
+def _fit_from_rows(rows, r: int) -> PcaModel:
+    """Driver eigensolve from collected second-moment rows — shared by
+    the one-shot fit and the streamed-store fit."""
     import numpy as np
 
-    rows = second_moments(emb, vec_col).collect()
     if not rows:
         raise ValueError("pca_fit: empty embedding corpus")
     n = rows[0].n
@@ -168,6 +173,120 @@ def _dot_centered(vec_col: Column, comp: list[float], mean: list[float]) -> Colu
     return F.aggregate(
         prods, F.lit(0.0), lambda acc, p: acc + p
     )
+
+
+# ── streamed moments store (the covariance's ingest twin) ────────────────
+#
+# Second moments are ASSOCIATIVE integer sums (gram cells, per-dimension
+# sums, row counts), so the covariance — and everything built on it:
+# pca_fit, power_direction, the variance-explained gate that decides
+# whether PCA pre-reduction is worth running (SCALE.md r11) — can stay
+# current on a STREAMING corpus by appending per-batch partial cells,
+# never re-scanning.  Same epoch contract as operators/bm25.bm25_append:
+# per-batch cells land FIRST stamped epoch = prior + 1, the running
+# stats row lands LAST, and readers fold only epochs <= stats.epoch —
+# a crashed append leaves invisible orphans, never a half-merged model.
+
+
+def moments_append(
+    batch_df: DataFrame, path: str, vec_col: str = "embedding"
+) -> int:
+    """Append one micro-batch's second-moment partial cells to the
+    persisted store and advance the epoch (returned).  Layout:
+    ``{path}/cells`` (i, j, gram DECIMAL(38,0), n, epoch) upper-triangle
+    per-batch partials, ``{path}/sums`` (i, s, epoch), ``{path}/stats``
+    one running (n_rows, epoch) row per epoch written LAST.  Single
+    serialized writer (the foreachBatch contract); appended rows are new
+    rows — replays double-count, exactly as in the vector stores."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _store_exists,
+    )
+
+    spark = batch_df.sparkSession
+    if _store_exists(spark, f"{path}/stats"):
+        base = (
+            spark.read.parquet(f"{path}/stats").orderBy(F.desc("epoch")).first()
+        )
+        base_n, epoch = base.n_rows, base.epoch
+    else:
+        base_n, epoch = 0, -1
+    q = batch_df.select(quantize_embedding(F.col(vec_col)).alias("qx"))
+    rows_i = q.select("qx", F.posexplode("qx").alias("i", "xi"))
+    prods = rows_i.select(
+        "i",
+        "xi",
+        F.posexplode(F.transform("qx", lambda xj: xj * F.col("xi"))).alias(
+            "j", "p"
+        ),
+    ).filter(F.col("j") >= F.col("i"))
+    cells = prods.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast(_DEC)).cast(_DEC).alias("gram"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    batch_n = batch_df.count()
+    if not batch_n:
+        return epoch
+    cells.withColumn("epoch", F.lit(epoch + 1).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{path}/cells")
+    rows_i.groupBy("i").agg(
+        F.sum("xi").cast("long").alias("s")
+    ).withColumn("epoch", F.lit(epoch + 1).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{path}/sums")
+    spark.createDataFrame(
+        [(base_n + batch_n, epoch + 1)], "n_rows bigint, epoch bigint"
+    ).write.mode("append").parquet(f"{path}/stats")
+    return epoch + 1
+
+
+def moments_read(spark, path: str) -> DataFrame:
+    """Reconstruct the :func:`second_moments` frame from the streamed
+    store — per-(i,j) DECIMAL gram and count summed over every COMPLETE
+    epoch (<= the newest stats row's; orphans from a crashed append are
+    invisible), joined to the per-dimension sums.  Bit-identical to a
+    one-shot ``second_moments`` over the same rows (integer sums are
+    order-free; test-pinned), so ``scaled_covariance``, ``pca_fit`` and
+    ``power_direction`` compose unchanged."""
+    srow = (
+        spark.read.parquet(f"{path}/stats").orderBy(F.desc("epoch")).first()
+    )
+    if srow is None:
+        raise ValueError(
+            f"moments_read: {path}/stats holds no rows — no append ever "
+            "completed (stats are the completion gate)"
+        )
+    gram = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("epoch") <= srow.epoch)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("gram").cast(_DEC).alias("gram"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+    sums = (
+        spark.read.parquet(f"{path}/sums")
+        .filter(F.col("epoch") <= srow.epoch)
+        .groupBy("i")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+    return (
+        gram.join(F.broadcast(sums.withColumnRenamed("s", "s_i")), "i")
+        .join(
+            F.broadcast(
+                sums.withColumnRenamed("s", "s_j").withColumnRenamed("i", "j")
+            ),
+            "j",
+        )
+        .select("i", "j", "gram", "s_i", "s_j", "n")
+    )
+
+
+def pca_fit_from_store(spark, path: str, r: int) -> PcaModel:
+    """:func:`pca_fit` from the streamed moments store — the d x d
+    metadata collect + driver eigensolve, zero corpus scans."""
+    return _fit_from_rows(moments_read(spark, path).collect(), r)
 
 
 # ── exact-integer top-direction power iteration ──────────────────────────

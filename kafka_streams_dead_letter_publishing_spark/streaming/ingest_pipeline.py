@@ -134,6 +134,7 @@ class EmbeddingIngest:
         max_occupancy: int | None = None,
         pq_books: list | None = None,
         pq_coarse: list[list[int]] | None = None,
+        moments_store: bool = False,
         id_col: str = "vec_id",
     ) -> None:
         self.base_dir = base_dir
@@ -141,6 +142,11 @@ class EmbeddingIngest:
         self.vectors_path = f"{base_dir}/vectors"
         self.ivf_path = f"{base_dir}/ivf"
         self.pq_path = f"{base_dir}/pqcodes"
+        #: optional PCA-moments lockstep (operators.pca.moments_append):
+        #: keeps the exact covariance — and the variance-explained gate
+        #: built on it — current as the corpus grows, zero re-scans
+        self.moments_store = moments_store
+        self.moments_path = f"{base_dir}/moments"
         self.centroids_fixed = centroids_fixed
         self.min_cos = min_cos
         self.n_tables = n_tables
@@ -268,6 +274,16 @@ class EmbeddingIngest:
             # (at-least-once, readers dedup on id); a replay after it
             # self-matches and appends nothing.
             ivf_append(kept, self.centroids_fixed, self.ivf_path, id_col=self.id_col)
+            if self.moments_store:
+                from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+                    moments_append,
+                )
+
+                # payload-tier like ivf/pq: before the bucket gate, so a
+                # crash replays with double-counted moments (the corpus
+                # sink's at-least-once contract), never with accepted
+                # vectors missing from the covariance
+                moments_append(kept, self.moments_path)
             if self.pq_books is not None:
                 from kafka_streams_dead_letter_publishing_spark.operators.pq import (
                     pq_append,
@@ -306,6 +322,30 @@ class EmbeddingIngest:
             spark.read.parquet(self.pq_path).repartition("cluster").write.mode(
                 "errorifexists"
             ).partitionBy("cluster").parquet(f"{new_base_dir}/pqcodes")
+        if self.moments_store and _store_exists(spark, f"{self.moments_path}/stats"):
+            # collapse the per-batch partials to ONE epoch: moments_read
+            # folds complete epochs (orphans dropped), a fresh append
+            # into the new path re-bases the running totals
+            from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+                moments_read,
+            )
+
+            srow = (
+                spark.read.parquet(f"{self.moments_path}/stats")
+                .orderBy(F.desc("epoch")).first()
+            )
+            folded = moments_read(spark, self.moments_path)
+            folded.select("i", "j", "gram", "n").withColumn(
+                "epoch", F.lit(0).cast("long")
+            ).write.mode("errorifexists").parquet(f"{new_base_dir}/moments/cells")
+            folded.filter(F.col("i") == F.col("j")).select(
+                "i", F.col("s_i").alias("s")
+            ).withColumn("epoch", F.lit(0).cast("long")).write.mode(
+                "errorifexists"
+            ).parquet(f"{new_base_dir}/moments/sums")
+            spark.createDataFrame(
+                [(srow.n_rows, 0)], "n_rows bigint, epoch bigint"
+            ).write.mode("errorifexists").parquet(f"{new_base_dir}/moments/stats")
         return EmbeddingIngest(
             new_base_dir,
             self.centroids_fixed,
@@ -315,6 +355,7 @@ class EmbeddingIngest:
             max_occupancy=self.max_occupancy,
             pq_books=self.pq_books,
             pq_coarse=self.pq_coarse,
+            moments_store=self.moments_store,
             id_col=self.id_col,
         )
 

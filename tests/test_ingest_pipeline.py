@@ -828,3 +828,45 @@ def test_document_ingest_compact_preserves_the_language_gate(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(compacted.corpus_path).collect()
     }
     assert accepted == {0}, "compacted pipeline accepted a wrong-language doc"
+
+
+def test_embedding_ingest_keeps_moments_store_in_lockstep(spark, tmp_path):
+    """moments_store=True maintains the exact PCA second-moment store
+    alongside the vector stores: after a real multi-batch stream, the
+    streamed store must reconstruct EXACTLY second_moments over the
+    accepted vectors (the covariance — and the variance-explained gate —
+    stays current without ever re-scanning the corpus), and survive
+    compaction folded to one epoch."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        moments_read,
+        second_moments,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EmbeddingIngest,
+    )
+
+    vecs = synth_embeddings(spark, 160, planted_every=8).persist()
+    cents = kmeans_fit_quantized(vecs, k=4, iters=2)
+    base = str(tmp_path / "emb_mom")
+    ingest = EmbeddingIngest(base, cents, min_cos=0.98, moments_store=True)
+    _stream_batches(
+        spark, vecs, str(tmp_path / "src"), str(tmp_path / "ck"),
+        ingest.process_batch,
+    )
+
+    def key(rows):
+        return sorted((r.i, r.j, int(r.gram), r.s_i, r.s_j, r.n) for r in rows)
+
+    accepted = spark.read.parquet(ingest.vectors_path).select(
+        F.col("ref_emb").alias("embedding")
+    )
+    want = key(second_moments(accepted).collect())
+    assert key(moments_read(spark, ingest.moments_path).collect()) == want
+
+    compacted = ingest.compact(str(tmp_path / "emb_mom_c"))
+    assert key(moments_read(spark, compacted.moments_path).collect()) == want
+    assert spark.read.parquet(f"{compacted.moments_path}/stats").count() == 1
+    vecs.unpersist()

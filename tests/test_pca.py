@@ -216,3 +216,81 @@ def test_power_project_plan_is_narrow(emb):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def _rows_key(rows):
+    return sorted((r.i, r.j, int(r.gram), r.s_i, r.s_j, r.n) for r in rows)
+
+
+def test_moments_store_appends_equal_one_shot(spark, tmp_path):
+    """Batch-by-batch moments_append must reconstruct EXACTLY the
+    one-shot second_moments frame (integer sums are associative and
+    order-free), so pca_fit / power_direction compose unchanged from
+    the streamed store."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        moments_append,
+        moments_read,
+        pca_fit_from_store,
+        power_direction,
+        scaled_covariance,
+    )
+
+    x = _corpus()
+    path = str(tmp_path / "mom")
+    epochs = []
+    for lo, hi in ((0, 70), (70, 71), (71, N)):
+        rows = [(i, [float(v) for v in x[i]]) for i in range(lo, hi)]
+        batch = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        epochs.append(moments_append(batch, path))
+    assert epochs == [0, 1, 2]
+
+    full = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(N)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = moments_read(spark, path).collect()
+    want = second_moments(full).collect()
+    assert _rows_key(got) == _rows_key(want)
+
+    assert power_direction(
+        scaled_covariance(moments_read(spark, path)).collect()
+    ) == power_direction(scaled_covariance(second_moments(full)).collect())
+    m_store = pca_fit_from_store(spark, path, R)
+    m_full = pca_fit(full, R)
+    assert m_store.mean == m_full.mean
+    assert m_store.components == m_full.components
+    assert m_store.eigenvalues == m_full.eigenvalues
+
+
+def test_moments_store_orphans_invisible_and_empty_noop(spark, tmp_path):
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        moments_append,
+        moments_read,
+    )
+
+    x = _corpus()
+    path = str(tmp_path / "mom")
+    batch = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    epoch = moments_append(batch, path)
+    before = _rows_key(moments_read(spark, path).collect())
+
+    # crashed-append shape: cells land at epoch+1, stats write lost
+    import decimal
+
+    orphan = spark.createDataFrame(
+        [(0, 0, decimal.Decimal(999999), 7, epoch + 1)],
+        "i int, j int, gram decimal(38,0), n bigint, epoch bigint",
+    )
+    orphan.write.mode("append").parquet(f"{path}/cells")
+    assert _rows_key(moments_read(spark, path).collect()) == before
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert moments_append(empty, path) == epoch  # no epoch advance
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        moments_read(spark, str(tmp_path / "nope"))
