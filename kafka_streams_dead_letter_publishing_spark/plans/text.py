@@ -2680,14 +2680,21 @@ _BM25_INDEX_CACHE: dict[str, str] = {}
     "parquet, the ivf_search_batch contract for text); document "
     "frequencies stay exact because a term's postings live entirely in "
     "its bucket.  Index build memoized per sf_dir (cold build ~one "
-    "tokenize pass; evicted by plans.clear_plan_caches).",
+    "tokenize pass; evicted by plans.clear_plan_caches).  r11: the index "
+    "is built through the STREAMED path — two bm25_append micro-batches "
+    "(epoch-gated postings + merged running stats, operators/bm25.py) — "
+    "so the driver gate proves the ingest twin end-to-end: streamed "
+    "appends must serve row-for-row what the oracle computes from the "
+    "whole corpus, or the (N, sum dl, max dl) stats merge is wrong.",
     tags=("text", "retrieval", "bm25", "serving"),
 )
 def docs_bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
-        bm25_index,
+        _EMPTY_RESULT_SCHEMA,
+        _store_exists,
+        bm25_append,
         bm25_serve,
     )
 
@@ -2695,8 +2702,16 @@ def docs_bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         path = tempfile.mkdtemp(prefix="bm25-postings-")
-        bm25_index(docs, path)
+        # streamed build: the micro-batch split is on the stable doc id,
+        # so the per-epoch stats merge — not the batch boundary — is
+        # what the oracle comparison exercises
+        bm25_append(docs.filter(F.col("doc_id") % 2 == 0), path)
+        bm25_append(docs.filter(F.col("doc_id") % 2 == 1), path)
         _BM25_INDEX_CACHE[sf_dir] = path
+    if not _store_exists(spark, f"{path}/stats"):
+        # an all-empty-batch stream appends nothing (appends never write
+        # a zero stats row) — an empty corpus serves the typed empty frame
+        return spark.createDataFrame([], _EMPTY_RESULT_SCHEMA)
     return bm25_serve(spark, path)
 
 
