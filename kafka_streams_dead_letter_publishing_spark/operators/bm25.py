@@ -315,8 +315,8 @@ def _batch_postings(
     docs: DataFrame, text_col: str, id_col: str, n_buckets: int, epoch: int
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, stats) frames for one document set, both stamped with
-    ``epoch``.  One tokenize pass; the postings shuffle keys on
-    (term, doc) — tf partial-aggregates map-side."""
+    ``epoch``.  Each materialization tokenizes once; the postings
+    shuffle keys on (term, doc) — tf partial-aggregates map-side."""
     toks_df = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(norm_text(F.col(text_col))).alias("_t"),
@@ -414,7 +414,7 @@ def bm25_append(
     postings.write.mode("append").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
-    merged = stats.sparkSession.createDataFrame(
+    merged = spark.createDataFrame(
         [
             (
                 base_n + srow.n_docs,
