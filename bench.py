@@ -295,11 +295,25 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     load_end = os.getloadavg()
+    # Foreign-load discriminator the load averages cannot provide: with
+    # interleaved passes, CONTAMINATION inflates the median sample well
+    # above the per-entry best (r10: bit-identical code, medians +6.5%
+    # uniformly), while the bench's OWN tail-of-run load spike does not
+    # touch already-taken samples.  pass_dispersion = median over entries
+    # of (median sample / best sample): ~1.1 on a clean box regardless
+    # of what the 1-min load shows at the finish line.
+    ratios = sorted(
+        statistics.median(s) / min(s)
+        for s in samples.values()
+        if s and min(s) > 0
+    )
+    dispersion = round(ratios[len(ratios) // 2], 3) if ratios else None
     env = {
         "cpus": cpus,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
         "load_wait_sec": round(load_waited, 1),
+        "pass_dispersion": dispersion,
     }
     # Detail line FIRST (samples, per-batch streaming progress): this is the
     # line that can grow without bound, so it must never sit between the
@@ -352,7 +366,10 @@ def main() -> None:
     ]
     if breaches:
         headline["load_warning"] = (
-            "; ".join(breaches) + "; medians may be contaminated"
+            "; ".join(breaches)
+            + f"; medians may be contaminated (pass_dispersion {dispersion}"
+            " — ~1.1 means the samples themselves stayed clean and the"
+            " load was this run's own tail)"
         )
     out = json.dumps(headline)
     # NEVER abort after a completed run (the crash-after-measurement class
