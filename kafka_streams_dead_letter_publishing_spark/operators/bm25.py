@@ -312,15 +312,27 @@ def _store_exists(spark, path: str) -> bool:
 
 
 def _batch_postings(
-    docs: DataFrame, text_col: str, id_col: str, n_buckets: int, epoch: int
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int, epoch: int,
+    pin: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, stats) frames for one document set, both stamped with
     ``epoch``.  Each materialization tokenizes once; the postings
-    shuffle keys on (term, doc) — tf partial-aggregates map-side."""
+    shuffle keys on (term, doc) — tf partial-aggregates map-side.
+
+    ``pin=True`` localCheckpoints the tokenized frame eagerly, so the
+    postings write and the stats row come from ONE materialization of
+    the input — required on the append path, where a source with
+    non-stable ordering could otherwise make the committed stats
+    disagree with the written postings (and it saves the second
+    tokenize pass).  One-shot index builds from deterministic parquet
+    reads skip the pin: checkpointing a whole tokenized corpus to local
+    disk is the wrong trade there."""
     toks_df = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(norm_text(F.col(text_col))).alias("_t"),
     )
+    if pin:
+        toks_df = toks_df.localCheckpoint(eager=True)
     postings = (
         toks_df.select(
             "doc_id",
@@ -354,8 +366,8 @@ def bm25_index(
     (n_docs, total_tokens, max_dl, epoch) — the one-shot build is epoch 0.
     Stats are written LAST (the completion gate: serving fail-closes on a
     half-written index because the stats row is missing, and on a
-    half-APPENDED index because orphan postings epochs sit above the
-    newest stats epoch and are filtered out — see :func:`bm25_append`)."""
+    half-APPENDED index because orphan postings epochs have no stats row
+    and the epoch-SET gate filters them out — see :func:`bm25_append`)."""
     postings, stats = _batch_postings(docs, text_col, id_col, n_buckets, epoch=0)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
@@ -379,15 +391,20 @@ def bm25_append(
     Unlike the vector stores, naive appends are WRONG here: scoring
     depends on global (N, sum dl, max dl), so each append writes a new
     RUNNING-TOTAL stats row (associative merges — base + batch, exactly
-    the CMS cell-merge contract) stamped with epoch = prior + 1, and the
-    batch's postings carry the same epoch.  Write order is postings
-    FIRST, stats LAST: a crash between the two leaves orphan postings at
-    epoch E+1 with the newest stats row still at E, and ``bm25_serve``
-    scans only ``epoch <= stats.epoch`` — it keeps serving the last
-    COMPLETE snapshot (postings and the stats they were scored against
-    always agree; the orphans are reclaimed by :func:`bm25_compact`).
-    Bootstrapping on an empty path is epoch 0, identical to
-    :func:`bm25_index` on the same batch (test-pinned).
+    the CMS cell-merge contract), and the batch's postings carry the
+    same epoch.  Write order is postings FIRST, stats LAST: a crash
+    between the two leaves orphan postings with no matching stats row,
+    and ``bm25_serve`` scans only epochs that HAVE a stats row (epoch-SET
+    gate, not a threshold) — it keeps serving the last COMPLETE snapshot
+    (postings and the stats they were scored against always agree; the
+    orphans are reclaimed by :func:`bm25_compact`).  The new epoch is
+    allocated ABOVE both the newest stats epoch and any epoch already
+    present in the postings, so a crash-then-retry never reuses an
+    orphan's epoch — with a threshold gate a retry at the orphan's
+    epoch would make the orphan's tf rows servable alongside the
+    retry's, double-counting the retried docs' scores while the stats
+    row counts them once.  Bootstrapping on an empty path is epoch 0,
+    identical to :func:`bm25_index` on the same batch (test-pinned).
 
     Single-writer contract (same as every store in the repo): appends
     come from a serialized ``foreachBatch`` body, never concurrently.
@@ -405,8 +422,20 @@ def bm25_append(
     else:
         base_n = base_t = base_mx = 0
         epoch = -1
+    # never land on an orphan's epoch: a crashed prior append may have
+    # left postings ABOVE the newest stats epoch (parquet footer max —
+    # a metadata read, not a corpus scan)
+    new_epoch = epoch + 1
+    if _store_exists(spark, f"{path}/postings"):
+        omax = (
+            spark.read.parquet(f"{path}/postings")
+            .agg(F.max("epoch"))
+            .first()[0]
+        )
+        if omax is not None and omax >= new_epoch:
+            new_epoch = omax + 1
     postings, stats = _batch_postings(
-        batch_docs, text_col, id_col, n_buckets, epoch=epoch + 1
+        batch_docs, text_col, id_col, n_buckets, epoch=new_epoch, pin=True
     )
     srow = stats.first()
     if not srow.n_docs:
@@ -420,30 +449,32 @@ def bm25_append(
                 base_n + srow.n_docs,
                 base_t + srow.total_tokens,
                 max(base_mx, srow.max_dl),
-                epoch + 1,
+                new_epoch,
             )
         ],
         "n_docs bigint, total_tokens bigint, max_dl bigint, epoch bigint",
     )
     merged.write.mode("append").parquet(f"{path}/stats")
-    return epoch + 1
+    return new_epoch
 
 
 def bm25_compact(spark, src_path: str, dst_path: str) -> None:
     """Compact a streamed-into BM25 index: every append adds files per
     touched bucket, so a long-lived ingest accumulates small files (the
-    ``ivf_compact`` problem).  Rewrites the postings <= the newest stats
-    epoch (orphans from a crashed append are dropped — they were never
-    servable) with one shuffle on the bucket partition column, collapses
-    the stats history to its newest row, and writes to a NEW path — swap
-    by repoint, never in place, so a concurrent reader always sees a
-    complete index.  Served results are preserved row-for-row
-    (test-pinned)."""
-    srow = (
-        spark.read.parquet(f"{src_path}/stats").orderBy(F.desc("epoch")).first()
-    )
-    spark.read.parquet(f"{src_path}/postings").filter(
-        F.col("epoch") <= srow.epoch
+    ``ivf_compact`` problem).  Rewrites the postings whose epoch has a
+    stats row (epoch-SET gate — orphans from a crashed append are
+    dropped, they were never servable) with one shuffle on the bucket
+    partition column, re-stamps them all to the newest stats epoch,
+    collapses the stats history to its newest row, and writes to a NEW
+    path — swap by repoint, never in place, so a concurrent reader
+    always sees a complete index.  Served results are preserved
+    row-for-row (test-pinned)."""
+    stats_df = spark.read.parquet(f"{src_path}/stats")
+    srow = stats_df.orderBy(F.desc("epoch")).first()
+    spark.read.parquet(f"{src_path}/postings").join(
+        F.broadcast(stats_df.select("epoch").distinct()), "epoch", "left_semi"
+    ).withColumn(
+        "epoch", F.lit(srow.epoch).cast("long")
     ).repartition("bucket").write.mode("errorifexists").partitionBy(
         "bucket"
     ).parquet(f"{dst_path}/postings")
@@ -462,16 +493,15 @@ def bm25_serve(
 ) -> DataFrame:
     """Serve a query batch from the persisted index, scanning only the
     term buckets the batch needs (partition-pruned IN-filter on
-    ``bucket``) and only the postings epochs the newest stats row covers
-    (``epoch <= stats.epoch`` — orphan postings from a crashed append
-    are invisible, so a served snapshot's postings and global stats
-    always agree; fail-closed, see :func:`bm25_append`).  Row-for-row
-    identical to :func:`bm25_topk` on the same corpus — document
-    frequencies are exact because a term's postings live entirely in its
-    bucket."""
-    srow = (
-        spark.read.parquet(f"{path}/stats").orderBy(F.desc("epoch")).first()
-    )
+    ``bucket``) and only the postings epochs that HAVE a stats row
+    (epoch-SET broadcast semi-join — orphan postings from a crashed
+    append are invisible even if a later retry allocated past them, so
+    a served snapshot's postings and global stats always agree;
+    fail-closed, see :func:`bm25_append`).  Row-for-row identical to
+    :func:`bm25_topk` on the same corpus — document frequencies are
+    exact because a term's postings live entirely in its bucket."""
+    stats_df = spark.read.parquet(f"{path}/stats")
+    srow = stats_df.orderBy(F.desc("epoch")).first()
     if srow is None:
         raise ValueError(
             f"bm25_serve: {path}/stats holds no rows — the index build "
@@ -484,8 +514,14 @@ def bm25_serve(
     needed = sorted(
         {_py_term_bucket(t, n_buckets) for _, terms in queries for t in terms}
     )
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(needed) & (F.col("epoch") <= srow.epoch)
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(needed))
+        .join(
+            F.broadcast(stats_df.select("epoch").distinct()),
+            "epoch",
+            "left_semi",
+        )
     )
     qdf = query_terms_df(spark, queries)
     tf = postings.join(F.broadcast(qdf), "term").select(

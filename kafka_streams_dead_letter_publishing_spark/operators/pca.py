@@ -183,9 +183,12 @@ def _dot_centered(vec_col: Column, comp: list[float], mean: list[float]) -> Colu
 # whether PCA pre-reduction is worth running (SCALE.md r11) — can stay
 # current on a STREAMING corpus by appending per-batch partial cells,
 # never re-scanning.  Same epoch contract as operators/bm25.bm25_append:
-# per-batch cells land FIRST stamped epoch = prior + 1, the running
-# stats row lands LAST, and readers fold only epochs <= stats.epoch —
-# a crashed append leaves invisible orphans, never a half-merged model.
+# per-batch cells land FIRST stamped with a fresh epoch allocated ABOVE
+# both the newest stats epoch and any epoch already present in the
+# cells (so a crash-then-retry never reuses an orphan's epoch), the
+# running stats row lands LAST, and readers fold only epochs that HAVE
+# a stats row (epoch-SET gate) — a crashed append leaves invisible
+# orphans, never a half-merged or double-counted model.
 
 
 def moments_append(
@@ -210,7 +213,24 @@ def moments_append(
         base_n, epoch = base.n_rows, base.epoch
     else:
         base_n, epoch = 0, -1
-    q = batch_df.select(quantize_embedding(F.col(vec_col)).alias("qx"))
+    # never land on an orphan's epoch: a crashed prior append may have
+    # left cells/sums ABOVE the newest stats epoch (parquet footer max)
+    new_epoch = epoch + 1
+    if _store_exists(spark, f"{path}/cells"):
+        omax = (
+            spark.read.parquet(f"{path}/cells").agg(F.max("epoch")).first()[0]
+        )
+        if omax is not None and omax >= new_epoch:
+            new_epoch = omax + 1
+    # one materialization feeds the cells, the sums, AND the row count —
+    # a source with non-stable ordering can't make them disagree (and
+    # the quantize pass runs once, not three times)
+    q = batch_df.select(
+        quantize_embedding(F.col(vec_col)).alias("qx")
+    ).localCheckpoint(eager=True)
+    batch_n = q.count()
+    if not batch_n:
+        return epoch
     rows_i = q.select("qx", F.posexplode("qx").alias("i", "xi"))
     prods = rows_i.select(
         "i",
@@ -223,42 +243,40 @@ def moments_append(
         F.sum(F.col("p").cast(_DEC)).cast(_DEC).alias("gram"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    batch_n = batch_df.count()
-    if not batch_n:
-        return epoch
-    cells.withColumn("epoch", F.lit(epoch + 1).cast("long")).write.mode(
+    cells.withColumn("epoch", F.lit(new_epoch).cast("long")).write.mode(
         "append"
     ).parquet(f"{path}/cells")
     rows_i.groupBy("i").agg(
         F.sum("xi").cast("long").alias("s")
-    ).withColumn("epoch", F.lit(epoch + 1).cast("long")).write.mode(
+    ).withColumn("epoch", F.lit(new_epoch).cast("long")).write.mode(
         "append"
     ).parquet(f"{path}/sums")
     spark.createDataFrame(
-        [(base_n + batch_n, epoch + 1)], "n_rows bigint, epoch bigint"
+        [(base_n + batch_n, new_epoch)], "n_rows bigint, epoch bigint"
     ).write.mode("append").parquet(f"{path}/stats")
-    return epoch + 1
+    return new_epoch
 
 
 def moments_read(spark, path: str) -> DataFrame:
     """Reconstruct the :func:`second_moments` frame from the streamed
     store — per-(i,j) DECIMAL gram and count summed over every COMPLETE
-    epoch (<= the newest stats row's; orphans from a crashed append are
-    invisible), joined to the per-dimension sums.  Bit-identical to a
+    epoch (epoch-SET gate: only epochs that have a stats row; orphans
+    from a crashed append are invisible even if a later retry allocated
+    past them), joined to the per-dimension sums.  Bit-identical to a
     one-shot ``second_moments`` over the same rows (integer sums are
     order-free; test-pinned), so ``scaled_covariance``, ``pca_fit`` and
     ``power_direction`` compose unchanged."""
-    srow = (
-        spark.read.parquet(f"{path}/stats").orderBy(F.desc("epoch")).first()
-    )
+    stats_df = spark.read.parquet(f"{path}/stats")
+    srow = stats_df.orderBy(F.desc("epoch")).first()
     if srow is None:
         raise ValueError(
             f"moments_read: {path}/stats holds no rows — no append ever "
             "completed (stats are the completion gate)"
         )
+    complete = F.broadcast(stats_df.select("epoch").distinct())
     gram = (
         spark.read.parquet(f"{path}/cells")
-        .filter(F.col("epoch") <= srow.epoch)
+        .join(complete, "epoch", "left_semi")
         .groupBy("i", "j")
         .agg(
             F.sum("gram").cast(_DEC).alias("gram"),
@@ -267,7 +285,7 @@ def moments_read(spark, path: str) -> DataFrame:
     )
     sums = (
         spark.read.parquet(f"{path}/sums")
-        .filter(F.col("epoch") <= srow.epoch)
+        .join(complete, "epoch", "left_semi")
         .groupBy("i")
         .agg(F.sum("s").cast("long").alias("s"))
     )

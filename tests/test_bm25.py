@@ -249,6 +249,7 @@ def test_orphan_postings_from_crashed_append_are_invisible(spark, tmp_path):
     from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
         _batch_postings,
         bm25_append,
+        bm25_index,
     )
 
     path = str(tmp_path / "idx")
@@ -263,10 +264,20 @@ def test_orphan_postings_from_crashed_append_are_invisible(spark, tmp_path):
     orphan.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
 
     assert _served_rows(spark, path) == before
-    # the retried append heals the index: next epoch advances past the
-    # orphan and the new docs become servable
+    # the retried append heals the index: the new epoch is allocated
+    # PAST the orphan's (never reused — reuse would make the orphan's
+    # tf rows servable alongside the retry's, double-counting the
+    # retried docs' scores), and serving the healed index is
+    # row-for-row identical to a one-shot build of the full corpus —
+    # the orphan rows stay invisible because they have no stats row
     healed_epoch = bm25_append(tail, path)
-    assert healed_epoch == epoch + 1
+    assert healed_epoch == epoch + 2
+    oneshot = str(tmp_path / "oneshot")
+    bm25_index(
+        spark.createDataFrame(CORPUS, "doc_id bigint, text string"), oneshot
+    )
+    healed = _served_rows(spark, path)
+    assert healed == _served_rows(spark, oneshot) and healed != before
 
 
 def test_compact_preserves_served_results_and_drops_orphans(spark, tmp_path):

@@ -287,8 +287,26 @@ def test_moments_store_orphans_invisible_and_empty_noop(spark, tmp_path):
     orphan.write.mode("append").parquet(f"{path}/cells")
     assert _rows_key(moments_read(spark, path).collect()) == before
 
+    # crash-then-RETRY: the retried append must allocate an epoch PAST
+    # the orphan's (with a threshold gate it would land ON it and the
+    # reader would double-count the orphan's partial cells, silently
+    # corrupting the covariance), and the healed store must equal a
+    # one-shot second_moments of everything actually appended
+    tail = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(50, 60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert moments_append(tail, path) == epoch + 2
+    full = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    assert _rows_key(moments_read(spark, path).collect()) == _rows_key(
+        second_moments(full).collect()
+    )
+
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
-    assert moments_append(empty, path) == epoch  # no epoch advance
+    assert moments_append(empty, path) == epoch + 2  # no epoch advance
 
     import pytest as _pytest
 
