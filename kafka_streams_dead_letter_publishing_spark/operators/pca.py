@@ -354,6 +354,96 @@ def power_direction(
     return v
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark ``DIV`` / DuckDB
+    ``//`` semantics.  Python ``//`` floors, disagreeing exactly on
+    negative numerators."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def power_directions(
+    cov_rows,
+    r: int,
+    iters: int = POWER_ITERS,
+    scale_bits: int = POWER_SCALE_BITS,
+) -> list[list[int]]:
+    """Top-``r`` fixed-point directions via power iteration with
+    integer Gram-Schmidt DEFLATION — the r-dim extension of
+    :func:`power_direction` (``power_directions(cov, 1)[0]`` is
+    bit-identical to it, test-pinned), closing the one similarity path
+    that previously rode LAPACK's non-replayable eigensolve
+    (``pca_fit``) for r > 1.
+
+    Direction t runs the same K matvec+rescale iterations as
+    :func:`power_direction`, then after EVERY rescale projects out the
+    t prior directions (v_i -= trunc_div(dot(v,u) * u_i, dot(u,u)),
+    per-element division to keep precision) and rescales again so the
+    residual recovers full fixed-point resolution — without the second
+    rescale a near-parallel iterate would collapse to a handful of
+    significant bits.  For t=0 the ortho loop is empty and the second
+    rescale is an exact identity (dividing v_i * 2^s by the 2^s the
+    first rescale normalized to), which is what makes the t=0 column
+    equal power_direction bit for bit.
+
+    Everything is integer multiply/sum/compare/truncating-divide on
+    Python bigints — replayed by the oracle's chained HUGEINT CTE
+    blocks (one per direction) and therefore hash-green end-to-end,
+    unlike the LAPACK components.  O(r·K·d²) driver work on the
+    metadata-sized covariance; the cluster never sees it.  A start
+    vector that lies in the span of the prior directions deflates to
+    the zero vector and stays there — deterministic in both engines,
+    and irrelevant for ranking projections (all zeros)."""
+    if not cov_rows or r <= 0:
+        return []
+    d = max(int(row.j) for row in cov_rows) + 1
+    cov = [[0] * d for _ in range(d)]
+    for row in cov_rows:
+        c = int(row.cov_scaled)
+        cov[int(row.i)][int(row.j)] = c
+        cov[int(row.j)][int(row.i)] = c
+    half = 1 << scale_bits
+    dirs: list[list[int]] = []
+    for _t in range(r):
+        v = [1] * d
+        for _ in range(iters):
+            w = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+            mx = max(max(abs(x) for x in w), 1)
+            v = [_tdiv(x * half, mx) for x in w]
+            for u in dirs:
+                num = sum(vi * ui for vi, ui in zip(v, u))
+                den = max(sum(ui * ui for ui in u), 1)
+                v = [vi - _tdiv(num * ui, den) for vi, ui in zip(v, u)]
+            mx = max(max(abs(x) for x in v), 1)
+            v = [_tdiv(x * half, mx) for x in v]
+        dirs.append(v)
+    return dirs
+
+
+def power_project_multi(
+    emb: DataFrame,
+    directions: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_prefix: str = "p",
+) -> DataFrame:
+    """(id, p0..p_{r-1}): exact-integer projection onto each fixed-point
+    direction in ONE corpus pass — the quantize runs once and every
+    per-direction dot product is a folded-literal zip_with/aggregate
+    over the same array (per-row narrow, JVM-side, no shuffle, no
+    UDFs).  Magnitudes as :func:`power_project` (<= ~2^47, BIGINT)."""
+    qx = quantize_embedding(F.col(vec_col))
+    cols = [F.col(id_col)]
+    for t, direction in enumerate(directions):
+        y = F.array(*[F.lit(int(c)).cast("long") for c in direction])
+        prods = F.zip_with(qx, y, lambda a, b: a * b)
+        cols.append(
+            F.aggregate(
+                prods, F.lit(0).cast("long"), lambda acc, p: acc + p
+            ).alias(f"{out_prefix}{t}")
+        )
+    return emb.select(*cols)
+
+
 def power_project(
     emb: DataFrame,
     direction: list[int],

