@@ -271,12 +271,10 @@ def nearest_cluster_quantized(centroids: list[list[int]], qe: Column) -> Column:
     )
 
 
-def nearest_cluster_quantized_expr(cm: Column, qe: Column) -> Column:
-    """:func:`nearest_cluster_quantized` over a centroid matrix that is
-    itself a Column (array<array<bigint>>) — lets a caller select a
-    per-row matrix (e.g. the PQ joint fit picks its subspace's codebook
-    from one nested literal) while keeping the identical fold/tie-break
-    semantics."""
+def _nearest_fold_expr(cm: Column, qe: Column) -> Column:
+    """struct(cluster, d2, i): the argmin fold with its winning distance
+    exposed — multi-probe routing compares candidates ACROSS probed
+    groups, so it needs the distance, not just the index."""
     init = F.struct(
         F.lit(-1).alias("cluster"),
         F.lit(2**63 - 1).cast("long").alias("d2"),
@@ -296,7 +294,53 @@ def nearest_cluster_quantized_expr(cm: Column, qe: Column) -> Column:
             (acc["i"] + 1).alias("i"),
         )
 
-    return F.aggregate(cm, init, step)["cluster"]
+    return F.aggregate(cm, init, step)
+
+
+def nearest_cluster_quantized_expr(cm: Column, qe: Column) -> Column:
+    """:func:`nearest_cluster_quantized` over a centroid matrix that is
+    itself a Column (array<array<bigint>>) — lets a caller select a
+    per-row matrix (e.g. the PQ joint fit picks its subspace's codebook
+    from one nested literal) while keeping the identical fold/tie-break
+    semantics."""
+    return _nearest_fold_expr(cm, qe)["cluster"]
+
+
+def nearest_two_quantized_expr(cm: Column, qe: Column) -> Column:
+    """struct(c1, c2): indices of the TWO nearest rows of the centroid
+    matrix, one fold — the multi-probe coarse step.  Tie-breaks mirror
+    the argmin fold: strict ``<`` everywhere, so equal distances keep
+    the earliest index in c1 and the next in c2."""
+    big = F.lit(2**63 - 1).cast("long")
+    init = F.struct(
+        F.lit(-1).alias("c1"),
+        big.alias("d1"),
+        F.lit(-1).alias("c2"),
+        big.alias("d2"),
+        F.lit(0).alias("i"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(c, qe, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+        b1 = d < acc["d1"]
+        b2 = (~b1) & (d < acc["d2"])
+        return F.struct(
+            F.when(b1, acc["i"]).otherwise(acc["c1"]).alias("c1"),
+            F.when(b1, d).otherwise(acc["d1"]).alias("d1"),
+            F.when(b1, acc["c1"])
+            .otherwise(F.when(b2, acc["i"]).otherwise(acc["c2"]))
+            .alias("c2"),
+            F.when(b1, acc["d1"])
+            .otherwise(F.when(b2, d).otherwise(acc["d2"]))
+            .alias("d2"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    return F.aggregate(cm, init, step)
 
 
 def two_level_groups(
@@ -334,7 +378,10 @@ def two_level_groups(
 
 
 def nearest_cluster_two_level(
-    centroids_fixed: list[list[int]], qe: Column, n_coarse: int | None = None
+    centroids_fixed: list[list[int]],
+    qe: Column,
+    n_coarse: int | None = None,
+    probes: int = 1,
 ) -> Column:
     """Two-level routing: argmin over the n1 ≈ sqrt(k) coarse
     representatives, then argmin over ONLY that group's fine members —
@@ -344,22 +391,48 @@ def nearest_cluster_two_level(
 
     APPROXIMATE by design: a vector whose true nearest fine centroid
     lives in a different coarse group routes to its group-local best
-    instead.  For cell-partitioning uses (SemDeDup, IVF cell files) any
-    deterministic assignment is a valid contract — both engines replay
-    the same folds — but probe-set routing and the on-disk partition
-    must come from the SAME function (the ivf_append rebuild rule).
-    Determinism: same strict-< / lowest-index tie-breaks as the flat
-    fold, and the grouping itself is driver-side exact integers."""
+    instead.  ``probes=2`` (the r11 verdict's multi-probe ask) searches
+    the TWO nearest coarse groups and keeps the cross-group winner by
+    (distance, global id) — 2×sqrt(k) folds, still ≪ k, recovering the
+    boundary misses: a vector's true cell can only be missed now when
+    BOTH its coarse-nearest and coarse-second groups exclude it.  For
+    cell-partitioning uses (SemDeDup, IVF cell files) any deterministic
+    assignment is a valid contract — both engines replay the same folds
+    — but probe-set routing and the on-disk partition must come from
+    the SAME function with the SAME probes (the ivf_append rebuild
+    rule).  Determinism: same strict-< / lowest-index tie-breaks as the
+    flat fold inside each group, lexicographic (d2, global id) across
+    the two probed groups, and the grouping itself is driver-side exact
+    integers."""
     reps, members, ids = two_level_groups(centroids_fixed, n_coarse)
-    coarse = nearest_cluster_quantized(reps, qe)
     mm = F.array(*[_centroid_matrix_fixed_expr(m) for m in members])
     idm = F.array(
         *[F.array(*[F.lit(int(i)) for i in g]) for g in ids]
     )
-    local = nearest_cluster_quantized_expr(
-        F.element_at(mm, coarse + 1), qe
+    if probes <= 1 or len(reps) < 2:
+        coarse = nearest_cluster_quantized(reps, qe)
+        local = nearest_cluster_quantized_expr(
+            F.element_at(mm, coarse + 1), qe
+        )
+        return F.element_at(F.element_at(idm, coarse + 1), local + 1)
+    if probes != 2:
+        raise ValueError(
+            f"nearest_cluster_two_level: probes={probes} unsupported — "
+            "1 (single-probe) or 2 (boundary-recovering multi-probe)"
+        )
+    two = nearest_two_quantized_expr(_centroid_matrix_fixed_expr(reps), qe)
+    s1 = _nearest_fold_expr(F.element_at(mm, two["c1"] + 1), qe)
+    s2 = _nearest_fold_expr(F.element_at(mm, two["c2"] + 1), qe)
+    gid1 = F.element_at(
+        F.element_at(idm, two["c1"] + 1), s1["cluster"] + 1
     )
-    return F.element_at(F.element_at(idm, coarse + 1), local + 1)
+    gid2 = F.element_at(
+        F.element_at(idm, two["c2"] + 1), s2["cluster"] + 1
+    )
+    second_wins = (s2["d2"] < s1["d2"]) | (
+        (s2["d2"] == s1["d2"]) & (gid2 < gid1)
+    )
+    return F.when(second_wins, gid2).otherwise(gid1)
 
 
 def kmeans_fit_quantized(

@@ -295,3 +295,109 @@ def test_two_level_groups_partition_the_centroids():
     assert len(reps) == len(members) == len(ids) <= 5
     for g, m in zip(ids, members):
         assert [cents[i] for i in g] == m
+
+
+def _py_two_level_p2(centroids, q):
+    """Driver-side replay of nearest_cluster_two_level(probes=2): top-2
+    coarse groups by the strict-< double-argmin, group-local argmins,
+    cross-group winner by lexicographic (d2, global id)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        two_level_groups,
+    )
+
+    reps, members, ids = two_level_groups(centroids)
+
+    def d2(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, q))
+
+    c1 = c2 = -1
+    d1 = dd2 = None
+    for i, r in enumerate(reps):
+        d = d2(r)
+        if d1 is None or d < d1:
+            c2, dd2 = c1, d1
+            c1, d1 = i, d
+        elif dd2 is None or d < dd2:
+            c2, dd2 = i, d
+    if c2 < 0:
+        c2 = c1
+
+    def local_best(g):
+        best, bd = 0, None
+        for i, c in enumerate(members[g]):
+            d = d2(c)
+            if bd is None or d < bd:
+                best, bd = i, d
+        return bd, ids[g][best]
+
+    cand1, cand2 = local_best(c1), local_best(c2)
+    return min(cand1, cand2)[1]
+
+
+def test_two_level_multiprobe_matches_python_replay(spark, clustered):
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        nearest_cluster_two_level,
+        quantize_embedding,
+    )
+
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=9, iters=2)
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id",
+            nearest_cluster_two_level(
+                cents, quantize_embedding(F.col("embedding")), probes=2
+            ).alias("c"),
+        ).collect()
+    }
+    by_id = dict(rows)
+    for vid, _v in rows:
+        q = [math.floor(x * 1_000_000) for x in by_id[vid]]
+        assert got[vid] == _py_two_level_p2(cents, q), vid
+
+
+def test_two_level_multiprobe_recovers_boundary_misses(spark, clustered):
+    """probes=2 must agree with the flat argmin at least as often as
+    probes=1, and near-perfectly on the separated fixture — a miss now
+    needs the true cell excluded from BOTH nearest coarse groups."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        nearest_cluster_quantized,
+        nearest_cluster_two_level,
+        quantize_embedding,
+    )
+
+    df, _rows = clustered
+    cents = kmeans_fit_quantized(df, k=9, iters=2)
+    qe = quantize_embedding(F.col("embedding"))
+    all3 = df.select(
+        nearest_cluster_quantized(cents, qe).alias("flat"),
+        nearest_cluster_two_level(cents, qe).alias("p1"),
+        nearest_cluster_two_level(cents, qe, probes=2).alias("p2"),
+    ).collect()
+    a1 = sum(1 for r in all3 if r.flat == r.p1) / len(all3)
+    a2 = sum(1 for r in all3 if r.flat == r.p2) / len(all3)
+    assert a2 >= a1, (a1, a2)
+    assert a2 >= 0.98, (a1, a2)
+
+
+def test_two_level_probes_validation(spark, clustered):
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        nearest_cluster_two_level,
+        quantize_embedding,
+    )
+
+    df, _ = clustered
+    cents = kmeans_fit_quantized(df, k=9, iters=1)
+    with pytest.raises(ValueError, match="probes=3"):
+        nearest_cluster_two_level(
+            cents, quantize_embedding(F.col("embedding")), probes=3
+        )
+    # probes=2 with a single coarse group degrades to single-probe
+    one = kmeans_fit_quantized(df, k=1, iters=1)
+    got = df.select(
+        nearest_cluster_two_level(
+            one, quantize_embedding(F.col("embedding")), probes=2
+        ).alias("c")
+    ).collect()
+    assert {r.c for r in got} == {0}
