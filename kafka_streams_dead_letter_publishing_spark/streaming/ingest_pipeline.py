@@ -757,3 +757,66 @@ class DocumentIngest:
             id_col=self.id_col,
             text_col=self.text_col,
         )
+
+
+class EventIngest:
+    """foreachBatch body for an EVENT stream: append the batch to the
+    events sink and keep a lockstep KMV distinct sketch per
+    ``group_col`` (``operators.kmv.kmv_append`` — the approx-distinct
+    twin of DocumentIngest's BM25 store and EmbeddingIngest's moments
+    store), so ``kmv_estimate`` answers "distinct users per event type
+    so far" at any point with zero re-scans of the event history.
+
+    Write order: events sink FIRST, sketch LAST — a crash between the
+    two replays the batch with the sketch under-engaged until the
+    retry, and KMV is the one store where at-least-once replay needs NO
+    compensation at all (the sketch is a SET: duplicate keys vanish in
+    the union-retake merge).  A crash INSIDE kmv_append is invisible to
+    readers (epoch-SET gate)."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        group_col: str = "event_type",
+        key_col: str = "user_id",
+        k: int = 64,
+    ) -> None:
+        self.base_dir = base_dir
+        self.events_path = f"{base_dir}/events"
+        self.kmv_path = f"{base_dir}/kmv"
+        self.group_col = group_col
+        self.key_col = key_col
+        self.k = k
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_append
+
+        batch = batch.localCheckpoint(eager=True)
+        batch.write.mode("append").parquet(self.events_path)
+        kmv_append(
+            batch, self.kmv_path, self.group_col, self.key_col, self.k
+        )
+
+    def estimates(self) -> DataFrame:
+        from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_estimate
+
+        spark = SparkSession.getActiveSession()
+        assert spark is not None, "estimates() needs an active SparkSession"
+        return kmv_estimate(spark, self.kmv_path, self.k)
+
+    def compact(self, new_base_dir: str) -> "EventIngest":
+        """See :meth:`EmbeddingIngest.compact` — same NEW-path swap."""
+        from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_compact
+
+        spark = SparkSession.getActiveSession()
+        assert spark is not None, "compact() needs an active SparkSession"
+        spark.read.parquet(self.events_path).repartition(
+            self.group_col
+        ).write.mode("errorifexists").parquet(f"{new_base_dir}/events")
+        kmv_compact(spark, self.kmv_path, f"{new_base_dir}/kmv", self.k)
+        return EventIngest(
+            new_base_dir,
+            group_col=self.group_col,
+            key_col=self.key_col,
+            k=self.k,
+        )

@@ -870,3 +870,46 @@ def test_embedding_ingest_keeps_moments_store_in_lockstep(spark, tmp_path):
     assert key(moments_read(spark, compacted.moments_path).collect()) == want
     assert spark.read.parquet(f"{compacted.moments_path}/stats").count() == 1
     vecs.unpersist()
+
+
+def test_event_ingest_keeps_kmv_store_in_lockstep(spark, tmp_path):
+    """EventIngest maintains the KMV distinct sketch batch-by-batch: the
+    running estimate equals a one-shot sketch of everything ingested,
+    the events sink holds every row, and compact preserves both."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EventIngest,
+    )
+
+    rows = [(f"t{i % 3}", (i * 11) % 50) for i in range(150)]
+    base = str(tmp_path / "ev")
+    ingest = EventIngest(base, k=8)
+    for bid, (lo, hi) in enumerate(((0, 60), (60, 100), (100, 150))):
+        batch = spark.createDataFrame(
+            rows[lo:hi], "event_type string, user_id long"
+        )
+        ingest.process_batch(batch, bid)
+
+    assert spark.read.parquet(ingest.events_path).count() == len(rows)
+    got = {(r.group, r.nh, r.est) for r in ingest.estimates().collect()}
+    full = spark.createDataFrame(rows, "event_type string, user_id long")
+    oneshot_mins = kmv_sketch(full, "event_type", "user_id", 8)
+    # one-shot reference estimates via a throwaway store
+    ref_base = str(tmp_path / "ref")
+    from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_append
+
+    kmv_append(full, f"{ref_base}/kmv", "event_type", "user_id", 8)
+    want = {
+        (r.group, r.nh, r.est)
+        for r in kmv_estimate(spark, f"{ref_base}/kmv", 8).collect()
+    }
+    assert got == want and got
+
+    compacted = ingest.compact(str(tmp_path / "ev2"))
+    assert {
+        (r.group, r.nh, r.est) for r in compacted.estimates().collect()
+    } == want
+    assert spark.read.parquet(compacted.events_path).count() == len(rows)

@@ -1,0 +1,142 @@
+"""KMV streamed store (operators/kmv.py): the merge law (streamed ==
+one-shot bit-for-bit), epoch-SET crash safety, exactness below capacity
+across batches, and the Python-reference estimate."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
+    KMV_K,
+    KMV_SCALE,
+    kmv_append,
+    kmv_compact,
+    kmv_estimate,
+    kmv_read_mins,
+    kmv_sketch,
+)
+
+K = 8  # small capacity so truncation paths exercise on tiny fixtures
+
+
+def _rows(n_types: int = 3, n: int = 120):
+    # user ids collide across types on purpose (distinct is per group)
+    return [(f"t{i % n_types}", (i * 7) % 40) for i in range(n)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def _py_sketch(rows, k):
+    by_g: dict[str, set[str]] = {}
+    for g, u in rows:
+        by_g.setdefault(g, set()).add(
+            hashlib.md5(str(u).encode()).hexdigest()[:13]
+        )
+    return {
+        (g, h) for g, hs in by_g.items() for h in sorted(hs)[:k]
+    }
+
+
+def _mins_set(df):
+    return {(r.group, r.h) for r in df.collect()}
+
+
+def test_sketch_matches_python_reference(spark):
+    rows = _rows()
+    got = _mins_set(kmv_sketch(_df(spark, rows), "event_type", "user_id", K))
+    assert got == _py_sketch(rows, K)
+
+
+def test_streamed_equals_one_shot_bit_for_bit(spark, tmp_path):
+    rows = _rows()
+    path = str(tmp_path / "kmv")
+    epochs = []
+    for lo, hi in ((0, 40), (40, 41), (41, 120)):
+        epochs.append(
+            kmv_append(_df(spark, rows[lo:hi]), path, "event_type", "user_id", K)
+        )
+    assert epochs == [0, 1, 2]
+    merged = _mins_set(kmv_read_mins(spark, path, K))
+    oneshot = _mins_set(kmv_sketch(_df(spark, rows), "event_type", "user_id", K))
+    assert merged == oneshot == _py_sketch(rows, K)
+
+
+def test_exact_below_capacity_across_batches(spark, tmp_path):
+    """A group whose distinct count stays under K must report the EXACT
+    count no matter how the stream was batched (no batch ever
+    truncated, so every hash survives the merge)."""
+    rows = [("a", u) for u in range(K - 2)] + [("b", u) for u in range(3 * K)]
+    path = str(tmp_path / "kmv")
+    for lo, hi in ((0, 10), (10, len(rows))):
+        kmv_append(_df(spark, rows[lo:hi]), path, "event_type", "user_id", K)
+    est = {r.group: (r.nh, r.est) for r in kmv_estimate(spark, path, K).collect()}
+    assert est["a"] == (K - 2, K - 2)  # exact below capacity
+    nh_b, est_b = est["b"]
+    assert nh_b == K  # at capacity: estimator path
+    kth = max(h for g, h in _py_sketch(rows, K) if g == "b")
+    assert est_b == ((K - 1) * KMV_SCALE) // int(kth, 16)
+
+
+def test_replayed_batch_is_harmless(spark, tmp_path):
+    """At-least-once replay needs no compensation: the sketch is a SET,
+    so re-appending the same batch changes nothing in the merge."""
+    rows = _rows()
+    path = str(tmp_path / "kmv")
+    kmv_append(_df(spark, rows), path, "event_type", "user_id", K)
+    before = _mins_set(kmv_read_mins(spark, path, K))
+    kmv_append(_df(spark, rows[:50]), path, "event_type", "user_id", K)
+    assert _mins_set(kmv_read_mins(spark, path, K)) == before
+
+
+def test_orphan_epochs_invisible_and_retry_heals(spark, tmp_path):
+    """Crash-between-writes: mins at epoch E+1 land, stats write lost —
+    the epoch-SET gate hides them; the retry allocates PAST the orphan
+    and the healed store equals a one-shot sketch of the full stream."""
+    rows = _rows()
+    path = str(tmp_path / "kmv")
+    epoch = kmv_append(_df(spark, rows[:60]), path, "event_type", "user_id", K)
+    before = _mins_set(kmv_read_mins(spark, path, K))
+
+    orphan = kmv_sketch(
+        _df(spark, rows[60:]), "event_type", "user_id", K
+    ).withColumn("epoch", F.lit(epoch + 1).cast("long"))
+    orphan.write.mode("append").parquet(f"{path}/mins")
+    assert _mins_set(kmv_read_mins(spark, path, K)) == before
+
+    healed = kmv_append(_df(spark, rows[60:]), path, "event_type", "user_id", K)
+    assert healed == epoch + 2
+    assert _mins_set(kmv_read_mins(spark, path, K)) == _py_sketch(rows, K)
+
+
+def test_empty_batch_is_a_noop_and_empty_store_raises(spark, tmp_path):
+    path = str(tmp_path / "kmv")
+    empty = _df(spark, [])
+    with pytest.raises(Exception):
+        kmv_read_mins(spark, path, K)
+    e = kmv_append(_df(spark, _rows()), path, "event_type", "user_id", K)
+    assert kmv_append(empty, path, "event_type", "user_id", K) == e
+
+
+def test_compact_preserves_sketch_and_drops_orphans(spark, tmp_path):
+    rows = _rows()
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 50), (50, 120)):
+        kmv_append(_df(spark, rows[lo:hi]), src, "event_type", "user_id", K)
+    orphan = kmv_sketch(
+        _df(spark, [("zz", 1)]), "event_type", "user_id", K
+    ).withColumn("epoch", F.lit(99).cast("long"))
+    orphan.write.mode("append").parquet(f"{src}/mins")
+
+    dst = str(tmp_path / "dst")
+    kmv_compact(spark, src, dst, K)
+    assert _mins_set(kmv_read_mins(spark, dst, K)) == _py_sketch(rows, K)
+    assert spark.read.parquet(f"{dst}/stats").count() == 1
+    assert (
+        spark.read.parquet(f"{dst}/mins").filter(F.col("group") == "zz").count()
+        == 0
+    )
