@@ -97,6 +97,30 @@ def build_ann_index(
     )
 
 
+def ann_candidates(
+    batch: DataFrame,
+    index: AnnIndex,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (vec_id, ref_id) LSH-collision candidate pairs — the
+    exact-verify workload :func:`ann_filter` scores.  Exposed so callers
+    (and the SCALE.md probe) can measure the candidate BUDGET the
+    configured depth buys; the filter's cost is linear in this count."""
+    staged = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    banded = staged.select(
+        "vec_id",
+        F.explode(
+            lsh_table_keys_int(F.col("emb"), index.n_tables, index.planes_per_table)
+        ).alias("bk"),
+    )
+    return banded.join(index.buckets, "bk").select("vec_id", "ref_id").distinct()
+
+
 def ann_filter(
     batch: DataFrame,
     index: AnnIndex,
@@ -117,13 +141,7 @@ def ann_filter(
         F.col(emb_col).alias("emb"),
         F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
     ).filter(F.col("nrm") > 0)
-    banded = staged.select(
-        "vec_id",
-        F.explode(
-            lsh_table_keys_int(F.col("emb"), index.n_tables, index.planes_per_table)
-        ).alias("bk"),
-    )
-    cands = banded.join(index.buckets, "bk").select("vec_id", "ref_id").distinct()
+    cands = ann_candidates(batch, index, id_col, emb_col)
     dup_ids = (
         cands.join(staged, "vec_id")
         .join(index.vectors, "ref_id")
@@ -140,3 +158,63 @@ def ann_filter(
     return batch.join(
         dup_ids.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
     )
+
+
+def lsh_recall_bound(
+    min_cos: float, n_tables: int, planes_per_table: int
+) -> float:
+    """Theoretical OR-amplified recall AT the threshold: a pair with
+    cosine exactly ``min_cos`` collides per plane with p = 1 − θ/π, per
+    table with p^b, in at least one of L tables with 1 − (1−p^b)^L.
+    Every true pair ABOVE the threshold does at least this well (p rises
+    with cosine), so this is the filter's worst-case designed recall."""
+    import math
+
+    p = 1.0 - math.acos(min_cos) / math.pi
+    return 1.0 - (1.0 - p**planes_per_table) ** n_tables
+
+
+def semantic_decontaminate(
+    batch: DataFrame,
+    eval_df: DataFrame,
+    n_eval: int,
+    min_cos: float = 0.85,
+    min_recall: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket_occupancy: int | None = None,
+) -> DataFrame:
+    """Production-scale semantic eval-leak gate: drop batch documents
+    whose embedding is cosine-``min_cos``-close to ANY eval-benchmark
+    embedding — the LSH-bucketed composition whose SEMANTICS the flat
+    broadcast registry row ``emb_semantic_decontaminated`` pins (that
+    row cross-joins because an eval set is fixed-size; this path scales
+    the corpus side).
+
+    REFUSING GUARD (r11 verdict #6): the (tables, depth) config comes
+    from ``lsh_config_for(n_eval, threshold=min_cos, recall=min_recall)``
+    — candidate volume per corpus vector stays ≈ the collision budget
+    while the OR-amplified recall AT the threshold meets the target, and
+    when no config inside the plane pool can deliver both, it RAISES
+    instead of silently under-catching leaks (fail-closed: a
+    decontamination gate that quietly misses boundary paraphrases is
+    worse than an error).  ``n_eval`` is the eval-set size (the caller
+    usually knows it without a count job; it sizes the collision
+    budget).  Measured on planted boundary paraphrases in
+    tests/test_ann_filter.py and SCALE.md."""
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_config_for,
+    )
+
+    n_tables, planes = lsh_config_for(
+        max(n_eval, 1), threshold=min_cos, recall=min_recall
+    )
+    index = build_ann_index(
+        eval_df,
+        id_col=id_col,
+        emb_col=emb_col,
+        n_tables=n_tables,
+        planes_per_table=planes,
+        max_bucket_occupancy=max_bucket_occupancy,
+    )
+    return ann_filter(batch, index, id_col, emb_col, min_cos=min_cos)

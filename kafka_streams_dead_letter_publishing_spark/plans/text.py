@@ -728,23 +728,16 @@ def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_quality_stats",
-    f"""
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           {_marker_count_sql("toks", STOPWORDS)} AS n_stopwords,
-           CAST({_marker_count_sql("toks", STOPWORDS)} AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
-           length(text) AS n_chars_actual
-    FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
-    """,
-    doc="[EXT] Per-document quality scoring: token count, stopword count / "
-    "ratio, character length — the standard LLM-corpus quality filters as "
-    "narrow per-row expressions.",
-    tags=("text", "quality", "bench"),
-)
 def docs_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-document quality scoring: token count, stopword count /
+    ratio, character length — narrow per-row expressions.
+
+    DE-REGISTERED r12 (registry hygiene, the r11 verdict's candidate
+    list): every surface stays oracled through the composite —
+    `docs_quality_funnel` carries the full per-doc quality verdict
+    stack hash-green, and the token/stopword expressions are pinned
+    Python-reference-exact in tests/test_quality_rules.py.  The function
+    remains a library surface."""
     docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     # stage toks, then score: the inline form re-evaluates the regexp+split
     # chain inside every F.size / stopword_count F.filter (no codegen
@@ -1383,22 +1376,16 @@ def docs_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_token_counts",
-    f"""
-    SELECT source,
-           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
-               AS re_tokens
-    FROM documents
-    GROUP BY source
-    """,
-    doc="[EXT] Token counting per source: whitespace tokenization vs a "
-    "BPE-ish regex lexer ([a-z]+ | digit runs | single symbols) — corpus "
-    "size accounting in both conventions.",
-    tags=("text", "tokens"),
-)
 def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Token counting per source: whitespace tokenization vs a
+    BPE-ish regex lexer ([a-z]+ | digit runs | single symbols).
+
+    DE-REGISTERED r12 (registry hygiene, the r11 verdict's candidate
+    list): whitespace token counting stays oracled per-document through
+    `docs_bpe_token_counts` (n_ws_tokens) and corpus-wide through the
+    budget/mixture family; the regex lexer is pinned
+    Python-reference-exact in tests/test_quality_rules.py.  The function
+    remains a library surface."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.sum(F.size(tokens(_norm(F.col("text"))))).alias("ws_tokens"),

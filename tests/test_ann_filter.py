@@ -147,3 +147,76 @@ def test_bucket_occupancy_cap_defuses_hot_buckets(spark):
     occ = capped.buckets.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
     assert occ <= 10
     corpus.unpersist()
+
+
+def _unit(rng, d=64):
+    import math
+
+    v = [rng.gauss(0, 1) for _ in range(d)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _at_cos(rng, v, target):
+    import math
+
+    u = _unit(rng, len(v))
+    d = sum(a * b for a, b in zip(v, u))
+    u = [b - d * a for a, b in zip(v, u)]
+    un = math.sqrt(sum(x * x for x in u))
+    u = [x / un for x in u]
+    s = math.sqrt(1 - target * target)
+    return [target * a + s * b for a, b in zip(v, u)]
+
+
+def test_semantic_decontaminate_boundary_recall_and_refusal(spark):
+    """The production eval-leak gate (r11 verdict #6): at tau=0.85 with
+    the lsh_config_for-solved (tables, depth), planted BOUNDARY
+    paraphrases (cos ~ 0.86-0.92 — the regime where depth erodes recall;
+    verbatim copies are easy at any depth) must be caught at >= the 0.95
+    design recall, and an infeasible recall target must REFUSE rather
+    than silently under-catch."""
+    import random
+
+    import pytest as _pytest
+
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        lsh_recall_bound,
+        semantic_decontaminate,
+    )
+
+    rng = random.Random(5)
+    ev = [(i, _unit(rng)) for i in range(30)]
+    eval_df = spark.createDataFrame(ev, "vec_id long, embedding array<double>")
+    clean = [(1000 + i, _unit(rng)) for i in range(800)]
+    leaks = [
+        (2000 + eid, list(v) if eid % 2 == 0 else _at_cos(rng, v, rng.uniform(0.86, 0.92)))
+        for eid, v in ev
+    ]
+    df = spark.createDataFrame(
+        clean + leaks, "vec_id long, embedding array<double>"
+    )
+    kept = {
+        r.vec_id
+        for r in semantic_decontaminate(
+            df, eval_df, 30, min_cos=0.85, min_recall=0.95
+        ).select("vec_id").collect()
+    }
+    caught = sum(1 for lid, _ in leaks if lid not in kept)
+    assert caught / len(leaks) >= 0.95, caught / len(leaks)
+    # clean random vectors in dim 16 essentially never reach cos 0.85
+    assert sum(1 for cid, _ in clean if cid not in kept) <= len(clean) * 0.02
+
+    # the bound the config was solved against is honest
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_config_for,
+    )
+
+    t, b = lsh_config_for(30, threshold=0.85, recall=0.95)
+    assert lsh_recall_bound(0.85, t, b) >= 0.95
+
+    # refusing guard: an infeasible (threshold, recall) pair raises
+    with _pytest.raises(ValueError, match="plane pool"):
+        semantic_decontaminate(
+            df, eval_df, 30, min_cos=0.5, min_recall=0.9999
+        )

@@ -347,9 +347,7 @@ def degenerate_docs_dir(tmp_path):
 
 TEXT_FAMILY_QUERIES = (
     "docs_lang_distribution",
-    "docs_quality_stats",
     "docs_wordcount_top20",
-    "docs_token_counts",
     "docs_exact_dup_groups",
     "docs_neardup_verified",
     "docs_neardup_clusters",

@@ -210,3 +210,60 @@ def test_repetition_stats_match_duckdb_oracle_on_documents(spark):
         assert got[doc_id] == (
             n_lines, dup_lines, dup_chars, gram, cnt, chars
         ), (doc_id, got[doc_id], (n_lines, dup_lines, dup_chars, gram, cnt, chars))
+
+
+def test_deregistered_quality_stats_and_token_counts_stay_exact(spark, tmp_path):
+    """docs_quality_stats / docs_token_counts were de-registered in r12
+    (registry hygiene — the funnel and the BPE rows carry their oracle
+    coverage); the library functions must stay Python-reference-exact."""
+    import re
+
+    from kafka_streams_dead_letter_publishing_spark.functions.text import STOPWORDS
+    from kafka_streams_dead_letter_publishing_spark.plans.text import (
+        docs_quality_stats,
+        docs_token_counts,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog", "web"),
+        (2, "Spark SQL compiles 2 plans; DuckDB replays 1!", "web"),
+        (3, "a b c a b c a 42 --", "books"),
+        (4, "", "books"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    qs = {r.doc_id: r for r in docs_quality_stats(spark, str(tmp_path)).collect()}
+    # n_chars is raw length; stopword count/ratio are over the tokenizer's
+    # own tokens (pin the RELATIONSHIP, not a re-implementation of the
+    # tokenizer — that contract lives in the tokens() tests)
+    from kafka_streams_dead_letter_publishing_spark.functions.text import norm_text, tokens
+    from pyspark.sql import functions as F
+
+    toks = {
+        r.doc_id: r.t
+        for r in spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .select("doc_id", tokens(norm_text(F.col("text"))).alias("t"))
+        .collect()
+    }
+    for doc_id, text, _src in rows:
+        r = qs[doc_id]
+        t = toks[doc_id]
+        n_stop = sum(1 for w in t if w in STOPWORDS)
+        assert r.n_chars_actual == len(text)
+        assert r.n_tokens == len(t)
+        assert r.n_stopwords == n_stop
+        if len(t):
+            assert r.stopword_ratio == n_stop / len(t)
+
+    tc = {r.source: (r.ws_tokens, r.re_tokens) for r in
+          docs_token_counts(spark, str(tmp_path)).collect()}
+    want_ws: dict[str, int] = {}
+    want_re: dict[str, int] = {}
+    for doc_id, text, src in rows:
+        want_ws[src] = want_ws.get(src, 0) + len(toks[doc_id])
+        want_re[src] = want_re.get(src, 0) + len(
+            re.findall(r"[a-z]+|[0-9]+|[^a-z0-9 ]", text)
+        )
+    assert tc == {s: (want_ws[s], want_re[s]) for s in want_ws}
