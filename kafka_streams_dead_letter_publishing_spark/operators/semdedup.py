@@ -60,6 +60,7 @@ def semdedup_flags(
     emb_col: str = "embedding",
     cluster_col: str | None = None,
     routing: str = "auto",
+    max_cell_occupancy: int | None = None,
 ) -> DataFrame:
     """(id, cluster, kept) for every row of *emb_df*: assign each vector
     to its coarse cell against the FROZEN microunit *centroids*, then keep
@@ -79,8 +80,26 @@ def semdedup_flags(
     "two_level" (O(sqrt k) folds via
     ``kmeans.nearest_cluster_two_level`` — deterministic, approximate:
     cell boundaries shift slightly, which SemDeDup tolerates since any
-    deterministic partition is a valid dedup scope), or "auto" (flat
-    while k allows, two_level beyond).
+    deterministic partition is a valid dedup scope), "two_level_p2"
+    (the r12 multi-probe variant — 2·sqrt(k) folds, boundary vectors
+    route to the cross-group best, flat-agreement 0.77→0.93 on the hard
+    overlapping fixture, SCALE.md), or "auto" (flat while k allows,
+    two_level beyond).
+
+    ``max_cell_occupancy`` (r11 verdict #7 — the ``neardup_filter``
+    hot-band-cap analogue): cells holding more rows than the cap are
+    SKIPPED by the pair search — every row of a hot cell is kept.  The
+    within-cell term is O(|cell|²), so one under-split dense cluster
+    (quantizer-vs-data mismatch) otherwise dominates the whole job; with
+    the cap, total pair work is bounded by N·cap regardless of how the
+    data clumps.  Deterministic (occupancy is a property of the data and
+    the frozen quantizer, not of partitioning) and FAIL-OPEN in the safe
+    direction: a semantic dup inside a hot cell is missed, never wrongly
+    dropped, and the lowest-id-survivor contract holds exactly on every
+    searched cell.  The production remedy for persistent hot cells is
+    re-fitting the quantizer with larger k (the same sizing knob as the
+    IVF index); the cap is the guard that keeps the job linear until the
+    re-fit lands.
 
     The caller guarantees rows satisfy the indexable contract (exactly
     dim finite components — same precondition as every IVF path).  Zero-
@@ -113,15 +132,31 @@ def semdedup_flags(
             route = nearest_cluster_two_level(
                 centroids, quantize_embedding(F.col(emb_col))
             )
+        elif routing == "two_level_p2":
+            route = nearest_cluster_two_level(
+                centroids, quantize_embedding(F.col(emb_col)), probes=2
+            )
         else:
             raise ValueError(f"unknown routing {routing!r}")
         assigned = emb_df.select(id_col, emb_col, route.alias("cluster"))
-    left = assigned.select(
+    searched = assigned
+    if max_cell_occupancy is not None:
+        # hot-cluster table is <= k rows (quantizer metadata) — broadcast;
+        # excluding a hot cell from BOTH join sides means it contributes
+        # no pairs at all, so its rows fall through as kept
+        hot = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cell_occupancy)
+            .select("cluster")
+        )
+        searched = assigned.join(F.broadcast(hot), "cluster", "left_anti")
+    left = searched.select(
         F.col(id_col).alias("_aid"),
         F.col("cluster").alias("_ac"),
         F.col(emb_col).alias("_ae"),
     )
-    right = assigned.select(
+    right = searched.select(
         F.col(id_col).alias("_bid"),
         F.col("cluster").alias("_bc"),
         F.col(emb_col).alias("_be"),

@@ -114,7 +114,7 @@ def kafka_sink_writer(cfg: EngineConfig) -> SinkWriter:
     headers array, topic string) is the documented Spark Kafka sink schema;
     wire-level behavior (serialization, max.request.size enforcement) is
     pinned logically by the pre-flight guard tests instead.  (Re-verified
-    r11: a docker CLIENT exists at /usr/local/bin/docker but `docker info`
+    r12: a docker CLIENT exists at /usr/local/bin/docker but `docker info`
     reports no daemon at /var/run/docker.sock; no spark-sql-kafka
     connector jars under pyspark/jars or /opt/spark/jars, no kafka
     distribution, no kafka-python/confluent_kafka.)

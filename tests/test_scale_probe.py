@@ -36,6 +36,7 @@ PROBE_OPS = (
     "semdedup_fixed_k",
     "semdedup_scaled_k",
     "semdedup_two_level_scaled_k",
+    "semdedup_capped_scaled_k",
     "ann_pairs_fixed4",
     "ann_pairs_scaled",
     "ann_ingest_filter",

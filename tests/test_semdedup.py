@@ -401,3 +401,71 @@ def test_two_level_probes_validation(spark, clustered):
         ).alias("c")
     ).collect()
     assert {r.c for r in got} == {0}
+
+
+def test_hot_cell_cap_noop_when_no_cell_is_hot(spark, clustered):
+    df, _ = clustered
+    cents = kmeans_fit_quantized(df, k=4, iters=2)
+    base = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup_flags(df, cents, 0.95).collect()
+    }
+    capped = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in semdedup_flags(
+            df, cents, 0.95, max_cell_occupancy=10**6
+        ).collect()
+    }
+    assert base == capped
+
+
+def test_hot_cell_cap_skips_the_hot_cell_fail_open(spark, clustered):
+    """A cell past the cap contributes NO pairs: its twins are missed
+    (kept — the safe direction), while every other cell still dedups
+    exactly as uncapped."""
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=4, iters=2)
+    uncapped = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_flags(df, cents, 0.95).collect()
+    }
+    by_cell: dict[int, int] = {}
+    for _vid, (c, _k) in uncapped.items():
+        by_cell[c] = by_cell.get(c, 0) + 1
+    sizes = sorted(by_cell.values())
+    cap = sizes[-1] - 1  # only the largest cell(s) go hot
+    hot_cells = {c for c, n in by_cell.items() if n > cap}
+    assert hot_cells and len(hot_cells) < len(by_cell)
+    capped = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_flags(
+            df, cents, 0.95, max_cell_occupancy=cap
+        ).collect()
+    }
+    for vid, (c, kept) in capped.items():
+        if c in hot_cells:
+            assert kept  # fail-open: nothing dropped in a skipped cell
+        else:
+            assert (c, kept) == uncapped[vid]  # untouched elsewhere
+
+
+def test_two_level_p2_routing_keeps_the_dedup_invariant(spark, clustered):
+    """routing='two_level_p2' (multi-probe) must still drop every
+    planted twin (a twin routes with its base under any deterministic
+    assignment) and keep the lowest-id-survivor contract under its own
+    cells."""
+    df, rows = clustered
+    cents = kmeans_fit_quantized(df, k=9, iters=2)
+    got = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semdedup_flags(
+            df, cents, 0.95, routing="two_level_p2"
+        ).collect()
+    }
+    assign = {vid: c for vid, (c, _k) in got.items()}
+    want = _py_reference(rows, assign, 0.95)
+    assert {v: k for v, (_c, k) in got.items()} == want
+    # every planted twin (base id + 1000) must be dropped
+    for vid, _ in rows:
+        if vid >= 1000:
+            assert got[vid][1] is False, vid

@@ -632,6 +632,26 @@ def main() -> None:
             ),
             k=k_scaled,
         )
+        # r12: the hot-cell occupancy cap — the residual super-linear term
+        # in both semdedup rows is the within-cell O(|cell|²) pair search
+        # (exponent 1.06 measured r11); with pair work bounded by N·cap
+        # the expected exponent is ~1.0
+        record(
+            "semdedup_capped_scaled_k",
+            n_vecs,
+            _timed(
+                lambda: _noop(
+                    semdedup_flags(
+                        clean_emb,
+                        cents_scaled,
+                        0.9,
+                        routing="two_level",
+                        max_cell_occupancy=4 * SEMDEDUP_TARGET_CELL,
+                    )
+                )
+            ),
+            k=k_scaled,
+        )
 
         queries = [
             [float(x) for x in r.embedding]
