@@ -56,6 +56,9 @@ def default_base() -> str:
 
 def changed_files(base: str) -> set[str]:
     lines = _git("diff", "--name-only", base).splitlines()
+    # a brand-new untracked module is invisible to `git diff` — union in
+    # untracked files so a not-yet-committed operator still flags its rows
+    lines += _git("ls-files", "--others", "--exclude-standard").splitlines()
     return {ln.strip() for ln in lines if ln.strip().endswith(".py")}
 
 
