@@ -140,3 +140,43 @@ def test_compact_preserves_sketch_and_drops_orphans(spark, tmp_path):
         spark.read.parquet(f"{dst}/mins").filter(F.col("group") == "zz").count()
         == 0
     )
+
+
+def test_streamed_registry_row_matches_one_shot_row(spark):
+    """events_kmv_streamed_distinct (built through three kmv_append
+    micro-batches) must report the same estimates as the one-shot
+    events_kmv_distinct_users row on the same corpus — the merge law,
+    proven at the registry surface."""
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.event_type, r.est_users)
+        for r in QUERIES["events_kmv_streamed_distinct"].spark(spark, sf).collect()
+    }
+    oneshot = {
+        (r.event_type, r.est_users)
+        for r in QUERIES["events_kmv_distinct_users"].spark(spark, sf).collect()
+    }
+    assert streamed == oneshot and streamed
+
+
+def test_streamed_registry_row_empty_corpus_is_typed_empty(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    pq_.write_table(
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "user_id": pa.array([], pa.int64()),
+                  # load_table's events branch inspects ts — keep the
+                  # real table's column present even when empty
+                  "ts": pa.array([], pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"),
+    )
+    df = QUERIES["events_kmv_streamed_distinct"].spark(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "event_type", "n_sketch", "est_users",
+    ]

@@ -139,6 +139,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             # projected-space nearest neighbors (r12 deflation row):
             # same shape, ranked by integer squared-L2 ascending
             "emb_pca_deflated_neighbors",
+            # KMV served from the streamed store (r12): the same
+            # two-phase K-smallest cut over the merged per-batch mins
+            "events_kmv_streamed_distinct",
         )
     },
     (
