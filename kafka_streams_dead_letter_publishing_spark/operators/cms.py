@@ -106,3 +106,93 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col)
     )
+
+
+# ── streamed store (the heavy-hitter sketch's ingest twin) ───────────────
+#
+# CMS cells are ASSOCIATIVE integer sums, so the sketch stays current on
+# a stream by appending per-batch partial cells — the operators/pca.py
+# moments-store shape exactly (and the same epoch-SET contract: cells
+# land FIRST at an epoch allocated above any orphan, the stats row lands
+# LAST, readers fold only epochs that HAVE a stats row, so a crashed
+# append is invisible and a crash-then-retry can never double-count).
+# Unlike the KMV set-sketch, REPLAYING a batch here double-counts —
+# the same at-least-once caveat as bm25/moments.
+
+
+def cms_append(
+    batch_df: DataFrame,
+    path: str,
+    key_col: str,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> int:
+    """Append one micro-batch's partial CMS cells to the persisted store
+    and advance the epoch (returned; unchanged for an empty batch).
+    Layout: ``{path}/cells`` (j, col, cnt, epoch) per-batch partials —
+    <= depth*width metadata rows per epoch — and ``{path}/stats`` one
+    (epoch) row per completed append written LAST."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _store_exists,
+    )
+
+    spark = batch_df.sparkSession
+    epoch = -1
+    if _store_exists(spark, f"{path}/stats"):
+        epoch = (
+            spark.read.parquet(f"{path}/stats").agg(F.max("epoch")).first()[0]
+        )
+    new_epoch = epoch + 1
+    if _store_exists(spark, f"{path}/cells"):
+        omax = (
+            spark.read.parquet(f"{path}/cells").agg(F.max("epoch")).first()[0]
+        )
+        if omax is not None and omax >= new_epoch:
+            new_epoch = omax + 1
+    sk = cms_build(batch_df, key_col, depth, width).localCheckpoint(
+        eager=True
+    )
+    if not sk.count():
+        return epoch
+    sk.withColumn("epoch", F.lit(new_epoch).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{path}/cells")
+    spark.createDataFrame([(new_epoch,)], "epoch bigint").write.mode(
+        "append"
+    ).parquet(f"{path}/stats")
+    return new_epoch
+
+
+def cms_read(spark, path: str) -> DataFrame:
+    """The merged sketch (j, col, cnt) over every COMPLETE epoch —
+    cell-wise integer sum, bit-identical to a one-shot ``cms_build``
+    over everything appended (associative sums are batching-free;
+    test-pinned), so ``cms_estimate`` composes unchanged."""
+    stats_df = spark.read.parquet(f"{path}/stats")
+    if not stats_df.take(1):
+        raise ValueError(
+            f"cms_read: {path}/stats holds no rows — no append ever "
+            "completed (stats are the completion gate)"
+        )
+    return (
+        spark.read.parquet(f"{path}/cells")
+        .join(
+            F.broadcast(stats_df.select("epoch").distinct()),
+            "epoch",
+            "left_semi",
+        )
+        .groupBy("j", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_compact(spark, src_path: str, dst_path: str) -> None:
+    """Fold the per-epoch partials to ONE epoch-0 sketch at a NEW path
+    (swap by repoint); orphans from a crashed append are dropped by the
+    epoch-SET read.  Estimates are preserved exactly (cell-wise sums)."""
+    cms_read(spark, src_path).withColumn(
+        "epoch", F.lit(0).cast("long")
+    ).write.mode("errorifexists").parquet(f"{dst_path}/cells")
+    spark.createDataFrame([(0,)], "epoch bigint").write.mode(
+        "errorifexists"
+    ).parquet(f"{dst_path}/stats")

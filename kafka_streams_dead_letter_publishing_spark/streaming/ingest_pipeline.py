@@ -780,13 +780,16 @@ class EventIngest:
         group_col: str = "event_type",
         key_col: str = "user_id",
         k: int = 64,
+        cms_store: bool = False,
     ) -> None:
         self.base_dir = base_dir
         self.events_path = f"{base_dir}/events"
         self.kmv_path = f"{base_dir}/kmv"
+        self.cms_path = f"{base_dir}/cms"
         self.group_col = group_col
         self.key_col = key_col
         self.k = k
+        self.cms_store = cms_store
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_append
@@ -796,6 +799,15 @@ class EventIngest:
         kmv_append(
             batch, self.kmv_path, self.group_col, self.key_col, self.k
         )
+        if self.cms_store:
+            from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+                cms_append,
+            )
+
+            # lockstep heavy-hitter sketch over the key column — the
+            # bm25/moments at-least-once caveat applies (a replayed
+            # batch double-counts; KMV above is replay-immune)
+            cms_append(batch, self.cms_path, self.key_col)
 
     def estimates(self) -> DataFrame:
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_estimate
@@ -814,9 +826,20 @@ class EventIngest:
             self.group_col
         ).write.mode("errorifexists").parquet(f"{new_base_dir}/events")
         kmv_compact(spark, self.kmv_path, f"{new_base_dir}/kmv", self.k)
+        if self.cms_store:
+            from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+                _store_exists,
+            )
+            from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+                cms_compact,
+            )
+
+            if _store_exists(spark, f"{self.cms_path}/stats"):
+                cms_compact(spark, self.cms_path, f"{new_base_dir}/cms")
         return EventIngest(
             new_base_dir,
             group_col=self.group_col,
             key_col=self.key_col,
             k=self.k,
+            cms_store=self.cms_store,
         )

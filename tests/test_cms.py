@@ -155,3 +155,94 @@ def test_kmv_registry_row_matches_python_reference(spark):
         est, _ = _kmv_py(users)
         exact = len(set(users))
         assert got[t] == (exact, est), t
+
+
+def test_cms_streamed_store_equals_one_shot_and_heals(spark, tmp_path):
+    """cms_append batch-by-batch must reconstruct EXACTLY the one-shot
+    sketch (cell sums are associative); orphan cells from a crashed
+    append stay invisible and the retry allocates PAST them (epoch-SET,
+    same contract as the bm25/moments/kmv stores)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+        cms_append,
+        cms_build,
+        cms_compact,
+        cms_estimate,
+        cms_read,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i % 17}",) for i in range(300)]
+    df = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "key string")  # noqa: E731
+    path = str(tmp_path / "cms")
+    assert cms_append(df(0, 120), path, "key") == 0
+    assert cms_append(df(120, 121), path, "key") == 1
+
+    # crashed append: cells at epoch 2 land, stats write lost
+    orphan = cms_build(df(121, 300), "key").withColumn(
+        "epoch", F.lit(2).cast("long")
+    )
+    orphan.write.mode("append").parquet(f"{path}/cells")
+    partial = {(r.j, r.col, r.cnt) for r in cms_read(spark, path).collect()}
+    want_partial = {
+        (r.j, r.col, r.cnt) for r in cms_build(df(0, 121), "key").collect()
+    }
+    assert partial == want_partial  # orphan invisible
+
+    # retry heals past the orphan; merged sketch == one-shot of the lot
+    assert cms_append(df(121, 300), path, "key") == 3
+    got = {(r.j, r.col, r.cnt) for r in cms_read(spark, path).collect()}
+    want = {(r.j, r.col, r.cnt) for r in cms_build(df(0, 300), "key").collect()}
+    assert got == want
+
+    # estimates compose unchanged; empty batch is a noop
+    probe = spark.createDataFrame([("k3",), ("k9",), ("nope",)], "key string")
+    est = {
+        r.key: r.est_count
+        for r in cms_estimate(probe, "key", cms_read(spark, path)).collect()
+    }
+    true_counts = {"k3": sum(1 for (k,) in rows if k == "k3"),
+                   "k9": sum(1 for (k,) in rows if k == "k9")}
+    assert est["k3"] >= true_counts["k3"] and est["k9"] >= true_counts["k9"]
+    assert est["nope"] >= 0
+    empty = spark.createDataFrame([], "key string")
+    assert cms_append(empty, path, "key") == 3
+
+    # compact folds to one epoch at a new path, estimates preserved
+    dst = str(tmp_path / "dst")
+    cms_compact(spark, path, dst)
+    assert {
+        (r.j, r.col, r.cnt) for r in cms_read(spark, dst).collect()
+    } == want
+    assert spark.read.parquet(f"{dst}/stats").count() == 1
+
+
+def test_event_ingest_cms_store_lockstep(spark, tmp_path):
+    from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+        cms_build,
+        cms_read,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EventIngest,
+    )
+
+    rows = [(f"t{i % 2}", (i * 3) % 25) for i in range(120)]
+    ingest = EventIngest(str(tmp_path / "ev"), k=8, cms_store=True)
+    for bid, (lo, hi) in enumerate(((0, 50), (50, 120))):
+        ingest.process_batch(
+            spark.createDataFrame(rows[lo:hi], "event_type string, user_id long"),
+            bid,
+        )
+    got = {
+        (r.j, r.col, r.cnt)
+        for r in cms_read(spark, ingest.cms_path).collect()
+    }
+    full = spark.createDataFrame(rows, "event_type string, user_id long")
+    want = {(r.j, r.col, r.cnt) for r in cms_build(full, "user_id").collect()}
+    assert got == want
+
+    compacted = ingest.compact(str(tmp_path / "ev2"))
+    assert {
+        (r.j, r.col, r.cnt)
+        for r in cms_read(spark, compacted.cms_path).collect()
+    } == want
