@@ -126,3 +126,92 @@ def bloom_maybe_contains(
         & (F.col("word").bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")) != 0)
     )
     return joined.groupBy(key_col).agg(F.bool_and(bit_set).alias(flag_col))
+
+
+# ── streamed store (the membership gate's ingest twin) ───────────────────
+#
+# Bloom words are ASSOCIATIVE (and idempotent) bit_or folds, so the gate
+# stays current on a stream by appending per-batch partial words under
+# the repo's epoch-SET contract (operators/pca.py moments shape: words
+# FIRST at an epoch allocated above any orphan, stats row LAST, readers
+# fold only epochs that HAVE a stats row).  Like the KMV sketch — and
+# unlike bm25/moments/cms — a REPLAYED batch is harmless: re-OR-ing the
+# same bits is a no-op, so at-least-once delivery needs no compensation.
+
+
+def bloom_append(
+    batch_df: DataFrame,
+    path: str,
+    key_col: str,
+    n_hashes: int = DEFAULT_N_HASHES,
+    m_bits: int = DEFAULT_M_BITS,
+) -> int:
+    """Append one micro-batch's partial Bloom words to the persisted
+    store and advance the epoch (returned; unchanged for an empty
+    batch).  Layout: ``{path}/words`` (word_idx, word, epoch) — at most
+    ceil(m_bits/63) metadata rows per epoch — and ``{path}/stats`` one
+    (epoch) row per completed append written LAST."""
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+        _store_exists,
+    )
+
+    spark = batch_df.sparkSession
+    epoch = -1
+    if _store_exists(spark, f"{path}/stats"):
+        epoch = (
+            spark.read.parquet(f"{path}/stats").agg(F.max("epoch")).first()[0]
+        )
+    new_epoch = epoch + 1
+    if _store_exists(spark, f"{path}/words"):
+        omax = (
+            spark.read.parquet(f"{path}/words").agg(F.max("epoch")).first()[0]
+        )
+        if omax is not None and omax >= new_epoch:
+            new_epoch = omax + 1
+    words = bloom_build(batch_df, key_col, n_hashes, m_bits).localCheckpoint(
+        eager=True
+    )
+    if not words.count():
+        return epoch
+    words.withColumn("epoch", F.lit(new_epoch).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{path}/words")
+    spark.createDataFrame([(new_epoch,)], "epoch bigint").write.mode(
+        "append"
+    ).parquet(f"{path}/stats")
+    return new_epoch
+
+
+def bloom_read(spark, path: str) -> DataFrame:
+    """The merged filter (word_idx, word) over every COMPLETE epoch —
+    word-wise bit_or, bit-identical to a one-shot ``bloom_build`` over
+    everything appended (ORs are order-free and idempotent;
+    test-pinned), so ``bloom_maybe_contains`` composes unchanged."""
+    stats_df = spark.read.parquet(f"{path}/stats")
+    if not stats_df.take(1):
+        raise ValueError(
+            f"bloom_read: {path}/stats holds no rows — no append ever "
+            "completed (stats are the completion gate)"
+        )
+    return (
+        spark.read.parquet(f"{path}/words")
+        .join(
+            F.broadcast(stats_df.select("epoch").distinct()),
+            "epoch",
+            "left_semi",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_compact(spark, src_path: str, dst_path: str) -> None:
+    """Fold the per-epoch partials to ONE epoch-0 filter at a NEW path
+    (swap by repoint); orphans from a crashed append are dropped by the
+    epoch-SET read.  Membership answers are preserved exactly."""
+    bloom_read(spark, src_path).withColumn(
+        "epoch", F.lit(0).cast("long")
+    ).write.mode("errorifexists").parquet(f"{dst_path}/words")
+    spark.createDataFrame([(0,)], "epoch bigint").write.mode(
+        "errorifexists"
+    ).parquet(f"{dst_path}/stats")

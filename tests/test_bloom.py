@@ -86,3 +86,65 @@ def test_build_is_partial_agg_no_window(spark):
     plan = words._jdf.queryExecution().executedPlan().toString()
     assert "partial_bit_or" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bloom_streamed_store_equals_one_shot_replay_immune_and_heals(
+    spark, tmp_path
+):
+    """bloom_append batch-by-batch must reconstruct EXACTLY the one-shot
+    filter (bit_or is associative AND idempotent — so a replayed batch
+    is a no-op, the kmv-style replay-immune member of the store family);
+    orphan words from a crashed append stay invisible and the retry
+    allocates past them (epoch-SET)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bloom import (
+        bloom_append,
+        bloom_build,
+        bloom_compact,
+        bloom_maybe_contains,
+        bloom_read,
+    )
+
+    rows = [(f"fp{i}",) for i in range(200)]
+    df = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "key string")  # noqa: E731
+    path = str(tmp_path / "bloom")
+    assert bloom_append(df(0, 80), path, "key") == 0
+    assert bloom_append(df(80, 81), path, "key") == 1
+
+    # crashed append: words at epoch 2 land, stats write lost
+    bloom_build(df(81, 200), "key").withColumn(
+        "epoch", F.lit(2).cast("long")
+    ).write.mode("append").parquet(f"{path}/words")
+    partial = {(r.word_idx, r.word) for r in bloom_read(spark, path).collect()}
+    assert partial == {
+        (r.word_idx, r.word) for r in bloom_build(df(0, 81), "key").collect()
+    }
+
+    # retry heals past the orphan; merged filter == one-shot of the lot
+    assert bloom_append(df(81, 200), path, "key") == 3
+    want = {(r.word_idx, r.word) for r in bloom_build(df(0, 200), "key").collect()}
+    assert {(r.word_idx, r.word) for r in bloom_read(spark, path).collect()} == want
+
+    # replayed batch is a no-op (idempotent ORs)
+    bloom_append(df(0, 100), path, "key")
+    assert {(r.word_idx, r.word) for r in bloom_read(spark, path).collect()} == want
+
+    # membership composes unchanged: every inserted key maybe_seen
+    probe = spark.createDataFrame(rows[:20], "key string")
+    got = {
+        r.key: r.maybe_seen
+        for r in bloom_maybe_contains(
+            probe, "key", bloom_read(spark, path)
+        ).collect()
+    }
+    assert all(got.values())
+
+    # empty batch no-op; compact folds to one epoch, answers preserved
+    assert bloom_append(
+        spark.createDataFrame([], "key string"), path, "key"
+    ) == 4
+    dst = str(tmp_path / "dst")
+    bloom_compact(spark, path, dst)
+    assert {(r.word_idx, r.word) for r in bloom_read(spark, dst).collect()} == want
+    assert spark.read.parquet(f"{dst}/stats").count() == 1
