@@ -394,3 +394,38 @@ def test_power_project_multi_single_pass_narrow_plan(emb):
         assert {k: v[t] for k, v in got.items()} == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_power_directions_compose_from_streamed_moments(spark, tmp_path):
+    """The streamed moments store feeds the r-dim deflation unchanged:
+    directions derived from moments_read equal directions from a
+    one-shot second_moments pass bit for bit (the store equality is
+    already pinned; this pins the COMPOSITION the similarity stack
+    actually runs on a growing corpus)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.pca import (
+        moments_append,
+        moments_read,
+        power_directions,
+    )
+
+    x = _corpus()
+    path = str(tmp_path / "mom")
+    for lo, hi in ((0, 90), (90, N)):
+        moments_append(
+            spark.createDataFrame(
+                [(i, [float(v) for v in x[i]]) for i in range(lo, hi)],
+                "vec_id bigint, embedding array<float>",
+            ),
+            path,
+        )
+    full = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(N)],
+        "vec_id bigint, embedding array<float>",
+    )
+    from_store = power_directions(
+        scaled_covariance(moments_read(spark, path)).collect(), 3
+    )
+    one_shot = power_directions(
+        scaled_covariance(second_moments(full)).collect(), 3
+    )
+    assert from_store == one_shot and len(from_store) == 3
