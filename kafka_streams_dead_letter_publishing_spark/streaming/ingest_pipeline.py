@@ -135,6 +135,9 @@ class EmbeddingIngest:
         pq_books: list | None = None,
         pq_coarse: list[list[int]] | None = None,
         moments_store: bool = False,
+        decontam_eval_path: str | None = None,
+        decontam_min_cos: float = 0.85,
+        decontam_min_recall: float = 0.95,
         id_col: str = "vec_id",
     ) -> None:
         self.base_dir = base_dir
@@ -161,6 +164,18 @@ class EmbeddingIngest:
         #: self-consistent either way)
         self.pq_books = pq_books
         self.pq_coarse = pq_coarse if pq_coarse is not None else centroids_fixed
+        #: optional semantic eval-leak gate (operators.ann_filter.
+        #: semantic_decontaminate — DocumentIngest's decontam_fps_path
+        #: twin in embedding space): a parquet of benchmark embeddings;
+        #: batch vectors cosine-close to ANY eval vector are rejected
+        #: BEFORE dedup and never enter the stores — a leak must not
+        #: suppress a later clean near-dup of itself.  The (tables,
+        #: depth) config is recall-solved and REFUSES infeasible targets
+        #: (fail-closed).  The eval set is external and immutable.
+        self.decontam_eval_path = decontam_eval_path
+        self.decontam_min_cos = decontam_min_cos
+        self.decontam_min_recall = decontam_min_recall
+        self._decontam_n_eval: int | None = None
         self.id_col = id_col
 
     def _build(self, df: DataFrame) -> AnnIndex:
@@ -237,7 +252,28 @@ class EmbeddingIngest:
         batch = batch.filter(
             indexable(F.col("embedding"), dim)
             & (dot(F.col("embedding"), F.col("embedding")) > 0)
-        ).persist()
+        )
+        if self.decontam_eval_path is not None:
+            from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+                semantic_decontaminate,
+            )
+
+            # gate BEFORE dedup (the DocumentIngest ordering contract):
+            # a rejected leak never enters the stores and never
+            # suppresses a clean near-dup of itself
+            if self._decontam_n_eval is None:
+                self._decontam_n_eval = spark.read.parquet(
+                    self.decontam_eval_path
+                ).count()
+            batch = semantic_decontaminate(
+                batch,
+                spark.read.parquet(self.decontam_eval_path),
+                self._decontam_n_eval,
+                min_cos=self.decontam_min_cos,
+                min_recall=self.decontam_min_recall,
+                id_col=self.id_col,
+            )
+        batch = batch.persist()
         try:
             # intra-batch dedup runs FIRST, on the full admitted batch —
             # running it after the store filter would exempt rows whose
@@ -356,6 +392,12 @@ class EmbeddingIngest:
             pq_books=self.pq_books,
             pq_coarse=self.pq_coarse,
             moments_store=self.moments_store,
+            # every GATE must survive compaction (the r11 lang_model
+            # regression class) — the compacted pipeline keeps pointing
+            # at the same immutable benchmark
+            decontam_eval_path=self.decontam_eval_path,
+            decontam_min_cos=self.decontam_min_cos,
+            decontam_min_recall=self.decontam_min_recall,
             id_col=self.id_col,
         )
 

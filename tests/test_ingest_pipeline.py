@@ -913,3 +913,80 @@ def test_event_ingest_keeps_kmv_store_in_lockstep(spark, tmp_path):
         (r.group, r.nh, r.est) for r in compacted.estimates().collect()
     } == want
     assert spark.read.parquet(compacted.events_path).count() == len(rows)
+
+
+def test_embedding_ingest_composes_semantic_decontamination(spark, tmp_path):
+    """decontam_eval_path rejects eval-leaked vectors (verbatim AND
+    boundary paraphrase) BEFORE dedup — they never reach the IVF index
+    or the vector store — while clean vectors ingest normally; the gate
+    survives compaction (the r11 lang_model regression class)."""
+    import math
+    import random
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EmbeddingIngest,
+    )
+
+    rng = random.Random(11)
+
+    def unit(d=64):
+        v = [rng.gauss(0, 1) for _ in range(d)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def at_cos(v, target):
+        u = unit()
+        d = sum(a * b for a, b in zip(v, u))
+        u = [b - d * a for a, b in zip(v, u)]
+        un = math.sqrt(sum(x * x for x in u))
+        u = [x / un for x in u]
+        s = math.sqrt(1 - target * target)
+        return [target * a + s * b for a, b in zip(v, u)]
+
+    ev = [(i, unit()) for i in range(20)]
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        ev, "vec_id long, embedding array<double>"
+    ).write.parquet(eval_path)
+
+    clean = [(100 + i, unit()) for i in range(60)]
+    leaks = [(200 + eid, list(v) if eid % 2 == 0 else at_cos(v, 0.9))
+             for eid, v in ev[:10]]
+    seed = spark.createDataFrame(clean, "vec_id long, embedding array<double>")
+    cents = kmeans_fit_quantized(seed, k=4, iters=2)
+
+    ingest = EmbeddingIngest(
+        str(tmp_path / "base"), cents, min_cos=0.995,
+        decontam_eval_path=eval_path,
+    )
+    ingest.process_batch(
+        spark.createDataFrame(
+            clean[:30] + leaks[:5], "vec_id long, embedding array<double>"
+        ),
+        0,
+    )
+    ingest.process_batch(
+        spark.createDataFrame(
+            clean[30:] + leaks[5:], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    ivf_ids = {r.vec_id for r in spark.read.parquet(ingest.ivf_path).collect()}
+    vec_ids = {r.ref_id for r in spark.read.parquet(ingest.vectors_path).collect()}
+    assert {lid for lid, _ in leaks} & (ivf_ids | vec_ids) == set()
+    assert {cid for cid, _ in clean} <= ivf_ids
+
+    compacted = ingest.compact(str(tmp_path / "base2"))
+    assert compacted.decontam_eval_path == eval_path
+    compacted.process_batch(
+        spark.createDataFrame(
+            [(900 + eid, list(v)) for eid, v in ev[10:14]],
+            "vec_id long, embedding array<double>",
+        ),
+        2,
+    )
+    ivf2 = {r.vec_id for r in spark.read.parquet(compacted.ivf_path).collect()}
+    assert not any(900 + eid in ivf2 for eid, _ in ev[10:14])
