@@ -216,6 +216,30 @@ def plane_dot(emb: Column, plane: list[float]) -> Column:
     return acc
 
 
+def _dim_guarded(emb: Column) -> Column:
+    """Fail-fast refusing guard on every LSH entry point (r12 verdict #1):
+    the hyperplane pool is ``EMBEDDING_DIM``-wide, and a NARROWER vector
+    zip_with-pads the plane dot to NULL — every sign bit reads '0', every
+    vector lands in ONE bucket per table, and the candidate equi-join
+    silently degrades to an all-pairs cross join (N×M verify work) while
+    recall reads a flattering 1.0 (the SCALE.md decontam-probe caveat,
+    previously guarded only in fixtures).  A WIDER vector silently
+    truncates the dot instead.  Both are data bugs a 100 TB job must
+    refuse loudly, so mismatched sizes (and NULL vectors, size −1) raise
+    at execution time rather than degrade."""
+    return F.when(F.size(emb) == EMBEDDING_DIM, emb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"LSH embedding must be exactly {EMBEDDING_DIM}-wide "
+                    "(the hyperplane pool width); got size "
+                ),
+                F.size(emb).cast("string"),
+            )
+        )
+    )
+
+
 def lsh_bucket(emb: Column, n_planes: int = N_HYPERPLANES) -> Column:
     """Random-hyperplane LSH bucket id: the sign-bit string of the plane
     dot products ('01001101' for the default 8 planes).  Pass
@@ -229,7 +253,7 @@ def lsh_bucket(emb: Column, n_planes: int = N_HYPERPLANES) -> Column:
     per run at 8×64 terms (measured), dwarfing the actual row work; the
     fold matches its strict left-to-right summation bit-for-bit, so the
     unrolled oracle SQL (plane_dot_sql) is unchanged."""
-    return _sign_bit_string(emb, HYPERPLANES[:n_planes])
+    return _sign_bit_string(_dim_guarded(emb), HYPERPLANES[:n_planes])
 
 
 def _sign_bit_string(emb: Column, planes: list[list[float]]) -> Column:
@@ -272,6 +296,7 @@ def lsh_table_keys(
             f"{n_tables}×{planes_per_table} planes exceed the deterministic "
             f"pool of {MAX_HYPERPLANES}"
         )
+    emb = _dim_guarded(emb)
     return F.array(
         *[
             F.concat(
@@ -301,6 +326,7 @@ def lsh_table_keys_int(
             f"{n_tables}×{planes_per_table} planes exceed the deterministic "
             f"pool of {MAX_HYPERPLANES}"
         )
+    emb = _dim_guarded(emb)
     return F.array(
         *[
             (

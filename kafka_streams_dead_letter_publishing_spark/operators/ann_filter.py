@@ -174,6 +174,39 @@ def lsh_recall_bound(
     return 1.0 - (1.0 - p**planes_per_table) ** n_tables
 
 
+def build_decontam_index(
+    eval_df: DataFrame,
+    n_eval: int,
+    min_cos: float = 0.85,
+    min_recall: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket_occupancy: int | None = None,
+) -> AnnIndex:
+    """The recall/budget-solved eval-set index :func:`semantic_decontaminate`
+    filters against, exposed so a streaming caller can build (and persist)
+    it ONCE for a documented-immutable eval set instead of re-deriving it
+    every micro-batch (r12 ADVICE; see streaming/ingest_pipeline.py).
+    Carries the same REFUSING GUARD: ``lsh_config_for`` raises when no
+    (tables, depth) config inside the plane pool meets both the recall
+    target and the collision budget."""
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_config_for,
+    )
+
+    n_tables, planes = lsh_config_for(
+        max(n_eval, 1), threshold=min_cos, recall=min_recall
+    )
+    return build_ann_index(
+        eval_df,
+        id_col=id_col,
+        emb_col=emb_col,
+        n_tables=n_tables,
+        planes_per_table=planes,
+        max_bucket_occupancy=max_bucket_occupancy,
+    )
+
+
 def semantic_decontaminate(
     batch: DataFrame,
     eval_df: DataFrame,
@@ -183,6 +216,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_bucket_occupancy: int | None = None,
+    index: AnnIndex | None = None,
 ) -> DataFrame:
     """Production-scale semantic eval-leak gate: drop batch documents
     whose embedding is cosine-``min_cos``-close to ANY eval-benchmark
@@ -201,20 +235,20 @@ def semantic_decontaminate(
     worse than an error).  ``n_eval`` is the eval-set size (the caller
     usually knows it without a count job; it sizes the collision
     budget).  Measured on planted boundary paraphrases in
-    tests/test_ann_filter.py and SCALE.md."""
-    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
-        lsh_config_for,
-    )
+    tests/test_ann_filter.py and SCALE.md.
 
-    n_tables, planes = lsh_config_for(
-        max(n_eval, 1), threshold=min_cos, recall=min_recall
-    )
-    index = build_ann_index(
-        eval_df,
-        id_col=id_col,
-        emb_col=emb_col,
-        n_tables=n_tables,
-        planes_per_table=planes,
-        max_bucket_occupancy=max_bucket_occupancy,
-    )
+    ``index``: a prebuilt :func:`build_decontam_index` result — pass it
+    when filtering MANY batches against the same immutable eval set so
+    the index (and any persist on its frames) is shared instead of
+    rebuilt per call."""
+    if index is None:
+        index = build_decontam_index(
+            eval_df,
+            n_eval,
+            min_cos=min_cos,
+            min_recall=min_recall,
+            id_col=id_col,
+            emb_col=emb_col,
+            max_bucket_occupancy=max_bucket_occupancy,
+        )
     return ann_filter(batch, index, id_col, emb_col, min_cos=min_cos)

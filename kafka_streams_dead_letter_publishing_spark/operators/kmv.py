@@ -157,8 +157,15 @@ def kmv_estimate(spark, path: str, k: int = KMV_K) -> DataFrame:
     km = mins.groupBy("group").agg(
         F.max("h").alias("kth"), F.count(F.lit(1)).alias("nh")
     )
+    # GREATEST(.., 1): an all-zero-hex kth (md5 prefix collision at
+    # h='0'*13, astronomically unlikely but possible) must yield a huge
+    # estimate, not NULL/divide-by-zero — the power-iteration rescale
+    # convention (r12 ADVICE)
     est = F.when(F.col("nh") < k, F.col("nh")).otherwise(
-        F.expr(f"({k - 1}L * {KMV_SCALE}L) DIV CAST(conv(kth, 16, 10) AS BIGINT)")
+        F.expr(
+            f"({k - 1}L * {KMV_SCALE}L) DIV "
+            "GREATEST(CAST(conv(kth, 16, 10) AS BIGINT), 1L)"
+        )
     )
     return km.select(
         "group", F.col("nh").cast("long").alias("nh"),

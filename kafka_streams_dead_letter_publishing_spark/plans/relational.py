@@ -1132,6 +1132,92 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process CMS store cache (the _KMV_STORE_CACHE pattern): sample 1
+#: pays the three-batch streamed build, later calls serve from the
+#: persisted cells — also the real serving shape.
+_CMS_STORE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "events_cms_streamed_hitters",
+    f"""
+    WITH cells AS (
+        SELECT user_id,
+               j,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                   || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                   % {_CMS_W} AS col
+        FROM events CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+    ),
+    sketch AS (
+        SELECT j, col, COUNT(*) AS cnt FROM cells GROUP BY j, col
+    ),
+    est AS (
+        SELECT c.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+        FROM (SELECT DISTINCT user_id, j, col FROM cells) c
+        LEFT JOIN sketch s ON c.j = s.j AND c.col = s.col
+        GROUP BY c.user_id
+    )
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+    FROM est
+    ORDER BY est_count DESC, user_id
+    LIMIT 10
+    """,
+    doc="[EXT] CMS heavy hitters served from the STREAMED store "
+    "(operators/cms.py — the events_kmv_streamed_distinct pattern for "
+    "the frequency sketch): the store is built through three cms_append "
+    "micro-batches (split on pmod(user_id, 3), NULL-coalesced so every "
+    "row lands in exactly one batch), so the driver gate proves the "
+    "epoch-SET ingest twin end-to-end — the oracle is the ONE-SHOT "
+    "sketch, and they agree because CMS cells are associative integer "
+    "SUMs (cell-wise merge law makes the streamed read bit-identical to "
+    "a single-pass build regardless of batching).  Top-10 users by "
+    "estimate, deterministic tie-break on user_id.  Scale shape: each "
+    "batch append shuffles <= d*w pre-summed cells (map-side combine); "
+    "the store grows by <= d*w metadata rows per epoch, never with "
+    "event volume; probe is d rows/key against the metadata-sized "
+    "merged sketch.",
+    tags=("events", "sketch", "heavy-hitters", "streaming", "bench"),
+)
+def events_cms_streamed_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import _store_exists
+    from kafka_streams_dead_letter_publishing_spark.operators.cms import (
+        cms_append,
+        cms_estimate,
+        cms_read,
+    )
+
+    path = _CMS_STORE_CACHE.get(sf_dir)
+    if path is None:
+        ev = load_table(spark, sf_dir, "events").select("user_id")
+        path = tempfile.mkdtemp(prefix="cms-store-") + "/cms"
+        for b in range(3):
+            cms_append(
+                ev.filter(
+                    F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(3)) == b
+                ),
+                path,
+                "user_id",
+                depth=_CMS_D,
+                width=_CMS_W,
+            )
+        _CMS_STORE_CACHE[sf_dir] = path
+    if not _store_exists(spark, f"{path}/stats"):
+        # an all-empty stream appends nothing — typed empty frame
+        return spark.createDataFrame([], "user_id long, est_count long")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    est = cms_estimate(
+        events, "user_id", cms_read(spark, path), depth=_CMS_D, width=_CMS_W
+    )
+    return (
+        est.select("user_id", F.col("est_count").cast("long").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 # ── TPC-H subquery-shape family (r9): the decorrelation battery ──────────
 # The oracle keeps the textbook correlated EXISTS / NOT EXISTS / scalar-
 # subquery SQL; the Spark side is the decorrelated plan a 100 TB engine
@@ -1595,7 +1681,7 @@ _KMV_SCALE = 1 << 52  # 13 hex chars
     SELECT e.event_type, CAST(e.exact_users AS BIGINT) AS exact_users,
            CAST(CASE WHEN m.nh < {KMV_K} THEN m.nh
                 ELSE ({KMV_K - 1} * {_KMV_SCALE})
-                     // CAST(('0x' || m.kth) AS BIGINT) END
+                     // GREATEST(CAST(('0x' || m.kth) AS BIGINT), 1) END
                 AS BIGINT) AS est_users
     FROM ex e JOIN km m USING (event_type)
     """,
@@ -1644,7 +1730,8 @@ def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = F.when(F.col("nh") < KMV_K, F.col("nh")).otherwise(
         F.expr(
-            f"({KMV_K - 1}L * {_KMV_SCALE}L) DIV CAST(conv(kth, 16, 10) AS BIGINT)"
+            f"({KMV_K - 1}L * {_KMV_SCALE}L) DIV "
+            "GREATEST(CAST(conv(kth, 16, 10) AS BIGINT), 1L)"
         )
     )
     return ex.join(km, "event_type").select(
@@ -1682,7 +1769,7 @@ _KMV_STORE_CACHE: dict[str, str] = {}
     SELECT event_type, CAST(nh AS BIGINT) AS n_sketch,
            CAST(CASE WHEN nh < {KMV_K} THEN nh
                 ELSE ({KMV_K - 1} * {_KMV_SCALE})
-                     // CAST(('0x' || kth) AS BIGINT) END
+                     // GREATEST(CAST(('0x' || kth) AS BIGINT), 1) END
                 AS BIGINT) AS est_users
     FROM km
     """,
@@ -1713,9 +1800,13 @@ def events_kmv_streamed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         ev = load_table(spark, sf_dir, "events")
         path = tempfile.mkdtemp(prefix="kmv-store-") + "/kmv"
+        # pmod + coalesce: `% 3 == b` would silently drop NULL ids (NULL
+        # predicate) and negative ids (Spark % keeps the dividend's sign)
+        # from the store while the oracle sketches the full table (r12
+        # ADVICE) — every row must land in exactly one batch
         for b in range(3):
             kmv_append(
-                ev.filter(F.col("user_id") % 3 == b),
+                ev.filter(F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(3)) == b),
                 path,
                 "event_type",
                 "user_id",

@@ -2266,6 +2266,98 @@ def docs_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process Bloom store cache (the _KMV_STORE_CACHE pattern).
+_BLOOM_STORE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "docs_bloom_streamed_gate",
+    _BLOOM_SQL,
+    doc="[EXT] The Bloom dedup gate served from the STREAMED store "
+    "(operators/bloom.py — the events_kmv_streamed_distinct pattern for "
+    "the membership sketch): the words table is built through three "
+    "bloom_append micro-batches (fingerprints split on pmod of their "
+    "60-bit md5 prefix, NULL-coalesced so every key lands in exactly "
+    "one batch), so the driver gate proves the epoch-SET ingest twin "
+    "end-to-end — the oracle is the ONE-SHOT filter "
+    "(docs_bloom_dedup_gate's SQL verbatim), and they agree because "
+    "Bloom words are associative AND idempotent bit_or folds (the OR "
+    "merge law makes the streamed read bit-identical to a single-pass "
+    "build regardless of batching, and a replayed batch is a no-op — "
+    "the sketch family's only at-least-once-free counter-free member "
+    "besides KMV).  Same (maybe_seen, is_dup) confusion artifact: the "
+    "(false, true) cell is provably empty through the store too.  "
+    "Scale shape: each append shuffles <= m/63 pre-OR-ed words; the "
+    "store grows by <= m/63 metadata rows per epoch, never with corpus "
+    "size.",
+    tags=("text", "dedup", "bloom", "sketch", "streaming", "bench"),
+)
+def docs_bloom_streamed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bloom import (
+        bloom_append,
+        bloom_read,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import _store_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    path = _BLOOM_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bloom-store-") + "/bloom"
+        # split on the fp's own 60-bit md5 prefix — non-negative, so pmod
+        # == % here, but pmod + coalesce keeps the every-row-lands-in-
+        # exactly-one-batch contract explicit (r12 ADVICE on the KMV row)
+        part = F.pmod(
+            F.coalesce(
+                F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(3),
+        )
+        for b in range(3):
+            bloom_append(
+                seen.filter(part == b),
+                path,
+                "fp",
+                n_hashes=_BLOOM_K,
+                m_bits=_BLOOM_M,
+            )
+        _BLOOM_STORE_CACHE[sf_dir] = path
+    if not _store_exists(spark, f"{path}/stats"):
+        # an all-empty stream appends nothing — typed empty frame
+        return spark.createDataFrame(
+            [], "maybe_seen boolean, is_dup boolean, n_keys long"
+        )
+    probe = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            fingerprint(
+                F.replace(F.upper("text"), F.lit(" "), F.lit("  "))
+            ).alias("fp")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                fingerprint(
+                    F.expr("substring(text, instr(text, ' ') + 1)")
+                ).alias("fp")
+            )
+        )
+        .distinct()
+    )
+    flags = bloom_maybe_contains(
+        probe, "fp", bloom_read(spark, path), n_hashes=_BLOOM_K, m_bits=_BLOOM_M
+    )
+    truth = seen.withColumn("is_dup", F.lit(True))
+    return (
+        flags.join(truth, "fp", "left")
+        .select("maybe_seen", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        .groupBy("maybe_seen", "is_dup")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
 # ── CCNet-style perplexity bucketing ─────────────────────────────────────
 
 _PPL_HEAD = 4_350  # milli-bits mean surprise; fixture terciles ≈ 4.35/4.45

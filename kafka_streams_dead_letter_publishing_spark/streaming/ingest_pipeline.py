@@ -176,6 +176,7 @@ class EmbeddingIngest:
         self.decontam_min_cos = decontam_min_cos
         self.decontam_min_recall = decontam_min_recall
         self._decontam_n_eval: int | None = None
+        self._decontam_index = None  # built+persisted once (eval set is immutable)
         self.id_col = id_col
 
     def _build(self, df: DataFrame) -> AnnIndex:
@@ -255,23 +256,36 @@ class EmbeddingIngest:
         )
         if self.decontam_eval_path is not None:
             from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
-                semantic_decontaminate,
+                build_decontam_index,
             )
 
             # gate BEFORE dedup (the DocumentIngest ordering contract):
             # a rejected leak never enters the stores and never
-            # suppresses a clean near-dup of itself
-            if self._decontam_n_eval is None:
-                self._decontam_n_eval = spark.read.parquet(
-                    self.decontam_eval_path
-                ).count()
-            batch = semantic_decontaminate(
+            # suppresses a clean near-dup of itself.  The eval set is
+            # documented immutable, so the LSH index over it is built —
+            # and its skinny (bucket, id) + vector frames persisted —
+            # exactly ONCE per ingest instead of per micro-batch (r12
+            # ADVICE: the per-batch rebuild was several redundant Spark
+            # jobs on the hot path)
+            if self._decontam_index is None:
+                eval_df = spark.read.parquet(self.decontam_eval_path)
+                self._decontam_n_eval = eval_df.count()
+                idx = build_decontam_index(
+                    eval_df,
+                    self._decontam_n_eval,
+                    min_cos=self.decontam_min_cos,
+                    min_recall=self.decontam_min_recall,
+                    id_col=self.id_col,
+                )
+                self._decontam_index = idx._replace(
+                    buckets=idx.buckets.persist(),
+                    vectors=idx.vectors.persist(),
+                )
+            batch = ann_filter(
                 batch,
-                spark.read.parquet(self.decontam_eval_path),
-                self._decontam_n_eval,
-                min_cos=self.decontam_min_cos,
-                min_recall=self.decontam_min_recall,
+                self._decontam_index,
                 id_col=self.id_col,
+                min_cos=self.decontam_min_cos,
             )
         batch = batch.persist()
         try:
@@ -860,18 +874,23 @@ class EventIngest:
 
     def compact(self, new_base_dir: str) -> "EventIngest":
         """See :meth:`EmbeddingIngest.compact` — same NEW-path swap."""
+        from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
+            _store_exists,
+        )
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_compact
 
         spark = SparkSession.getActiveSession()
         assert spark is not None, "compact() needs an active SparkSession"
-        spark.read.parquet(self.events_path).repartition(
-            self.group_col
-        ).write.mode("errorifexists").parquet(f"{new_base_dir}/events")
-        kmv_compact(spark, self.kmv_path, f"{new_base_dir}/kmv", self.k)
+        # every path is _store_exists-guarded (r12 ADVICE): an ingest that
+        # only ever processed empty batches compacts to a no-op instead of
+        # raising on the first missing store
+        if _store_exists(spark, self.events_path):
+            spark.read.parquet(self.events_path).repartition(
+                self.group_col
+            ).write.mode("errorifexists").parquet(f"{new_base_dir}/events")
+        if _store_exists(spark, f"{self.kmv_path}/stats"):
+            kmv_compact(spark, self.kmv_path, f"{new_base_dir}/kmv", self.k)
         if self.cms_store:
-            from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
-                _store_exists,
-            )
             from kafka_streams_dead_letter_publishing_spark.operators.cms import (
                 cms_compact,
             )

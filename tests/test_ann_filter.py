@@ -220,3 +220,87 @@ def test_semantic_decontaminate_boundary_recall_and_refusal(spark):
         semantic_decontaminate(
             df, eval_df, 30, min_cos=0.5, min_recall=0.9999
         )
+
+
+# ── fail-fast LSH dimension guard (r12 verdict #1) ───────────────────────
+#
+# A vector narrower than the EMBEDDING_DIM-wide hyperplane pool zip_with-
+# pads every plane dot to NULL: all sign bits read '0', every vector lands
+# in ONE bucket per table, and the candidate equi-join silently degrades
+# to an all-pairs cross join while recall reads a flattering 1.0 (the
+# SCALE.md decontam-probe caveat).  Every LSH entry point must REFUSE a
+# mismatched dimension at execution time instead.
+
+_SHORT = [1.0, 2.0, 3.0]
+
+
+@pytest.fixture(scope="module")
+def short_vec_df(spark):
+    return spark.createDataFrame(
+        [(1, _SHORT)], "vec_id bigint, embedding array<float>"
+    )
+
+
+def _expect_dim_error(df):
+    with pytest.raises(Exception, match="LSH embedding must be exactly"):
+        df.collect()
+
+
+def test_lsh_bucket_refuses_mismatched_dim(spark, short_vec_df):
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_bucket,
+    )
+
+    _expect_dim_error(short_vec_df.select(lsh_bucket(F.col("embedding"))))
+
+
+def test_lsh_table_keys_refuse_mismatched_dim(spark, short_vec_df):
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_table_keys,
+        lsh_table_keys_int,
+    )
+
+    _expect_dim_error(short_vec_df.select(lsh_table_keys(F.col("embedding"))))
+    _expect_dim_error(short_vec_df.select(lsh_table_keys_int(F.col("embedding"))))
+
+
+def test_ann_index_build_refuses_mismatched_dim(spark, short_vec_df):
+    idx = build_ann_index(short_vec_df)  # lazy — the error fires on action
+    _expect_dim_error(idx.buckets)
+
+
+def test_ann_filter_refuses_mismatched_batch_dim(spark, ref_and_batch, short_vec_df):
+    corpus, _ = ref_and_batch
+    idx = build_ann_index(corpus)
+    _expect_dim_error(ann_filter(short_vec_df, idx, min_cos=0.9))
+
+
+def test_semantic_decontaminate_refuses_mismatched_dim(spark, ref_and_batch, short_vec_df):
+    from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+        semantic_decontaminate,
+    )
+
+    corpus, batch = ref_and_batch
+    # mismatched EVAL side
+    _expect_dim_error(
+        semantic_decontaminate(batch, short_vec_df, 1, min_cos=0.9)
+    )
+    # mismatched BATCH side
+    _expect_dim_error(
+        semantic_decontaminate(short_vec_df, corpus, 200, min_cos=0.9)
+    )
+
+
+def test_dim_guard_passes_well_formed_vectors(spark, ref_and_batch):
+    """The guard is a pure pass-through on EMBEDDING_DIM-wide input: the
+    bucket keys of a well-formed corpus are unchanged and non-degenerate
+    (more than one distinct bucket per table)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_table_keys_int,
+    )
+
+    corpus, _ = ref_and_batch
+    keys = corpus.select(
+        F.explode(lsh_table_keys_int(F.col("embedding"))).alias("bk")
+    )
+    assert keys.select("bk").distinct().count() > 6  # > one bucket/table
