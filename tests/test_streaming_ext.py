@@ -305,3 +305,216 @@ def test_multimodal_map_in_pandas_features(spark):
         assert r.n_bytes == len(b)
         assert r.checksum == sum(b[:CHECKSUM_PREFIX]) % CHECKSUM_MOD
         assert r.n_frames == len(b) // FRAME_BYTES
+
+
+# ── stream-stream watermarked as-of / interval join twins (r13) ──────────
+#
+# streaming/joins.py: the streaming forms of events_interval_self_join and
+# the bounded-staleness as-of join, pinned streaming ≡ BATCH across
+# multi-batch arrival (including a late-but-in-watermark right row landing
+# in a later micro-batch) — the windows-twin discipline applied to joins.
+
+_P_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+_C_SCHEMA = StructType(
+    [
+        StructField("click_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("click_ts", TimestampType()),
+    ]
+)
+
+
+def _mins(x):
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(minutes=x)
+
+
+def test_stream_asof_join_matches_batch_across_batch_placement(spark, tmp_path):
+    """stream_asof_join ≡ as_of_join(how='inner', tolerance=...) on the
+    same data, with the right side deliberately split so user 2's BEST
+    click arrives one micro-batch after the purchase already joined a
+    worse one (the agg must upgrade the match before the watermark
+    finalizes the group), plus a within-tolerance tie at equal ts
+    (deterministic payload tie-break on both paths)."""
+    from kafka_streams_dead_letter_publishing_spark.operators.asof import as_of_join
+    from kafka_streams_dead_letter_publishing_spark.streaming.joins import (
+        stream_asof_join,
+    )
+
+    purchases = [
+        (100, 1, _mins(10)),
+        (101, 2, _mins(12)),
+        (102, 3, _mins(20)),  # only a stale click (> tolerance) → drops
+        (103, 4, _mins(15)),  # no click at all → drops
+        (104, 5, _mins(30)),  # two clicks tied at the same ts
+    ]
+    clicks_b1 = [
+        (7, 1, _mins(4)),
+        (8, 1, _mins(9)),
+        (9, 2, _mins(11)),
+        (10, 3, _mins(1)),  # 19 min before purchase 102 → stale at 15 min
+        (11, 5, _mins(29)),
+        (12, 5, _mins(29)),  # tie: larger click_id wins on both paths
+    ]
+    clicks_b2 = [
+        (13, 2, _mins(12)),  # late arrival, better match for purchase 101
+    ]
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    spark.createDataFrame(purchases, _P_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+    spark.createDataFrame(clicks_b1, _C_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+
+    lt = (
+        spark.readStream.schema(_P_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(psrc)
+        # 25-minute delay: after batch 1 (max ts = m30) the global
+        # watermark sits at m4-m5, BELOW purchase 101's m12 — so its
+        # aggregation group is still open when the better click arrives
+        # in batch 2 (a tighter delay would finalize it early and the
+        # late click would be watermark-dropped; that is correct
+        # streaming semantics, but this test pins the upgrade path)
+        .withWatermark("ts", "25 minutes")
+    )
+    rt = (
+        spark.readStream.schema(_C_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc)
+        .withWatermark("click_ts", "25 minutes")
+    )
+    joined = stream_asof_join(
+        lt,
+        rt,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        tolerance="INTERVAL 15 MINUTES",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: the late click — within watermark, must upgrade 101
+        spark.createDataFrame(clicks_b2, _C_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(csrc)
+        q.processAllAvailable()
+        # sentinels push BOTH watermarks past all real data so every
+        # aggregation group finalizes (user 999 never matches: inner drop)
+        spark.createDataFrame(
+            [(999, 999, _mins(10_000))], _P_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(psrc)
+        spark.createDataFrame(
+            [(999, 998, _mins(10_000))], _C_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(csrc)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r.purchase_id, r.user_id, r.click_id, r.click_ts)
+        for r in spark.read.parquet(out).collect()
+        if r.purchase_id != 999
+    }
+
+    pb = spark.createDataFrame(purchases, _P_SCHEMA)
+    cb = spark.createDataFrame(clicks_b1 + clicks_b2, _C_SCHEMA).withColumnRenamed(
+        "user_id", "c_user"
+    )
+    batch = {
+        (r.purchase_id, r.user_id, r.click_id, r.click_ts)
+        for r in as_of_join(
+            pb,
+            cb.withColumnRenamed("c_user", "user_id"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="click_ts",
+            right_payload=["click_id", "click_ts"],
+            how="inner",
+            tolerance="INTERVAL 15 MINUTES",
+        ).collect()
+    }
+    assert streamed == batch
+    # spot-pin the interesting rows so the equality isn't vacuous
+    got = {p: c for (p, _, c, _) in streamed}
+    assert got[100] == 8  # latest of clicks 7/8
+    assert got[101] == 13  # upgraded by the batch-2 late arrival
+    assert got[104] == 12  # equal-ts tie → larger payload struct
+    assert 102 not in got and 103 not in got  # stale / no-match drop
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """stream_interval_join ≡ the batch range join on the same pairs,
+    multi-batch placement on the right side."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    purchases = [(100, 1, _mins(10)), (101, 2, _mins(40))]
+    clicks_b1 = [(7, 1, _mins(8)), (8, 2, _mins(39)), (9, 2, _mins(20))]
+    clicks_b2 = [(10, 1, _mins(9))]
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    spark.createDataFrame(purchases, _P_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+    spark.createDataFrame(clicks_b1, _C_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    lt = (
+        spark.readStream.schema(_P_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(psrc)
+        .withWatermark("ts", "1 hour")
+    )
+    rt = (
+        spark.readStream.schema(_C_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc)
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = stream_interval_join(
+        lt,
+        rt,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        lower="INTERVAL 5 MINUTES",
+    ).select("purchase_id", "click_id")
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(clicks_b2, _C_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(csrc)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()
+    }
+    # batch truth: click in [ts-5min, ts]
+    assert streamed == {(100, 7), (100, 10), (101, 8)}
