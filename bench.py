@@ -54,6 +54,26 @@ import time
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+#: SPARK_GRAFT_BENCH_SMOKE=1 — contract mode (r12 verdict "what's wrong"
+#: #2): the always-run suite test needs to prove the two-line JSON
+#: contract, not collect statistics, and the full 39-entry sweep under a
+#: loaded box blew its subprocess timeout.  Smoke mode runs the four
+#: throughput entries (ingest filters + both streaming runs) plus this
+#: representative batch subset — one per major plan family — and skips
+#: the load-gate wait (the mode exists precisely to run UNDER load).
+#: The driver's real bench run never sets it.
+SMOKE = os.environ.get("SPARK_GRAFT_BENCH_SMOKE") == "1"
+_SMOKE_QUERIES = [
+    "dlt_route_counts",  # reference topology
+    "q1_pricing_summary",  # scan-heavy agg
+    "q3_shipping_priority",  # multi-join
+    "events_hourly_stats",  # event-time windows
+    "docs_line_dedup",  # text dedup family
+    "docs_bpe_token_counts",  # tokenizer family
+    "emb_multi_query_topk",  # similarity family
+    "events_kmv_streamed_distinct",  # streamed sketch store family
+]
+
 
 def _build_ingest_entries(spark, sf_dir):
     """Prebuild the ingest-filter fixtures (untimed): persisted indexes over
@@ -143,6 +163,8 @@ def main() -> None:
     # load alone is demonstrably insufficient.
     load_threshold = (cpus if isinstance(cpus, int) else 32) / 8
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+    if SMOKE:
+        wait_budget = 0.0
     load_waited = 0.0
     while os.getloadavg()[0] > load_threshold and load_waited < wait_budget:
         time.sleep(15)
@@ -189,6 +211,8 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).count()
 
     bench_queries = {n: q for n, q in QUERIES.items() if "bench" in q.tags}
+    if SMOKE:
+        bench_queries = {n: bench_queries[n] for n in _SMOKE_QUERIES}
     ingest_entries = _build_ingest_entries(spark, sf_dir)
 
     # Streaming source files are written once (untimed); checkpoint + sink
@@ -310,6 +334,7 @@ def main() -> None:
     dispersion = round(ratios[len(ratios) // 2], 3) if ratios else None
     env = {
         "cpus": cpus,
+        "smoke": SMOKE,  # contract-mode artifacts are not comparable runs
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
         "load_wait_sec": round(load_waited, 1),

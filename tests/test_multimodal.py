@@ -72,9 +72,91 @@ def test_multimodal_plans_are_arrow_and_narrow(spark, payload_df):
         assert "Exchange" not in plan, op.__name__  # narrow: no shuffle
 
 
-def test_decode_stub_is_explicit(spark):
-    with pytest.raises(NotImplementedError, match="image codec"):
+def test_decode_stub_is_explicit_for_exotic_formats(spark):
+    with pytest.raises(NotImplementedError, match="image library"):
         decode_image(b"\x89PNG")
+
+
+# ── pure-Python BMP / PPM codec (r13, r12 verdict #6) ────────────────────
+
+
+def test_bmp_golden_fixture_decodes_exactly():
+    """Hand-assembled 2x2 24-bit BMP with known pixels: rows stored
+    bottom-up and BGR with 2 padding bytes per row (2*3=6 → stride 8);
+    the decoder must return them top-down RGB unpadded."""
+    # pixels (top-down RGB): (1,2,3) (4,5,6) / (7,8,9) (10,11,12)
+    row_bottom = bytes([9, 8, 7, 12, 11, 10]) + b"\x00\x00"  # BGR + pad
+    row_top = bytes([3, 2, 1, 6, 5, 4]) + b"\x00\x00"
+    data = row_bottom + row_top  # bottom-up: last image row first
+    off, size = 54, 54 + len(data)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    w, h, px = decode_image(hdr + data)
+    assert (w, h) == (2, 2)
+    assert px == bytes(range(1, 13))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (5, 1), (4, 3)])
+def test_bmp_roundtrip_all_padding_widths(w, h):
+    """decode(encode(x)) == x for widths that hit every 4-byte row-padding
+    residue (3*w mod 4 ∈ {0,1,2,3} across these cases)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import encode_bmp
+
+    px = bytes((7 * i + 13) % 256 for i in range(3 * w * h))
+    got = decode_image(encode_bmp(px, w, h))
+    assert got == (w, h, px)
+
+
+def test_bmp_top_down_variant_decodes():
+    """Negative height = top-down row order; the decoder must NOT flip."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import encode_bmp
+
+    px = bytes(range(12))  # 2x2
+    buf = bytearray(encode_bmp(px, 2, 2))
+    buf[22:26] = (-2).to_bytes(4, "little", signed=True)
+    # rows were written bottom-up by the encoder; declaring top-down means
+    # the decoder reads them in stored order → vertically flipped pixels
+    w, h, got = decode_image(bytes(buf))
+    assert (w, h) == (2, 2)
+    assert got == px[6:] + px[:6]
+
+
+def test_ppm_decodes_with_header_comments():
+    ppm = b"P6\n# a comment\n3 1\n# another\n255\n" + bytes(range(9))
+    assert decode_image(ppm) == (3, 1, bytes(range(9)))
+
+
+def test_corrupt_recognized_formats_fail_loudly():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import encode_bmp
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(encode_bmp(bytes(12), 2, 2)[:-3])
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(encode_bmp(bytes(12), 2, 2))
+        bad[28:30] = (8).to_bytes(2, "little")  # 8-bit palette bmp
+        decode_image(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6 2 2 255 " + bytes(5))
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P6 1 1 65535 " + bytes(6))
+
+
+def test_decoded_px_sum_exercises_codec_per_row(spark, payload_df):
+    """The registry row's decoded_px_sum column comes from a real
+    encode→decode cycle; equals the source-byte sum for every doc."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import PX_H, PX_W
+
+    got = {r.doc_id: r.decoded_px_sum for r in extract_features(payload_df).collect()}
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+        raw = text.encode()
+        assert got[doc_id] == sum(raw[: 3 * PX_W * PX_H]) % CHECKSUM_MOD
 
 
 def test_frame_sampling_composes_with_resize(spark, payload_df):
