@@ -57,13 +57,16 @@ def stream_interval_join(
     right_ts: str,
     lower: str,
     upper: str = "INTERVAL 0 SECOND",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pairs with
     ``left_ts − lower <= right_ts <= left_ts + upper`` per key — the
     streaming form of the batch range join.  Both inputs must already
     carry ``withWatermark`` (state on each side is evicted once the
     other side's watermark passes the interval bound).  Right's key
-    columns are dropped from the output (they equal left's).
+    columns are dropped from the output (they equal left's — NULL on
+    an unmatched outer row).  ``how``: ``inner`` or ``leftOuter`` (an
+    outer row emits once the watermark proves no match can arrive).
     """
     on = list(on)
     r = right
@@ -77,7 +80,7 @@ def stream_interval_join(
         & (r[right_ts] >= F.expr(f"{left_ts} - {lower}"))
         & (r[right_ts] <= F.expr(f"{left_ts} + {upper}"))
     )
-    return left.join(r, cond).drop(*[f"__r_{k}" for k in on])
+    return left.join(r, cond, how).drop(*[f"__r_{k}" for k in on])
 
 
 def stream_asof_join(
@@ -88,11 +91,19 @@ def stream_asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     tolerance: str,
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming as-of join with a max-staleness bound: every left row
     matched to the LATEST right row in ``[left_ts − tolerance,
-    left_ts]`` for the same key (inner — unmatched left rows drop, the
-    batch twin's ``how="inner"``).
+    left_ts]`` for the same key.  ``how="inner"`` drops unmatched left
+    rows; ``how="left"`` keeps them with NULL payload — a LEFT-OUTER
+    interval join emits the unmatched left row (with NULL right side)
+    only once the watermark proves no match can still arrive, and in the
+    aggregation that lone null-field struct loses the max to any real
+    match, so the batch operator's ``how`` semantics carry over exactly
+    (a stale-only match is identical to no match on both paths: stale
+    rows never satisfy the interval condition here, and the batch
+    operator nulls them by the tolerance CASE).
 
     Equal row-for-row to ``operators.asof.as_of_join(..., how="inner",
     tolerance=...)`` on the same data wherever the watermark has passed
@@ -107,13 +118,21 @@ def stream_asof_join(
     once the watermark passes its timestamp, because a later right row
     inside the tolerance window could otherwise still improve the match.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on)
     collisions = set(right_payload) & set(left.columns)
     if collisions:
         raise ValueError(f"payload/left column collision: {sorted(collisions)}")
     left_cols = list(left.columns)
     joined = stream_interval_join(
-        left, right, on=on, left_ts=left_ts, right_ts=right_ts, lower=tolerance
+        left,
+        right,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        lower=tolerance,
+        how="inner" if how == "inner" else "leftOuter",
     )
     # latest right row per left row; ties at equal right_ts broken by the
     # largest payload struct — the same total order as the batch window's

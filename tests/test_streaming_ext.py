@@ -518,3 +518,155 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     # batch truth: click in [ts-5min, ts]
     assert streamed == {(100, 7), (100, 10), (101, 8)}
+
+
+def test_stream_asof_left_outer_matches_batch(spark, tmp_path):
+    """how='left': unmatched and stale-only left rows survive with NULL
+    payload, exactly as as_of_join(how='left', tolerance=...) keeps them."""
+    from kafka_streams_dead_letter_publishing_spark.operators.asof import as_of_join
+    from kafka_streams_dead_letter_publishing_spark.streaming.joins import (
+        stream_asof_join,
+    )
+
+    purchases = [
+        (100, 1, _mins(10)),  # fresh match
+        (102, 3, _mins(20)),  # stale-only click → NULL payload
+        (103, 4, _mins(15)),  # no click at all → NULL payload
+    ]
+    clicks = [(8, 1, _mins(9)), (10, 3, _mins(1))]
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    spark.createDataFrame(purchases, _P_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+    spark.createDataFrame(clicks, _C_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    lt = (
+        spark.readStream.schema(_P_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(psrc)
+        .withWatermark("ts", "25 minutes")
+    )
+    rt = (
+        spark.readStream.schema(_C_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc)
+        .withWatermark("click_ts", "25 minutes")
+    )
+    joined = stream_asof_join(
+        lt,
+        rt,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        tolerance="INTERVAL 15 MINUTES",
+        how="left",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(999, 999, _mins(10_000))], _P_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(psrc)
+        spark.createDataFrame(
+            [(999, 998, _mins(10_000))], _C_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(csrc)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.purchase_id, r.click_id, r.click_ts)
+        for r in spark.read.parquet(out).collect()
+        if r.purchase_id != 999
+    }
+    batch = {
+        (r.purchase_id, r.click_id, r.click_ts)
+        for r in as_of_join(
+            spark.createDataFrame(purchases, _P_SCHEMA),
+            spark.createDataFrame(clicks, _C_SCHEMA),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="click_ts",
+            right_payload=["click_id", "click_ts"],
+            how="left",
+            tolerance="INTERVAL 15 MINUTES",
+        ).collect()
+    }
+    assert streamed == batch
+    assert (100, 8, _mins(9)) in streamed
+    assert (102, None, None) in streamed and (103, None, None) in streamed
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window under watermark across multi-batch placement: a
+    session EXTENDED by a later batch (gap < 30 min across the batch
+    boundary) must merge, and the finalized sessions equal the batch
+    aggregation exactly — the events_sessionization row's streaming
+    shape, pinned like the tumbling/sliding windows tier."""
+    e_schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    b1 = [(1, _mins(0)), (1, _mins(10)), (2, _mins(5))]
+    b2 = [(1, _mins(35)), (1, _mins(90)), (2, _mins(50))]
+    src = str(tmp_path / "e")
+    spark.createDataFrame(b1, e_schema).coalesce(1).write.mode("append").parquet(src)
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id", F.col("w.start").alias("session_start"), "n_events"
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(e_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "40 minutes")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, e_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame([(999, _mins(10_000))], e_schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 999
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessions(spark.createDataFrame(b1 + b2, e_schema)).collect()
+    )
+    assert got == want
+    # the cross-batch merge actually happened: user 1's first session
+    # holds 3 events (m0, m10 from batch 1 + m35 from batch 2)
+    assert (1, _mins(0), 3) in got
