@@ -213,6 +213,132 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_feature_batches, FEATURE_SCHEMA)
 
 
+# ── audio: RIFF/WAVE PCM codec + feature extraction (r13) ────────────────
+#
+# The brief's multimodal surface names image/AUDIO/video; image landed as
+# the BMP/PPM codec above, video as frame sampling below — this closes
+# the audio leg with the one zero-dependency real format: 16-bit PCM WAV.
+# Same discipline as decode_image: corrupt recognized files raise
+# ValueError, unknown containers keep the NotImplementedError stub, and
+# the registry row runs a real encode→decode cycle per row whose decoded
+# features the DuckDB oracle replays over the source bytes.
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, duration_ms bigint, energy bigint"
+)
+
+#: the synthesized-thumbnail sample rate: 8 kHz mono telephony — only the
+#: duration arithmetic depends on it (duration_ms = n_samples*1000//rate)
+AUDIO_RATE = 8000
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = AUDIO_RATE, channels: int = 1
+) -> bytes:
+    """Minimal 16-bit little-endian PCM WAV writer (RIFF + fmt + data),
+    pure Python.  ``samples`` are ints in [-32768, 32767], interleaved
+    when ``channels`` > 1."""
+    if len(samples) % max(channels, 1):
+        raise ValueError("encode_wav: sample count not a multiple of channels")
+    data = b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * channels * 2).to_bytes(4, "little")  # byte rate
+        + (channels * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    dat = b"data" + len(data).to_bytes(4, "little") + data
+    return (
+        b"RIFF" + (4 + len(fmt) + len(dat)).to_bytes(4, "little") + b"WAVE"
+        + fmt + dat
+    )
+
+
+def decode_audio(buf: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python PCM WAV decode → ``(channels, sample_rate, samples)``
+    (16-bit signed ints, interleaved).  Walks the RIFF chunk list (word-
+    aligned, unknown chunks skipped — LIST/INFO metadata is routine in
+    real files), so ``decode(encode(x))`` is exercised against genuine
+    container structure.  Corrupt/truncated RIFF raises ``ValueError``;
+    non-RIFF payloads keep the ``NotImplementedError`` stub path."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes in this codec-less container; other "
+            "audio containers need a library not present here"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("WAV truncated: chunk body shorter than declared")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing/short fmt or data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bps = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bps != 16:
+        raise ValueError(
+            f"unsupported WAV variant: fmt={audio_fmt} bits={bps} "
+            "(only 16-bit PCM)"
+        )
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
+    samples = [
+        int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(len(data) // 2)
+    ]
+    return channels, rate, samples
+
+
+def _audio_features(payload: bytes) -> tuple[int, int, int]:
+    """Interpret the payload's byte PAIRS as 16-bit LE samples, run them
+    through a real WAV encode→decode cycle, and feature the DECODED
+    stream: (n_samples, duration_ms, Σ|sample|).  Equal to the same
+    arithmetic over the source bytes only when the codec round-trips the
+    container exactly — the BMP decoded_px_sum discipline."""
+    raw = bytes(payload)
+    n = len(raw) // 2
+    src = [
+        int.from_bytes(raw[2 * i : 2 * i + 2], "little", signed=True)
+        for i in range(n)
+    ]
+    channels, rate, decoded = decode_audio(encode_wav(src, AUDIO_RATE, 1))
+    assert (channels, rate, decoded) == (1, AUDIO_RATE, src)
+    return n, n * 1000 // AUDIO_RATE, sum(abs(s) for s in decoded)
+
+
+def _audio_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [_audio_features(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": [f[0] for f in feats],
+                "duration_ms": [f[1] for f in feats],
+                "energy": [f[2] for f in feats],
+            }
+        )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio features over the binary payload column via a
+    real per-row WAV encode→decode cycle (narrow, no shuffle — the
+    multimodal mapInPandas contract)."""
+    return df.select("doc_id", "payload").mapInPandas(_audio_batches, AUDIO_SCHEMA)
+
+
 # ── frame sampling (1 payload row → N frame rows) ────────────────────────
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_checksum bigint"

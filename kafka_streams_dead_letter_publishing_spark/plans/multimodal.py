@@ -68,3 +68,43 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(with_payload(docs))
+
+
+@query(
+    "docs_payload_audio",
+    # samples = 16-bit LE byte pairs of the UTF-8 payload: byte j occupies
+    # hex chars 2j-1..2j, so sample i is ('0x' || high || low) with
+    # low = substr(hex, 4i-3, 2) and high = substr(hex, 4i-1, 2); two's
+    # complement via the explicit >= 32768 CASE (exact integers end-to-end)
+    """
+    WITH b AS (SELECT doc_id, encode(text) AS raw FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(raw) // 2 AS BIGINT) AS n_samples,
+           CAST((octet_length(raw) // 2) // 8 AS BIGINT) AS duration_ms,
+           CAST(COALESCE(list_sum(
+               [ABS(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+                FOR v IN [CAST(('0x' || substring(hex(raw), 4*i - 1, 2)
+                                     || substring(hex(raw), 4*i - 3, 2)) AS INTEGER)
+                          FOR i IN generate_series(1, octet_length(raw) // 2)]]), 0)
+                AS BIGINT) AS energy
+    FROM b
+    """,
+    doc="[EXT] Multimodal AUDIO features (functions/multimodal.py, r13 — "
+    "the audio leg of the image/audio/video surface): each payload's byte "
+    "pairs become 16-bit PCM samples, run through a REAL pure-Python WAV "
+    "encode→decode cycle (RIFF chunk walk, word alignment, two's-"
+    "complement samples), and the DECODED stream is featured — sample "
+    "count, duration at 8 kHz, Σ|sample| energy (exact BIGINTs, no "
+    "transcendentals).  The oracle replays the same arithmetic over the "
+    "source bytes, so the hash gate passes only when the codec "
+    "round-trips the container exactly.  Scale posture: mapInPandas over "
+    "Arrow batches, narrow, no shuffle — media shards like any column.",
+    tags=("multimodal",),
+)
+def docs_payload_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(with_payload(docs))

@@ -169,3 +169,68 @@ def test_frame_sampling_composes_with_resize(spark, payload_df):
     assert n == (3 * FRAME_BYTES // RESIZE_FACTOR) // FRAME_BYTES
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ── RIFF/WAVE PCM codec (r13, the audio leg) ─────────────────────────────
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    for ch in (1, 2):
+        s = [(-1) ** i * (137 * i % 30000) for i in range(10 * ch)]
+        assert decode_audio(encode_wav(s, 8000, ch)) == (ch, 8000, s)
+    assert decode_audio(encode_wav([], 44100, 1)) == (1, 44100, [])
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    """A LIST metadata chunk (odd length → word-aligned pad) between WAVE
+    and fmt must be skipped, not break sample extraction."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    w = encode_wav([1, -2, 3], 44100, 1)
+    w2 = w[:12] + b"LIST" + (3).to_bytes(4, "little") + b"abc\x00" + w[12:]
+    w2 = w2[:4] + (len(w2) - 8).to_bytes(4, "little") + w2[8:]
+    assert decode_audio(w2) == (1, 44100, [1, -2, 3])
+
+
+def test_wav_corrupt_and_exotic_failures():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    with pytest.raises(NotImplementedError, match="RIFF/WAVE"):
+        decode_audio(b"OggS....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(encode_wav([1, 2, 3], 8000, 1)[:-2])
+    bad = bytearray(encode_wav([1, 2], 8000, 1))
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE-float fmt tag
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_audio(bytes(bad))
+
+
+def test_audio_features_match_python(spark, payload_df):
+    """extract_audio_features == the byte-pair arithmetic the oracle runs,
+    via the real per-row encode→decode cycle."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    got = {r.doc_id: r for r in extract_audio_features(payload_df).collect()}
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+        raw = text.encode()
+        n = len(raw) // 2
+        energy = 0
+        for i in range(n):
+            v = raw[2 * i] | (raw[2 * i + 1] << 8)
+            energy += abs(v - 65536 if v >= 32768 else v)
+        assert got[doc_id].n_samples == n
+        assert got[doc_id].duration_ms == n * 1000 // 8000
+        assert got[doc_id].energy == energy

@@ -42,6 +42,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "MapInPandas",
     ): "multimodal byte decoding is genuinely Python (mapInPandas contract)",
     (
+        "docs_payload_audio",
+        "MapInPandas",
+    ): "multimodal audio decoding is genuinely Python (mapInPandas "
+    "contract; the row runs a real WAV encode-decode cycle per row)",
+    (
         "dlt_udf_safe_map",
         "ArrowEvalPython",
     ): "the operator IS the Python error-capture surface (Arrow-batched "
