@@ -53,10 +53,19 @@ def kmv_sketch(
     identically as a STRING in every engine, so the sketch itself is
     the cross-engine artifact.  Two-phase top-K: any global minimum is
     necessarily a partition-local minimum."""
-    h = df.select(
-        F.col(group_col).alias("group"),
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13).alias("h"),
-    ).distinct()
+    # NULL keys hash to NULL and are dropped — COUNT(DISTINCT key)
+    # semantics (SQL distinct-count never counts NULL), and it removes a
+    # latent cross-engine ordering divergence: Spark windows sort NULLs
+    # FIRST, DuckDB's ROW_NUMBER sorts them LAST, so a NULL h surviving
+    # into the top-K would shift kth/nh differently per engine
+    h = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 13).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
     staged = h.withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid", "group").orderBy(F.asc("h"))
     local = (

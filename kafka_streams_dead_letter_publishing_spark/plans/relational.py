@@ -1658,9 +1658,11 @@ _KMV_SCALE = 1 << 52  # 13 hex chars
     "events_kmv_distinct_users",
     f"""
     WITH h AS (
+        -- NULL ids drop (COUNT DISTINCT semantics; also removes the
+        -- NULLS-FIRST-vs-LAST window-ordering divergence between engines)
         SELECT DISTINCT event_type,
                substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     mins AS (
         SELECT event_type, h FROM (
@@ -1706,10 +1708,14 @@ _KMV_SCALE = 1 << 52  # 13 hex chars
 )
 def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type",
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13).alias("h"),
-    ).distinct()
+    h = (
+        ev.select(
+            "event_type",
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())  # COUNT DISTINCT semantics (see oracle)
+        .distinct()
+    )
     staged = h.withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid", "event_type").orderBy(F.asc("h"))
     local = (
@@ -1749,9 +1755,11 @@ _KMV_STORE_CACHE: dict[str, str] = {}
     "events_kmv_streamed_distinct",
     f"""
     WITH h AS (
+        -- NULL ids drop (COUNT DISTINCT semantics; also removes the
+        -- NULLS-FIRST-vs-LAST window-ordering divergence between engines)
         SELECT DISTINCT event_type,
                substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     mins AS (
         SELECT event_type, h FROM (

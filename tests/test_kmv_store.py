@@ -180,3 +180,36 @@ def test_streamed_registry_row_empty_corpus_is_typed_empty(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "event_type", "n_sketch", "est_users",
     ]
+
+
+def test_null_and_negative_keys_across_batches(spark, tmp_path):
+    """r13 (r12 ADVICE hardening): NULL keys never enter the sketch
+    (COUNT DISTINCT semantics — and a NULL h would sort differently per
+    engine), negative keys do; the streamed store over a pmod batch
+    split still equals the one-shot sketch of the same rows."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
+        kmv_append,
+        kmv_read_mins,
+        kmv_sketch,
+    )
+
+    rows = [("a", None), ("a", -7), ("a", -7), ("a", 3), ("b", None), ("b", -1)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    sk = kmv_sketch(df, "event_type", "user_id", K)
+    got = _mins_set(sk)
+    # NULL keys absent; distinct non-null keys all present (below capacity)
+    assert len([1 for g, _ in got if g == "a"]) == 2
+    assert len([1 for g, _ in got if g == "b"]) == 1
+
+    path = str(tmp_path / "kmv")
+    for b in range(3):
+        kmv_append(
+            df.filter(F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(3)) == b),
+            path,
+            "event_type",
+            "user_id",
+            K,
+        )
+    assert _mins_set(kmv_read_mins(spark, path, K)) == got
