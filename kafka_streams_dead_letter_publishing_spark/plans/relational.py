@@ -1831,3 +1831,100 @@ def events_kmv_streamed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nh").cast("long").alias("n_sketch"),
         F.col("est").cast("long").alias("est_users"),
     )
+
+
+#: per-process histogram store cache (the _KMV_STORE_CACHE pattern).
+_HIST_STORE_CACHE: dict[str, str] = {}
+
+
+@query(
+    "events_hist_quantiles",
+    """
+    WITH b AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(floor(value / 4.0) AS INTEGER), 0), 255) AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    sk AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM sk
+    ),
+    q AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS INT) AS p50_bin,
+               CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS INT) AS p90_bin,
+               CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS INT) AS p99_bin
+        FROM cum GROUP BY event_type, n
+    ),
+    ex AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS exact_p50
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT q.event_type, q.n_events, q.p50_bin, q.p90_bin, q.p99_bin, ex.exact_p50
+    FROM q JOIN ex USING (event_type)
+    """,
+    doc="[EXT] Histogram quantile sketch served from its STREAMED store "
+    "(operators/hist.py — the quantile member of the sketch family, "
+    "KMV-pattern driver gate): the store is built through three "
+    "hist_append micro-batches (pmod event_id split), and the p50/p90/"
+    "p99 bins are read off the merged sketch with exact-integer ranks "
+    "(ceil(n*P/100) as (n*P+99) DIV 100) — the oracle is the one-shot "
+    "histogram, equal by the cell-SUM merge law.  GK/KLL/t-digest are "
+    "insertion-order-dependent (not oracle-replayable — the HLL "
+    "problem); the fixed-range equi-width histogram is a pure integer "
+    "function of the value multiset, with rank error bounded by the "
+    "largest bin's mass.  exact_p50 rides along so the artifact shows "
+    "the sketch's error against truth (bin width 4.0 at these "
+    "configs).  Scale shape: build is map-side-combinable "
+    "groupBy(group, bin) — <= groups*bins pre-summed cells per "
+    "partition shuffle regardless of skew; the quantile window runs "
+    "over the METADATA-sized sketch (<= 256 rows/group), never event "
+    "rows; the store grows by <= groups*bins rows per epoch.",
+    tags=("events", "sketch", "quantile", "streaming", "bench"),
+)
+def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.operators.bm25 import _store_exists
+    from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+        hist_append,
+        hist_quantile_bins,
+        hist_read,
+    )
+
+    path = _HIST_STORE_CACHE.get(sf_dir)
+    if path is None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        path = tempfile.mkdtemp(prefix="hist-store-") + "/hist"
+        for b in range(3):
+            hist_append(
+                ev.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == b
+                ),
+                path,
+                "event_type",
+                "value",
+            )
+        _HIST_STORE_CACHE[sf_dir] = path
+    if not _store_exists(spark, f"{path}/stats"):
+        # an all-empty stream appends nothing — typed empty frame
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events long, p50_bin int, p90_bin int, "
+            "p99_bin int, exact_p50 double",
+        )
+    q = hist_quantile_bins(hist_read(spark, path)).withColumnRenamed(
+        "group", "event_type"
+    ).withColumnRenamed("n", "n_events")
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile("value", 0.5).alias("exact_p50"))
+    )
+    return q.join(ex, "event_type")

@@ -837,15 +837,20 @@ class EventIngest:
         key_col: str = "user_id",
         k: int = 64,
         cms_store: bool = False,
+        hist_store: bool = False,
+        hist_value_col: str = "value",
     ) -> None:
         self.base_dir = base_dir
         self.events_path = f"{base_dir}/events"
         self.kmv_path = f"{base_dir}/kmv"
         self.cms_path = f"{base_dir}/cms"
+        self.hist_path = f"{base_dir}/hist"
         self.group_col = group_col
         self.key_col = key_col
         self.k = k
         self.cms_store = cms_store
+        self.hist_store = hist_store
+        self.hist_value_col = hist_value_col
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_append
@@ -864,6 +869,16 @@ class EventIngest:
             # bm25/moments at-least-once caveat applies (a replayed
             # batch double-counts; KMV above is replay-immune)
             cms_append(batch, self.cms_path, self.key_col)
+        if self.hist_store:
+            from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+                hist_append,
+            )
+
+            # lockstep quantile sketch over the value column (r13 — the
+            # same at-least-once caveat as CMS: counts double on replay)
+            hist_append(
+                batch, self.hist_path, self.group_col, self.hist_value_col
+            )
 
     def estimates(self) -> DataFrame:
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_estimate
@@ -897,10 +912,19 @@ class EventIngest:
 
             if _store_exists(spark, f"{self.cms_path}/stats"):
                 cms_compact(spark, self.cms_path, f"{new_base_dir}/cms")
+        if self.hist_store:
+            from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+                hist_compact,
+            )
+
+            if _store_exists(spark, f"{self.hist_path}/stats"):
+                hist_compact(spark, self.hist_path, f"{new_base_dir}/hist")
         return EventIngest(
             new_base_dir,
             group_col=self.group_col,
             key_col=self.key_col,
             k=self.k,
             cms_store=self.cms_store,
+            hist_store=self.hist_store,
+            hist_value_col=self.hist_value_col,
         )

@@ -74,6 +74,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast 1-row dimension-bounds aggregate",
     (
+        "events_hist_quantiles",
+        "Window",
+    ): "cumulative-sum/total windows over the METADATA-sized histogram "
+    "sketch (<= 256 bins per group) — never over event rows",
+    (
         "emb_semantic_decontaminated",
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast EVAL BENCHMARK batch — an "
