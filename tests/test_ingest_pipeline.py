@@ -990,3 +990,74 @@ def test_embedding_ingest_composes_semantic_decontamination(spark, tmp_path):
     )
     ivf2 = {r.vec_id for r in spark.read.parquet(compacted.ivf_path).collect()}
     assert not any(900 + eid in ivf2 for eid, _ in ev[10:14])
+
+
+def test_event_ingest_readstream_drive_all_sketch_stores(spark, tmp_path):
+    """r13: the event twin driven through a REAL readStream (the
+    doc/embedding twins' multi-batch drive discipline) with every
+    lockstep sketch store on — after the stream drains, each store
+    equals its one-shot build over everything ingested (KMV by the
+    union-retake law, CMS and hist by cell-SUM)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.operators.cms import cms_build, cms_read
+    from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+        hist_build,
+        hist_read,
+    )
+    from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
+        kmv_read_mins,
+        kmv_sketch,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EventIngest,
+    )
+
+    rows = [
+        (f"t{i % 3}", (i * 11) % 40, float((i * 13) % 500)) for i in range(150)
+    ]
+    schema = "event_type string, user_id long, value double"
+    src = str(tmp_path / "src")
+    full = spark.createDataFrame(rows, schema)
+    # 3 files → 3 micro-batches under maxFilesPerTrigger=1
+    for b in range(3):
+        full.filter(F.pmod(F.col("user_id"), F.lit(3)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    ingest = EventIngest(
+        str(tmp_path / "ev"), k=8, cms_store=True, hist_store=True
+    )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .foreachBatch(ingest.process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert spark.read.parquet(ingest.events_path).count() == len(rows)
+    got_kmv = {(r.group, r.h) for r in kmv_read_mins(spark, ingest.kmv_path, 8).collect()}
+    want_kmv = {
+        (r.group, r.h) for r in kmv_sketch(full, "event_type", "user_id", 8).collect()
+    }
+    assert got_kmv == want_kmv and got_kmv
+    got_cms = {(r.j, r.col, r.cnt) for r in cms_read(spark, ingest.cms_path).collect()}
+    want_cms = {(r.j, r.col, r.cnt) for r in cms_build(full, "user_id").collect()}
+    assert got_cms == want_cms
+    got_hist = {
+        (r.group, r.bin, r.cnt)
+        for r in hist_read(spark, ingest.hist_path).collect()
+    }
+    want_hist = {
+        (r.group, r.bin, r.cnt)
+        for r in hist_build(full, "event_type", "value").collect()
+    }
+    assert got_hist == want_hist
