@@ -104,3 +104,20 @@ def test_bench_survives_non_integer_cpus():
     parsed = json.loads(out.splitlines()[-1])
     assert parsed["env"]["cpus"] == "*"
     assert parsed["value"] > 0
+
+
+def test_smoke_query_list_stays_registered():
+    """Rot gate for the contract-mode subset: every _SMOKE_QUERIES name
+    must be a bench-tagged registry row — a retirement that forgets this
+    list would KeyError the always-run suite test in a confusing place."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+
+    bench_tagged = {n for n, q in QUERIES.items() if "bench" in q.tags}
+    missing = set(bench._SMOKE_QUERIES) - bench_tagged
+    assert not missing, missing
+    assert len(bench._SMOKE_QUERIES) + 4 >= 10  # the headline-count contract
