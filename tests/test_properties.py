@@ -718,3 +718,61 @@ def test_substring_family_matches_python_reference(spark, docs, k):
     }
     assert got_stats == exp_stats, (docs, k)
     assert got_removal == exp_removal, (docs, k)
+
+
+# ── r13: codec round-trip fuzz (pure Python — no Spark session needed) ───
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=6),
+    data=st.data(),
+)
+def test_bmp_roundtrip_fuzz(w, h, data):
+    """decode(encode(pixels)) == pixels for arbitrary RGB content at any
+    (width, height) — every row-padding residue, every byte value."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        )
+    )
+    assert decode_image(encode_bmp(px, w, h)) == (w, h, px)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    channels=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_fuzz(channels, rate, data):
+    """decode(encode(samples)) == samples for arbitrary 16-bit content,
+    any channel count, including the full signed range endpoints."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    n_frames = data.draw(st.integers(min_value=0, max_value=40))
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=n_frames * channels,
+            max_size=n_frames * channels,
+        )
+    )
+    assert decode_audio(encode_wav(samples, rate, channels)) == (
+        channels,
+        rate,
+        samples,
+    )
