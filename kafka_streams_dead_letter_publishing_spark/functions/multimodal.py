@@ -174,7 +174,13 @@ def _decoded_px_sum(payload: bytes) -> int:
     need = 3 * PX_W * PX_H
     px = bytes(payload[:need]).ljust(need, b"\x00")
     _, _, decoded = decode_image(encode_bmp(px, PX_W, PX_H))
-    assert decoded == px  # the round-trip IS the decoder exercise
+    # the round-trip IS the decoder exercise — an explicit raise (not
+    # `assert`, which -O strips) so the hash gate can never silently stop
+    # exercising the codec, and a mismatch dies diagnosably (r13 ADVICE)
+    if decoded != px:
+        raise ValueError(
+            f"BMP round-trip mismatch: encoded {px!r} decoded to {decoded!r}"
+        )
     return sum(decoded) % CHECKSUM_MOD
 
 
@@ -315,7 +321,13 @@ def _audio_features(payload: bytes) -> tuple[int, int, int]:
         for i in range(n)
     ]
     channels, rate, decoded = decode_audio(encode_wav(src, AUDIO_RATE, 1))
-    assert (channels, rate, decoded) == (1, AUDIO_RATE, src)
+    # explicit raise, not `assert` (stripped under -O) — the BMP
+    # round-trip discipline (r13 ADVICE)
+    if (channels, rate, decoded) != (1, AUDIO_RATE, src):
+        raise ValueError(
+            f"WAV round-trip mismatch: channels={channels} rate={rate} "
+            f"(expected 1/{AUDIO_RATE}, samples equal={decoded == src})"
+        )
     return n, n * 1000 // AUDIO_RATE, sum(abs(s) for s in decoded)
 
 

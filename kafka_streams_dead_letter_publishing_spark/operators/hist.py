@@ -57,9 +57,16 @@ def hist_bin(
     width: float = HIST_WIDTH,
     bins: int = HIST_BINS,
 ) -> Column:
-    """The value's bin index (int), clamped into [0, bins-1]."""
-    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(width)).cast("int")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    """The value's bin index (int), clamped into [0, bins-1].
+
+    The clamp runs while the floor is still LONG, and the int cast comes
+    LAST: casting the raw index to int first would wrap negative for
+    |value| large enough that floor((v-lo)/width) exceeds 2^31 (Spark's
+    non-ANSI long→int cast), clamping extreme values into bin 0 instead
+    of the top bin while the oracle's CAST(... AS INTEGER) errors —
+    engines would diverge on out-of-range inputs (r13 ADVICE)."""
+    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
 
 
 def hist_build(

@@ -1842,7 +1842,9 @@ _HIST_STORE_CACHE: dict[str, str] = {}
     """
     WITH b AS (
         SELECT event_type,
-               LEAST(GREATEST(CAST(floor(value / 4.0) AS INTEGER), 0), 255) AS bin
+               -- clamp BEFORE the int cast (mirrors hist_bin): casting a
+               -- huge raw index first would error here / wrap in Spark
+               CAST(LEAST(GREATEST(floor(value / 4.0), 0), 255) AS INTEGER) AS bin
         FROM events WHERE value IS NOT NULL
     ),
     sk AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),

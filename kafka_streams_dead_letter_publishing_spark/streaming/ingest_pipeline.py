@@ -179,6 +179,18 @@ class EmbeddingIngest:
         self._decontam_index = None  # built+persisted once (eval set is immutable)
         self.id_col = id_col
 
+    def close(self) -> None:
+        """Release executor storage pinned by this instance: the
+        once-per-ingest decontam index persists its buckets and vectors
+        frames (process_batch), and nothing else would ever unpersist
+        them — a long-lived driver that compacts repeatedly would leak
+        cache across cycles otherwise (r13 ADVICE)."""
+        idx = self._decontam_index
+        if idx is not None:
+            idx.buckets.unpersist()
+            idx.vectors.unpersist()
+            self._decontam_index = None
+
     def _build(self, df: DataFrame) -> AnnIndex:
         return build_ann_index(
             df,
@@ -396,6 +408,10 @@ class EmbeddingIngest:
             spark.createDataFrame(
                 [(srow.n_rows, 0)], "n_rows bigint, epoch bigint"
             ).write.mode("errorifexists").parquet(f"{new_base_dir}/moments/stats")
+        # hand-off: drop this instance's pinned decontam index before the
+        # fresh pipeline takes over (it rebuilds lazily on first batch) —
+        # otherwise every compaction cycle leaks two cached frames
+        self.close()
         return EmbeddingIngest(
             new_base_dir,
             self.centroids_fixed,

@@ -75,10 +75,15 @@ def stream_interval_join(
     cond = F.lit(True)
     for k in on:
         cond = cond & (left[k] == r[f"__r_{k}"])
+    # the range bounds reference the LEFT frame explicitly: a bare
+    # F.expr(f"{left_ts} - {lower}") resolves the timestamp by name
+    # against the JOINED plan, so a right-side non-key column sharing
+    # left_ts's name would be ambiguous or silently mis-bound (only key
+    # columns are renamed on the right — r13 ADVICE)
     cond = (
         cond
-        & (r[right_ts] >= F.expr(f"{left_ts} - {lower}"))
-        & (r[right_ts] <= F.expr(f"{left_ts} + {upper}"))
+        & (r[right_ts] >= left[left_ts] - F.expr(lower))
+        & (r[right_ts] <= left[left_ts] + F.expr(upper))
     )
     return left.join(r, cond, how).drop(*[f"__r_{k}" for k in on])
 
