@@ -70,7 +70,8 @@ _SMOKE_QUERIES = [
     "events_hourly_stats",  # event-time windows
     "docs_line_dedup",  # text dedup family
     "docs_bpe_token_counts",  # tokenizer family
-    "emb_multi_query_topk",  # similarity family
+    "emb_ivf_batch_topk",  # similarity family (r14: the retired
+    # brute-force row folded into this, its production serving shape)
     "events_kmv_streamed_distinct",  # streamed sketch store family
 ]
 

@@ -90,35 +90,25 @@ def _query_batch_values_sql() -> str:
     )
 
 
-@query(
-    "emb_multi_query_topk",
-    f"""
-    WITH queries(query_id, qv) AS (VALUES {_query_batch_values_sql()}),
-    scored AS (
-        SELECT q.query_id, e.vec_id, {cosine_sql("e.embedding", "q.qv")} AS cos
-        FROM embeddings e CROSS JOIN queries q
-    )
-    SELECT CAST(query_id AS INT) AS query_id, vec_id, cos, CAST(rnk AS INT) AS rnk
-    FROM (
-        SELECT query_id, vec_id, cos,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-        FROM scored WHERE cos IS NOT NULL
-    )
-    WHERE rnk <= {TOPK_PER_QUERY}
-    """,
-    doc="[EXT] Brute-force cosine top-k for a BATCH of Q query vectors — "
-    "the real ANN serving shape (r3 verdict #5).  The batch rides the plan "
-    "as one folded literal (posexplode fans each embedding to Q scored "
-    "rows — for a dynamic query table this would be a Q-row broadcast); "
-    "top-k per query is TWO-PHASE: a partition-local row_number over "
-    "(partition_id, query_id) keeps ≤k rows per partition per query, so "
-    "the final per-query window ranks only k·P rows — never a full "
-    "N·Q-row shuffle into Q reducers (the skew trap of a naive "
-    "window-per-query at corpus scale).  Exact same fold-ordered doubles "
-    "as the oracle's per-query rank.",
-    tags=("similarity", "topk", "bench"),
-)
+# NOTE (r14): emb_multi_query_topk (brute-force cosine top-k for the
+# QUERY_BATCH) was RETIRED from the registry per the r13 verdict's
+# registry-hygiene note (the 100-row cap; SURVEY named it the candidate)
+# to make room for the streamed as-of join row.  The exact-serving shape
+# stays oracled through emb_ivf_batch_topk (same QUERY_BATCH, same
+# two-phase per-query top-k, exact cosine over the probed cells — its
+# unrolled-CTE oracle replays the whole fit), and the brute-force
+# function below remains the recall REFERENCE for the PQ/IVF-PQ floors
+# (tests/test_pq.py) and keeps its two-phase plan gate
+# (tests/test_plan_quality.py).  Same retirement pattern as r9's
+# emb_label_centroids and r6's docs_dedup_pick_first.
 def emb_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Brute-force cosine top-k for a BATCH of Q query vectors —
+    the exact baseline of the ANN serving shape.  Top-k per query is
+    TWO-PHASE: a partition-local row_number over (partition_id,
+    query_id) keeps ≤k rows per partition per query, so the final
+    per-query window ranks only k·P rows — never a full N·Q-row shuffle
+    into Q reducers (the skew trap of a naive window-per-query at
+    corpus scale)."""
     from pyspark.sql import Window
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")

@@ -400,7 +400,7 @@ def degenerate_embeddings_dir(tmp_path):
 
 
 EMB_FAMILY_QUERIES = (
-    "emb_multi_query_topk",
+    # emb_multi_query_topk retired r14 (folded into emb_ivf_batch_topk)
     "emb_ann_multitable_pairs",
     "emb_label_centroids_scale",
     "emb_ivf_batch_topk",

@@ -60,10 +60,23 @@ def test_semi_anti_joins_use_semi_anti_physical_ops(spark):
 
 
 def test_candidate_joins_are_never_cartesian(spark):
-    for name in ("docs_neardup_verified", "emb_ann_multitable_pairs", "emb_multi_query_topk"):
+    for name in ("docs_neardup_verified", "emb_ann_multitable_pairs"):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # the retired-but-kept brute-force baseline (r14): still must fan the
+    # query batch out via posexplode — never a cartesian against a query
+    # table — and keep its two-phase window (local pid cut before global)
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        emb_multi_query_topk,
+    )
+
+    plan = str(
+        emb_multi_query_topk(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_label_propagation_step_is_one_equi_join_one_aggregate(spark):

@@ -107,10 +107,13 @@ def test_two_stage_recall_floor_on_real_data(spark):
     vs the exact cosine top-10 at sf0.01 (measured 0.7–0.9; isotropic
     vectors are PQ's hardest case)."""
     from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        emb_multi_query_topk,  # retired registry row, kept as the exact reference
+    )
 
     sf = "/root/testdata/sf0.01"
     pq = QUERIES["emb_pq_batch_topk"].spark(spark, sf).collect()
-    exact = QUERIES["emb_multi_query_topk"].spark(spark, sf).collect()
+    exact = emb_multi_query_topk(spark, sf).collect()
     recalls = []
     for qi in range(4):
         p = {r.vec_id for r in pq if r.query_id == qi}
@@ -204,10 +207,13 @@ def test_ivfpq_recall_floor_on_real_data(spark):
     """nprobe=3 of nlist=8 cells: mean recall@10 vs exact must stay ≥0.3
     (the price of scanning ~3/8 of the codes)."""
     from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.plans.similarity import (
+        emb_multi_query_topk,  # retired registry row, kept as the exact reference
+    )
 
     sf = "/root/testdata/sf0.01"
     ivfpq = QUERIES["emb_ivfpq_batch_topk"].spark(spark, sf).collect()
-    exact = QUERIES["emb_multi_query_topk"].spark(spark, sf).collect()
+    exact = emb_multi_query_topk(spark, sf).collect()
     recalls = []
     for qi in range(4):
         p = {r.vec_id for r in ivfpq if r.query_id == qi}

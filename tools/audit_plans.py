@@ -137,7 +137,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "(pid, query_id) — one physical partition's rows; the global "
         "window on query_id sees only the <= n_partitions*k local winners"
         for q in (
-            "emb_multi_query_topk",
+            # emb_multi_query_topk retired r14 (folded into the IVF row);
+            # its two-phase plan gate lives in tests/test_plan_quality.py
             "emb_ivf_batch_topk",
             "emb_pq_batch_topk",
             "emb_ivfpq_batch_topk",
