@@ -54,6 +54,11 @@ import time
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+#: pass_dispersion above this triggers ONE full re-measure set (the clean
+#: runs of r9–r13 sit at 1.06–1.11; the two contaminated artifacts at
+#: 1.133 and 1.15+) — the cleaner set becomes the artifact
+DISPERSION_REDO = 1.11
+
 #: SPARK_GRAFT_BENCH_SMOKE=1 — contract mode (r12 verdict "what's wrong"
 #: #2): the always-run suite test needs to prove the two-line JSON
 #: contract, not collect statistics, and the full 39-entry sweep under a
@@ -159,10 +164,14 @@ def main() -> None:
     # contaminated — r10 started at load 3.28, UNDER the warning threshold,
     # and ended at 8.79, a uniform 1.065x drift across 39 bit-identical
     # entries).  So DEFEND, don't just annotate: wait (bounded) for the
-    # 1-min load to drop below cpus/8 before starting, and at the end flag
+    # 1-min load to drop below cpus/16 before starting, and at the end flag
     # the artifact if the END load breached the threshold mid-run — start
-    # load alone is demonstrably insufficient.
-    load_threshold = (cpus if isinstance(cpus, int) else 32) / 8
+    # load alone is demonstrably insufficient.  cpus/16 (= 2.0 at 32), not
+    # the original cpus/8: r13's recorded run started at 3.64 — under the
+    # old gate — and its dispersion (1.133) showed the samples were
+    # contaminated anyway (the clean re-measure sat at 1.104); the start
+    # gate must catch loads the dispersion check would later convict.
+    load_threshold = (cpus if isinstance(cpus, int) else 32) / 16
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
     if SMOKE:
         wait_budget = 0.0
@@ -282,24 +291,67 @@ def main() -> None:
         + list(ingest_entries)
         + ["dlt_streaming_roundtrip", "dlt_streaming_4batches"]
     )
-    samples: dict[str, list[float]] = {n: [] for n in all_names}
-    stream_rates: list[dict] = []
-    # Interleaved passes: each pass runs every entry once — batch queries,
-    # ingest filters, then BOTH streaming entries, so any box-load
-    # transient spreads across one pass of everything (r6 verdict #2).
-    for pass_idx in range(N_RUNS):
-        for name, q in bench_queries.items():
-            t0 = time.time()
-            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples[name].append(round(time.time() - t0, 3))
-        for name, (thunk, _) in ingest_entries.items():
-            t0 = time.time()
-            thunk()
-            samples[name].append(round(time.time() - t0, 3))
-        samples["dlt_streaming_roundtrip"].append(run_streaming_roundtrip(pass_idx))
-        elapsed, rate = run_streaming_4batches()
-        samples["dlt_streaming_4batches"].append(elapsed)
-        stream_rates.append(rate)
+
+    def run_measure_set() -> tuple[dict[str, list[float]], list[dict]]:
+        """One full measurement set: N_RUNS interleaved passes — each pass
+        runs every entry once (batch queries, ingest filters, then BOTH
+        streaming entries), so any box-load transient spreads across one
+        pass of everything (r6 verdict #2)."""
+        samples: dict[str, list[float]] = {n: [] for n in all_names}
+        stream_rates: list[dict] = []
+        for pass_idx in range(N_RUNS):
+            for name, q in bench_queries.items():
+                t0 = time.time()
+                q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                samples[name].append(round(time.time() - t0, 3))
+            for name, (thunk, _) in ingest_entries.items():
+                t0 = time.time()
+                thunk()
+                samples[name].append(round(time.time() - t0, 3))
+            samples["dlt_streaming_roundtrip"].append(
+                run_streaming_roundtrip(pass_idx)
+            )
+            elapsed, rate = run_streaming_4batches()
+            samples["dlt_streaming_4batches"].append(elapsed)
+            stream_rates.append(rate)
+        return samples, stream_rates
+
+    def dispersion_of(samples: dict[str, list[float]]) -> float | None:
+        """pass_dispersion: median over entries of (median sample / best
+        sample) — ~1.1 on a clean box regardless of what the 1-min load
+        shows at the finish line (contamination inflates median samples
+        above the clean per-entry floor; the bench's own tail-of-run
+        spike does not touch already-taken samples)."""
+        ratios = sorted(
+            statistics.median(s) / min(s)
+            for s in samples.values()
+            if s and min(s) > 0
+        )
+        return round(ratios[len(ratios) // 2], 3) if ratios else None
+
+    samples, stream_rates = run_measure_set()
+    dispersion = dispersion_of(samples)
+    # Dispersion re-measure rule (r13 verdict: the recorded artifact was a
+    # 1.133-dispersion run whose clean twin lived only in SCALE.md prose):
+    # if the first set looks contaminated, take ONE more full set and make
+    # the cleaner one THE artifact — the discarded set's dispersion is
+    # recorded so the json still tells the whole story.  Warm caches make
+    # the second set cheaper than the first; smoke mode never re-measures
+    # (it exists precisely to run under load).
+    discarded_dispersion = None
+    if (
+        not SMOKE
+        and dispersion is not None
+        and dispersion > DISPERSION_REDO
+        and os.environ.get("SPARK_GRAFT_BENCH_REDO", "1") != "0"
+    ):
+        samples2, stream_rates2 = run_measure_set()
+        d2 = dispersion_of(samples2)
+        if d2 is not None and d2 < dispersion:
+            discarded_dispersion = dispersion
+            samples, stream_rates, dispersion = samples2, stream_rates2, d2
+        else:
+            discarded_dispersion = d2
     shutil.rmtree(stream_src, ignore_errors=True)
 
     timings = {name: round(statistics.median(r), 3) for name, r in samples.items()}
@@ -320,19 +372,6 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     load_end = os.getloadavg()
-    # Foreign-load discriminator the load averages cannot provide: with
-    # interleaved passes, CONTAMINATION inflates the median sample well
-    # above the per-entry best (r10: bit-identical code, medians +6.5%
-    # uniformly), while the bench's OWN tail-of-run load spike does not
-    # touch already-taken samples.  pass_dispersion = median over entries
-    # of (median sample / best sample): ~1.1 on a clean box regardless
-    # of what the 1-min load shows at the finish line.
-    ratios = sorted(
-        statistics.median(s) / min(s)
-        for s in samples.values()
-        if s and min(s) > 0
-    )
-    dispersion = round(ratios[len(ratios) // 2], 3) if ratios else None
     env = {
         "cpus": cpus,
         "smoke": SMOKE,  # contract-mode artifacts are not comparable runs
@@ -341,6 +380,8 @@ def main() -> None:
         "load_wait_sec": round(load_waited, 1),
         "pass_dispersion": dispersion,
     }
+    if discarded_dispersion is not None:
+        env["discarded_set_dispersion"] = discarded_dispersion
     # Detail line FIRST (samples, per-batch streaming progress): this is the
     # line that can grow without bound, so it must never sit between the
     # driver's tail-capture and the headline.
@@ -385,10 +426,10 @@ def main() -> None:
     breaches = [
         f"load_avg_{which} {val:.2f} exceeds {label}"
         for which, val, label in (
-            ("start", load_start[0], f"cpus/8={load_threshold:.1f}"),
-            ("end", load_end[0], f"cpus/4={2 * load_threshold:.1f}"),
+            ("start", load_start[0], f"cpus/16={load_threshold:.1f}"),
+            ("end", load_end[0], f"cpus/4={4 * load_threshold:.1f}"),
         )
-        if val > (load_threshold if which == "start" else 2 * load_threshold)
+        if val > (load_threshold if which == "start" else 4 * load_threshold)
     ]
     if breaches:
         headline["load_warning"] = (
