@@ -15,6 +15,7 @@ executors exactly like any other column.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -23,7 +24,7 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint, "
-    "decoded_px_sum bigint"
+    "decoded_px_sum bigint, png_px_sum bigint"
 )
 
 CHECKSUM_PREFIX = 64
@@ -37,6 +38,11 @@ FRAME_BYTES = 1000
 #: the source-byte sum ONLY if every format quirk was undone, so the
 #: registry row's hash check exercises the real decoder on every row
 PX_W, PX_H = 5, 2  # odd row width forces nonzero BMP row padding
+
+#: PNG thumbnail dimensions: 5 rows so the cycling per-scanline filter
+#: exercises ALL FIVE unfilter paths (None/Sub/Up/Average/Paeth) on every
+#: single row's encode→decode cycle
+PNG_W, PNG_H = 5, 5
 
 
 def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
@@ -141,10 +147,161 @@ def _decode_ppm(buf: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(buf[pos : pos + need])
 
 
+# ── PNG: stdlib-zlib codec (r14 — the first COMPRESSED format) ───────────
+#
+# The r13 verdict's #2: BMP/PPM/WAV cover uncompressed containers only;
+# PNG is feasible with zero non-stdlib deps (zlib inflate/deflate + the
+# five scanline filters), so the decoded-checksum oracle discipline now
+# covers a genuinely compressed format.  Same contract as the other
+# codecs: corrupt/truncated recognized files raise ValueError, the
+# encoder deliberately produces every format quirk a real decoder must
+# undo (here: a CYCLING filter type per scanline, so one thumbnail
+# exercises None/Sub/Up/Average/Paeth — a filter-0-only encoder would
+# leave four unfilter paths dead).
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/upper-left
+    to a+b−c, ties broken left→up→upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_predict(ftype: int, left: int, up: int, ul: int) -> int:
+    if ftype == 0:
+        return 0
+    if ftype == 1:
+        return left
+    if ftype == 2:
+        return up
+    if ftype == 3:
+        return (left + up) >> 1
+    return _paeth(left, up, ul)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit RGB PNG writer — pure Python + stdlib zlib.
+    ``pixels`` is RGB, row-major, top-down, exactly ``3*width*height``
+    bytes.  Scanline filters CYCLE through all five types (row r uses
+    filter r % 5), so a decode of any ≥5-row image exercises every
+    unfilter path against real deflate-compressed data."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"encode_png: need {3 * width * height} RGB bytes, got {len(pixels)}"
+        )
+    bpp, stride = 3, 3 * width
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        raw.append(ftype)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            ul = prior[i - bpp] if i >= bpp else 0
+            raw.append((row[i] - _png_predict(ftype, left, prior[i], ul)) & 0xFF)
+        prior = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        # bit depth 8, color type 2 (RGB), deflate, adaptive filters,
+        # no interlace
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
+    """8-bit RGB PNG decode: chunk walk with CRC verification (the WAV
+    RIFF walker's shape — unknown ancillary chunks skipped, IDAT bodies
+    CONCATENATED before one inflate, per the spec), then per-scanline
+    unfiltering of all five filter types."""
+    if len(buf) < len(PNG_MAGIC) + 12:
+        raise ValueError("PNG truncated: shorter than signature + one chunk")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(buf):
+        clen = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(buf):
+            raise ValueError("PNG truncated: chunk body shorter than declared")
+        body = buf[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(buf[pos + 8 + clen : pos + 12 + clen], "big")
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing/short IHDR")
+    if not idat or not ended:
+        raise ValueError("PNG missing IDAT or IEND")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"compression={comp} filter={filt} interlace={interlace} "
+            "(only 8-bit RGB, deflate, adaptive filters, no interlace)"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PNG dimensions {width}x{height}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    bpp, stride = 3, 3 * width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data length mismatch")
+    out = bytearray(stride * height)
+    prior = bytes(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        if ftype > 4:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        row = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            ul = prior[i - bpp] if i >= bpp else 0
+            recon[i] = (row[i] + _png_predict(ftype, left, prior[i], ul)) & 0xFF
+        out[r * stride : (r + 1) * stride] = recon
+        prior = bytes(recon)
+    return width, height, bytes(out)
+
+
 def decode_image(buf: bytes) -> tuple[int, int, bytes]:
-    """Pure-Python image decode for the two zero-dependency formats —
+    """Pure-Python image decode for the three zero-dependency formats —
     ``(width, height, rgb_bytes)`` with pixels RGB, row-major, top-down:
 
+    * **PNG** (8-byte signature): 8-bit RGB, stdlib-zlib inflate, CRC
+      checks, all five scanline filters (r14 — the compressed format).
     * **BMP** (``BM`` magic): 24-bit uncompressed BI_RGB — undoes the
       bottom-up row order, 4-byte row padding and BGR channel order;
       top-down (negative height) files handled too.
@@ -152,16 +309,19 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
 
     Corrupt/truncated files of a RECOGNIZED format raise ``ValueError``
     (fail loudly, the LSH dim-guard philosophy); formats this container
-    has no library for (JPEG/PNG/...) keep the documented
+    has no library for (JPEG/WebP/...) keep the documented
     ``NotImplementedError`` stub path."""
     buf = bytes(buf)
+    if buf[:8] == PNG_MAGIC:
+        return _decode_png(buf)
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
     if buf[:2] == b"P6":
         return _decode_ppm(buf)
     raise NotImplementedError(
-        "only BMP (24-bit BI_RGB) and P6 PPM decode in this codec-less "
-        "container; other formats need an image library not present here"
+        "only PNG (8-bit RGB), BMP (24-bit BI_RGB) and P6 PPM decode in "
+        "this codec-less container; other formats need an image library "
+        "not present here"
     )
 
 
@@ -184,6 +344,22 @@ def _decoded_px_sum(payload: bytes) -> int:
     return sum(decoded) % CHECKSUM_MOD
 
 
+def _png_px_sum(payload: bytes) -> int:
+    """The _decoded_px_sum discipline for the COMPRESSED codec: encode
+    the payload's leading 3·PNG_W·PNG_H bytes as a real PNG (cycling
+    scanline filters — all five exercised), decode it back, checksum the
+    DECODED pixels.  Equal to the source-byte sum mod CHECKSUM_MOD only
+    when inflate + every unfilter path is correct."""
+    need = 3 * PNG_W * PNG_H
+    px = bytes(payload[:need]).ljust(need, b"\x00")
+    _, _, decoded = decode_image(encode_png(px, PNG_W, PNG_H))
+    if decoded != px:
+        raise ValueError(
+            f"PNG round-trip mismatch: encoded {px!r} decoded to {decoded!r}"
+        )
+    return sum(decoded) % CHECKSUM_MOD
+
+
 def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = pdf["payload"]
@@ -196,6 +372,7 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ),
                 "n_frames": payloads.map(lambda b: len(b) // FRAME_BYTES),
                 "decoded_px_sum": payloads.map(_decoded_px_sum),
+                "png_px_sum": payloads.map(_png_px_sum),
             }
         )
 

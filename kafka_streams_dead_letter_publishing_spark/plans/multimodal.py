@@ -22,6 +22,8 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
     CHECKSUM_MOD,
     CHECKSUM_PREFIX,
     FRAME_BYTES,
+    PNG_H,
+    PNG_W,
     PX_H,
     PX_W,
     extract_features,
@@ -51,7 +53,12 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
                     [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
                      for i in generate_series(1, least(octet_length(encode(text)),
                                                        {3 * PX_W * PX_H}))]), 0)
-                % {CHECKSUM_MOD} AS BIGINT) AS decoded_px_sum
+                % {CHECKSUM_MOD} AS BIGINT) AS decoded_px_sum,
+           CAST(COALESCE(list_sum(
+                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(encode(text)),
+                                                       {3 * PNG_W * PNG_H}))]), 0)
+                % {CHECKSUM_MOD} AS BIGINT) AS png_px_sum
     FROM documents
     """,
     doc="[EXT] Multimodal feature extraction: binary payload column → "
@@ -62,7 +69,12 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
     "(functions/multimodal.py encode_bmp → decode_image: bottom-up rows, "
     "4-byte padding, BGR swap) — the checksum of the DECODED pixels equals "
     "the oracle's source-byte sum only when the decoder inverts every "
-    "format quirk, so the hash gate exercises the codec on every row.",
+    "format quirk, so the hash gate exercises the codec on every row.  "
+    "r14: png_px_sum extends the discipline to a COMPRESSED format — a "
+    "real stdlib-zlib PNG encode→decode per row with a CYCLING scanline "
+    "filter (5 rows = all five of None/Sub/Up/Average/Paeth exercised), "
+    "CRC-checked chunk walk, inflate — equal to the source-byte sum only "
+    "when every unfilter path is correct.",
     tags=("multimodal",),
 )
 def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:

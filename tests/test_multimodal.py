@@ -73,8 +73,10 @@ def test_multimodal_plans_are_arrow_and_narrow(spark, payload_df):
 
 
 def test_decode_stub_is_explicit_for_exotic_formats(spark):
+    # JPEG magic: a format this container genuinely has no decoder for
+    # (PNG graduated to a real codec in r14)
     with pytest.raises(NotImplementedError, match="image library"):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF")
 
 
 # ── pure-Python BMP / PPM codec (r13, r12 verdict #6) ────────────────────
@@ -234,3 +236,119 @@ def test_audio_features_match_python(spark, payload_df):
         assert got[doc_id].n_samples == n
         assert got[doc_id].duration_ms == n * 1000 // 8000
         assert got[doc_id].energy == energy
+
+
+# ── pure-Python PNG codec (r14, r13 verdict #2 — the compressed format) ──
+
+
+def _hand_png(px: bytes, w: int, h: int, extra_idat_split: bool = False) -> bytes:
+    """INDEPENDENT minimal PNG writer (filter 0 only, assembled by hand in
+    the test — not via encode_png), so the decoder is cross-checked against
+    a second implementation of the container, not just its own inverse."""
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    raw = b"".join(b"\x00" + px[r * 3 * w : (r + 1) * 3 * w] for r in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    z = zlib.compress(raw)
+    if extra_idat_split:
+        idats = chunk(b"IDAT", z[:5]) + chunk(b"IDAT", z[5:])
+    else:
+        idats = chunk(b"IDAT", z)
+    return sig + chunk(b"IHDR", ihdr) + idats + chunk(b"IEND", b"")
+
+
+def test_png_golden_fixture_decodes_exactly():
+    px = bytes(range(3 * 3 * 2))  # 3x2, known pixels
+    assert decode_image(_hand_png(px, 3, 2)) == (3, 2, px)
+
+
+def test_png_split_idat_chunks_concatenate():
+    """The spec allows IDAT split across chunks; inflate runs over the
+    CONCATENATION — a per-chunk inflate would fail on the second chunk."""
+    px = bytes((11 * i + 3) % 256 for i in range(3 * 4 * 3))
+    assert decode_image(_hand_png(px, 4, 3, extra_idat_split=True)) == (4, 3, px)
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """encode_png cycles the scanline filter per row, so a 5-row image's
+    round-trip fails unless None/Sub/Up/Average/Paeth ALL invert."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import encode_png
+
+    for w, h in [(1, 5), (5, 5), (7, 6), (2, 11)]:
+        px = bytes((13 * i + 7) % 256 for i in range(3 * w * h))
+        assert decode_image(encode_png(px, w, h)) == (w, h, px), (w, h)
+
+
+def test_png_ancillary_chunks_are_skipped():
+    """Real PNGs carry tEXt/pHYs/... between IHDR and IDAT — the chunk
+    walk must skip what it doesn't know (the WAV LIST/INFO discipline)."""
+    import zlib
+
+    px = bytes(range(3 * 2 * 2))
+    buf = _hand_png(px, 2, 2)
+    body = b"Comment\x00hello"
+    extra = (
+        len(body).to_bytes(4, "big") + b"tEXt" + body
+        + (zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    # splice the ancillary chunk right after IHDR (8-byte sig + 25-byte IHDR)
+    spliced = buf[:33] + extra + buf[33:]
+    assert decode_image(spliced) == (2, 2, px)
+
+
+def test_png_corruption_fails_loudly():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import encode_png
+
+    px = bytes(range(3 * 2 * 2))
+    good = encode_png(px, 2, 2)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        bad = bytearray(good)
+        bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+        decode_image(bytes(bad))
+    with pytest.raises(ValueError, match="missing IDAT or IEND"):
+        decode_image(good[:-8])  # IEND chunk cut to a dangling length field
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(good[:42])  # cut mid-IDAT body: shorter than declared
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        # RGBA color type: flip IHDR byte + fix its CRC via rebuild
+        import zlib as _z
+
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+        buf = (
+            b"\x89PNG\r\n\x1a\n"
+            + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+            + (_z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+            + good[33:]
+        )
+        decode_image(buf)
+    with pytest.raises(ValueError, match="inflate failed"):
+        # valid CRC, garbage deflate stream
+        import zlib as _z
+
+        sig_ihdr = good[:33]
+        body = b"\x00not-deflate"
+        idat = (
+            len(body).to_bytes(4, "big") + b"IDAT" + body
+            + (_z.crc32(b"IDAT" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+        iend = (0).to_bytes(4, "big") + b"IEND" + (_z.crc32(b"IEND") & 0xFFFFFFFF).to_bytes(4, "big")
+        decode_image(sig_ihdr + idat + iend)
+
+
+def test_png_px_sum_exercises_codec_per_row(spark, payload_df):
+    """The registry row's png_px_sum column comes from a real compressed
+    encode→decode cycle; equals the source-byte sum for every doc."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import PNG_H, PNG_W
+
+    got = {r.doc_id: r.png_px_sum for r in extract_features(payload_df).collect()}
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+        raw = text.encode()
+        assert got[doc_id] == sum(raw[: 3 * PNG_W * PNG_H]) % CHECKSUM_MOD

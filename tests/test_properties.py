@@ -776,3 +776,31 @@ def test_wav_roundtrip_fuzz(channels, rate, data):
         rate,
         samples,
     )
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+def test_png_roundtrip_fuzz(w, h, data):
+    """decode(encode(pixels)) == pixels for arbitrary RGB content through
+    the COMPRESSED codec — any height ≥5 exercises all five scanline
+    filters (encode_png cycles them per row), every byte value, every
+    deflate path stdlib zlib picks for that content."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        )
+    )
+    assert decode_image(encode_png(px, w, h)) == (w, h, px)
