@@ -1994,12 +1994,21 @@ _HIST_STORE_CACHE: dict[str, str] = {}
 @query(
     "events_hist_quantiles",
     """
-    WITH b AS (
+    WITH bounds AS (
+        -- the derived-bounds pass (hist_derive_bounds): min/max are EXACT
+        -- doubles and (max-min)/256 one IEEE subtraction + division, so
+        -- both engines compute identical bins from the same parquet values
+        SELECT min(value) AS lo,
+               CASE WHEN max(value) > min(value)
+                    THEN (max(value) - min(value)) / 256 ELSE 1.0 END AS w
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
         SELECT event_type,
                -- clamp BEFORE the int cast (mirrors hist_bin): casting a
                -- huge raw index first would error here / wrap in Spark
-               CAST(LEAST(GREATEST(floor(value / 4.0), 0), 255) AS INTEGER) AS bin
-        FROM events WHERE value IS NOT NULL
+               CAST(LEAST(GREATEST(floor((value - lo) / w), 0), 255) AS INTEGER) AS bin
+        FROM events, bounds WHERE value IS NOT NULL
     ),
     sk AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
     cum AS (
@@ -2030,11 +2039,15 @@ _HIST_STORE_CACHE: dict[str, str] = {}
     "(ceil(n*P/100) as (n*P+99) DIV 100) — the oracle is the one-shot "
     "histogram, equal by the cell-SUM merge law.  GK/KLL/t-digest are "
     "insertion-order-dependent (not oracle-replayable — the HLL "
-    "problem); the fixed-range equi-width histogram is a pure integer "
-    "function of the value multiset, with rank error bounded by the "
-    "largest bin's mass.  exact_p50 rides along so the artifact shows "
-    "the sketch's error against truth (bin width 4.0 at these "
-    "configs).  Scale shape: build is map-side-combinable "
+    "problem); the equi-width histogram is a pure integer function of "
+    "the value multiset given the grid, with rank error bounded by the "
+    "largest bin's mass.  r14: the grid is AUTO-RANGED — "
+    "hist_derive_bounds runs one 1-row min/max pass (exact doubles, one "
+    "IEEE subtract + divide) that DuckDB replays bit-for-bit, so no "
+    "pre-declared [lo, hi) is needed; the bounds freeze before the "
+    "appends so all micro-batches bin on one grid.  exact_p50 rides "
+    "along so the artifact shows the sketch's error against truth.  "
+    "Scale shape: build is map-side-combinable "
     "groupBy(group, bin) — <= groups*bins pre-summed cells per "
     "partition shuffle regardless of skew; the quantile window runs "
     "over the METADATA-sized sketch (<= 256 rows/group), never event "
@@ -2053,19 +2066,32 @@ def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _HIST_STORE_CACHE.get(sf_dir)
     if path is None:
+        from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+            hist_derive_bounds,
+        )
+
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
         path = tempfile.mkdtemp(prefix="hist-store-") + "/hist"
-        for b in range(3):
-            hist_append(
-                ev.filter(
-                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == b
-                ),
-                path,
-                "event_type",
-                "value",
-            )
+        # r14: bounds DERIVED from the data (one 1-row min/max pass both
+        # engines replay exactly) instead of a pre-declared [lo, hi) —
+        # the bounds freeze BEFORE the appends so every micro-batch bins
+        # against the same grid (the mergeability contract)
+        bounds = hist_derive_bounds(ev, "value")
+        if bounds is not None:
+            lo, width = bounds
+            for b in range(3):
+                hist_append(
+                    ev.filter(
+                        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == b
+                    ),
+                    path,
+                    "event_type",
+                    "value",
+                    lo=lo,
+                    width=width,
+                )
         _HIST_STORE_CACHE[sf_dir] = path
     if not _store_exists(spark, f"{path}/stats"):
         # an all-empty stream appends nothing — typed empty frame

@@ -142,20 +142,61 @@ def test_empty_store_raises(spark, tmp_path):
 
 
 def test_registry_row_matches_direct_composition(spark):
+    from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+        hist_derive_bounds,
+    )
     from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
 
     sf = "/root/testdata/sf0.001"
     rows = {r.event_type: r for r in QUERIES["events_hist_quantiles"].spark(spark, sf).collect()}
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    sk = hist_build(ev, "event_type", "value")
+    lo, w = hist_derive_bounds(ev, "value")
+    sk = hist_build(ev, "event_type", "value", lo=lo, width=w)
     direct = {r.group: r for r in hist_quantile_bins(sk).collect()}
     assert set(rows) == set(direct)
     for g, r in rows.items():
         assert (r.p50_bin, r.p90_bin, r.p99_bin, r.n_events) == (
             direct[g].p50_bin, direct[g].p90_bin, direct[g].p99_bin, direct[g].n
         )
-        # the sketch's p50 bin contains the exact p50 (error <= bin width)
-        assert r.p50_bin * HIST_WIDTH <= r.exact_p50 < (r.p50_bin + 1) * HIST_WIDTH
+        # the sketch's p50 bin contains the CEIL-RANK order statistic
+        # (the quantity the sketch actually ranks — the interpolated
+        # exact_p50 can straddle a bin edge by the interpolation step,
+        # which is why the artifact carries both)
+        vals = sorted(
+            x.value
+            for x in ev.filter(
+                (F.col("event_type") == g) & F.col("value").isNotNull()
+            ).collect()
+        )
+        rank_stat = vals[(len(vals) * 50 + 99) // 100 - 1]
+        hi_edge = lo + (r.p50_bin + 1) * w
+        assert lo + r.p50_bin * w <= rank_stat
+        assert rank_stat < hi_edge or (
+            r.p50_bin == HIST_BINS - 1 and rank_stat <= lo + HIST_BINS * w
+        )
+
+
+def test_derive_bounds_matches_python_and_edge_domains(spark):
+    from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+        hist_derive_bounds,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3.5), (2, -2.0), (3, None), (4, 10.0)], "id long, v double"
+    )
+    lo, w = hist_derive_bounds(df, "v")
+    assert lo == -2.0 and w == (10.0 - -2.0) / HIST_BINS
+    # the derived grid spans the data: min → bin 0, max → the top edge
+    # clamped into the last bin
+    sk = {(r.group, r.bin): r.cnt for r in hist_build(
+        df.withColumn("g", F.lit("a")), "g", "v", lo=lo, width=w).collect()}
+    assert sk[("a", 0)] == 1 and sk[("a", HIST_BINS - 1)] == 1
+    # single-point domain: width degrades to 1.0, everything in bin 0
+    one = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, v double")
+    assert hist_derive_bounds(one, "v") == (7.0, 1.0)
+    # all-NULL / empty: no bounds to derive
+    assert hist_derive_bounds(df.filter("v IS NULL"), "v") is None
+    assert hist_derive_bounds(df.filter("id < 0"), "v") is None
 
 
 def test_event_ingest_hist_store_lockstep(spark, tmp_path):
