@@ -214,3 +214,53 @@ def synth_embeddings_lowrank(
     return ids.select(
         "vec_id", emb.alias("embedding"), dom["t"].alias("label")
     )
+
+
+# ── planted-Zipf events (r14, r13 verdict #6: the skew-stress corpus) ────
+#
+# The fixed testdata events hash user_ids near-uniformly, so the salted
+# aggregation and AQE skew-join paths could never be measured against a
+# genuinely hot key.  This generator plants the traffic shape real event
+# streams have — a Zipf(1) user popularity law via the inverse-CDF N^u
+# transform: P(rank r) ∝ 1/r, so rank 1 alone carries ~1/ln(N) of ALL
+# events (~8.7% at N=100k) — the key that serializes a 1000-executor
+# shuffle unless the plan spreads it.  Same determinism contract as the
+# other generators: pure function of (event_id, seed) through xxhash64,
+# narrow map, prefix-stable.
+
+ZIPF_USERS = 100_000
+
+
+def synth_events_zipf(
+    spark: SparkSession,
+    n_events: int,
+    seed: int = 44,
+    n_users: int = ZIPF_USERS,
+) -> DataFrame:
+    """(event_id, user_id, event_type, value) with ``user_id`` Zipf(1)-
+    distributed: ``u`` uniform in (0,1) by hash, ``user_id = floor(N^u)``
+    — the classic inverse-CDF approximation of P(r) ∝ 1/r over ranks
+    1..N (P(r) = ln((r+1)/r)/ln N ≈ 1/(r·ln N); hot ranks are the SMALL
+    ids, so skew is easy to inspect)."""
+    ids = spark.range(n_events).select(F.col("id").alias("event_id"))
+    u = (
+        F.pmod(F.xxhash64(F.col("event_id"), F.lit(seed)), F.lit(1_000_000))
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    user = F.least(
+        F.floor(F.pow(F.lit(float(n_users)), u)).cast("long"), F.lit(n_users)
+    )
+    return ids.select(
+        "event_id",
+        user.alias("user_id"),
+        F.concat(
+            F.lit("t"),
+            F.pmod(F.xxhash64(F.col("event_id"), F.lit(seed + 1)), F.lit(5)).cast(
+                "string"
+            ),
+        ).alias("event_type"),
+        (
+            F.pmod(F.xxhash64(F.col("event_id"), F.lit(seed + 2)), F.lit(100_000))
+            / F.lit(100.0)
+        ).alias("value"),
+    )

@@ -1061,3 +1061,68 @@ def test_event_ingest_readstream_drive_all_sketch_stores(spark, tmp_path):
         for r in hist_build(full, "event_type", "value").collect()
     }
     assert got_hist == want_hist
+
+
+def test_event_ingest_auto_compaction_bounds_store_growth(spark, tmp_path):
+    """The epoch-SET store growth bound (r13 verdict #4): a long drive
+    (30 micro-batches) with auto_compact_epochs=6 keeps every sketch
+    store's epoch count — and therefore its file count and read-side
+    merge width — bounded by the cadence, NOT the batch count, while the
+    estimates stay equal to an uncompacted twin driven with the exact
+    same batches (compaction must be invisible to every readout)."""
+    import glob
+
+    from kafka_streams_dead_letter_publishing_spark.operators.hist import (
+        hist_quantile_bins,
+        hist_read,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EventIngest,
+    )
+
+    cadence = 6
+    auto = EventIngest(
+        str(tmp_path / "auto"), k=8, cms_store=True, hist_store=True,
+        auto_compact_epochs=cadence,
+    )
+    plain = EventIngest(
+        str(tmp_path / "plain"), k=8, cms_store=True, hist_store=True,
+    )
+    n_batches = 30
+    for b in range(n_batches):
+        rows = [
+            (f"t{(b + i) % 3}", (b * 17 + i * 7) % 40, float((b * 13 + i) % 97))
+            for i in range(20)
+        ]
+        batch = spark.createDataFrame(
+            rows, "event_type string, user_id long, value double"
+        )
+        auto.process_batch(batch, b)
+        plain.process_batch(batch, b)
+
+    # growth bound: epochs never exceed cadence+1 (the +1 is the appends
+    # landed since the last fold), while the uncompacted twin carries one
+    # epoch per batch
+    def epochs(path: str) -> int:
+        return spark.read.parquet(f"{path}/stats").select("epoch").distinct().count()
+
+    for store in ("kmv", "cms", "hist"):
+        assert epochs(getattr(auto, f"{store}_path")) <= cadence + 1, store
+    assert epochs(plain.kmv_path) == n_batches
+    # file count is O(sketch), not O(batches): the compacted store's data
+    # dir holds at most one generation's worth of part files
+    auto_files = len(glob.glob(f"{auto.kmv_path}/mins/*.parquet"))
+    plain_files = len(glob.glob(f"{plain.kmv_path}/mins/*.parquet"))
+    assert auto_files < plain_files / 2
+    # generations actually rolled (30 batches at cadence 6 → >= 3 folds)
+    assert auto._sketch_gen >= 3
+
+    # every readout identical to the uncompacted twin
+    a_est = {(r.group, r.nh, r.est) for r in auto.estimates().collect()}
+    p_est = {(r.group, r.nh, r.est) for r in plain.estimates().collect()}
+    assert a_est == p_est and a_est
+    a_q = {tuple(r) for r in hist_quantile_bins(hist_read(spark, auto.hist_path)).collect()}
+    p_q = {tuple(r) for r in hist_quantile_bins(hist_read(spark, plain.hist_path)).collect()}
+    assert a_q == p_q and a_q
+    # events sink untouched by sketch compaction: every row still there
+    assert spark.read.parquet(auto.events_path).count() == n_batches * 20

@@ -221,3 +221,54 @@ def test_lowrank_recall_through_integer_route_beats_isotropic(spark):
     n = 600
     assert recall(synth_embeddings_lowrank(spark, n), n) >= 0.5
     assert recall(synth_embeddings(spark, n, planted_every=10**9), n) < 0.3
+
+
+# ── planted-Zipf events (r14, r13 verdict #6) ────────────────────────────
+
+
+def test_zipf_synth_deterministic_prefix_stable_and_skewed(spark):
+    import math
+
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+        ZIPF_USERS,
+        synth_events_zipf,
+    )
+
+    a = sorted(tuple(r) for r in synth_events_zipf(spark, 500).collect())
+    b = sorted(tuple(r) for r in synth_events_zipf(spark, 500).collect())
+    assert a == b
+    big = sorted(tuple(r) for r in synth_events_zipf(spark, 1000).collect())
+    assert a == big[:500]  # prefix-stable: pure function of (event_id, seed)
+    assert [f.name for f in synth_events_zipf(spark, 1).schema] == [
+        "event_id", "user_id", "event_type", "value",
+    ]
+    # the planted law: rank 1's share ≈ ln(2)/ln(N) (~6% at N=1e5) — a
+    # genuinely hot key; and the tail is long (many distinct users)
+    n = 100_000
+    counts = {
+        r.user_id: r.cnt
+        for r in synth_events_zipf(spark, n)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt")).limit(3).collect()
+    }
+    share = max(counts.values()) / n
+    want = math.log(2) / math.log(ZIPF_USERS)
+    assert want * 0.7 < share < want * 1.4, (share, want)
+    assert min(counts) >= 1 and max(counts) <= 3  # hot ranks are the small ids
+    n_distinct = (
+        synth_events_zipf(spark, n).select("user_id").distinct().count()
+    )
+    assert n_distinct > 10_000  # long tail, not a two-key degenerate
+
+
+def test_zipf_synth_is_a_narrow_distributed_map(spark):
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+        synth_events_zipf,
+    )
+
+    plan = (
+        synth_events_zipf(spark, 1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # narrow: generation never shuffles
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
