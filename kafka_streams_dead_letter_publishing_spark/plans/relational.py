@@ -796,6 +796,138 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process streamed interval-join output cache (the _ASOF_STREAM_CACHE
+#: pattern: the drive runs once, later calls read the persisted sink)
+_INTERVAL_STREAM_CACHE: dict[str, str] = {}
+
+_INTERVAL_STREAMED_SCHEMA = (
+    "first_id long, user_id long, a_ts timestamp, first_type string, "
+    "next_id long, b_ts timestamp, next_type string"
+)
+
+
+@query(
+    "events_interval_streamed",
+    """
+    SELECT a.event_id AS first_id, b.event_id AS next_id,
+           a.user_id AS user_id, a.event_type AS first_type,
+           b.event_type AS next_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    doc="[EXT] STREAM-STREAM watermarked interval join driven through a "
+    "real multi-batch readStream inside the row (the events_asof_streamed "
+    "pattern — with this row, every streaming/joins.py operator is "
+    "driver-gated): both sides of the 5-minute per-user pair query flow "
+    "as separate file streams in three pmod(event_id) batches through "
+    "streaming.joins.stream_interval_join, and the sink output must equal "
+    "the BATCH interval join verbatim (events_interval_self_join's SQL).  "
+    "The strict lower bound rides the inclusive interval condition as "
+    "lower = INTERVAL -1 MICROSECOND (b_ts >= a_ts + 1 us == b_ts > a_ts "
+    "at timestamp precision — both engines are microsecond-exact).  "
+    "Unlike the as-of row no sentinels are needed: a stream-stream INNER "
+    "join emits each pair in the micro-batch where it matches (the "
+    "watermark only bounds state), and the 45-day delay exceeds the "
+    "testdata's 30-day spread so no state is evicted while a future "
+    "match could still arrive — cross-batch pairs meet exactly once via "
+    "the checkpointed join state.  Scale shape: one equi-key shuffle per "
+    "side with a range residual, per-key state bounded by interval + "
+    "delay of data, never history; no windows, no cartesian, no UDFs.  "
+    "BENCH NOTE: the drive runs once per process (sample 1); the median "
+    "reports reading the persisted sink output.",
+    tags=("events", "join", "interval", "streaming", "bench"),
+)
+def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    out_dir = _INTERVAL_STREAM_CACHE.get(sf_dir)
+    if out_dir is None:
+        ev = load_table(spark, sf_dir, "events")
+        a = ev.select(
+            F.col("event_id").alias("first_id"),
+            "user_id",
+            F.col("ts").alias("a_ts"),
+            F.col("event_type").alias("first_type"),
+        )
+        b = ev.select(
+            F.col("event_id").alias("next_id"),
+            "user_id",
+            F.col("ts").alias("b_ts"),
+            F.col("event_type").alias("next_type"),
+        )
+        base = tempfile.mkdtemp(prefix="interval-stream-")
+        asrc, bsrc = f"{base}/a", f"{base}/b"
+        out_dir = f"{base}/out"
+
+        def _slice(df, col, batch):
+            return df.filter(
+                F.pmod(F.coalesce(F.col(col), F.lit(0)), F.lit(3)) == batch
+            ).coalesce(1)
+
+        _slice(a, "first_id", 0).write.mode("append").parquet(asrc)
+        _slice(b, "next_id", 0).write.mode("append").parquet(bsrc)
+        # pin the drive's state layout low (the events_asof_streamed
+        # note: a fresh checkpoint freezes numShufflePartitions at first
+        # run, and empty state stores are pure per-trigger overhead at
+        # fixture scale)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        lt = (
+            spark.readStream.schema(
+                "first_id long, user_id long, a_ts timestamp, first_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(asrc)
+            .withWatermark("a_ts", "45 days")
+        )
+        rt = (
+            spark.readStream.schema(
+                "next_id long, user_id long, b_ts timestamp, next_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(bsrc)
+            .withWatermark("b_ts", "45 days")
+        )
+        joined = stream_interval_join(
+            lt,
+            rt,
+            on=["user_id"],
+            left_ts="a_ts",
+            right_ts="b_ts",
+            lower="INTERVAL -1 MICROSECOND",  # b_ts >= a_ts + 1us == strict >
+            upper="INTERVAL 5 MINUTE",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for batch in (1, 2):
+                _slice(a, "first_id", batch).write.mode("append").parquet(asrc)
+                _slice(b, "next_id", batch).write.mode("append").parquet(bsrc)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _INTERVAL_STREAM_CACHE[sf_dir] = out_dir
+    # explicit schema: an all-dropped stream (empty corpus) leaves the
+    # sink with zero part files, which schema inference would reject
+    return (
+        spark.read.schema(_INTERVAL_STREAMED_SCHEMA)
+        .parquet(out_dir)
+        .select("first_id", "next_id", "user_id", "first_type", "next_type")
+    )
+
+
 @query(
     "orders_price_quantiles",
     """

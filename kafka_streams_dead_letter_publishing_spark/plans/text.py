@@ -2217,24 +2217,26 @@ GROUP BY 1, 2
 """
 
 
-@query(
-    "docs_bloom_dedup_gate",
-    _BLOOM_SQL,
-    doc="[EXT] Bloom-filter membership gate for incremental dedup "
-    "(operators/bloom.py): build a 2^17-bit / 5-hash filter over the raw "
-    "corpus' fingerprints, probe a derived 'next batch' (formatting-noise "
-    "true dups ∪ first-token-dropped genuinely-new docs), and report the "
-    "(maybe_seen, is_dup) confusion counts against the exact answer.  No "
-    "false negatives by construction — the (false, true) cell is provably "
-    "empty; false positives are deterministic given the md5 positions, so "
-    "the oracle replays the whole build bit-for-bit.  Scale posture: the "
-    "filter is <= m/63 words via map-side bit_or (per-partition-bounded "
-    "shuffle regardless of key skew); probe is k rows/key against the "
-    "metadata-sized words table — the 100 TB gate shape is 'Bloom drops "
-    "certain-new keys, the exact fp store confirms only maybe-dups'.",
-    tags=("text", "dedup", "bloom", "sketch"),
-)
+# NOTE (r14): docs_bloom_dedup_gate (the ONE-SHOT Bloom build + probe)
+# was RETIRED from the registry at the 100-row hygiene cap to make room
+# for the streamed interval-join row (events_interval_streamed).
+# Nothing is lost: docs_bloom_streamed_gate's ORACLE is _BLOOM_SQL
+# VERBATIM — the idempotent OR merge law makes the streamed read
+# bit-identical to a single-pass build — so the one-shot semantics stay
+# driver-checked through the streamed row every rotation, and the
+# one-shot Spark path (bloom_build → bloom_maybe_contains) plus the
+# no-false-negatives bound stay pytest-pinned in tests/test_bloom.py.
+# Same retirement pattern as r14's emb_multi_query_topk and r9's
+# emb_label_centroids.
 def docs_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-shot Bloom-filter membership gate for incremental dedup
+    (operators/bloom.py): build a 2^17-bit / 5-hash filter over the raw
+    corpus' fingerprints, probe a derived 'next batch' (formatting-noise
+    true dups ∪ first-token-dropped genuinely-new docs), and report the
+    (maybe_seen, is_dup) confusion counts against the exact answer.  No
+    false negatives by construction; false positives are deterministic
+    given the md5 positions.  The filter is <= m/63 words via map-side
+    bit_or — per-partition-bounded shuffle regardless of key skew."""
     docs = load_table(spark, sf_dir, "documents")
     seen = docs.select(fingerprint(F.col("text")).alias("fp")).distinct()
     probe = (
