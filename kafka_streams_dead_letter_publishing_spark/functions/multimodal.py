@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint, "
-    "decoded_px_sum bigint, png_px_sum bigint"
+    "decoded_px_sum bigint, png_px_sum bigint, gif_px_sum bigint"
 )
 
 CHECKSUM_PREFIX = 64
@@ -296,12 +296,362 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# ── GIF: LZW codec (r14 — the second compressed format, and the VIDEO
+# container: multi-frame animations with per-frame palettes) ─────────────
+#
+# PNG covered DEFLATE; GIF covers the other stdlib-free compression a
+# real corpus carries: LZW with variable-width codes (9→12 bits growing
+# with the dictionary, LSB-first bit packing, clear/EOI control codes,
+# dictionary reset at 4096).  The encoder exercises every structure a
+# real decoder must handle: sub-block packetization (≤255-byte chunks),
+# a NETSCAPE looping application extension + per-frame graphic-control
+# extensions (so extension SKIPPING is on the hot path), a GLOBAL color
+# table when the union of frame colors fits 256, and per-frame LOCAL
+# color tables when it doesn't (the multi-frame case — 8 thumbnail
+# frames can carry >256 distinct colors between them).
+
+GIF_MAGIC87 = b"GIF87a"
+GIF_MAGIC89 = b"GIF89a"
+
+#: GIF thumbnail dimensions (the PNG_W/PNG_H discipline): 6x5 keeps the
+#: palette <= 30 colors per frame, and the 90-byte prefix is deliberately
+#: distinct from the PNG thumbnail's 75 so the two checksum columns can
+#: never shadow each other's bugs
+GIF_W, GIF_H = 6, 5
+
+
+class _LzwBitWriter:
+    """LSB-first bit packer (GIF's bit order — PNG/deflate is the same,
+    but zlib hid it; here it's ours)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self._acc |= code << self._nbits
+        self._nbits += width
+        while self._nbits >= 8:
+            self.out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            self.out.append(self._acc & 0xFF)
+            self._acc, self._nbits = 0, 0
+        return bytes(self.out)
+
+
+class _LzwBitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def get(self, width: int) -> int:
+        while self._nbits < width:
+            if self._pos >= len(self._data):
+                raise ValueError("GIF LZW stream truncated mid-code")
+            self._acc |= self._data[self._pos] << self._nbits
+            self._pos += 1
+            self._nbits += 8
+        code = self._acc & ((1 << width) - 1)
+        self._acc >>= width
+        self._nbits -= width
+        return code
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at ``mcs + 1``,
+    growing as the dictionary fills, CLEAR emitted up front and whenever
+    the dictionary hits 4096 (the spec's reset), EOI last."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    w = _LzwBitWriter()
+    w.put(clear, width)
+    run = b""
+    first = True  # next data code is the first since a clear
+    for k in indices:
+        cand = run + bytes([k])
+        if cand in table:
+            run = cand
+            continue
+        w.put(table[run], width)
+        first = False
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            w.put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            first = True
+        run = bytes([k])
+    if run:
+        w.put(table[run], width)
+        # the decoder appends a (virtual, never-referenced) entry after
+        # this final data code too — unless it is the first since a
+        # clear — so mirror its width bump or the EOI below is written
+        # one bit narrower than the decoder will read it with (the
+        # codec fuzz's 30-distinct-symbols-at-mcs-5 case)
+        if not first and next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    w.put(eoi, width)
+    return w.flush()
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """Inverse of ``_lzw_encode`` — including the KwK case (a code equal
+    to the next unassigned entry decodes as prev + prev[0], the one LZW
+    subtlety a copy-the-table decoder gets wrong)."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad GIF LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    r = _LzwBitReader(data)
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = r.get(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW: first code {code} not a root")
+            prev = table[code]
+            out += prev
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwK
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            # EARLY width change: the decoder's table lags the encoder's
+            # by one entry (it learns entry N only from the code AFTER N
+            # was created), so it must widen one entry sooner — at
+            # 2^width − 1, exactly when the encoder's next_code hits
+            # 2^width (the classic off-by-one a round-trip fuzz catches)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_palette(frames: list[bytes]) -> list[list[bytes]] | list[bytes]:
+    """Global palette (one sorted color list) if the union fits 256,
+    else one local palette per frame (each must fit 256)."""
+    union = sorted({f[3 * i : 3 * i + 3] for f in frames for i in range(len(f) // 3)})
+    if len(union) <= 256:
+        return union
+    locals_ = [
+        sorted({f[3 * i : 3 * i + 3] for i in range(len(f) // 3)}) for f in frames
+    ]
+    for j, pal in enumerate(locals_):
+        if len(pal) > 256:
+            raise ValueError(f"GIF frame {j}: {len(pal)} colors exceed a color table")
+    return locals_
+
+
+def _gif_table_bits(n_colors: int) -> int:
+    """Color-table size exponent: the table holds 2^bits entries,
+    bits in 1..8 (GIF has no 1-entry table)."""
+    return max(1, (max(n_colors, 2) - 1).bit_length())
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif(frames: list[bytes], width: int, height: int, delay_cs: int = 4) -> bytes:
+    """Minimal GIF89a writer — pure Python, zero deps.  Each frame is RGB,
+    row-major, top-down, exactly ``3*width*height`` bytes.  Multi-frame
+    input becomes a real animation: NETSCAPE loop extension, a graphic-
+    control extension per frame, and LOCAL color tables when the union of
+    frame colors overflows a global one — i.e. the structures a real
+    video-ish container makes a decoder handle."""
+    if not frames:
+        raise ValueError("encode_gif: need at least one frame")
+    for j, f in enumerate(frames):
+        if len(f) != 3 * width * height:
+            raise ValueError(
+                f"encode_gif: frame {j} needs {3 * width * height} RGB bytes, "
+                f"got {len(f)}"
+            )
+    pal = _gif_palette(frames)
+    use_global = pal and isinstance(pal[0], bytes)
+    out = bytearray(GIF_MAGIC89)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    if use_global:
+        bits = _gif_table_bits(len(pal))
+        # packed: GCT present | color resolution 8-bit (111) | size exp
+        out.append(0x80 | 0x70 | (bits - 1))
+        out += b"\x00\x00"  # background color idx, aspect ratio
+        out += b"".join(pal) + b"\x00" * (3 * ((1 << bits) - len(pal)))
+    else:
+        out.append(0x70)  # no GCT
+        out += b"\x00\x00"
+    if len(frames) > 1:
+        # NETSCAPE2.0 looping application extension (loop forever)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for j, f in enumerate(frames):
+        # graphic control extension: disposal none, no transparency
+        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        fpal = pal if use_global else pal[j]
+        lut = {c: i for i, c in enumerate(fpal)}
+        indices = bytes(lut[f[3 * i : 3 * i + 3]] for i in range(width * height))
+        bits = _gif_table_bits(len(fpal))
+        out += b"\x2c" + b"\x00\x00\x00\x00"  # left, top
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        if use_global:
+            out.append(0x00)  # no local table, no interlace
+        else:
+            out.append(0x80 | (bits - 1))  # local color table
+            out += b"".join(fpal) + b"\x00" * (3 * ((1 << bits) - len(fpal)))
+        mcs = max(2, bits)
+        out.append(mcs)
+        out += _gif_subblocks(_lzw_encode(indices, mcs))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-Python GIF decode → ``(width, height, [rgb_frames])``.  Walks
+    the block stream (extensions skipped by their sub-block structure),
+    handles global AND per-frame local color tables, full LZW with
+    variable code widths, clear-code resets and the KwK case.  Frames
+    must be full-canvas at (0,0), non-interlaced (the animation shape
+    this engine's encoder emits; partial-canvas composites would need a
+    compositor, not a codec — loud ValueError, the LSH dim-guard
+    philosophy).  Corrupt/truncated recognized files raise ValueError."""
+    buf = bytes(buf)
+    if buf[:6] not in (GIF_MAGIC87, GIF_MAGIC89):
+        raise ValueError("not a GIF: bad signature")
+    if len(buf) < 13:
+        raise ValueError("GIF truncated: shorter than its fixed headers")
+    width = int.from_bytes(buf[6:8], "little")
+    height = int.from_bytes(buf[8:10], "little")
+    packed = buf[10]
+    pos = 13
+    gct: list[bytes] | None = None
+    if packed & 0x80:
+        size = 1 << ((packed & 0x07) + 1)
+        if pos + 3 * size > len(buf):
+            raise ValueError("GIF truncated: global color table")
+        gct = [buf[pos + 3 * i : pos + 3 * i + 3] for i in range(size)]
+        pos += 3 * size
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad GIF dimensions {width}x{height}")
+    frames: list[bytes] = []
+    while True:
+        if pos >= len(buf):
+            raise ValueError("GIF truncated: no trailer")
+        intro = buf[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            break
+        if intro == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(buf):
+                raise ValueError("GIF truncated: extension label")
+            pos += 1
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("GIF truncated: extension sub-block")
+                blen = buf[pos]
+                pos += 1 + blen
+                if blen == 0:
+                    break
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{intro:02x}")
+        if pos + 9 > len(buf):
+            raise ValueError("GIF truncated: image descriptor")
+        left = int.from_bytes(buf[pos : pos + 2], "little")
+        top = int.from_bytes(buf[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(buf[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+        fpacked = buf[pos + 8]
+        pos += 9
+        if (left, top, fw, fh) != (0, 0, width, height):
+            raise ValueError(
+                f"unsupported GIF: partial-canvas frame at ({left},{top}) "
+                f"{fw}x{fh} in a {width}x{height} image needs a compositor"
+            )
+        if fpacked & 0x40:
+            raise ValueError("unsupported GIF: interlaced frame")
+        pal = gct
+        if fpacked & 0x80:
+            size = 1 << ((fpacked & 0x07) + 1)
+            if pos + 3 * size > len(buf):
+                raise ValueError("GIF truncated: local color table")
+            pal = [buf[pos + 3 * i : pos + 3 * i + 3] for i in range(size)]
+            pos += 3 * size
+        if pal is None:
+            raise ValueError("GIF frame has no color table (no global, no local)")
+        if pos >= len(buf):
+            raise ValueError("GIF truncated: LZW min code size")
+        mcs = buf[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise ValueError("GIF truncated: image sub-block")
+            blen = buf[pos]
+            pos += 1
+            if blen == 0:
+                break
+            if pos + blen > len(buf):
+                raise ValueError("GIF truncated: image data")
+            data += buf[pos : pos + blen]
+            pos += blen
+        indices = _lzw_decode(bytes(data), mcs)
+        if len(indices) != width * height:
+            raise ValueError(
+                f"GIF frame decoded to {len(indices)} pixels, "
+                f"expected {width * height}"
+            )
+        for i in indices:
+            if i >= len(pal):
+                raise ValueError(f"GIF pixel index {i} beyond color table")
+        frames.append(b"".join(pal[i] for i in indices))
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return width, height, frames
+
+
 def decode_image(buf: bytes) -> tuple[int, int, bytes]:
-    """Pure-Python image decode for the three zero-dependency formats —
+    """Pure-Python image decode for the four zero-dependency formats —
     ``(width, height, rgb_bytes)`` with pixels RGB, row-major, top-down:
 
     * **PNG** (8-byte signature): 8-bit RGB, stdlib-zlib inflate, CRC
-      checks, all five scanline filters (r14 — the compressed format).
+      checks, all five scanline filters (r14 — the DEFLATE format).
+    * **GIF** (``GIF87a``/``GIF89a``): palette + variable-width LZW,
+      extension skipping; a multi-frame animation decodes to its FIRST
+      frame here (``decode_gif`` returns them all — the video path).
     * **BMP** (``BM`` magic): 24-bit uncompressed BI_RGB — undoes the
       bottom-up row order, 4-byte row padding and BGR channel order;
       top-down (negative height) files handled too.
@@ -314,14 +664,17 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     buf = bytes(buf)
     if buf[:8] == PNG_MAGIC:
         return _decode_png(buf)
+    if buf[:6] in (GIF_MAGIC87, GIF_MAGIC89):
+        w, h, frames = decode_gif(buf)
+        return w, h, frames[0]
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
     if buf[:2] == b"P6":
         return _decode_ppm(buf)
     raise NotImplementedError(
-        "only PNG (8-bit RGB), BMP (24-bit BI_RGB) and P6 PPM decode in "
-        "this codec-less container; other formats need an image library "
-        "not present here"
+        "only PNG (8-bit RGB), GIF, BMP (24-bit BI_RGB) and P6 PPM decode "
+        "in this codec-less container; other formats need an image "
+        "library not present here"
     )
 
 
@@ -360,6 +713,23 @@ def _png_px_sum(payload: bytes) -> int:
     return sum(decoded) % CHECKSUM_MOD
 
 
+def _gif_px_sum(payload: bytes) -> int:
+    """The _decoded_px_sum discipline for the LZW codec: encode the
+    payload's leading 3·GIF_W·GIF_H bytes as a real single-frame GIF
+    (palette + variable-width LZW + extension blocks), decode it back,
+    checksum the DECODED pixels.  Equal to the source-byte sum mod
+    CHECKSUM_MOD only when the LZW dictionary walk and palette indexing
+    are correct."""
+    need = 3 * GIF_W * GIF_H
+    px = bytes(payload[:need]).ljust(need, b"\x00")
+    _, _, decoded = decode_image(encode_gif([px], GIF_W, GIF_H))
+    if decoded != px:
+        raise ValueError(
+            f"GIF round-trip mismatch: encoded {px!r} decoded to {decoded!r}"
+        )
+    return sum(decoded) % CHECKSUM_MOD
+
+
 def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = pdf["payload"]
@@ -373,6 +743,7 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "n_frames": payloads.map(lambda b: len(b) // FRAME_BYTES),
                 "decoded_px_sum": payloads.map(_decoded_px_sum),
                 "png_px_sum": payloads.map(_png_px_sum),
+                "gif_px_sum": payloads.map(_gif_px_sum),
             }
         )
 

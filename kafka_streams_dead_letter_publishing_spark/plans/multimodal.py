@@ -22,6 +22,8 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
     CHECKSUM_MOD,
     CHECKSUM_PREFIX,
     FRAME_BYTES,
+    GIF_H,
+    GIF_W,
     PNG_H,
     PNG_W,
     PX_H,
@@ -58,7 +60,12 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
                     [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
                      for i in generate_series(1, least(octet_length(encode(text)),
                                                        {3 * PNG_W * PNG_H}))]), 0)
-                % {CHECKSUM_MOD} AS BIGINT) AS png_px_sum
+                % {CHECKSUM_MOD} AS BIGINT) AS png_px_sum,
+           CAST(COALESCE(list_sum(
+                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(encode(text)),
+                                                       {3 * GIF_W * GIF_H}))]), 0)
+                % {CHECKSUM_MOD} AS BIGINT) AS gif_px_sum
     FROM documents
     """,
     doc="[EXT] Multimodal feature extraction: binary payload column → "
@@ -74,7 +81,12 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
     "real stdlib-zlib PNG encode→decode per row with a CYCLING scanline "
     "filter (5 rows = all five of None/Sub/Up/Average/Paeth exercised), "
     "CRC-checked chunk walk, inflate — equal to the source-byte sum only "
-    "when every unfilter path is correct.",
+    "when every unfilter path is correct.  gif_px_sum does the same for "
+    "the SECOND compression family: a real GIF89a encode→decode per row "
+    "(palette build, variable-width LZW with LSB-first bit packing, "
+    "extension-block skipping) over a deliberately different prefix "
+    "length (90 vs PNG's 75 bytes) so the two columns can't shadow each "
+    "other's bugs.",
     tags=("multimodal",),
 )
 def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:

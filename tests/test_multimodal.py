@@ -352,3 +352,101 @@ def test_png_px_sum_exercises_codec_per_row(spark, payload_df):
     for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
         raw = text.encode()
         assert got[doc_id] == sum(raw[: 3 * PNG_W * PNG_H]) % CHECKSUM_MOD
+
+
+def test_gif_golden_fixture_decodes_exactly():
+    """Hand-assembled 2x1 GIF with a 2-color global table and a hand-packed
+    LZW stream: mcs=2 → codes (clear=4, eoi=5) at 3 bits.  Stream: clear(4),
+    px0(1), px1(0), eoi(5) = 100 110 000 101 LSB-first → 0x34 0x29 ... the
+    decoder must map indices through the palette in stored order."""
+    # palette: idx0=(10,20,30), idx1=(40,50,60); pixels: idx1 then idx0
+    pal = bytes([10, 20, 30, 40, 50, 60]) + b"\x00" * 6  # padded to 4 entries
+    # LZW codes at width 3: 4, 1, 0, 5 → bits LSB-first:
+    # 4=100, 1=001, 0=000, 5=101 → byte0 = 100 | 001<<3 | (000&11)<<6 = 0x0c
+    # remaining: 0>>2=0 (1 bit) | 101<<1 = 1010_ → 0x0a
+    lzw = bytes([0x0C, 0x0A])
+    buf = (
+        b"GIF89a"
+        + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80 | 0x70 | 0x01]) + b"\x00\x00"  # GCT, 4 entries
+        + pal
+        + b"\x2c" + b"\x00\x00\x00\x00"
+        + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + b"\x00"          # no local table
+        + bytes([2])       # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    assert decode_image(buf) == (2, 1, bytes([40, 50, 60, 10, 20, 30]))
+
+
+def test_gif_multiframe_animation_roundtrip():
+    """4 random-ish frames whose color union overflows 256 → the encoder
+    must fall back to per-frame LOCAL color tables; the decoder returns
+    every frame, in order, through the NETSCAPE + GCE extension blocks."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    frames = [
+        bytes((37 * i + 11 * j + 5) % 256 for i in range(3 * 16 * 16))
+        for j in range(4)
+    ]
+    gif = encode_gif(frames, 16, 16)
+    assert b"NETSCAPE2.0" in gif
+    assert decode_gif(gif) == (16, 16, frames)
+
+
+def test_gif_single_frame_uses_global_table():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    px = bytes((7 * i + 3) % 256 for i in range(3 * 4 * 3))
+    gif = encode_gif([px], 4, 3)
+    assert gif[10] & 0x80  # global color table flag set
+    assert b"NETSCAPE2.0" not in gif  # single frame: no loop extension
+    assert decode_gif(gif) == (4, 3, [px])
+    assert decode_image(gif) == (4, 3, px)  # decode_image → first frame
+
+
+def test_gif_corruption_fails_loudly():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    px = bytes(range(3 * 4 * 2))
+    good = encode_gif([px], 4, 2)
+    with pytest.raises(ValueError, match="no trailer"):
+        decode_gif(good[:-1])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:16])
+    with pytest.raises(ValueError, match="partial-canvas"):
+        bad = bytearray(good)
+        i = bad.index(0x2C, 13)  # image descriptor introducer
+        bad[i + 1] = 1  # left offset 1
+        decode_gif(bytes(bad))
+    with pytest.raises(ValueError, match="interlaced"):
+        bad = bytearray(good)
+        i = bad.index(0x2C, 13)
+        bad[i + 9] |= 0x40
+        decode_gif(bytes(bad))
+    # a sub-block that declares more bytes than the file holds
+    with pytest.raises(ValueError, match="truncated"):
+        bad = bytearray(good)
+        bad[-2] = 255  # the 0x00 block terminator becomes a 255-byte claim
+        decode_gif(bytes(bad))
+
+
+def test_gif_px_sum_exercises_codec_per_row(spark, payload_df):
+    """The registry row's gif_px_sum column comes from a real LZW
+    encode→decode cycle; equals the source-byte sum for every doc."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import GIF_H, GIF_W
+
+    got = {r.doc_id: r.gif_px_sum for r in extract_features(payload_df).collect()}
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+        raw = text.encode()
+        assert got[doc_id] == sum(raw[: 3 * GIF_W * GIF_H]) % CHECKSUM_MOD

@@ -804,3 +804,63 @@ def test_png_roundtrip_fuzz(w, h, data):
         )
     )
     assert decode_image(encode_png(px, w, h)) == (w, h, px)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    n_frames=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_gif_roundtrip_fuzz(w, h, n_frames, data):
+    """decode(encode(frames)) == frames through the LZW codec — arbitrary
+    RGB content, single- and multi-frame (the animation path adds the
+    NETSCAPE loop extension and per-frame graphic-control extensions the
+    chunk walk must skip), variable code widths, and whichever color-table
+    mode (global vs per-frame local) the palette union forces."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=3 * w * h,
+                    max_size=3 * w * h,
+                )
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    assert decode_gif(encode_gif(frames, w, h)) == (w, h, frames)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.data(),
+)
+def test_gif_lzw_stream_fuzz(mcs, data):
+    """The raw LZW layer round-trips any index stream at any min-code-size
+    — including the all-distinct-symbols shape that pins the EARLY width
+    change (the decoder's table lags the encoder's by one entry, so both
+    sides must widen one entry apart or the EOI is read a bit short)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    seq = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                min_size=0,
+                max_size=4000,
+            )
+        )
+    )
+    assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
