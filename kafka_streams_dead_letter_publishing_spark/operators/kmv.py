@@ -1,10 +1,13 @@
 """KMV (k-minimum-values) distinct sketch with a streamed store ([EXT]).
 
-The registry row ``events_kmv_distinct_users`` (plans/relational.py) pins
-the one-shot estimator — Bar-Yossef et al. 2002: the K smallest md5
+The one-shot estimator — Bar-Yossef et al. 2002: the K smallest md5
 values of a key column are a deterministic SET, the estimate
 ``(K-1) * 2^52 DIV kth_min`` is exact integer arithmetic, and groups
-below capacity report their exact distinct count.  This module adds the
+below capacity report their exact distinct count — is driver-gated
+through ``events_kmv_streamed_distinct`` (plans/relational.py; the
+one-shot row ``events_kmv_distinct_users`` was retired r14 because the
+streamed twin's oracle is its SQL verbatim) and set algebra over two
+sketches through ``events_kmv_set_ops``.  This module adds the
 STREAMED store the r11 verdict asked for (#4): per-batch sketches append
 under the repo's epoch contract so approximate-distinct stays current on
 a growing event stream with zero re-scans, exactly like the BM25
@@ -45,6 +48,27 @@ KMV_K = 64
 KMV_SCALE = 1 << 52  # 13 hex chars
 
 
+def _k_smallest(h: DataFrame, k: int) -> DataFrame:
+    """The k smallest (group, h) rows per group, two-phase: a
+    partition-local window on (pid, group) cuts each physical partition
+    to its own k smallest (any global minimum is necessarily a
+    partition-local minimum), so the global rank runs over <= P*k
+    survivors — sketch metadata, never data volume."""
+    staged = h.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "group").orderBy(F.asc("h"))
+    local = (
+        staged.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("pid", "rn")
+    )
+    w_global = Window.partitionBy("group").orderBy(F.asc("h"))
+    return (
+        local.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
 ) -> DataFrame:
@@ -66,19 +90,7 @@ def kmv_sketch(
         .filter(F.col("h").isNotNull())
         .distinct()
     )
-    staged = h.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("pid", "group").orderBy(F.asc("h"))
-    local = (
-        staged.withColumn("rn", F.row_number().over(w_local))
-        .filter(F.col("rn") <= k)
-        .drop("pid", "rn")
-    )
-    w_global = Window.partitionBy("group").orderBy(F.asc("h"))
-    return (
-        local.withColumn("rn", F.row_number().over(w_global))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _k_smallest(h, k)
 
 
 def kmv_append(
@@ -142,19 +154,7 @@ def kmv_read_mins(spark, path: str, k: int = KMV_K) -> DataFrame:
         .select("group", "h")
         .distinct()
     )
-    staged = merged.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("pid", "group").orderBy(F.asc("h"))
-    local = (
-        staged.withColumn("rn", F.row_number().over(w_local))
-        .filter(F.col("rn") <= k)
-        .drop("pid", "rn")
-    )
-    w_global = Window.partitionBy("group").orderBy(F.asc("h"))
-    return (
-        local.withColumn("rn", F.row_number().over(w_global))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _k_smallest(merged, k)
 
 
 def kmv_estimate(spark, path: str, k: int = KMV_K) -> DataFrame:
@@ -180,6 +180,132 @@ def kmv_estimate(spark, path: str, k: int = KMV_K) -> DataFrame:
         "group", F.col("nh").cast("long").alias("nh"),
         est.cast("long").alias("est"),
     )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = KMV_K,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Distinct-cardinality SET OPERATIONS from two KMV sketches — the
+    theta-sketch trick (Beyer et al., SIGMOD 2007, "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations"): one row of
+    exact-integer union / intersection estimates for the distinct
+    ``key_col`` sets of ``df_a`` and ``df_b``.
+
+    Why this is sound: the k smallest hashes of A ∪ B are exactly the k
+    smallest of (mins(A) ∪ mins(B)) — a global minimum of the union is a
+    minimum of one side — so the union sketch builds from the two side
+    sketches alone.  And for every hash h retained by the union sketch
+    (h <= kth_u), membership in the FULL set A is equivalent to
+    membership in mins(A): kth_u <= kth_a whenever A is at capacity
+    (the union's k-th smallest is drawn from a superset of mins(A)), so
+    h <= kth_u <= kth_a puts any h ∈ A inside A's k smallest.  The
+    retained hashes below kth_u are therefore a uniform sample of A ∪ B
+    with EXACT membership flags, and
+
+        est_union        = (k-1) * 2^52 DIV kth_u        (Bar-Yossef)
+        est_intersection = n_both * (est_union DIV k)    (Beyer Kε/K · Dᵤ)
+
+    — all integer arithmetic on deterministic hash SETS, which is what
+    makes the estimator oracle-replayable when HLL/theta register
+    layouts are not.  DIV-first in the intersection keeps the product
+    inside BIGINT even for a degenerate all-zero-hex kth (the
+    GREATEST(..,1) guard's companion).  Below union capacity
+    (nu < k) every hash survived, so union and intersection are exact.
+
+    Columns (one row, all BIGINT): exact_a, exact_b, exact_union,
+    exact_intersection (truth over the real keys — the validation
+    baseline you drop at 100 TB; ``with_exact=False`` skips that scan),
+    nh_a, nh_b, est_a, est_b, n_both, est_union, est_intersection.
+
+    Scale shape: each side sketch is one hash-shuffle (distinct) plus
+    the two-phase k-smallest cut; everything after the side sketches is
+    <= 2k metadata rows, and the final assembly is 1-row broadcast
+    crossJoins."""
+    tagged = df_a.select(
+        F.lit("a").alias("group"), F.col(key_col).alias("key")
+    ).unionByName(
+        df_b.select(F.lit("b").alias("group"), F.col(key_col).alias("key"))
+    )
+    mins = kmv_sketch(tagged, "group", "key", k)
+    # membership flags per retained hash: <= 2k metadata rows
+    memb = mins.groupBy("h").agg(
+        F.max(F.when(F.col("group") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("group") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    # union sketch: k smallest of the <= 2k distinct retained hashes
+    u = _k_smallest(
+        memb.select(F.lit("u").alias("group"), "h").distinct(), k
+    )
+    ustats = (
+        u.join(memb, "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nu"),
+            F.max("h").alias("kth_u"),
+            # COALESCE: a fully-empty input pair leaves SUM-over-nothing
+            # NULL; n_both is a count and reads 0
+            F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    side_stats = mins.agg(
+        F.coalesce(F.sum(F.when(F.col("group") == "a", 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("nh_a"),
+        F.max(F.when(F.col("group") == "a", F.col("h"))).alias("kth_a"),
+        F.coalesce(F.sum(F.when(F.col("group") == "b", 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("nh_b"),
+        F.max(F.when(F.col("group") == "b", F.col("h"))).alias("kth_b"),
+    )
+    stats = F.broadcast(side_stats).crossJoin(F.broadcast(ustats))
+
+    def _est(nh: str, kth: str):
+        return F.when(F.col(nh) < k, F.col(nh)).otherwise(
+            F.expr(
+                f"({k - 1}L * {KMV_SCALE}L) DIV "
+                f"GREATEST(CAST(conv({kth}, 16, 10) AS BIGINT), 1L)"
+            )
+        )
+
+    out = stats.withColumn(
+        "est_union", _est("nu", "kth_u").cast("long")
+    ).select(
+        "nh_a",
+        "nh_b",
+        _est("nh_a", "kth_a").cast("long").alias("est_a"),
+        _est("nh_b", "kth_b").cast("long").alias("est_b"),
+        "n_both",
+        "est_union",
+        # integer DIV first (never float: IEEE rounding would drift
+        # between engines), product second — overflow-safe by DIV-first
+        F.when(F.col("nu") < k, F.col("n_both"))
+        .otherwise(F.expr(f"n_both * (est_union DIV {k}L)"))
+        .cast("long")
+        .alias("est_intersection"),
+    )
+    if not with_exact:
+        return out
+    per_key = (
+        tagged.filter(F.col("key").isNotNull())
+        .distinct()
+        .groupBy("key")
+        .agg(
+            F.max(F.when(F.col("group") == "a", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("group") == "b", 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    exact = per_key.agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersection"),
+    )
+    return F.broadcast(exact).crossJoin(out)
 
 
 def kmv_compact(spark, src_path: str, dst_path: str, k: int = KMV_K) -> None:

@@ -1940,59 +1940,23 @@ KMV_K = 64
 _KMV_SCALE = 1 << 52  # 13 hex chars
 
 
-@query(
-    "events_kmv_distinct_users",
-    f"""
-    WITH h AS (
-        -- NULL ids drop (COUNT DISTINCT semantics; also removes the
-        -- NULLS-FIRST-vs-LAST window-ordering divergence between engines)
-        SELECT DISTINCT event_type,
-               substring(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
-        FROM events WHERE user_id IS NOT NULL
-    ),
-    mins AS (
-        SELECT event_type, h FROM (
-            SELECT event_type, h,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY event_type ORDER BY h
-                   ) AS rn
-            FROM h
-        ) WHERE rn <= {KMV_K}
-    ),
-    ex AS (
-        SELECT event_type, COUNT(*) AS exact_users FROM h GROUP BY 1
-    ),
-    km AS (
-        SELECT event_type, MAX(h) AS kth, COUNT(*) AS nh
-        FROM mins GROUP BY 1
-    )
-    SELECT e.event_type, CAST(e.exact_users AS BIGINT) AS exact_users,
-           CAST(CASE WHEN m.nh < {KMV_K} THEN m.nh
-                ELSE ({KMV_K - 1} * {_KMV_SCALE})
-                     // GREATEST(CAST(('0x' || m.kth) AS BIGINT), 1) END
-                AS BIGINT) AS est_users
-    FROM ex e JOIN km m USING (event_type)
-    """,
-    doc="[EXT] KMV (k-minimum-values) distinct sketch — the "
-    "oracle-replayable companion to events_approx_distinct_users: HLL "
-    "register layouts are engine-specific (that row is rows-only by "
-    "design), but the KMV estimator (Bar-Yossef et al. 2002) is nothing "
-    "engines can disagree on — the K smallest md5 values of the key are "
-    "a deterministic SET, and the estimate (K-1)*2^52 DIV kth_min is "
-    "exact integer arithmetic.  Hashes stay 13-char lowercase-hex "
-    "STRINGS through the ordering (fixed-width hex compares identically "
-    "as a string in both engines — the hash_split trick); only the one "
-    "kth value per group parses to an integer.  Groups with fewer than "
-    "K distinct keys report their exact count (the sketch is exact below "
-    "its capacity).  exact_users rides along so the artifact shows the "
-    "estimator's error against truth (expected ~1/sqrt(K-2) ~ 13%).  "
-    "Scale shape: the distinct is one hash-shuffle; the top-K is the "
-    "repo's two-phase cut (partition-local window on (pid, event_type), "
-    "global rank over the <= P*K survivors); sketches MERGE by "
-    "union-then-retake-K (pytest-pinned), the CMS mergeability contract.",
-    tags=("events", "approx", "sketch"),
-)
+# NOTE (r14): events_kmv_distinct_users (the ONE-SHOT per-event-type KMV
+# estimate) was RETIRED from the registry at the 100-row hygiene cap to
+# make room for events_kmv_set_ops (the theta-sketch union/intersection
+# estimator below).  Nothing is lost: events_kmv_streamed_distinct's
+# ORACLE is this row's one-shot sketch SQL VERBATIM (minus the
+# exact-truth column) — the KMV merge law makes the streamed read
+# bit-identical to a single-pass build — so the Bar-Yossef estimator
+# stays driver-checked every rotation, and the new set-ops row carries
+# exact-truth columns alongside its estimates.  The one-shot Spark path
+# stays pytest-pinned (tests/test_cms.py, tests/test_kmv_store.py).
+# Same retirement pattern as r14's docs_bloom_dedup_gate and
+# emb_multi_query_topk.
 def events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-shot KMV (k-minimum-values) distinct sketch per
+    event_type — Bar-Yossef et al. 2002: exact_users truth alongside
+    the (K-1)*2^52 DIV kth_min exact-integer estimate, exact below
+    capacity, two-phase k-smallest cut (see operators/kmv.py)."""
     ev = load_table(spark, sf_dir, "events")
     h = (
         ev.select(
@@ -2117,6 +2081,123 @@ def events_kmv_streamed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nh").cast("long").alias("n_sketch"),
         F.col("est").cast("long").alias("est_users"),
     )
+
+
+@query(
+    "events_kmv_set_ops",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT 'a' AS side, user_id AS key FROM events
+        WHERE event_type = 'purchase' AND "value" > 150 AND user_id IS NOT NULL
+        UNION
+        SELECT DISTINCT 'b' AS side, user_id AS key FROM events
+        WHERE event_type = 'click' AND "value" > 150 AND user_id IS NOT NULL
+    ),
+    per_key AS (
+        SELECT key,
+               MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+        FROM keys GROUP BY 1
+    ),
+    exact AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+               CAST(SUM(in_b) AS BIGINT) AS exact_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersection
+        FROM per_key
+    ),
+    h AS (
+        SELECT DISTINCT side, substring(md5(CAST(key AS VARCHAR)), 1, 13) AS h
+        FROM keys
+    ),
+    mins AS (
+        SELECT side, h FROM (
+            SELECT side, h,
+                   ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {KMV_K}
+    ),
+    memb AS (
+        SELECT h,
+               MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS in_b
+        FROM mins GROUP BY 1
+    ),
+    u AS (
+        -- k smallest of (mins_a UNION mins_b) IS the union's KMV sketch
+        SELECT h, in_a, in_b FROM (
+            SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM memb
+        ) WHERE rn <= {KMV_K}
+    ),
+    side_stats AS (
+        SELECT COALESCE(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END), 0) AS nh_a,
+               MAX(CASE WHEN side = 'a' THEN h END) AS kth_a,
+               COALESCE(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END), 0) AS nh_b,
+               MAX(CASE WHEN side = 'b' THEN h END) AS kth_b
+        FROM mins
+    ),
+    ustats AS (
+        SELECT COUNT(*) AS nu, MAX(h) AS kth_u,
+               COALESCE(SUM(in_a * in_b), 0) AS n_both
+        FROM u
+    ),
+    est AS (
+        SELECT nh_a, nh_b, n_both, nu,
+               CASE WHEN nh_a < {KMV_K} THEN nh_a
+                    ELSE ({KMV_K - 1} * {_KMV_SCALE})
+                         // GREATEST(CAST(('0x' || kth_a) AS BIGINT), 1) END AS est_a,
+               CASE WHEN nh_b < {KMV_K} THEN nh_b
+                    ELSE ({KMV_K - 1} * {_KMV_SCALE})
+                         // GREATEST(CAST(('0x' || kth_b) AS BIGINT), 1) END AS est_b,
+               CASE WHEN nu < {KMV_K} THEN nu
+                    ELSE ({KMV_K - 1} * {_KMV_SCALE})
+                         // GREATEST(CAST(('0x' || kth_u) AS BIGINT), 1) END AS est_union
+        FROM side_stats, ustats
+    )
+    SELECT e.exact_a, e.exact_b, e.exact_union, e.exact_intersection,
+           CAST(s.nh_a AS BIGINT) AS nh_a, CAST(s.nh_b AS BIGINT) AS nh_b,
+           CAST(s.est_a AS BIGINT) AS est_a, CAST(s.est_b AS BIGINT) AS est_b,
+           CAST(s.n_both AS BIGINT) AS n_both,
+           CAST(s.est_union AS BIGINT) AS est_union,
+           CAST(CASE WHEN s.nu < {KMV_K} THEN s.n_both
+                ELSE s.n_both * (s.est_union // {KMV_K}) END AS BIGINT)
+               AS est_intersection
+    FROM exact e, est s
+    """,
+    doc="[EXT] KMV SET OPERATIONS — distinct union / intersection "
+    "cardinalities of two user sets (high-value purchasers vs "
+    "high-value clickers) from their k-minimum-values sketches alone, "
+    "the theta-sketch trick (Beyer et al., SIGMOD 2007): the k smallest "
+    "hashes of A UNION B are exactly the k smallest of mins(A) UNION "
+    "mins(B), and for every retained hash membership in the FULL side "
+    "set equals membership in the side sketch (kth_u <= kth_side at "
+    "capacity), so the union sketch is a uniform sample with EXACT "
+    "membership flags: est_union = (K-1)*2^52 DIV kth_u, "
+    "est_intersection = n_both * (est_union DIV K) — all deterministic "
+    "integer arithmetic on hash SETS, which is what HLL/theta register "
+    "layouts can never give a cross-engine oracle.  Exact truth columns "
+    "ride along (the validation baseline you drop at 100 TB).  Both "
+    "sides sit ABOVE the K=64 capacity at every test SF with genuine "
+    "partial overlap (sf0.01: |A|=67, |B|=75, intersection 31), so the "
+    "estimator path — not the exact fallback — is what the driver "
+    "hashes.  Scale shape: two pushed-filter scans, one hash-shuffle "
+    "distinct + two-phase k-smallest per side; everything downstream of "
+    "the side sketches is <= 2K metadata rows and 1-row broadcast "
+    "crossJoins (operators/kmv.py:kmv_set_ops).",
+    tags=("events", "approx", "sketch", "bench"),
+)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_set_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 150)
+    ).select("user_id")
+    return kmv_set_ops(a, b, "user_id", KMV_K)
 
 
 #: per-process histogram store cache (the _KMV_STORE_CACHE pattern).

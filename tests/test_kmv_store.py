@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
+    kmv_set_ops,
     KMV_K,
     KMV_SCALE,
     kmv_append,
@@ -154,9 +155,15 @@ def test_streamed_registry_row_matches_one_shot_row(spark):
         (r.event_type, r.est_users)
         for r in QUERIES["events_kmv_streamed_distinct"].spark(spark, sf).collect()
     }
+    # the one-shot row was retired from the registry r14 (its streamed
+    # twin oracles the same SQL) — the function itself stays pinned here
+    from kafka_streams_dead_letter_publishing_spark.plans.relational import (
+        events_kmv_distinct_users,
+    )
+
     oneshot = {
         (r.event_type, r.est_users)
-        for r in QUERIES["events_kmv_distinct_users"].spark(spark, sf).collect()
+        for r in events_kmv_distinct_users(spark, sf).collect()
     }
     assert streamed == oneshot and streamed
 
@@ -190,6 +197,7 @@ def test_null_and_negative_keys_across_batches(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
+    kmv_set_ops,
         kmv_append,
         kmv_read_mins,
         kmv_sketch,
@@ -213,3 +221,107 @@ def test_null_and_negative_keys_across_batches(spark, tmp_path):
             K,
         )
     assert _mins_set(kmv_read_mins(spark, path, K)) == got
+
+
+# ── kmv_set_ops: theta-sketch union/intersection estimates ──────────────
+
+
+def _py_set_ops(a_keys, b_keys, k):
+    """Python reference of the exact-integer estimator in kmv_set_ops."""
+
+    def hs(keys):
+        return {
+            hashlib.md5(str(x).encode()).hexdigest()[:13]
+            for x in keys
+            if x is not None
+        }
+
+    full_a, full_b = hs(a_keys), hs(b_keys)
+    mins_a, mins_b = set(sorted(full_a)[:k]), set(sorted(full_b)[:k])
+    u = sorted(mins_a | mins_b)[:k]
+    nu = len(u)
+    n_both = sum(1 for h in u if h in mins_a and h in mins_b)
+
+    def est(nh, kth):
+        return nh if nh < k else (k - 1) * KMV_SCALE // max(int(kth, 16), 1)
+
+    est_union = est(nu, u[-1]) if u else 0
+    sa = {x for x in a_keys if x is not None}
+    sb = {x for x in b_keys if x is not None}
+    return {
+        "exact_a": len(sa),
+        "exact_b": len(sb),
+        "exact_union": len(sa | sb),
+        "exact_intersection": len(sa & sb),
+        "nh_a": len(mins_a),
+        "nh_b": len(mins_b),
+        "est_a": est(len(mins_a), max(mins_a) if mins_a else "0"),
+        "est_b": est(len(mins_b), max(mins_b) if mins_b else "0"),
+        "n_both": n_both,
+        "est_union": est_union,
+        "est_intersection": n_both if nu < k else n_both * (est_union // k),
+    }
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(x,) for x in keys], "user_id long")
+
+
+def _setops_row(spark, a_keys, b_keys, k, **kw):
+    row = kmv_set_ops(
+        _keys_df(spark, a_keys), _keys_df(spark, b_keys), "user_id", k, **kw
+    ).collect()
+    assert len(row) == 1
+    return row[0].asDict()
+
+
+def test_set_ops_matches_python_reference_above_capacity(spark):
+    # partial overlap, both sides well above K=8 capacity
+    a = [i * 3 for i in range(40)]
+    b = [i * 3 for i in range(20, 60)]
+    got = _setops_row(spark, a, b, K)
+    assert got == _py_set_ops(a, b, K)
+
+
+def test_set_ops_exact_below_capacity(spark):
+    a, b = [1, 2, 3, 4], [3, 4, 5]
+    got = _setops_row(spark, a, b, K)
+    assert got["est_union"] == got["exact_union"] == 5
+    assert got["est_intersection"] == got["exact_intersection"] == 2
+    assert got["est_a"] == 4 and got["est_b"] == 3
+    assert got == _py_set_ops(a, b, K)
+
+
+def test_set_ops_disjoint_and_identical(spark):
+    a = list(range(30))
+    b = list(range(100, 130))
+    d = _setops_row(spark, a, b, K)
+    assert d["n_both"] == 0 and d["est_intersection"] == 0
+    assert d["exact_intersection"] == 0
+    i = _setops_row(spark, a, a, K)
+    # identical sets: every retained union hash is in both sketches, so
+    # n_both == nu == K and est_intersection == K * (est_union DIV K)
+    assert i["n_both"] == K
+    assert i["est_union"] == i["est_a"] == i["est_b"]
+    assert i["est_intersection"] == K * (i["est_union"] // K)
+    assert i == _py_set_ops(a, a, K)
+
+
+def test_set_ops_nulls_and_empty_sides(spark):
+    a = [1, None, 2, None, 3]
+    b = [None, 3]
+    got = _setops_row(spark, a, b, K)
+    assert got == _py_set_ops(a, b, K)
+    assert got["exact_a"] == 3 and got["exact_b"] == 1
+
+    e = _setops_row(spark, [None], [None], K)
+    assert e["exact_union"] == 0 and e["est_union"] == 0
+    assert e["n_both"] == 0 and e["est_intersection"] == 0
+
+
+def test_set_ops_without_exact_skips_truth_columns(spark):
+    got = _setops_row(spark, [1, 2], [2, 3], K, with_exact=False)
+    assert set(got) == {
+        "nh_a", "nh_b", "est_a", "est_b", "n_both", "est_union",
+        "est_intersection",
+    }

@@ -74,6 +74,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "BroadcastNestedLoopJoin",
     ): "crossJoin against the broadcast 1-row dimension-bounds aggregate",
     (
+        "events_kmv_set_ops",
+        "BroadcastNestedLoopJoin",
+    ): "1-row assembly crossJoins: broadcast side-sketch stats x union "
+    "stats x exact-truth aggregate — each side is a single metadata row",
+    (
         "events_hist_quantiles",
         "Window",
     ): "cumulative-sum/total windows over the METADATA-sized histogram "
@@ -144,9 +149,13 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             "emb_ivfpq_batch_topk",
             "docs_bm25_topk",
             "docs_bm25_served_topk",
-            # KMV sketch: local window on (pid, event_type), global rank
-            # over the <= P*K survivors — same two-phase cut, K smallest
-            "events_kmv_distinct_users",
+            # events_kmv_distinct_users retired r14 (its streamed twin
+            # oracles the same one-shot SQL); the one-shot path stays
+            # pytest-pinned in tests/test_cms.py / tests/test_kmv_store.py
+            # KMV set ops: per-side two-phase cut on (pid, side)/(side),
+            # then the union re-cut over the <= 2K retained hashes —
+            # every window input is sketch metadata
+            "events_kmv_set_ops",
             # projected-space nearest neighbors (r12 deflation row):
             # same shape, ranked by integer squared-L2 ascending
             "emb_pca_deflated_neighbors",
@@ -195,7 +204,12 @@ def _benign_scalar_agg_exchange(plan_lines: list[str], i: int) -> bool:
     exchange moves <= #partitions pre-aggregated rows, not data.  Any
     other SinglePartition is a serial stage and a violation."""
     below = " ".join(plan_lines[i + 1 : i + 3])
-    return "partial_" in below and "HashAggregate(keys=[]" in below
+    # SortAggregate(key=[]) is the same scalar-final shape: Spark picks it
+    # over HashAggregate when an agg function lacks a hash buffer (e.g.
+    # MAX over a STRING column — the KMV kth hex hashes)
+    return "partial_" in below and (
+        "HashAggregate(keys=[]" in below or "SortAggregate(key=[]" in below
+    )
 
 
 def main() -> int:
