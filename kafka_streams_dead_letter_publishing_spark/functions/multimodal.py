@@ -22,9 +22,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    solid_roundtrip_rgb,
+)
+
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint, "
-    "decoded_px_sum bigint, png_px_sum bigint, gif_px_sum bigint"
+    "decoded_px_sum bigint, png_px_sum bigint, gif_px_sum bigint, "
+    "jpeg_px_sum bigint"
 )
 
 CHECKSUM_PREFIX = 64
@@ -43,6 +50,15 @@ PX_W, PX_H = 5, 2  # odd row width forces nonzero BMP row padding
 #: exercises ALL FIVE unfilter paths (None/Sub/Up/Average/Paeth) on every
 #: single row's encode→decode cycle
 PNG_W, PNG_H = 5, 5
+
+#: JPEG thumbnail: one full 4:2:0 MCU (16x16 = 4 luma + 2 chroma blocks,
+#: so subsampling, MCU interleave and zero-diff DC prediction are all on
+#: the per-row path); the image is SOLID (color = first 3 payload bytes)
+#: because JPEG is LOSSY — a solid image is DC-only in every block and
+#: the whole chain collapses to the closed-form integer expression the
+#: oracle replays (functions/jpeg.py solid_roundtrip_rgb)
+JPEG_W, JPEG_H = 16, 16
+JPEG_QUALITY = 90
 
 
 def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
@@ -649,6 +665,10 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
 
     * **PNG** (8-byte signature): 8-bit RGB, stdlib-zlib inflate, CRC
       checks, all five scanline filters (r14 — the DEFLATE format).
+    * **JPEG** (``FF D8 FF``): baseline sequential DCT — Huffman decode
+      from the file's DHT, integer Loeffler IDCT, restart markers,
+      4:4:4/4:2:2/4:2:0 and grayscale (r14 — the LOSSY format;
+      ``functions/jpeg.py``).  Progressive/arithmetic/12-bit raise.
     * **GIF** (``GIF87a``/``GIF89a``): palette + variable-width LZW,
       extension skipping; a multi-frame animation decodes to its FIRST
       frame here (``decode_gif`` returns them all — the video path).
@@ -659,11 +679,13 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
 
     Corrupt/truncated files of a RECOGNIZED format raise ``ValueError``
     (fail loudly, the LSH dim-guard philosophy); formats this container
-    has no library for (JPEG/WebP/...) keep the documented
+    has no library for (WebP/AVIF/MP4/...) keep the documented
     ``NotImplementedError`` stub path."""
     buf = bytes(buf)
     if buf[:8] == PNG_MAGIC:
         return _decode_png(buf)
+    if buf[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(buf)
     if buf[:6] in (GIF_MAGIC87, GIF_MAGIC89):
         w, h, frames = decode_gif(buf)
         return w, h, frames[0]
@@ -672,9 +694,9 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     if buf[:2] == b"P6":
         return _decode_ppm(buf)
     raise NotImplementedError(
-        "only PNG (8-bit RGB), GIF, BMP (24-bit BI_RGB) and P6 PPM decode "
-        "in this codec-less container; other formats need an image "
-        "library not present here"
+        "only PNG (8-bit RGB), baseline JPEG, GIF, BMP (24-bit BI_RGB) "
+        "and P6 PPM decode in this codec-less container; other formats "
+        "(WebP/AVIF/MP4/...) need an image library not present here"
     )
 
 
@@ -730,6 +752,40 @@ def _gif_px_sum(payload: bytes) -> int:
     return sum(decoded) % CHECKSUM_MOD
 
 
+def _jpeg_px_sum(payload: bytes) -> int:
+    """The codec-gate discipline for the LOSSY format: the payload's
+    first 3 bytes become a SOLID 16x16 RGB color, run through a real
+    baseline-JPEG encode→decode (4:2:0 — one full MCU: 4 luma blocks
+    with zero-diff DC prediction, subsampled chroma, Huffman, bit
+    stuffing, integer IDCT) and checksummed.  JPEG is lossy so the
+    decoded bytes can't equal the source — instead every pixel must
+    equal the CLOSED-FORM integer prediction (solid_roundtrip_rgb),
+    which the oracle replays in SQL; any drift in quant scaling,
+    DC coding, the IDCT descale or the fixed-point color transforms
+    breaks the equality loudly."""
+    p = bytes(payload[:3]).ljust(3, b"\x00")
+    r, g, b = p[0], p[1], p[2]
+    w, h, decoded = decode_jpeg(
+        encode_jpeg(
+            bytes((r, g, b)) * (JPEG_W * JPEG_H),
+            JPEG_W,
+            JPEG_H,
+            quality=JPEG_QUALITY,
+            subsampling="420",
+        )
+    )
+    expect = solid_roundtrip_rgb(r, g, b, JPEG_QUALITY)
+    if (w, h) != (JPEG_W, JPEG_H) or any(
+        (decoded[i], decoded[i + 1], decoded[i + 2]) != expect
+        for i in range(0, len(decoded), 3)
+    ):
+        raise ValueError(
+            f"JPEG solid round-trip mismatch for rgb({r},{g},{b}): "
+            f"expected {expect} everywhere"
+        )
+    return sum(decoded) % CHECKSUM_MOD
+
+
 def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = pdf["payload"]
@@ -744,6 +800,7 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "decoded_px_sum": payloads.map(_decoded_px_sum),
                 "png_px_sum": payloads.map(_png_px_sum),
                 "gif_px_sum": payloads.map(_gif_px_sum),
+                "jpeg_px_sum": payloads.map(_jpeg_px_sum),
             }
         )
 

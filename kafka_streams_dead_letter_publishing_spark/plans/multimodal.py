@@ -18,12 +18,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+    CHR_QUANT_BASE,
+    LUM_QUANT_BASE,
+    quant_table,
+)
 from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
     CHECKSUM_MOD,
     CHECKSUM_PREFIX,
     FRAME_BYTES,
     GIF_H,
     GIF_W,
+    JPEG_QUALITY,
     PNG_H,
     PNG_W,
     PX_H,
@@ -34,6 +40,40 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
 from kafka_streams_dead_letter_publishing_spark.plans.registry import query
 from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 
+# ── the JPEG solid-color closed form in SQL (functions/jpeg.py) ──────────
+# SQL-fragment builders so the oracle's integer arithmetic is GENERATED
+# from the same constants the codec uses (quality-scaled q00 entries) —
+# the two can't drift apart silently.
+
+_Q00_LUM = quant_table(LUM_QUANT_BASE, JPEG_QUALITY)[0]
+_Q00_CHR = quant_table(CHR_QUANT_BASE, JPEG_QUALITY)[0]
+
+
+def _fdiv(num: str, den: int) -> str:
+    """FLOOR division of a possibly-negative integer expression — the
+    arithmetic-shift semantics of the codec's _descale, sign-split so
+    no dialect's negative-division convention can bite."""
+    return (
+        f"(CASE WHEN ({num}) >= 0 THEN ({num}) // {den} "
+        f"ELSE -((-({num}) + {den - 1}) // {den}) END)"
+    )
+
+
+def _clamp8_sql(e: str) -> str:
+    return f"LEAST(GREATEST({e}, 0), 255)"
+
+
+def _dc_chain_sql(v: str, q00: int) -> str:
+    """quantize(64*(v-128), 8*q00) → dequantize → IDCT DC shortcut:
+    clamp(128 + descale((qdc*q00) << 2, 5)) — the per-component closed
+    form of a DC-only block (jpeg.solid_roundtrip_rgb)."""
+    q8, half = 8 * q00, 4 * q00
+    qdc = (
+        f"(CASE WHEN {v} >= 128 THEN (64*({v} - 128) + {half}) // {q8} "
+        f"ELSE -((64*(128 - {v}) + {half}) // {q8}) END)"
+    )
+    return _clamp8_sql(f"128 + {_fdiv(f'({qdc} * {4 * q00} + 16)', 32)}")
+
 
 @query(
     "docs_payload_features",
@@ -43,30 +83,74 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
     # driver corpus is pure ASCII (char == byte), the same latent-divergence
     # class as the r3 gear-CDC finding
     f"""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    WITH bsrc AS (SELECT doc_id, encode(text) AS raw FROM documents),
+    jc AS (
+        -- the solid-color JPEG gate: color = first 3 payload bytes
+        -- (zero-padded, mirroring the engine's ljust)
+        SELECT doc_id,
+               CASE WHEN octet_length(raw) >= 1
+                    THEN CAST(('0x' || substring(hex(raw), 1, 2)) AS INTEGER)
+                    ELSE 0 END AS r,
+               CASE WHEN octet_length(raw) >= 2
+                    THEN CAST(('0x' || substring(hex(raw), 3, 2)) AS INTEGER)
+                    ELSE 0 END AS g,
+               CASE WHEN octet_length(raw) >= 3
+                    THEN CAST(('0x' || substring(hex(raw), 5, 2)) AS INTEGER)
+                    ELSE 0 END AS b
+        FROM bsrc
+    ),
+    ycc AS (
+        -- 16-bit fixed-point forward transform (always-positive
+        -- operands, so // is unambiguous) — jpeg.rgb_to_ycbcr
+        SELECT doc_id,
+               (19595*r + 38470*g + 7471*b + 32768) // 65536 AS y,
+               (-11059*r - 21709*g + 32768*b + 8421375) // 65536 AS cb,
+               (32768*r - 27439*g - 5329*b + 8421375) // 65536 AS cr
+        FROM jc
+    ),
+    dcq AS (
+        SELECT doc_id,
+               {_dc_chain_sql("y", _Q00_LUM)} AS yr,
+               {_dc_chain_sql("cb", _Q00_CHR)} AS cbr,
+               {_dc_chain_sql("cr", _Q00_CHR)} AS crr
+        FROM ycc
+    ),
+    jp AS (
+        -- inverse fixed-point transform (jpeg.ycbcr_to_rgb) and the
+        -- 16x16-solid pixel sum
+        SELECT doc_id,
+               CAST((256 * (
+                   {_clamp8_sql("yr + " + _fdiv("91881*(crr - 128) + 32768", 65536))}
+                 + {_clamp8_sql("yr + " + _fdiv("-22554*(cbr - 128) - 46802*(crr - 128) + 32768", 65536))}
+                 + {_clamp8_sql("yr + " + _fdiv("116130*(cbr - 128) + 32768", 65536))}
+               )) % {CHECKSUM_MOD} AS BIGINT) AS jpeg_px_sum
+        FROM dcq
+    )
+    SELECT bsrc.doc_id,
+           CAST(octet_length(raw) AS BIGINT) AS n_bytes,
            CAST(COALESCE(list_sum(
-                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
-                     for i in generate_series(1, least(octet_length(encode(text)),
+                    [CAST(('0x' || substring(hex(raw), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(raw),
                                                        {CHECKSUM_PREFIX}))]), 0)
                 % {CHECKSUM_MOD} AS BIGINT) AS checksum,
-           CAST(octet_length(encode(text)) // {FRAME_BYTES} AS BIGINT) AS n_frames,
+           CAST(octet_length(raw) // {FRAME_BYTES} AS BIGINT) AS n_frames,
            CAST(COALESCE(list_sum(
-                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
-                     for i in generate_series(1, least(octet_length(encode(text)),
+                    [CAST(('0x' || substring(hex(raw), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(raw),
                                                        {3 * PX_W * PX_H}))]), 0)
                 % {CHECKSUM_MOD} AS BIGINT) AS decoded_px_sum,
            CAST(COALESCE(list_sum(
-                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
-                     for i in generate_series(1, least(octet_length(encode(text)),
+                    [CAST(('0x' || substring(hex(raw), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(raw),
                                                        {3 * PNG_W * PNG_H}))]), 0)
                 % {CHECKSUM_MOD} AS BIGINT) AS png_px_sum,
            CAST(COALESCE(list_sum(
-                    [CAST(('0x' || substring(hex(encode(text)), 2 * i - 1, 2)) AS INTEGER)
-                     for i in generate_series(1, least(octet_length(encode(text)),
+                    [CAST(('0x' || substring(hex(raw), 2 * i - 1, 2)) AS INTEGER)
+                     for i in generate_series(1, least(octet_length(raw),
                                                        {3 * GIF_W * GIF_H}))]), 0)
-                % {CHECKSUM_MOD} AS BIGINT) AS gif_px_sum
-    FROM documents
+                % {CHECKSUM_MOD} AS BIGINT) AS gif_px_sum,
+           jp.jpeg_px_sum
+    FROM bsrc JOIN jp USING (doc_id)
     """,
     doc="[EXT] Multimodal feature extraction: binary payload column → "
     "Arrow-batched mapInPandas computing byte length, prefix checksum and "
@@ -86,7 +170,16 @@ from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
     "(palette build, variable-width LZW with LSB-first bit packing, "
     "extension-block skipping) over a deliberately different prefix "
     "length (90 vs PNG's 75 bytes) so the two columns can't shadow each "
-    "other's bugs.",
+    "other's bugs.  jpeg_px_sum adds the LOSSY format (functions/"
+    "jpeg.py, baseline T.81): the first 3 payload bytes become a SOLID "
+    "16x16 color pushed through a real 4:2:0 JPEG encode→decode — one "
+    "full MCU (4 luma blocks + subsampled chroma, zero-diff DC "
+    "prediction, Huffman, integer Loeffler IDCT); lossy means decoded "
+    "!= source, so the oracle instead replays the DC-only CLOSED FORM "
+    "(fixed-point color transforms, round-away DC quantize, the IDCT "
+    "DC-shortcut descale) in generated SQL that shares the codec's "
+    "quality-scaled constants — any drift in quant scaling, DC coding "
+    "or the fixed-point arithmetic breaks the hash.",
     tags=("multimodal",),
 )
 def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:

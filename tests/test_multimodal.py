@@ -73,9 +73,13 @@ def test_multimodal_plans_are_arrow_and_narrow(spark, payload_df):
 
 
 def test_decode_stub_is_explicit_for_exotic_formats(spark):
-    # JPEG magic: a format this container genuinely has no decoder for
-    # (PNG graduated to a real codec in r14)
+    # WebP magic: a format this container genuinely has no decoder for
+    # (PNG and JPEG both graduated to real codecs in r14)
     with pytest.raises(NotImplementedError, match="image library"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a JPEG SOI prefix now routes to the real decoder — and a truncated
+    # one fails LOUDLY as corrupt, not as unsupported
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF")
 
 

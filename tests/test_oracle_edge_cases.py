@@ -305,10 +305,10 @@ def test_payload_features_agree_on_non_ascii_text(spark, non_ascii_docs_dir):
     bytes (octet_length + hex-pair checksum), not characters — chars ≠
     bytes on every doc in this fixture."""
     rows = assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_payload_features")
-    # cols sorted: checksum, decoded_px_sum, doc_id, gif_px_sum, n_bytes,
-    # n_frames, png_px_sum
+    # cols sorted: checksum, decoded_px_sum, doc_id, gif_px_sum,
+    # jpeg_px_sum, n_bytes, n_frames, png_px_sum
     by_id = {r[2]: r for r in rows}
-    assert by_id[4][4] == 2  # "ü" is one char but two UTF-8 bytes
+    assert by_id[4][5] == 2  # "ü" is one char but two UTF-8 bytes
 
 
 def test_text_family_agrees_on_non_ascii_docs(spark, non_ascii_docs_dir):
