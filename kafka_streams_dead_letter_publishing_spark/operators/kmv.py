@@ -207,19 +207,23 @@ def kmv_set_ops(
     with EXACT membership flags, and
 
         est_union        = (k-1) * 2^52 DIV kth_u        (Bar-Yossef)
-        est_intersection = n_both * (est_union DIV k)    (Beyer Kε/K · Dᵤ)
+        est_intersection = n_both   * (est_union DIV k)  (Beyer Kε/K · Dᵤ)
+        est_a_minus_b    = n_a_only * (est_union DIV k)  (same sample)
+        est_b_minus_a    = n_b_only * (est_union DIV k)
 
-    — all integer arithmetic on deterministic hash SETS, which is what
+    — the full set algebra (union / intersection / both differences),
+    all integer arithmetic on deterministic hash SETS, which is what
     makes the estimator oracle-replayable when HLL/theta register
-    layouts are not.  DIV-first in the intersection keeps the product
-    inside BIGINT even for a degenerate all-zero-hex kth (the
-    GREATEST(..,1) guard's companion).  Below union capacity
-    (nu < k) every hash survived, so union and intersection are exact.
+    layouts are not.  DIV-first in the sample-scaled estimates keeps
+    the product inside BIGINT even for a degenerate all-zero-hex kth
+    (the GREATEST(..,1) guard's companion).  Below union capacity
+    (nu < k) every hash survived, so every set-op estimate is exact.
 
     Columns (one row, all BIGINT): exact_a, exact_b, exact_union,
-    exact_intersection (truth over the real keys — the validation
-    baseline you drop at 100 TB; ``with_exact=False`` skips that scan),
-    nh_a, nh_b, est_a, est_b, n_both, est_union, est_intersection.
+    exact_intersection, exact_a_minus_b, exact_b_minus_a (truth over
+    the real keys — the validation baseline you drop at 100 TB;
+    ``with_exact=False`` skips that scan), nh_a, nh_b, est_a, est_b,
+    n_both, est_union, est_intersection, est_a_minus_b, est_b_minus_a.
 
     Scale shape: each side sketch is one hash-shuffle (distinct) plus
     the two-phase k-smallest cut; everything after the side sketches is
@@ -246,10 +250,20 @@ def kmv_set_ops(
             F.count(F.lit(1)).cast("long").alias("nu"),
             F.max("h").alias("kth_u"),
             # COALESCE: a fully-empty input pair leaves SUM-over-nothing
-            # NULL; n_both is a count and reads 0
+            # NULL; these are counts and read 0
             F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
             .cast("long")
             .alias("n_both"),
+            F.coalesce(
+                F.sum(F.col("in_a") * (1 - F.col("in_b"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_a_only"),
+            F.coalesce(
+                F.sum(F.col("in_b") * (1 - F.col("in_a"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_b_only"),
         )
     )
     side_stats = mins.agg(
@@ -272,6 +286,16 @@ def kmv_set_ops(
             )
         )
 
+    # integer DIV first (never float: IEEE rounding would drift between
+    # engines), product second — overflow-safe by DIV-first; below union
+    # capacity every hash survived, so the sample counts ARE the truth
+    def _sample_scaled(cnt: str):
+        return (
+            F.when(F.col("nu") < k, F.col(cnt))
+            .otherwise(F.expr(f"{cnt} * (est_union DIV {k}L)"))
+            .cast("long")
+        )
+
     out = stats.withColumn(
         "est_union", _est("nu", "kth_u").cast("long")
     ).select(
@@ -281,12 +305,9 @@ def kmv_set_ops(
         _est("nh_b", "kth_b").cast("long").alias("est_b"),
         "n_both",
         "est_union",
-        # integer DIV first (never float: IEEE rounding would drift
-        # between engines), product second — overflow-safe by DIV-first
-        F.when(F.col("nu") < k, F.col("n_both"))
-        .otherwise(F.expr(f"n_both * (est_union DIV {k}L)"))
-        .cast("long")
-        .alias("est_intersection"),
+        _sample_scaled("n_both").alias("est_intersection"),
+        _sample_scaled("n_a_only").alias("est_a_minus_b"),
+        _sample_scaled("n_b_only").alias("est_b_minus_a"),
     )
     if not with_exact:
         return out
@@ -304,6 +325,12 @@ def kmv_set_ops(
         F.sum("in_b").cast("long").alias("exact_b"),
         F.count(F.lit(1)).cast("long").alias("exact_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersection"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("exact_a_minus_b"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a")))
+        .cast("long")
+        .alias("exact_b_minus_a"),
     )
     return F.broadcast(exact).crossJoin(out)
 

@@ -2103,7 +2103,9 @@ def events_kmv_streamed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
                CAST(SUM(in_b) AS BIGINT) AS exact_b,
                CAST(COUNT(*) AS BIGINT) AS exact_union,
-               CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersection
+               CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersection,
+               CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS exact_a_minus_b,
+               CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS exact_b_minus_a
         FROM per_key
     ),
     h AS (
@@ -2139,11 +2141,13 @@ def events_kmv_streamed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ustats AS (
         SELECT COUNT(*) AS nu, MAX(h) AS kth_u,
-               COALESCE(SUM(in_a * in_b), 0) AS n_both
+               COALESCE(SUM(in_a * in_b), 0) AS n_both,
+               COALESCE(SUM(in_a * (1 - in_b)), 0) AS n_a_only,
+               COALESCE(SUM(in_b * (1 - in_a)), 0) AS n_b_only
         FROM u
     ),
     est AS (
-        SELECT nh_a, nh_b, n_both, nu,
+        SELECT nh_a, nh_b, n_both, n_a_only, n_b_only, nu,
                CASE WHEN nh_a < {KMV_K} THEN nh_a
                     ELSE ({KMV_K - 1} * {_KMV_SCALE})
                          // GREATEST(CAST(('0x' || kth_a) AS BIGINT), 1) END AS est_a,
@@ -2156,18 +2160,26 @@ def events_kmv_streamed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM side_stats, ustats
     )
     SELECT e.exact_a, e.exact_b, e.exact_union, e.exact_intersection,
+           e.exact_a_minus_b, e.exact_b_minus_a,
            CAST(s.nh_a AS BIGINT) AS nh_a, CAST(s.nh_b AS BIGINT) AS nh_b,
            CAST(s.est_a AS BIGINT) AS est_a, CAST(s.est_b AS BIGINT) AS est_b,
            CAST(s.n_both AS BIGINT) AS n_both,
            CAST(s.est_union AS BIGINT) AS est_union,
            CAST(CASE WHEN s.nu < {KMV_K} THEN s.n_both
                 ELSE s.n_both * (s.est_union // {KMV_K}) END AS BIGINT)
-               AS est_intersection
+               AS est_intersection,
+           CAST(CASE WHEN s.nu < {KMV_K} THEN s.n_a_only
+                ELSE s.n_a_only * (s.est_union // {KMV_K}) END AS BIGINT)
+               AS est_a_minus_b,
+           CAST(CASE WHEN s.nu < {KMV_K} THEN s.n_b_only
+                ELSE s.n_b_only * (s.est_union // {KMV_K}) END AS BIGINT)
+               AS est_b_minus_a
     FROM exact e, est s
     """,
-    doc="[EXT] KMV SET OPERATIONS — distinct union / intersection "
-    "cardinalities of two user sets (high-value purchasers vs "
-    "high-value clickers) from their k-minimum-values sketches alone, "
+    doc="[EXT] KMV SET OPERATIONS — the full distinct-set algebra "
+    "(union, intersection, BOTH differences) of two user sets "
+    "(high-value purchasers vs high-value clickers) from their "
+    "k-minimum-values sketches alone, "
     "the theta-sketch trick (Beyer et al., SIGMOD 2007): the k smallest "
     "hashes of A UNION B are exactly the k smallest of mins(A) UNION "
     "mins(B), and for every retained hash membership in the FULL side "

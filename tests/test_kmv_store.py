@@ -241,11 +241,17 @@ def _py_set_ops(a_keys, b_keys, k):
     u = sorted(mins_a | mins_b)[:k]
     nu = len(u)
     n_both = sum(1 for h in u if h in mins_a and h in mins_b)
+    n_a_only = sum(1 for h in u if h in mins_a and h not in mins_b)
+    n_b_only = sum(1 for h in u if h in mins_b and h not in mins_a)
 
     def est(nh, kth):
         return nh if nh < k else (k - 1) * KMV_SCALE // max(int(kth, 16), 1)
 
     est_union = est(nu, u[-1]) if u else 0
+
+    def scaled(cnt):
+        return cnt if nu < k else cnt * (est_union // k)
+
     sa = {x for x in a_keys if x is not None}
     sb = {x for x in b_keys if x is not None}
     return {
@@ -253,13 +259,17 @@ def _py_set_ops(a_keys, b_keys, k):
         "exact_b": len(sb),
         "exact_union": len(sa | sb),
         "exact_intersection": len(sa & sb),
+        "exact_a_minus_b": len(sa - sb),
+        "exact_b_minus_a": len(sb - sa),
         "nh_a": len(mins_a),
         "nh_b": len(mins_b),
         "est_a": est(len(mins_a), max(mins_a) if mins_a else "0"),
         "est_b": est(len(mins_b), max(mins_b) if mins_b else "0"),
         "n_both": n_both,
         "est_union": est_union,
-        "est_intersection": n_both if nu < k else n_both * (est_union // k),
+        "est_intersection": scaled(n_both),
+        "est_a_minus_b": scaled(n_a_only),
+        "est_b_minus_a": scaled(n_b_only),
     }
 
 
@@ -298,12 +308,15 @@ def test_set_ops_disjoint_and_identical(spark):
     d = _setops_row(spark, a, b, K)
     assert d["n_both"] == 0 and d["est_intersection"] == 0
     assert d["exact_intersection"] == 0
+    # disjoint: the union sample is all exclusive members
+    assert d["est_a_minus_b"] + d["est_b_minus_a"] == K * (d["est_union"] // K)
     i = _setops_row(spark, a, a, K)
     # identical sets: every retained union hash is in both sketches, so
     # n_both == nu == K and est_intersection == K * (est_union DIV K)
     assert i["n_both"] == K
     assert i["est_union"] == i["est_a"] == i["est_b"]
     assert i["est_intersection"] == K * (i["est_union"] // K)
+    assert i["est_a_minus_b"] == 0 and i["est_b_minus_a"] == 0
     assert i == _py_set_ops(a, a, K)
 
 
@@ -323,5 +336,5 @@ def test_set_ops_without_exact_skips_truth_columns(spark):
     got = _setops_row(spark, [1, 2], [2, 3], K, with_exact=False)
     assert set(got) == {
         "nh_a", "nh_b", "est_a", "est_b", "n_both", "est_union",
-        "est_intersection",
+        "est_intersection", "est_a_minus_b", "est_b_minus_a",
     }
