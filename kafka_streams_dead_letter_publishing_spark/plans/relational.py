@@ -656,27 +656,29 @@ _ASOF_STREAMED_SCHEMA = (
 @query(
     "events_asof_streamed",
     """
-    WITH j AS (
-        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-               CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.event_id END AS click_id,
-               CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END AS click_ts
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts >= c.ts
-    )
-    SELECT purchase_id, user_id, click_id, click_ts
-    FROM j WHERE click_id IS NOT NULL
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.event_id END AS click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     doc="[EXT] STREAM-STREAM as-of join driven through a real multi-batch "
     "readStream inside the row (the KMV→CMS/Bloom/hist driver-gate "
-    "pattern, r13 verdict #1): purchases and clicks land as separate "
+    "pattern, r13 verdict #1; upgraded to LEFT-OUTER later in r14 so "
+    "the watermark-finalized NULL-survival path — the hardest streaming "
+    "semantics, emit-on-proof-of-no-match — is itself driver-gated): "
+    "purchases and clicks land as separate "
     "file streams in three pmod(event_id) batches plus a far-future "
     "sentinel batch on BOTH sides, flow through streaming.joins."
-    "stream_asof_join (watermarked time-interval inner join chained "
-    "into a streaming max-struct aggregation, append mode), and the "
-    "sink output must equal the BATCH as-of join verbatim — the oracle "
-    "is DuckDB's native ASOF JOIN with the 2-hour staleness bound, the "
-    "same SQL family as events_asof_left_tolerance.  Equality is total "
+    "stream_asof_join(how='left') (watermarked time-interval LEFT-OUTER "
+    "join — unmatched purchases emit with a NULL click only once the "
+    "watermark proves no match can arrive — chained "
+    "into a streaming max-struct aggregation where the lone null-field "
+    "struct loses to any real match, append mode), and the "
+    "sink output must equal the BATCH left as-of join verbatim — the "
+    "oracle is DuckDB's native ASOF LEFT JOIN with the 2-hour staleness "
+    "CASE, events_asof_left_tolerance's SQL verbatim.  Equality is total "
     "because the fixture bounds it: the 45-day watermark delay exceeds "
     "the testdata's 30-day ts spread (no real row is ever late), and "
     "the sentinels push both watermarks past all real data so every "
@@ -752,6 +754,7 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             right_ts="click_ts",
             right_payload=["click_id", "click_ts"],
             tolerance="INTERVAL 2 HOURS",
+            how="left",
         )
         q = (
             joined.writeStream.format("parquet")
@@ -769,8 +772,9 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sentinels LAST (a first-batch sentinel would watermark-drop
             # every real row): far-future rows on BOTH streams push the
             # min-watermark past all real data so every group finalizes;
-            # distinct sentinel user_ids → the sentinel purchase has no
-            # match and the inner join drops it before the aggregation
+            # distinct sentinel user_ids → the sentinel purchase emits
+            # with a NULL click on the left-outer path and the
+            # purchase_id >= 0 read filter drops it
             far = "2025-07-01 00:00:00"
             spark.sql(
                 f"SELECT CAST(-1 AS LONG) purchase_id, CAST(-1 AS LONG) user_id,"
