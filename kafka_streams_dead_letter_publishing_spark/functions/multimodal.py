@@ -248,14 +248,25 @@ def encode_png(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
+#: bytes per pixel for the supported 8-bit PNG color types: 0 gray,
+#: 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
-    """8-bit RGB PNG decode: chunk walk with CRC verification (the WAV
-    RIFF walker's shape — unknown ancillary chunks skipped, IDAT bodies
-    CONCATENATED before one inflate, per the spec), then per-scanline
-    unfiltering of all five filter types."""
+    """8-bit PNG decode normalized to RGB: chunk walk with CRC
+    verification (the WAV RIFF walker's shape — unknown ancillary chunks
+    skipped, IDAT bodies CONCATENATED before one inflate, per the spec),
+    per-scanline unfiltering of all five filter types at the color
+    type's pixel width, then channel normalization — gray replicates,
+    palette indices resolve through PLTE (out-of-range index raises),
+    alpha channels drop (feature extraction reads color planes; the raw
+    alpha is recoverable from the source bytes).  All five 8-bit color
+    types; 16-bit depth and Adam7 interlace raise loudly."""
     if len(buf) < len(PNG_MAGIC) + 12:
         raise ValueError("PNG truncated: shorter than signature + one chunk")
     pos, ihdr, idat, ended = 8, None, bytearray(), False
+    plte = None
     while pos + 8 <= len(buf):
         clen = int.from_bytes(buf[pos : pos + 4], "big")
         ctype = buf[pos + 4 : pos + 8]
@@ -267,6 +278,10 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError(f"PNG PLTE length {len(body)} not a multiple of 3")
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -280,22 +295,26 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color not in _PNG_BPP:
         raise ValueError(
             f"unsupported PNG variant: depth={depth} color={color} "
             f"compression={comp} filter={filt} interlace={interlace} "
-            "(only 8-bit RGB, deflate, adaptive filters, no interlace)"
+            "(only 8-bit gray/RGB/palette/gray-alpha/RGBA, deflate, "
+            "adaptive filters, no interlace)"
         )
+    if color == 3 and plte is None:
+        raise ValueError("PNG color type 3 without a PLTE chunk")
     if width <= 0 or height <= 0:
         raise ValueError(f"bad PNG dimensions {width}x{height}")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    bpp, stride = 3, 3 * width
+    bpp = _PNG_BPP[color]
+    stride = bpp * width
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline data length mismatch")
-    out = bytearray(stride * height)
+    out = bytearray(3 * width * height)
     prior = bytes(stride)
     for r in range(height):
         ftype = raw[r * (stride + 1)]
@@ -307,7 +326,29 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
             left = recon[i - bpp] if i >= bpp else 0
             ul = prior[i - bpp] if i >= bpp else 0
             recon[i] = (row[i] + _png_predict(ftype, left, prior[i], ul)) & 0xFF
-        out[r * stride : (r + 1) * stride] = recon
+        o = 3 * width * r
+        if color == 2:
+            out[o : o + stride] = recon
+        elif color == 0:
+            for x in range(width):
+                out[o + 3 * x] = out[o + 3 * x + 1] = out[o + 3 * x + 2] = recon[x]
+        elif color == 4:
+            for x in range(width):
+                v = recon[2 * x]
+                out[o + 3 * x] = out[o + 3 * x + 1] = out[o + 3 * x + 2] = v
+        elif color == 6:
+            for x in range(width):
+                out[o + 3 * x : o + 3 * x + 3] = recon[4 * x : 4 * x + 3]
+        else:  # color == 3: palette lookup
+            ncolors = len(plte) // 3
+            for x in range(width):
+                idx = recon[x]
+                if idx >= ncolors:
+                    raise ValueError(
+                        f"PNG palette index {idx} out of range (PLTE has "
+                        f"{ncolors} entries)"
+                    )
+                out[o + 3 * x : o + 3 * x + 3] = plte[3 * idx : 3 * idx + 3]
         prior = bytes(recon)
     return width, height, bytes(out)
 
@@ -663,8 +704,10 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     """Pure-Python image decode for the four zero-dependency formats —
     ``(width, height, rgb_bytes)`` with pixels RGB, row-major, top-down:
 
-    * **PNG** (8-byte signature): 8-bit RGB, stdlib-zlib inflate, CRC
-      checks, all five scanline filters (r14 — the DEFLATE format).
+    * **PNG** (8-byte signature): all five 8-bit color types (gray /
+      RGB / palette / gray-alpha / RGBA, normalized to RGB), stdlib-zlib
+      inflate, CRC checks, all five scanline filters (r14 — the DEFLATE
+      format).  16-bit depth and Adam7 interlace raise.
     * **JPEG** (``FF D8 FF``): baseline sequential DCT — Huffman decode
       from the file's DHT, integer Loeffler IDCT, restart markers,
       4:4:4/4:2:2/4:2:0 and grayscale (r14 — the LOSSY format;

@@ -322,10 +322,11 @@ def test_png_corruption_fails_loudly():
     with pytest.raises(ValueError, match="truncated"):
         decode_image(good[:42])  # cut mid-IDAT body: shorter than declared
     with pytest.raises(ValueError, match="unsupported PNG variant"):
-        # RGBA color type: flip IHDR byte + fix its CRC via rebuild
+        # 16-bit depth: rebuild the IHDR with its CRC (RGBA graduated
+        # to a supported color type later in r14 — depth 16 did not)
         import zlib as _z
 
-        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
         buf = (
             b"\x89PNG\r\n\x1a\n"
             + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
@@ -345,6 +346,93 @@ def test_png_corruption_fails_loudly():
         )
         iend = (0).to_bytes(4, "big") + b"IEND" + (_z.crc32(b"IEND") & 0xFFFFFFFF).to_bytes(4, "big")
         decode_image(sig_ihdr + idat + iend)
+
+
+def _hand_png_typed(scanlines: bytes, w: int, h: int, color: int, bpp: int,
+                    plte: bytes | None = None) -> bytes:
+    """Hand-assembled PNG of any 8-bit color type (filter 0 rows)."""
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    stride = bpp * w
+    raw = b"".join(
+        b"\x00" + scanlines[r * stride : (r + 1) * stride] for r in range(h)
+    )
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_grayscale_and_alpha_color_types_normalize_to_rgb():
+    # color 0: gray replicates to RGB
+    buf = _hand_png_typed(bytes([10, 200, 30, 40]), 2, 2, color=0, bpp=1)
+    assert decode_image(buf) == (
+        2, 2, bytes([10, 10, 10, 200, 200, 200, 30, 30, 30, 40, 40, 40]),
+    )
+    # color 4: gray+alpha — alpha drops, gray replicates
+    ga = bytes([10, 255, 200, 0, 30, 128, 40, 7])
+    buf = _hand_png_typed(ga, 2, 2, color=4, bpp=2)
+    assert decode_image(buf) == (
+        2, 2, bytes([10, 10, 10, 200, 200, 200, 30, 30, 30, 40, 40, 40]),
+    )
+    # color 6: RGBA — alpha drops
+    rgba = bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    buf = _hand_png_typed(rgba, 2, 1, color=6, bpp=4)
+    assert decode_image(buf) == (2, 1, bytes([1, 2, 3, 4, 5, 6]))
+
+
+def test_png_palette_color_type_and_errors():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    buf = _hand_png_typed(bytes([0, 2, 1, 1]), 2, 2, color=3, bpp=1, plte=plte)
+    assert decode_image(buf) == (
+        2, 2, bytes([255, 0, 0, 0, 0, 255, 0, 255, 0, 0, 255, 0]),
+    )
+    with pytest.raises(ValueError, match="palette index 3 out of range"):
+        decode_image(
+            _hand_png_typed(bytes([0, 3, 1, 1]), 2, 2, color=3, bpp=1, plte=plte)
+        )
+    with pytest.raises(ValueError, match="without a PLTE"):
+        decode_image(_hand_png_typed(bytes([0, 1, 1, 0]), 2, 2, color=3, bpp=1))
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_image(
+            _hand_png_typed(bytes([0, 0, 0, 0]), 2, 2, color=3, bpp=1,
+                            plte=bytes([1, 2]))
+        )
+
+
+def test_png_filters_apply_at_color_type_pixel_width():
+    """Filter 1 (Sub) must subtract at the color type's bpp, not RGB's 3:
+    a gray+alpha image with a Sub row checks the bpp plumbing."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # target reconstructed scanline (gray+alpha, w=3): g,a pairs
+    recon = bytes([50, 255, 60, 255, 70, 255])
+    # filter 1 encoding: first pixel raw, later = diff vs pixel 2 back
+    enc = bytes([recon[0], recon[1]]) + bytes(
+        (recon[i] - recon[i - 2]) & 0xFF for i in range(2, 6)
+    )
+    raw = b"\x01" + enc
+    ihdr = (3).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 4, 0, 0, 0])
+    buf = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert decode_image(buf) == (
+        3, 1, bytes([50, 50, 50, 60, 60, 60, 70, 70, 70]),
+    )
 
 
 def test_png_px_sum_exercises_codec_per_row(spark, payload_df):
