@@ -1065,3 +1065,187 @@ def resize_payload(df: DataFrame) -> DataFrame:
     binary payload column plus before/after sizes, so downstream stages
     see the same binary-plus-metadata shape they started with."""
     return df.select("doc_id", "payload").mapInPandas(_resize_batches, RESIZED_SCHEMA)
+
+
+# ── dHash: perceptual image hashing as PURE Catalyst expressions ─────────
+#
+# Image near-dup detection (the pHash/dHash family every crawl pipeline
+# runs before training on images) with ZERO Python in the hot path: the
+# payload thumbnail → grayscale → 2x2 box-average → difference-hash
+# chain compiles to JVM higher-order functions (transform / aggregate
+# over small arrays), so it scans like any other expression — no Arrow
+# hop, no UDF.  The hash is split into two 32-bit halves (dhash_hi =
+# grid rows 0..3, dhash_lo = rows 4..7) so neither engine ever shifts
+# into the BIGINT sign bit, and near-dup candidates band-join on the
+# four natural 16-bit slices (the minhash/LSH banding discipline —
+# never all-pairs).  Hamming distance = bit_count(hi XOR hi') +
+# bit_count(lo XOR lo').  Every step is integer arithmetic a DuckDB
+# oracle replays over the source bytes.
+
+DHASH_W, DHASH_H = 18, 16  # thumbnail: 2x2 box-average down to a 9x8 grid
+DHASH_BYTES = 3 * DHASH_W * DHASH_H
+
+
+def with_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append ``dhash_hi``/``dhash_lo`` (two 32-bit halves of the 64-bit
+    difference hash) computed entirely JVM-side.  Stages stay separate
+    named projections (_gray/_cells are referenced multiple times —
+    CollapseProject keeps non-cheap duplicated expressions staged, so
+    each array materializes once per row)."""
+    npx = DHASH_W * DHASH_H
+    hexed = df.withColumn(
+        "_hex", F.expr(f"hex(rpad({payload_col}, {DHASH_BYTES}, x'00'))")
+    )
+    gray = hexed.withColumn(
+        "_gray",
+        F.expr(
+            f"transform(sequence(0, {npx - 1}), p -> CAST(("
+            "  CAST(conv(substring(_hex, 6*p+1, 2), 16, 10) AS INT)"
+            "+ CAST(conv(substring(_hex, 6*p+3, 2), 16, 10) AS INT)"
+            "+ CAST(conv(substring(_hex, 6*p+5, 2), 16, 10) AS INT)"
+            ") DIV 3 AS INT))"
+        ),
+    )
+    # cell c (9 cols x 8 rows, c = 9*j + i) averages the 2x2 pixel block
+    # at (2i, 2j); row stride 18 px, element_at is 1-based
+    # element_at takes an INT index while DIV yields BIGINT — every
+    # index expression carries an explicit INT cast
+    idx = "CAST(36*(c DIV 9) + 2*(c % 9) + {o} AS INT)"
+    cells = gray.withColumn(
+        "_cells",
+        F.expr(
+            "transform(sequence(0, 71), c -> CAST(("
+            f"  element_at(_gray, {idx.format(o=1)})"
+            f"+ element_at(_gray, {idx.format(o=2)})"
+            f"+ element_at(_gray, {idx.format(o=19)})"
+            f"+ element_at(_gray, {idx.format(o=20)})"
+            ") DIV 4 AS INT))"
+        ),
+    )
+
+    def half(row_base: int) -> str:
+        # bit k of this half: grid row row_base + k DIV 8, columns
+        # (i, i+1) with i = k % 8 — 1 iff the right cell is brighter
+        left = f"CAST(({row_base} + k DIV 8)*9 + (k % 8) + 1 AS INT)"
+        right = f"CAST(({row_base} + k DIV 8)*9 + (k % 8) + 2 AS INT)"
+        return (
+            "aggregate(sequence(0, 31), 0L, (acc, k) -> acc + IF("
+            f"element_at(_cells, {right}) > element_at(_cells, {left}), "
+            "shiftleft(1L, k), 0L))"
+        )
+
+    return (
+        cells.withColumn("dhash_hi", F.expr(half(0)))
+        .withColumn("dhash_lo", F.expr(half(4)))
+        .drop("_hex", "_gray", "_cells")
+    )
+
+
+def dhash_reference(payload: bytes) -> tuple[int, int]:
+    """Pure-Python reference of the dHash chain (pytest parity pin)."""
+    raw = bytes(payload[:DHASH_BYTES]).ljust(DHASH_BYTES, b"\x00")
+    gray = [
+        (raw[3 * p] + raw[3 * p + 1] + raw[3 * p + 2]) // 3
+        for p in range(DHASH_W * DHASH_H)
+    ]
+    cells = [
+        (
+            gray[36 * j + 2 * i]
+            + gray[36 * j + 2 * i + 1]
+            + gray[36 * j + 2 * i + 18]
+            + gray[36 * j + 2 * i + 19]
+        )
+        // 4
+        for j in range(8)
+        for i in range(9)
+    ]
+    def half(row_base):
+        acc = 0
+        for k in range(32):
+            j, i = row_base + k // 8, k % 8
+            if cells[9 * j + i + 1] > cells[9 * j + i]:
+                acc += 1 << k
+        return acc
+    return half(0), half(4)
+
+
+def dhash_near_pairs(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded near-dup pair search over ``dhash_hi``/``dhash_lo`` (from
+    ``with_dhash``): candidates must share one of the four 16-bit hash
+    slices (the minhash/LSH banding discipline), then verify by exact
+    Hamming distance ``bit_count(hi XOR hi') + bit_count(lo XOR lo')``.
+
+    Banding bounds pair work ONLY when band values distribute — true of
+    real image corpora (the hash input spans the full byte range), NOT
+    of ASCII-text payload prefixes, where short docs share all-zero
+    bottom grid rows and a degenerate band funnels everything into one
+    bucket (measured: text payloads at sf0.1 band-join to all-pairs).
+    That is why the REGISTRY row gates the per-doc hash + exact-hash
+    groups instead, and this pair search is pytest-pinned on image-like
+    fixtures (tests/test_multimodal.py) — the documented contract is
+    the LSH one: banding is a recall/cost dial, not a correctness
+    guarantee, and a skewed band behaves like a hot LSH bucket."""
+    # materialize the (id, hi, lo) table before the self-join: the hash
+    # columns are lambda-expression chains, and re-optimizing them on
+    # both join branches inlines the staged transforms multiply
+    # (measured: the join stage hangs otherwise).  Standard LSH practice
+    # anyway — you persist the tiny hash table before banding.
+    h = df.select(id_col, "dhash_hi", "dhash_lo").localCheckpoint(eager=True)
+    bands = h.select(
+        id_col,
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.expr("shiftright(dhash_hi, 16)").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.expr("dhash_hi & 65535").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_id"),
+                    F.expr("shiftright(dhash_lo, 16)").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_id"),
+                    F.expr("dhash_lo & 65535").alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        F.col(id_col), "dhash_hi", "dhash_lo", "b.band_id", "b.band_val"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.dhash_hi").alias("hi_a"),
+            F.col("a.dhash_lo").alias("lo_a"),
+            F.col("b.dhash_hi").alias("hi_b"),
+            F.col("b.dhash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.expr(
+                "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -17,6 +17,7 @@ like any other column.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
     CHR_QUANT_BASE,
@@ -225,3 +226,99 @@ def docs_payload_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_audio_features(with_payload(docs))
+
+
+@query(
+    "docs_image_dhash",
+    """
+    WITH hx AS (
+        -- zero-pad the hex walk past the thumbnail length so every
+        -- substring lands on real chars (the engine rpads the payload)
+        SELECT doc_id, hex(encode(text)) || repeat('00', 864) AS h
+        FROM documents
+    ),
+    gray AS (
+        SELECT doc_id,
+               [ ( CAST(('0x' || substring(h, 6*p+1, 2)) AS INTEGER)
+                 + CAST(('0x' || substring(h, 6*p+3, 2)) AS INTEGER)
+                 + CAST(('0x' || substring(h, 6*p+5, 2)) AS INTEGER) ) // 3
+                 FOR p IN generate_series(0, 287) ] AS g
+        FROM hx
+    ),
+    cells AS (
+        -- 2x2 box-average of the 18x16 grayscale down to a 9x8 grid
+        SELECT doc_id,
+               [ ( g[36*(c//9) + 2*(c%9) + 1] + g[36*(c//9) + 2*(c%9) + 2]
+                 + g[36*(c//9) + 2*(c%9) + 19] + g[36*(c//9) + 2*(c%9) + 20]
+                 ) // 4
+                 FOR c IN generate_series(0, 71) ] AS cl
+        FROM gray
+    ),
+    hashes AS (
+        -- CAST around list_sum: DuckDB widens the sum to HUGEINT/DOUBLE,
+        -- and the comparator is type-strict
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(
+                   [CASE WHEN cl[(k//8)*9 + (k%8) + 2] > cl[(k//8)*9 + (k%8) + 1]
+                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+                    FOR k IN generate_series(0, 31)]), 0) AS BIGINT) AS dhash_hi,
+               CAST(COALESCE(list_sum(
+                   [CASE WHEN cl[(4 + k//8)*9 + (k%8) + 2] > cl[(4 + k//8)*9 + (k%8) + 1]
+                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+                    FOR k IN generate_series(0, 31)]), 0) AS BIGINT) AS dhash_lo
+        FROM cells
+    ),
+    grp AS (
+        SELECT dhash_hi, dhash_lo, COUNT(*) AS n_same_hash
+        FROM hashes GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.dhash_hi, h.dhash_lo,
+           CAST(g.n_same_hash AS BIGINT) AS n_same_hash
+    FROM hashes h JOIN grp g USING (dhash_hi, dhash_lo)
+    """,
+    doc="[EXT] Perceptual image hashing (dHash — the pHash-family "
+    "near-dup signal every multimodal crawl pipeline computes before "
+    "training) as PURE Catalyst expressions: payload thumbnail (18x16 "
+    "RGB) → integer grayscale → 2x2 box-average to a 9x8 grid → 64 "
+    "brighter-than-left-neighbor bits, split into two 32-bit halves so "
+    "neither engine touches the BIGINT sign bit.  ZERO Python in the "
+    "chain — transform/aggregate higher-order functions over small "
+    "arrays, scans like any expression (no Arrow hop; the staged "
+    "_gray/_cells projections stay separate because CollapseProject "
+    "won't duplicate non-cheap expressions).  n_same_hash rides along "
+    "(partial-agg groupBy on the hash + join back), making the "
+    "exact-hash dedup groups visible — planted exact-dup texts land in "
+    "the same bucket through the whole perceptual chain.  The banded "
+    "near-pair search (dhash_near_pairs: four 16-bit slices, "
+    "bit_count-XOR Hamming verify) is deliberately NOT this row: on "
+    "ASCII-text payloads short docs share all-zero bottom grid rows "
+    "and one degenerate band funnels the join toward all-pairs "
+    "(measured sf0.1: 12.5M candidates = every pair) — the hot-LSH-"
+    "bucket failure mode — so the pair search is pytest-pinned on "
+    "image-like fixtures where bands distribute, and the registry "
+    "gates the hash chain bit-for-bit per doc instead.",
+    tags=("multimodal", "dedup"),
+)
+def docs_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        with_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the hash table before the self-referencing group/join:
+    # re-optimizing the staged lambda chain on BOTH branches inlines the
+    # transform/aggregate expressions multiply (measured: the join stage
+    # hangs while the plain scan takes ~3 s) — and at scale the per-doc
+    # hash table is a real pipeline artifact you compute once and write
+    # anyway (the kmv_append localCheckpoint precedent)
+    h = (
+        with_dhash(with_payload(docs))
+        .select("doc_id", "dhash_hi", "dhash_lo")
+        .localCheckpoint(eager=True)
+    )
+    grp = h.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_hash")
+    )
+    return h.join(grp, ["dhash_hi", "dhash_lo"]).select(
+        "doc_id", "dhash_hi", "dhash_lo", "n_same_hash"
+    )

@@ -1387,25 +1387,21 @@ LIMIT 10
 """
 
 
-@query(
-    "events_cms_heavy_hitters",
-    _CMS_SQL,
-    doc="[EXT] Count-min-sketch heavy hitters (operators/cms.py): a 4x512 "
-    "integer sketch over the event stream's user ids, probed for every "
-    "distinct user; top-10 by estimate with the exact count alongside — "
-    "the overestimate-only guarantee (est >= true, est <= true + eps*N) "
-    "is visible in the pinned result.  Unlike HLL, the sketch is a pure "
-    "integer function of the multiset given the md5 cell hashes, so the "
-    "oracle replays it bit-for-bit and the row is hash-green.  Scale "
-    "posture: build is map-side-combinable groupBy(j,col) — the shuffle "
-    "carries <= d*w pre-summed cells per partition regardless of key "
-    "skew; the sketch table is metadata-sized and mergeable (cms_merge) "
-    "for incremental streams; the exact `truth` pass exists only to "
-    "exhibit the error bound (production uses the sketch precisely to "
-    "skip it).  Top-10 via TakeOrderedAndProject (no global window).",
-    tags=("events", "sketch", "heavy-hitters"),
-)
+# NOTE (r14): events_cms_heavy_hitters (the ONE-SHOT CMS top-10) was
+# RETIRED from the registry at the 100-row hygiene cap to make room for
+# docs_image_dhash (plans/multimodal.py — the perceptual-hash dedup
+# row).  Nothing is lost: events_cms_streamed_hitters' ORACLE is the
+# one-shot sketch SQL (the cell-SUM merge law makes the streamed read
+# bit-identical to a single-pass build), so the CMS estimator stays
+# driver-checked every rotation; the truth-vs-estimate error exhibit
+# and the overestimate-only bound stay pytest-pinned in
+# tests/test_cms.py.  Same retirement pattern as r14's
+# events_kmv_distinct_users, docs_bloom_dedup_gate and
+# emb_multi_query_topk.
 def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-shot CMS heavy hitters: 4x512 integer sketch, top-10 by
+    estimate with the exact count alongside (overestimate-only bound
+    visible); map-side-combinable build, TakeOrderedAndProject top-k."""
     from kafka_streams_dead_letter_publishing_spark.operators.cms import (
         cms_build,
         cms_estimate,

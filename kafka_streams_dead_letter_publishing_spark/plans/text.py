@@ -567,15 +567,20 @@ def docs_cdc_gear_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_approx_distinct_users",
-    None,  # HLL sketches are engine-specific: rows-only check by design
-    doc="[EXT] approx_count_distinct (HyperLogLog++) users per event type — "
-    "sketch values are engine-specific so there is deliberately no value "
-    "oracle; the driver records the weaker rows-only check.",
-    tags=("events", "approx"),
-)
+# NOTE (r14): events_approx_distinct_users (approx_count_distinct /
+# HyperLogLog++) was RETIRED from the registry at the 100-row hygiene
+# cap — it was the registry's ONLY rows-only row (HLL register layouts
+# are engine-specific, so it could never carry a value oracle), and the
+# approximate-distinct semantic is now covered STRONGER by the fully
+# oracle-replayable KMV family (events_kmv_streamed_distinct +
+# events_kmv_set_ops — exact-integer estimates, hash-green).  With this
+# retirement every registered query carries a value-hash oracle.  The
+# Spark-native HLL path stays pytest-pinned here (tests/test_plans.py
+# smoke) and remains the production choice when register-level merge
+# with other HLL systems matters.
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] approx_count_distinct (HyperLogLog++) users per event type —
+    engine-specific sketch, no cross-engine value oracle possible."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -2558,25 +2563,22 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_TOKS_SQL)
 
 
-@query(
-    "docs_bm25_topk",
-    _bm25_oracle(),
-    doc="[EXT] Exact-integer BM25 ranked retrieval (operators/bm25.py): "
-    "top-10 documents per probe query under the Lucene-shaped BM25 with "
-    "every transcendental replaced by exact integer arithmetic — the "
-    "IDF is quantized log2 in millibits (bin()-length exponent + linear "
-    "mantissa interpolation, the perplexity module's trick extended to "
-    "fractional bits), the tf normalization is the k1=6/5, b=3/4 "
-    "rational multiplied out to one integer fraction, and per-term "
-    "contributions are BIGINTs so the per-(query,doc) SUM is shuffle-"
-    "order-independent.  Scale shape: broadcast query-term table into "
-    "the exploded token scan (corpus never shuffles on a token key), "
-    "partial-agg tf keyed by (query,term,doc), document frequencies "
-    "partial-agg to <= |terms| rows broadcast back, (N,T) corpus stats "
-    "one metadata driver row folded as literals, two-phase top-k.",
-    tags=("text", "retrieval", "bm25", "bench"),
-)
+# NOTE (r14): docs_bm25_topk (the full-scan BM25 ranking) was RETIRED
+# from the registry at the 100-row hygiene cap to make room for
+# events_kmv_set_ops (the rotation-window math: a retirement only frees
+# an upcoming-window slot when it comes from the set the window must
+# re-check).  Nothing is lost: docs_bm25_served_topk's oracle IS
+# _bm25_oracle() VERBATIM — the serving path is contractually
+# row-for-row identical to the full scan — so the exact-integer BM25
+# semantics (millibit IDF, rational tf normalization, two-phase top-k)
+# stay driver-checked every rotation; the full-scan path stays
+# pytest-pinned (tests/test_bm25.py pins served ≡ scanned row-for-row).
+# Same retirement pattern as r14's events_cms_heavy_hitters,
+# events_kmv_distinct_users, docs_bloom_dedup_gate, emb_multi_query_topk.
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact-integer BM25 ranked retrieval, full-scan path: top-10
+    docs per probe query; millibit-quantized log2 IDF, k1=6/5 b=3/4
+    rational tf normalization, BIGINT contributions, two-phase top-k."""
     from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
         bm25_topk,
     )
@@ -2767,7 +2769,7 @@ _BM25_INDEX_CACHE: dict[str, str] = {}
     "so the driver gate proves the ingest twin end-to-end: streamed "
     "appends must serve row-for-row what the oracle computes from the "
     "whole corpus, or the (N, sum dl, max dl) stats merge is wrong.",
-    tags=("text", "retrieval", "bm25", "serving"),
+    tags=("text", "retrieval", "bm25", "serving", "bench"),
 )
 def docs_bm25_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -83,19 +83,22 @@ def test_entry_contract(spark):
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
 def test_approx_distinct_within_hll_error_bounds(spark, sf):
-    """events_approx_distinct_users is deliberately rows-only in the driver
-    gate (HLL sketches are engine-specific) — so pin its SEMANTICS here:
-    each per-type estimate must sit within 3× the default HLL++ relative
-    standard deviation (rsd 0.05) of the exact distinct count, at both the
-    oracle sf and the bench sf (r6 verdict #5)."""
+    """events_approx_distinct_users could never carry a value oracle (HLL
+    sketches are engine-specific) and was retired from the registry r14
+    in favor of the oracle-replayable KMV family — its SEMANTICS stay
+    pinned here: each per-type estimate must sit within 3× the default
+    HLL++ relative standard deviation (rsd 0.05) of the exact distinct
+    count, at both the oracle sf and the bench sf (r6 verdict #5)."""
     from pyspark.sql import functions as F
 
-    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    from kafka_streams_dead_letter_publishing_spark.plans.text import (
+        events_approx_distinct_users,
+    )
     from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 
     approx = {
         r.event_type: r.approx_users
-        for r in QUERIES["events_approx_distinct_users"].spark(spark, sf).collect()
+        for r in events_approx_distinct_users(spark, sf).collect()
     }
     exact = {
         r.event_type: r.n

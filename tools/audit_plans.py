@@ -147,7 +147,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
             "emb_ivf_batch_topk",
             "emb_pq_batch_topk",
             "emb_ivfpq_batch_topk",
-            "docs_bm25_topk",
+            # docs_bm25_topk retired r14 (the served twin shares its
+            # oracle verbatim; served ≡ scanned pinned in tests/test_bm25.py)
             "docs_bm25_served_topk",
             # events_kmv_distinct_users retired r14 (its streamed twin
             # oracles the same one-shot SQL); the one-shot path stays
