@@ -816,7 +816,7 @@ _INTERVAL_STREAMED_SCHEMA = (
     SELECT a.event_id AS first_id, b.event_id AS next_id,
            a.user_id AS user_id, a.event_type AS first_type,
            b.event_type AS next_type
-    FROM events a JOIN events b
+    FROM events a LEFT JOIN events b
       ON a.user_id = b.user_id
      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
     """,
@@ -826,16 +826,19 @@ _INTERVAL_STREAMED_SCHEMA = (
     "driver-gated): both sides of the 5-minute per-user pair query flow "
     "as separate file streams in three pmod(event_id) batches through "
     "streaming.joins.stream_interval_join, and the sink output must equal "
-    "the BATCH interval join verbatim (events_interval_self_join's SQL).  "
-    "The strict lower bound rides the inclusive interval condition as "
-    "lower = INTERVAL -1 MICROSECOND (b_ts >= a_ts + 1 us == b_ts > a_ts "
-    "at timestamp precision — both engines are microsecond-exact).  "
-    "Unlike the as-of row no sentinels are needed: a stream-stream INNER "
-    "join emits each pair in the micro-batch where it matches (the "
-    "watermark only bounds state), and the 45-day delay exceeds the "
-    "testdata's 30-day spread so no state is evicted while a future "
-    "match could still arrive — cross-batch pairs meet exactly once via "
-    "the checkpointed join state.  Scale shape: one equi-key shuffle per "
+    "the BATCH LEFT interval join verbatim (events_interval_self_join's "
+    "SQL family, LEFT variant — upgraded late in r14 so Spark's NATIVE "
+    "outer-join NULL emission on state expiry is driver-gated too, a "
+    "different code path from the as-of row's aggregation-based NULL "
+    "survival).  The strict lower bound rides the inclusive interval "
+    "condition as lower = INTERVAL -1 MICROSECOND (b_ts >= a_ts + 1 us "
+    "== b_ts > a_ts at timestamp precision — both engines are "
+    "microsecond-exact).  Matched pairs emit in the micro-batch where "
+    "they meet; unmatched left rows emit with NULL right only once the "
+    "watermark proves no match can arrive, so far-future sentinels on "
+    "both sides (written LAST) finalize every real row; the 45-day "
+    "delay exceeds the testdata's 30-day spread so no state is evicted "
+    "while a future match could still arrive.  Scale shape: one equi-key shuffle per "
     "side with a range residual, per-key state bounded by interval + "
     "delay of data, never history; no windows, no cartesian, no UDFs.  "
     "BENCH NOTE: the drive runs once per process (sample 1); the median "
@@ -905,6 +908,7 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             right_ts="b_ts",
             lower="INTERVAL -1 MICROSECOND",  # b_ts >= a_ts + 1us == strict >
             upper="INTERVAL 5 MINUTE",
+            how="leftOuter",
         )
         q = (
             joined.writeStream.format("parquet")
@@ -919,6 +923,23 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _slice(a, "first_id", batch).write.mode("append").parquet(asrc)
                 _slice(b, "next_id", batch).write.mode("append").parquet(bsrc)
                 q.processAllAvailable()
+            # sentinels LAST (the events_asof_streamed pattern): the
+            # LEFT-OUTER upgrade emits unmatched left rows only when the
+            # watermark proves no match can arrive, so far-future rows on
+            # BOTH streams push the min-watermark past all real data;
+            # the left sentinel's own NULL-right emission is dropped by
+            # the first_id >= 0 read filter
+            far = "2025-07-01 00:00:00"
+            spark.sql(
+                f"SELECT CAST(-1 AS LONG) first_id, CAST(-1 AS LONG) user_id,"
+                f" TIMESTAMP '{far}' a_ts, CAST('x' AS STRING) first_type"
+            ).coalesce(1).write.mode("append").parquet(asrc)
+            spark.sql(
+                f"SELECT CAST(-1 AS LONG) next_id, CAST(-2 AS LONG) user_id,"
+                f" TIMESTAMP '{far}' b_ts, CAST('x' AS STRING) next_type"
+            ).coalesce(1).write.mode("append").parquet(bsrc)
+            q.processAllAvailable()
+            q.processAllAvailable()
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
