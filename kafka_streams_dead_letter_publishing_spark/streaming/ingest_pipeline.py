@@ -1000,3 +1000,92 @@ class EventIngest:
             hist_value_col=self.hist_value_col,
             auto_compact_epochs=self.auto_compact_epochs,
         )
+
+
+class MediaIngest:
+    """foreachBatch body for BINARY media columns: batch (id, payload) →
+    dHash (``functions.multimodal.with_dhash`` — pure Catalyst
+    expressions, no Python) → reject rows whose perceptual hash is
+    already in the accepted store → intra-batch dedup (lowest id per
+    hash) → append survivors to the media sink and their hashes to the
+    dhash store LAST.
+
+    The multimodal twin of :class:`DocumentIngest`'s exact-dup collapse:
+    every image-dedup pipeline buckets on an exact perceptual hash
+    before anything fuzzier, and the EXACT-hash gate is the part whose
+    banding can never degenerate (it is an equi-join on the full 64-bit
+    hash, uniform by construction for real media).  Near-dup Hamming
+    rejection is deliberately NOT a store gate here: the banded pair
+    search's cost contract depends on band distribution
+    (tools/probe_dhash.py measures the text-payload failure mode), so
+    fuzzy image dedup stays a batch-mode operation
+    (``dhash_near_pairs``) over a materialized hash table where the
+    operator's cost is observable — not buried in an ingest loop.
+
+    Crash contract (the DocumentIngest ordering): sink first, hash
+    store LAST — a crash between the two replays with at-least-once
+    duplicates in the sink (safe direction; the store gate converges),
+    and a replay after a COMPLETE commit self-matches to a no-op
+    (every batch hash is in the store, the anti-join rejects all).
+
+    Scale shape per batch: the hash chain is narrow JVM expressions;
+    the store gate is one equi-join on (dhash_hi, dhash_lo) — uniform
+    64-bit keys, no skew; the hash table is localCheckpoint-materialized
+    (the staged-lambda join contract documented on with_dhash)."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+    ) -> None:
+        self.base_dir = base_dir
+        self.sink_path = f"{base_dir}/media"
+        self.dhash_path = f"{base_dir}/dhash"
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+            with_dhash,
+        )
+
+        spark = batch_df.sparkSession
+        h = (
+            with_dhash(batch_df, self.payload_col)
+            .select(self.id_col, self.payload_col, "dhash_hi", "dhash_lo")
+            .localCheckpoint(eager=True)
+        )
+        if _store_exists(spark, self.dhash_path):
+            seen = spark.read.parquet(self.dhash_path).select(
+                "dhash_hi", "dhash_lo"
+            )
+            h = h.join(seen, ["dhash_hi", "dhash_lo"], "left_anti")
+        # intra-batch: lowest id per hash survives (deterministic pick-first)
+        first = h.groupBy("dhash_hi", "dhash_lo").agg(
+            F.min(self.id_col).alias(self.id_col)
+        )
+        kept = h.join(first, ["dhash_hi", "dhash_lo", self.id_col]).localCheckpoint(
+            eager=True
+        )
+        kept.write.mode("append").parquet(self.sink_path)
+        # hash store LAST (the gate): a crash before this point replays
+        # to at-least-once sink duplicates, never to lost media
+        kept.select("dhash_hi", "dhash_lo").distinct().write.mode(
+            "append"
+        ).parquet(self.dhash_path)
+
+    def compact(self, new_base_dir: str) -> "MediaIngest":
+        """Collapse per-batch small files into a fresh base dir (swap by
+        repoint; see :meth:`EmbeddingIngest.compact`)."""
+        spark = SparkSession.getActiveSession()
+        assert spark is not None, "compact() needs an active SparkSession"
+        spark.read.parquet(self.sink_path).repartition(self.id_col).write.mode(
+            "errorifexists"
+        ).parquet(f"{new_base_dir}/media")
+        spark.read.parquet(self.dhash_path).distinct().repartition(
+            "dhash_hi"
+        ).write.mode("errorifexists").parquet(f"{new_base_dir}/dhash")
+        return MediaIngest(
+            new_base_dir, id_col=self.id_col, payload_col=self.payload_col
+        )
