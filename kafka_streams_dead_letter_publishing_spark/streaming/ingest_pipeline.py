@@ -1051,8 +1051,15 @@ class MediaIngest:
         )
 
         spark = batch_df.sparkSession
+        # NULL payloads are refused up front: they hash to NULL, and a
+        # NULL join key never matches the store's anti-join (NULL !=
+        # NULL), so every later NULL payload would be accepted forever —
+        # the zero-norm-vector admission rule's media twin
         h = (
-            with_dhash(batch_df, self.payload_col)
+            with_dhash(
+                batch_df.filter(F.col(self.payload_col).isNotNull()),
+                self.payload_col,
+            )
             .select(self.id_col, self.payload_col, "dhash_hi", "dhash_lo")
             .localCheckpoint(eager=True)
         )

@@ -338,3 +338,22 @@ def test_set_ops_without_exact_skips_truth_columns(spark):
         "nh_a", "nh_b", "est_a", "est_b", "n_both", "est_union",
         "est_intersection", "est_a_minus_b", "est_b_minus_a",
     }
+
+
+def test_set_ops_hypothesis_random_sets(spark):
+    """Randomized parity sweep: arbitrary overlap shapes, sizes straddling
+    the K=8 capacity on either side, negative keys — Spark must equal
+    the Python reference on every column (hypothesis-lite: a seeded
+    batch of shapes rather than @given, because each case spins Spark
+    jobs and the deadline would dominate)."""
+    import random
+
+    rng = random.Random(41)
+    for trial in range(8):
+        na, nb = rng.randrange(0, 30), rng.randrange(0, 30)
+        overlap = rng.randrange(0, min(na, nb) + 1)
+        pool = rng.sample(range(-50, 200), na + nb - overlap) if na + nb else []
+        a = pool[:na]
+        b = pool[na - overlap : na - overlap + nb]
+        got = _setops_row(spark, a or [None], b or [None], K)
+        assert got == _py_set_ops(a or [None], b or [None], K), (trial, a, b)

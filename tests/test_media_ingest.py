@@ -123,3 +123,19 @@ def test_compact_preserves_gate_and_media(spark, tmp_path):
     ing2.process_batch(_rows(spark, [(4, imgs[0]), (5, imgs[3])]), 2)
     kept = sorted(r.doc_id for r in spark.read.parquet(ing2.sink_path).collect())
     assert kept == [1, 2, 3, 5]
+
+
+def test_null_payloads_are_refused_up_front(spark, tmp_path):
+    """A NULL payload hashes to NULL, and NULL never matches the store's
+    anti-join — without the up-front refusal every later NULL payload
+    would be accepted forever."""
+    imgs = _images(1, seed=13)
+    ing = MediaIngest(str(tmp_path / "ingest"))
+    ing.process_batch(
+        _rows(spark, [(1, imgs[0]), (2, None), (3, None)]), 0
+    )
+    kept = sorted(r.doc_id for r in spark.read.parquet(ing.sink_path).collect())
+    assert kept == [1]
+    assert spark.read.parquet(ing.dhash_path).filter(
+        F.col("dhash_hi").isNull()
+    ).count() == 0
