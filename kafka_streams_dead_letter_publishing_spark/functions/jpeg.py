@@ -463,21 +463,24 @@ class _BitReader:
         return v
 
     def align_and_expect_rst(self, idx: int) -> None:
-        """Consume a restart marker (byte-aligned) between intervals."""
+        """Consume a restart marker (byte-aligned) between intervals.
+        Every malformed shape — truncation at the boundary, a stuffed
+        FF 00 where the marker belongs, no FF at all — raises
+        ValueError (never UnboundLocalError/IndexError; r14 review)."""
         self.acc = 0
         self.n = 0
         if self.marker is not None:
             m = self.marker
             self.marker = None
+        elif (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] != 0x00
+        ):
+            m = self.data[self.pos + 1]
+            self.pos += 2
         else:
-            while self.pos < len(self.data) and self.data[self.pos] == 0xFF:
-                if self.data[self.pos + 1] == 0x00:
-                    break
-                m = self.data[self.pos + 1]
-                self.pos += 2
-                break
-            else:
-                raise ValueError("jpeg: expected restart marker")
+            raise ValueError("jpeg: expected restart marker")
         if m != 0xD0 + (idx & 7):
             raise ValueError(
                 f"jpeg: wrong restart marker {m:#x}, expected {0xD0 + (idx & 7):#x}"

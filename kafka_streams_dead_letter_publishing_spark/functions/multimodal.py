@@ -15,6 +15,7 @@ executors exactly like any other column.
 
 from __future__ import annotations
 
+import functools as _functools
 import zlib
 from collections.abc import Iterable, Iterator
 
@@ -443,7 +444,14 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            # GIF's LATE width change (NOT the TIFF early variant): the
+            # decoder's table lags the encoder's by exactly one entry —
+            # it learns entry N only from the code AFTER N was created —
+            # and the spec decoder widens when ITS next free code
+            # reaches 2^width, so the encoder widens one entry later, at
+            # next_code == 2^width + 1 (found r14: the early variant
+            # round-trips against itself but no real GIF decoder)
+            if next_code == (1 << width) + 1 and width < 12:
                 width += 1
         else:
             w.put(clear, width)
@@ -461,7 +469,7 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         # codec fuzz's 30-distinct-symbols-at-mcs-5 case)
         if not first and next_code < 4096:
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            if next_code == (1 << width) + 1 and width < 12:
                 width += 1
     w.put(eoi, width)
     return w.flush()
@@ -503,12 +511,12 @@ def _lzw_decode(data: bytes, mcs: int) -> bytes:
         out += entry
         if len(table) < 4096:
             table.append(prev + entry[:1])
-            # EARLY width change: the decoder's table lags the encoder's
-            # by one entry (it learns entry N only from the code AFTER N
-            # was created), so it must widen one entry sooner — at
-            # 2^width − 1, exactly when the encoder's next_code hits
-            # 2^width (the classic off-by-one a round-trip fuzz catches)
-            if len(table) == (1 << width) - 1 and width < 12:
+            # GIF's LATE width change: widen when the next free code
+            # (== len(table)) reaches 2^width — the giflib/spec decoder
+            # convention; the encoder compensates for its one-entry lead
+            # by widening at 2^width + 1 (see _lzw_encode; the r14 fix —
+            # the TIFF-style early change was only self-consistent)
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
 
@@ -805,9 +813,17 @@ def _jpeg_px_sum(payload: bytes) -> int:
     equal the CLOSED-FORM integer prediction (solid_roundtrip_rgb),
     which the oracle replays in SQL; any drift in quant scaling,
     DC coding, the IDCT descale or the fixed-point color transforms
-    breaks the equality loudly."""
+    breaks the equality loudly.  The whole chain depends only on the
+    (r, g, b) triple, so it is memoized per worker (r14 review) — the
+    real codec still runs once per DISTINCT color, which is what the
+    gate needs; unlike the PNG/GIF gates the input here is 3 bytes,
+    not a per-row prefix."""
     p = bytes(payload[:3]).ljust(3, b"\x00")
-    r, g, b = p[0], p[1], p[2]
+    return _jpeg_px_sum_rgb(p[0], p[1], p[2])
+
+
+@_functools.lru_cache(maxsize=4096)
+def _jpeg_px_sum_rgb(r: int, g: int, b: int) -> int:
     w, h, decoded = decode_jpeg(
         encode_jpeg(
             bytes((r, g, b)) * (JPEG_W * JPEG_H),

@@ -774,7 +774,7 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             # min-watermark past all real data so every group finalizes;
             # distinct sentinel user_ids → the sentinel purchase emits
             # with a NULL click on the left-outer path and the
-            # purchase_id >= 0 read filter drops it
+            # sentinel-identity read filter drops exactly it
             far = "2025-07-01 00:00:00"
             spark.sql(
                 f"SELECT CAST(-1 AS LONG) purchase_id, CAST(-1 AS LONG) user_id,"
@@ -792,10 +792,18 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ASOF_STREAM_CACHE[sf_dir] = out_dir
     # explicit schema: an all-dropped stream (empty corpus) leaves the
     # sink with zero part files, which schema inference would reject
+    # drop EXACTLY the sentinel purchase (user -1, id -1 at the
+    # far-future ts) — a bare `purchase_id >= 0` would also drop
+    # legitimate NULL/negative-id rows the batch oracle keeps
     return (
         spark.read.schema(_ASOF_STREAMED_SCHEMA)
         .parquet(out_dir)
-        .filter(F.col("purchase_id") >= 0)
+        .filter(
+            ~(
+                F.coalesce(F.col("user_id") == -1, F.lit(False))
+                & F.coalesce(F.col("purchase_id") == -1, F.lit(False))
+            )
+        )
         .select("purchase_id", "user_id", "click_id", "click_ts")
     )
 
@@ -836,7 +844,9 @@ _INTERVAL_STREAMED_SCHEMA = (
     "microsecond-exact).  Matched pairs emit in the micro-batch where "
     "they meet; unmatched left rows emit with NULL right only once the "
     "watermark proves no match can arrive, so far-future sentinels on "
-    "both sides (written LAST) finalize every real row; the 45-day "
+    "both sides (written LAST) finalize every real row (the read path "
+    "drops exactly the sentinel identity, never legitimate "
+    "NULL/negative ids); the 45-day "
     "delay exceeds the testdata's 30-day spread so no state is evicted "
     "while a future match could still arrive.  Scale shape: one equi-key shuffle per "
     "side with a range residual, per-key state bounded by interval + "
@@ -946,9 +956,19 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INTERVAL_STREAM_CACHE[sf_dir] = out_dir
     # explicit schema: an all-dropped stream (empty corpus) leaves the
     # sink with zero part files, which schema inference would reject
+    # drop EXACTLY the sentinel row (user -1 at the far-future ts emits
+    # with a NULL right side once the watermark passes it) — a bare
+    # `first_id >= 0` would also drop legitimate NULL/negative-id rows
+    # the batch oracle keeps (r14 review)
     return (
         spark.read.schema(_INTERVAL_STREAMED_SCHEMA)
         .parquet(out_dir)
+        .filter(
+            ~(
+                F.coalesce(F.col("user_id") == -1, F.lit(False))
+                & F.coalesce(F.col("first_id") == -1, F.lit(False))
+            )
+        )
         .select("first_id", "next_id", "user_id", "first_type", "next_type")
     )
 
@@ -1240,7 +1260,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.processAllAvailable()
             # sentinel LAST: a far-future row pushes the watermark past
             # every real session so all groups finalize; its own session
-            # is dropped by the user_id filter at read
+            # is dropped by the sentinel-identity read filter
             spark.sql(
                 "SELECT CAST(-1 AS LONG) user_id,"
                 " TIMESTAMP '2025-07-01 00:00:00' ts"
@@ -1251,11 +1271,19 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _SESSION_STREAM_CACHE[sf_dir] = out_dir
-    # explicit schema: an empty corpus leaves zero part files
+    # explicit schema: an empty corpus leaves zero part files.  Drop
+    # EXACTLY the sentinel's session (user -1 at the far-future ts) — a
+    # bare `user_id >= 0` would also drop legitimate NULL/negative-user
+    # sessions the gaps-and-islands oracle keeps (r14 review)
     return (
         spark.read.schema("user_id long, session_start timestamp, n_events long")
         .parquet(out_dir)
-        .filter(F.col("user_id") >= 0)
+        .filter(
+            ~(
+                F.coalesce(F.col("user_id") == -1, F.lit(False))
+                & (F.col("session_start") >= F.lit("2025-07-01").cast("timestamp"))
+            )
+        )
         .select("user_id", "session_start", "n_events")
     )
 

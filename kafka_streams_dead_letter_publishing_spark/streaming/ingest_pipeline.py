@@ -878,15 +878,62 @@ class EventIngest:
         #: view; the events SINK is never rewritten, only sketches).
         self.auto_compact_epochs = auto_compact_epochs
         self._sketch_gen = 0
+        #: approximate completed-epoch count, maintained from kmv_append's
+        #: return value (epoch numbers are dense except for crash
+        #: orphans, which only make this OVER-count — compacting early is
+        #: harmless) so the cadence check costs no per-batch Spark job
+        #: (r14 review); None until the first append or restart probe
+        self._n_epochs: int | None = None
+        self._resumed = False
+
+    def _resume_generations(self) -> None:
+        """Repoint at the newest COMPLETE sketch generation on disk — the
+        swap-by-repoint previously lived only in process memory, so a
+        driver restart over the same base_dir silently read the stale
+        pre-compaction store and then collided on the generation dir
+        (r14 review).  Runs once per instance; a generation is complete
+        when its KMV store (written first by _maybe_auto_compact) has a
+        stats row; per-store repoints fall back per store so a crash
+        mid-compaction resumes safely, and the NEXT generation number
+        skips past any partial dir."""
+        if self._resumed:
+            return
+        self._resumed = True
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        gen = 0
+        while _store_exists(spark, f"{self.base_dir}/sketch-gen{gen + 1}"):
+            gen += 1
+        if gen == 0:
+            return
+        # _sketch_gen tracks the highest dir (complete OR partial) so the
+        # next compaction allocates past any crash leftovers
+        self._sketch_gen = gen
+        stores = [(True, "kmv")]
+        stores += [(self.cms_store, "cms"), (self.hist_store, "hist")]
+        for flag, name in stores:
+            if not flag:
+                continue
+            # each store repoints to ITS newest complete generation
+            # (stats row present — the epoch gate doubles as the
+            # compaction-completeness marker)
+            for g in range(gen, 0, -1):
+                cand = f"{self.base_dir}/sketch-gen{g}/{name}"
+                if _store_exists(spark, f"{cand}/stats"):
+                    setattr(self, f"{name}_path", cand)
+                    break
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_append
 
+        self._resume_generations()
         batch = batch.localCheckpoint(eager=True)
         batch.write.mode("append").parquet(self.events_path)
-        kmv_append(
+        epoch = kmv_append(
             batch, self.kmv_path, self.group_col, self.key_col, self.k
         )
+        self._n_epochs = epoch + 1
         if self.cms_store:
             from kafka_streams_dead_letter_publishing_spark.operators.cms import (
                 cms_append,
@@ -910,14 +957,13 @@ class EventIngest:
 
     def _maybe_auto_compact(self) -> None:
         """Fold the sketch stores to one epoch once the epoch count passes
-        the cadence (cost of the check: one metadata-sized stats read per
-        batch).  All lockstep stores compact together — their epoch counts
-        advance in lockstep, so the KMV stats row count is the gauge."""
+        the cadence.  The gauge is the in-memory count maintained from
+        kmv_append's return value (no per-batch Spark job — r14 review;
+        crash orphans can only make it over-count, which compacts early
+        and harmlessly).  All lockstep stores compact together — their
+        epoch counts advance in lockstep."""
         if self.auto_compact_epochs is None:
             return
-        from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
-            _store_exists,
-        )
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import (
             kmv_compact,
         )
@@ -926,13 +972,14 @@ class EventIngest:
         assert spark is not None, "auto-compact needs an active SparkSession"
         if not _store_exists(spark, f"{self.kmv_path}/stats"):
             return
-        n_epochs = (
-            spark.read.parquet(f"{self.kmv_path}/stats")
-            .select("epoch").distinct().count()
-        )
-        if n_epochs <= self.auto_compact_epochs:
+        if self._n_epochs is None or self._n_epochs <= self.auto_compact_epochs:
             return
         self._sketch_gen += 1
+        # skip past any partial dir a crashed compaction left behind
+        while _store_exists(
+            spark, f"{self.base_dir}/sketch-gen{self._sketch_gen}"
+        ):
+            self._sketch_gen += 1
         gen = f"{self.base_dir}/sketch-gen{self._sketch_gen}"
         kmv_compact(spark, self.kmv_path, f"{gen}/kmv", self.k)
         self.kmv_path = f"{gen}/kmv"
@@ -950,12 +997,14 @@ class EventIngest:
 
             hist_compact(spark, self.hist_path, f"{gen}/hist")
             self.hist_path = f"{gen}/hist"
+        self._n_epochs = 1  # the fold leaves exactly epoch 0
 
     def estimates(self) -> DataFrame:
         from kafka_streams_dead_letter_publishing_spark.operators.kmv import kmv_estimate
 
         spark = SparkSession.getActiveSession()
         assert spark is not None, "estimates() needs an active SparkSession"
+        self._resume_generations()
         return kmv_estimate(spark, self.kmv_path, self.k)
 
     def compact(self, new_base_dir: str) -> "EventIngest":

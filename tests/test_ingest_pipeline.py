@@ -1126,3 +1126,56 @@ def test_event_ingest_auto_compaction_bounds_store_growth(spark, tmp_path):
     assert a_q == p_q and a_q
     # events sink untouched by sketch compaction: every row still there
     assert spark.read.parquet(auto.events_path).count() == n_batches * 20
+
+
+def test_event_ingest_auto_compaction_survives_driver_restart(spark, tmp_path):
+    """r14 review: the swap-by-repoint previously lived only in process
+    memory — a restarted driver constructing EventIngest over the same
+    base_dir read the stale pre-compaction store and the next fold
+    collided on the existing generation dir.  A fresh instance must
+    resume at the newest complete generation, keep estimating correctly,
+    and compact again without errorifexists collisions."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EventIngest,
+    )
+
+    base = str(tmp_path / "ing")
+    cadence = 3
+
+    def batch(b):
+        rows = [
+            (f"t{(b + i) % 3}", (b * 17 + i * 7) % 40, float((b * 13 + i) % 97))
+            for i in range(20)
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, user_id long, value double"
+        )
+
+    run1 = EventIngest(base, k=8, cms_store=True, hist_store=True,
+                       auto_compact_epochs=cadence)
+    for b in range(8):
+        run1.process_batch(batch(b), b)
+    assert run1._sketch_gen >= 1  # at least one fold happened
+
+    # "driver restart": a brand-new instance over the same base_dir
+    run2 = EventIngest(base, k=8, cms_store=True, hist_store=True,
+                       auto_compact_epochs=cadence)
+    # estimates() must resume to the live store, not the stale base one
+    est_before = {(r.group, r.nh, r.est) for r in run1.estimates().collect()}
+    est_resumed = {(r.group, r.nh, r.est) for r in run2.estimates().collect()}
+    assert est_resumed == est_before and est_resumed
+    assert run2.kmv_path == run1.kmv_path  # repointed to the live gen
+
+    # keep driving through MORE folds — no generation-dir collision
+    for b in range(8, 20):
+        run2.process_batch(batch(b), b)
+    assert run2._sketch_gen > run1._sketch_gen
+
+    # the resumed pipeline's estimates equal a never-restarted,
+    # never-compacted twin over the same 20 batches
+    plain = EventIngest(str(tmp_path / "plain"), k=8)
+    for b in range(20):
+        plain.process_batch(batch(b), b)
+    got = {(r.group, r.nh, r.est) for r in run2.estimates().collect()}
+    want = {(r.group, r.nh, r.est) for r in plain.estimates().collect()}
+    assert got == want and got

@@ -307,3 +307,19 @@ def test_fuzz_arbitrary_bytes_roundtrip_shape(data, quality, sub):
     and never crash; values are lossy by design so only shape is pinned."""
     w, h, out = decode_jpeg(encode_jpeg(data, 8, 8, quality, sub))
     assert (w, h) == (8, 8) and len(out) == len(data)
+
+
+def test_corrupt_restart_boundary_raises_value_error():
+    """r14 review: a stuffed FF 00 where the RST marker belongs, or a
+    truncation at the boundary, must raise ValueError — never
+    UnboundLocalError/IndexError."""
+    pix = _smooth(24, 17)
+    buf = encode_jpeg(pix, 24, 17, 95, "444", restart_interval=2)
+    i = buf.find(b"\xff\xd0")
+    assert i > 0
+    with pytest.raises(ValueError, match="restart|truncated|marker"):
+        decode_jpeg(buf[:i] + b"\xff\x00" + buf[i + 2 :])
+    with pytest.raises(ValueError, match="restart|truncated|marker"):
+        decode_jpeg(buf[: i + 1])  # cut right after the FF
+    with pytest.raises(ValueError, match="restart|truncated|marker"):
+        decode_jpeg(buf[:i] + b"\x12\x34" + buf[i + 2 :])  # no FF at all

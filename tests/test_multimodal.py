@@ -619,3 +619,76 @@ def test_dhash_registry_row_groups_exact_dups(spark):
     for (hi, lo), ids in by_hash.items():
         n = next(r.n_same_hash for r in rows if r.doc_id == ids[0])
         assert n == len(ids)
+
+
+def _ref_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """INDEPENDENT GIF-LZW reference decoder (the giflib/spec convention,
+    written from the spec in this test file — not the module's inverse):
+    LSB-first reader, LATE width change (widen when the next free code
+    reaches 2^width).  Pins the r14 fix: the codec previously used the
+    TIFF-style EARLY change, which round-trips against itself but is
+    unreadable by every real GIF decoder."""
+    pos = acc = nbits = 0
+
+    def get(width):
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    while True:
+        c = get(width)
+        if c == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if c == eoi:
+            return bytes(out)
+        if prev is None:
+            prev = table[c]
+            out += prev
+            continue
+        entry = table[c] if c < len(table) else prev + prev[:1]
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def test_lzw_encoder_readable_by_independent_spec_decoder():
+    import random
+
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        # the width-boundary crosser that exposed the early-change bug:
+        # many distinct symbols, table crosses 512/1024/2048
+        bytes(rng.randrange(200) for _ in range(4096)),
+        # dictionary-reset path (tiny alphabet, long run → 4096 resets)
+        bytes(rng.randrange(4) for _ in range(9000)),
+        b"",
+        b"\x00",
+        bytes(range(4)) * 700,
+    ]
+    for i, data in enumerate(cases):
+        mcs = 8 if i == 0 else max(2, max(data, default=3).bit_length())
+        enc = _lzw_encode(data, mcs)
+        assert _ref_lzw_decode(enc, mcs) == data, f"case {i}: spec decoder"
+        assert _lzw_decode(enc, mcs) == data, f"case {i}: own decoder"
