@@ -1,11 +1,15 @@
 """Multimodal column plumbing ([EXT], SURVEY §7 M5): opaque binary payloads
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The image/audio codec libraries are not in this container, so the actual
-decode is stubbed (``decode_image``) — but the Spark-side plumbing is real
-and tested: binary column + metadata struct in, ``mapInPandas`` with an
-explicit output schema over Arrow batches out.  Swapping the stub for a real
-``PIL.Image.open(io.BytesIO(buf))`` is a one-function change.
+No image/audio codec LIBRARIES exist in this container, so the codecs are
+implemented here from the public specs, pure Python + stdlib: BMP and P6
+PPM (r13), PNG via stdlib zlib, GIF89a variable-width LZW and baseline
+T.81 JPEG (r14, ``functions/jpeg.py``), 16-bit PCM WAV for audio.
+``decode_image`` dispatches on magic bytes; only formats that genuinely
+need an external library (WebP/AVIF/MP4/...) keep a loud
+``NotImplementedError`` stub.  The Spark-side plumbing is real and tested:
+binary column + metadata struct in, ``mapInPandas`` with an explicit
+output schema over Arrow batches out.
 
 Scale posture: ``mapInPandas`` streams Arrow record batches (no per-row
 Python overhead) and is a narrow transformation — no shuffle; partition

@@ -1,13 +1,15 @@
 """Multimodal-column query family ([EXT], SURVEY §7 M5): opaque binary
 payloads + typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The payload here is the UTF-8 bytes of ``documents.text`` (the container has
-no image/audio codecs — ``functions.multimodal.decode_image`` is the
-documented stub), but the Spark-side plumbing is the real thing: binary
-column, metadata struct, ``mapInPandas`` with an explicit output schema over
-Arrow record batches.  The oracle reproduces the byte-level features in SQL
-at the UTF-8 BYTE level (octet_length + a hex-pair walk), so the hash check
-holds for any text, ASCII or not, despite the Python stage.
+The payload here is the UTF-8 bytes of ``documents.text``, pushed through
+REAL pure-Python codecs per row (BMP/PPM since r13; PNG, GIF89a/LZW and
+baseline T.81 JPEG since r14 — ``functions.multimodal`` / ``functions.jpeg``;
+only library-needing formats like WebP/MP4 keep a loud stub).  The
+Spark-side plumbing is the real thing too: binary column, metadata struct,
+``mapInPandas`` with an explicit output schema over Arrow record batches.
+The oracle reproduces the byte-level features in SQL at the UTF-8 BYTE
+level (octet_length + a hex-pair walk), so the hash check holds for any
+text, ASCII or not, despite the Python stage.
 
 Scale posture: ``mapInPandas`` is a narrow transformation over Arrow batches
 — no shuffle, no per-row Python; 100 TB of media shards across executors

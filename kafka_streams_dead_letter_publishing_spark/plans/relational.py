@@ -938,7 +938,9 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             # watermark proves no match can arrive, so far-future rows on
             # BOTH streams push the min-watermark past all real data;
             # the left sentinel's own NULL-right emission is dropped by
-            # the first_id >= 0 read filter
+            # the sentinel-identity read filter below (user -1 AND
+            # first_id -1 — a bare first_id >= 0 would also drop
+            # legitimate NULL/negative-id rows the batch oracle keeps)
             far = "2025-07-01 00:00:00"
             spark.sql(
                 f"SELECT CAST(-1 AS LONG) first_id, CAST(-1 AS LONG) user_id,"
