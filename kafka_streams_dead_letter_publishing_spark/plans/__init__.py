@@ -1,7 +1,7 @@
 """Declared-query registry: every implemented operator as a named query with
 a DuckDB-runnable oracle (the driver's correctness gate, SURVEY §5)."""
 
-from kafka_streams_dead_letter_publishing_spark.plans.registry import QUERIES, Query, query
+from kafka_streams_dead_letter_publishing_spark.plans.registry import QUERIES, RETIRED, Query, query
 
 # importing the family modules populates the registry — ORDER MATTERS: the
 # driver records CORRECTNESS rows in registry-insertion order (r2 showed a
@@ -44,4 +44,4 @@ def clear_plan_caches() -> None:
     _BM25_INDEX_CACHE.clear()
 
 
-__all__ = ["QUERIES", "Query", "query", "clear_plan_caches"]
+__all__ = ["QUERIES", "RETIRED", "Query", "query", "clear_plan_caches"]

@@ -38,12 +38,29 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+#: rows retired from the driver registry at the 100-row hygiene cap but
+#: whose (spark, oracle) pair stays test-pinned — the edge-case batteries
+#: keep exercising them without consuming a rotation slot (r15; the r14
+#: retirements predate this and live as plain functions)
+RETIRED: dict[str, Query] = {}
+
 
 def query(name: str, oracle: str | None, doc: str, tags: tuple[str, ...] = ()):
     """Register a Spark query implementation with its DuckDB oracle."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def retired_query(name: str, oracle: str | None, doc: str, tags: tuple[str, ...] = ()):
+    """Register into RETIRED: dropped from the driver rotation, kept
+    runnable against its oracle by the test harness."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        RETIRED[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
     return deco

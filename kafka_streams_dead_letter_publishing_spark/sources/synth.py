@@ -264,3 +264,68 @@ def synth_events_zipf(
             / F.lit(100.0)
         ).alias("value"),
     )
+
+
+# ── image-like payloads with planted near-copies (r15) ───────────────────
+#
+# The dHash banded near-pair search's cost contract holds only when band
+# values DISTRIBUTE — true of real image bytes, provably false of ASCII
+# text prefixes (tools/probe_dhash.py measures both regimes).  The driver
+# corpus is text, so gating the banded search needs a planted IMAGE-LIKE
+# payload table: full-byte-range bytes as a pure integer function of
+# doc_id (replayable in DuckDB SQL verbatim — the synth_events_zipf
+# discipline), plus a planted near-copy of every COPY_EVERY-th doc that
+# perturbs exactly ONE pixel triple, so each copy's dHash differs from
+# its base in at most 2 bits (one cell feeds two left/right comparisons)
+# — within the Hamming<=3 regime where 4-band LSH has GUARANTEED recall 1
+# by pigeonhole (<=3 differing bits cannot touch all four 16-bit bands).
+
+IMAGELIKE_COPY_EVERY = 7
+IMAGELIKE_COPY_OFFSET = 1_000_000_000
+#: one byte of the synthetic image: the leading 8 bits of
+#: md5("<base_id>:<p>") — md5 agrees bit-for-bit across Spark and DuckDB
+#: (the KMV/Bloom precedent) and is genuinely uniform, so the 16-bit hash
+#: bands distribute.  A polynomial mod 256 does NOT work here: any
+#: integer polynomial is periodic in the id with period 256, so ids 256
+#: apart produced byte-identical images (measured at sf0.01: 572 docs →
+#: only 274 distinct hashes) — a planted-collision artifact, not a
+#: near-dup signal.
+IMAGELIKE_BYTE_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST({base} AS STRING), ':', "
+    "CAST(p AS STRING))), 1, 2), 16, 10) AS INT)"
+)
+IMAGELIKE_BYTE_DUCK = (
+    "CAST(('0x' || substring(md5({base} || ':' || p), 1, 2)) AS INTEGER)"
+)
+#: the planted copy shifts one pixel triple by +64 (mod 256): pixel index
+#: = base % n_pixels, bytes 3k..3k+2
+IMAGELIKE_PERT_BYTE = (
+    "(CASE WHEN p >= 3*({base} % {npx}) AND p < 3*({base} % {npx}) + 3 "
+    "THEN ({byte} + 64) % 256 ELSE {byte} END)"
+)
+
+
+def synth_docs_imagelike(docs: DataFrame, n_bytes: int, n_pixels: int) -> DataFrame:
+    """(doc_id, payload) with image-like binary payloads derived from the
+    ``documents`` table's ids (so the table scales with SF and the oracle
+    can regenerate it from the same view): every id gets ``n_bytes`` of
+    full-range deterministic bytes; every ``IMAGELIKE_COPY_EVERY``-th id
+    additionally plants a near-copy at id + IMAGELIKE_COPY_OFFSET whose
+    payload differs in exactly one pixel triple.  Pure Catalyst
+    expressions (sequence → transform → unhex), narrow, no Python."""
+    byte = IMAGELIKE_BYTE_SPARK.format(base="base_id")
+    pert = IMAGELIKE_PERT_BYTE.format(base="base_id", npx=n_pixels, byte=byte)
+
+    def gen(byte_expr: str) -> Column:
+        return F.expr(
+            "unhex(concat_ws('', transform(sequence(0, "
+            f"{n_bytes - 1}), p -> lpad(hex({byte_expr}), 2, '0'))))"
+        )
+
+    ids = docs.select(F.col("doc_id").alias("base_id"))
+    base = ids.select(F.col("base_id").alias("doc_id"), gen(byte).alias("payload"))
+    copies = ids.filter(F.col("base_id") % IMAGELIKE_COPY_EVERY == 0).select(
+        (F.col("base_id") + IMAGELIKE_COPY_OFFSET).alias("doc_id"),
+        gen(pert).alias("payload"),
+    )
+    return base.unionByName(copies)

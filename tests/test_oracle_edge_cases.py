@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+from kafka_streams_dead_letter_publishing_spark.plans import QUERIES, RETIRED
 
 
 def _canon(v):
@@ -51,7 +51,9 @@ def _canon(v):
 def assert_query_matches_oracle(
     spark, sf_dir: str, name: str, tables: tuple[str, ...] = ("events", "documents")
 ) -> list:
-    q = QUERIES[name]
+    # RETIRED rows keep their oracle pair runnable here without
+    # consuming a driver-rotation slot (plans/registry.py r15)
+    q = QUERIES.get(name) or RETIRED[name]
     sdf = q.spark(spark, sf_dir).toPandas()
     con = duckdb.connect()
     try:
@@ -410,7 +412,9 @@ EMB_FAMILY_QUERIES = (
 
 @pytest.mark.parametrize("name", EMB_FAMILY_QUERIES)
 def test_similarity_family_agrees_on_degenerate_vectors(spark, degenerate_embeddings_dir, name):
-    q = QUERIES[name]
+    # RETIRED rows keep their oracle pair runnable here without
+    # consuming a driver-rotation slot (plans/registry.py r15)
+    q = QUERIES.get(name) or RETIRED[name]
     sdf = q.spark(spark, degenerate_embeddings_dir).toPandas()
     con = duckdb.connect()
     try:
@@ -765,7 +769,9 @@ def test_learned_ivf_excludes_unindexable_rows_identically(
     spark, unindexable_embeddings_dir
 ):
     name = "emb_ivf_batch_topk"
-    q = QUERIES[name]
+    # RETIRED rows keep their oracle pair runnable here without
+    # consuming a driver-rotation slot (plans/registry.py r15)
+    q = QUERIES.get(name) or RETIRED[name]
     sdf = q.spark(spark, unindexable_embeddings_dir).toPandas()
     con = duckdb.connect()
     try:

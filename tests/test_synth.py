@@ -272,3 +272,68 @@ def test_zipf_synth_is_a_narrow_distributed_map(spark):
     )
     assert "Exchange" not in plan  # narrow: generation never shuffles
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ── image-like payloads with planted near-copies (r15) ───────────────────
+
+
+def test_imagelike_synth_bytes_copies_and_pigeonhole(spark):
+    """Generator contract for the dHash near-pair gate: md5-derived bytes
+    match a Python replay exactly, each planted copy differs from its
+    base in EXACTLY one pixel triple, the copy's dHash is within Hamming
+    2 of its base (one cell → two comparisons), and — the pigeonhole the
+    registry row leans on — every pair within Hamming 3 shares at least
+    one 16-bit band."""
+    import hashlib
+
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        dhash_reference,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+        IMAGELIKE_COPY_EVERY,
+        IMAGELIKE_COPY_OFFSET,
+        synth_docs_imagelike,
+    )
+
+    n_bytes, n_px = 864, 288
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    got = {
+        r.doc_id: bytes(r.payload)
+        for r in synth_docs_imagelike(docs, n_bytes, n_px).collect()
+    }
+
+    def ref_byte(base: int, p: int) -> int:
+        return int(hashlib.md5(f"{base}:{p}".encode()).hexdigest()[:2], 16)
+
+    # exact Python replay of a base payload
+    assert got[3] == bytes(ref_byte(3, p) for p in range(n_bytes))
+    # copies exist exactly for ids % COPY_EVERY == 0
+    copies = [i for i in got if i >= IMAGELIKE_COPY_OFFSET]
+    assert sorted(copies) == [
+        i + IMAGELIKE_COPY_OFFSET for i in range(20) if i % IMAGELIKE_COPY_EVERY == 0
+    ]
+    for cid in copies:
+        base = cid - IMAGELIKE_COPY_OFFSET
+        diff = [p for p in range(n_bytes) if got[cid][p] != got[base][p]]
+        k = base % n_px
+        assert diff and set(diff) <= {3 * k, 3 * k + 1, 3 * k + 2}
+        hb, cb = dhash_reference(got[base]), dhash_reference(got[cid])
+        ham = bin(hb[0] ^ cb[0]).count("1") + bin(hb[1] ^ cb[1]).count("1")
+        assert ham <= 2
+        # pigeonhole: <= 3 differing bits leave a band untouched
+        bands_b = (hb[0] >> 16, hb[0] & 0xFFFF, hb[1] >> 16, hb[1] & 0xFFFF)
+        bands_c = (cb[0] >> 16, cb[0] & 0xFFFF, cb[1] >> 16, cb[1] & 0xFFFF)
+        assert any(x == y for x, y in zip(bands_b, bands_c))
+
+
+def test_imagelike_synth_is_narrow_and_python_free(spark):
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+        synth_docs_imagelike,
+    )
+
+    docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    plan = (
+        synth_docs_imagelike(docs, 864, 288)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
