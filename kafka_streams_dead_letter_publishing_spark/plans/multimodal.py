@@ -43,7 +43,10 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
     extract_features,
     with_payload,
 )
-from kafka_streams_dead_letter_publishing_spark.plans.registry import query
+from kafka_streams_dead_letter_publishing_spark.plans.registry import (
+    _capture_drive_stats,
+    query,
+)
 from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 
 # ── the JPEG solid-color closed form in SQL (functions/jpeg.py) ──────────
@@ -536,6 +539,7 @@ def docs_media_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in (1, 2):
                 _slice(b).write.mode("append").parquet(src)
                 q.processAllAvailable()
+            _capture_drive_stats("docs_media_ingest_streamed", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

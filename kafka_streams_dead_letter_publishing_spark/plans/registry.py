@@ -64,3 +64,24 @@ def retired_query(name: str, oracle: str | None, doc: str, tags: tuple[str, ...]
         return fn
 
     return deco
+
+
+#: per-trigger progress of the LAST streamed drive, keyed (row, sf_dir) —
+#: bench.py pops the per-row drive caches to force fresh drives and reads
+#: these to report the REAL multi-batch drive throughput (r14 verdict #6:
+#: the cached sink re-read understates what the streamed rows cost)
+STREAM_DRIVE_STATS: dict[tuple[str, str], list[dict]] = {}
+
+
+def _capture_drive_stats(row: str, sf_dir: str, q) -> None:
+    """Record a finished StreamingQuery's per-trigger progress (input
+    rows + trigger wall) for the bench's drive-throughput entries."""
+    STREAM_DRIVE_STATS[(row, sf_dir)] = [
+        {
+            "input_rows": int(p.numInputRows or 0),
+            "trigger_ms": int(
+                dict(p.durationMs or {}).get("triggerExecution") or 0
+            ),
+        }
+        for p in q.recentProgress
+    ]

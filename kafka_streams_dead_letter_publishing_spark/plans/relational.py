@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_dead_letter_publishing_spark.plans.registry import query
+from kafka_streams_dead_letter_publishing_spark.plans.registry import (
+    _capture_drive_stats,
+    query,
+)
 from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
 
 # ── shared arithmetic fragments (valid in BOTH Spark SQL and DuckDB) ─────
@@ -786,6 +789,7 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).coalesce(1).write.mode("append").parquet(csrc)
             q.processAllAvailable()
             q.processAllAvailable()
+            _capture_drive_stats("events_asof_streamed", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -952,6 +956,7 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).coalesce(1).write.mode("append").parquet(bsrc)
             q.processAllAvailable()
             q.processAllAvailable()
+            _capture_drive_stats("events_interval_streamed", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1269,6 +1274,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
             q.processAllAvailable()
+            _capture_drive_stats("events_sessionization", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
