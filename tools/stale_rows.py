@@ -25,6 +25,14 @@ and re-runs exactly those rows through the local oracle gate:
    status; ``--list-only`` prints the stale set and exits 0/0.
 
 Usage: python tools/stale_rows.py [sf_dir] [--base REF] [--list-only]
+                                  [--json PATH]
+
+``--json PATH`` additionally records the sweep as a round artifact
+(r14 verdict #5): the derived stale set, the per-row check_oracle
+verdicts, and the exact (base, head) commit pair — so the recorded
+board covers code-changed-after-window rows without a judge having to
+re-derive the sweep.  ``tests/test_stale_sweep.py`` pins the newest
+artifact's freshness against the git round boundary.
 """
 
 from __future__ import annotations
@@ -176,9 +184,53 @@ def stale_rows(base: str) -> dict[str, str]:
     return stale
 
 
+def run_sweep_artifact(base: str, sf_dir: str, json_path: str) -> int:
+    """Run the sweep and record it as a round artifact (exit 1 on FAIL)."""
+    import json
+
+    stale = stale_rows(base)
+    results: dict[str, str] = {}
+    failed: list[str] = []
+    out_lines: list[str] = []
+    if stale:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "check_oracle.py"), sf_dir]
+            + sorted(stale),
+            capture_output=True,
+            text=True,
+        )
+        out_lines = proc.stdout.splitlines()
+        for line in out_lines:
+            m = re.match(r"(PASS|FAIL|rows-only) (\S+?):", line)
+            if m:
+                results[m.group(2)] = m.group(1)
+        failed = sorted(n for n, v in results.items() if v == "FAIL")
+        # rows the subprocess never reported (a crash mid-run) count as
+        # failures — an artifact must never under-report
+        failed += sorted(set(stale) - set(results))
+    artifact = {
+        "base": base,
+        "head": _git("rev-parse", "HEAD").strip(),
+        "dirty": bool(_git("status", "--porcelain").strip()),
+        "sf_dir": sf_dir,
+        "stale": dict(sorted(stale.items())),
+        "results": dict(sorted(results.items())),
+        "failed": failed,
+    }
+    pathlib.Path(json_path).write_text(json.dumps(artifact, indent=1) + "\n")
+    for line in out_lines:
+        print(line)
+    print(
+        f"sweep artifact {json_path}: {len(stale)} stale, "
+        f"{len(failed)} failed (base {base[:12]})"
+    )
+    return 1 if failed else 0
+
+
 def main(argv: list[str]) -> int:
     base = None
     list_only = False
+    json_path = None
     sf_dir = "/root/testdata/sf0.01"
     args = list(argv)
     while args:
@@ -187,9 +239,13 @@ def main(argv: list[str]) -> int:
             base = args.pop(0)
         elif a == "--list-only":
             list_only = True
+        elif a == "--json":
+            json_path = args.pop(0)
         else:
             sf_dir = a
     base = base or default_base()
+    if json_path:
+        return run_sweep_artifact(base, sf_dir, json_path)
     stale = stale_rows(base)
     if not stale:
         print(f"no stale rows since {base[:12]}")
