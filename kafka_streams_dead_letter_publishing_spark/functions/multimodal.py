@@ -231,34 +231,99 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: bytes, width: int, height: int) -> bytes:
-    """Minimal 8-bit RGB PNG writer — pure Python + stdlib zlib.
-    ``pixels`` is RGB, row-major, top-down, exactly ``3*width*height``
-    bytes.  Scanline filters CYCLE through all five types (row r uses
-    filter r % 5), so a decode of any ≥5-row image exercises every
-    unfilter path against real deflate-compressed data."""
-    if len(pixels) != 3 * width * height:
-        raise ValueError(
-            f"encode_png: need {3 * width * height} RGB bytes, got {len(pixels)}"
-        )
-    bpp, stride = 3, 3 * width
+#: Adam7 pass grid: (x0, y0, dx, dy) — the spec's seven interlace passes
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _png_filter_rows(rows: list[bytes], bpp: int) -> bytes:
+    """Filter a sub-image's scanlines with the CYCLING filter discipline
+    (row r uses filter r % 5, prior starts at zeros — per sub-image, the
+    spec's rule for interlace passes too)."""
     raw = bytearray()
-    prior = bytes(stride)
-    for r in range(height):
-        row = pixels[r * stride : (r + 1) * stride]
+    prior = bytes(len(rows[0])) if rows else b""
+    for r, row in enumerate(rows):
         ftype = r % 5
         raw.append(ftype)
-        for i in range(stride):
+        for i in range(len(row)):
             left = row[i - bpp] if i >= bpp else 0
             ul = prior[i - bpp] if i >= bpp else 0
             raw.append((row[i] - _png_predict(ftype, left, prior[i], ul)) & 0xFF)
         prior = row
+    return bytes(raw)
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Minimal RGB PNG writer — pure Python + stdlib zlib.  ``pixels`` is
+    RGB, row-major, top-down: ``3*width*height`` bytes at depth 8, or
+    ``6*width*height`` bytes (big-endian 16-bit samples, per spec) at
+    depth 16.  ``interlace=1`` writes a real Adam7 stream: seven
+    sub-images, each filtered independently with prior reset to zeros.
+    Scanline filters CYCLE through all five types (row r of each
+    sub-image uses filter r % 5), so a decode of any ≥5-row image
+    exercises every unfilter path against real deflate-compressed data."""
+    if depth not in (8, 16):
+        raise ValueError(f"encode_png: depth must be 8 or 16, got {depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"encode_png: interlace must be 0 or 1, got {interlace}")
+    sb = depth // 8
+    bpp = 3 * sb
+    if len(pixels) != bpp * width * height:
+        raise ValueError(
+            f"encode_png: need {bpp * width * height} RGB bytes at depth "
+            f"{depth}, got {len(pixels)}"
+        )
+    stride = bpp * width
+    if interlace == 0:
+        rows = [pixels[r * stride : (r + 1) * stride] for r in range(height)]
+        raw = _png_filter_rows(rows, bpp)
+    else:
+        raw_parts = []
+        for x0, y0, dx, dy, pw, ph in _adam7_dims(width, height):
+            rows = [
+                b"".join(
+                    pixels[
+                        (y0 + j * dy) * stride
+                        + (x0 + i * dx) * bpp : (y0 + j * dy) * stride
+                        + (x0 + i * dx) * bpp
+                        + bpp
+                    ]
+                    for i in range(pw)
+                )
+                for j in range(ph)
+            ]
+            raw_parts.append(_png_filter_rows(rows, bpp))
+        raw = b"".join(raw_parts)
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        # bit depth 8, color type 2 (RGB), deflate, adaptive filters,
-        # no interlace
-        + bytes([8, 2, 0, 0, 0])
+        # bit depth, color type 2 (RGB), deflate, adaptive filters,
+        # interlace method
+        + bytes([depth, 2, 0, 0, interlace])
     )
     return (
         PNG_MAGIC
@@ -268,21 +333,48 @@ def encode_png(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
-#: bytes per pixel for the supported 8-bit PNG color types: 0 gray,
+#: CHANNELS per pixel for the supported PNG color types: 0 gray,
 #: 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
 _PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> list[bytes]:
+    """Unfilter one (sub-)image's scanlines: ``raw`` is exactly
+    ``(bpp*width + 1) * height`` bytes (filter byte + filtered row, prior
+    starting at zeros — the spec treats every Adam7 pass as its own
+    image).  Returns the reconstructed rows."""
+    stride = bpp * width
+    rows: list[bytes] = []
+    prior = bytes(stride)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        if ftype > 4:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        row = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            ul = prior[i - bpp] if i >= bpp else 0
+            recon[i] = (row[i] + _png_predict(ftype, left, prior[i], ul)) & 0xFF
+        rows.append(bytes(recon))
+        prior = rows[-1]
+    return rows
+
+
 def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
-    """8-bit PNG decode normalized to RGB: chunk walk with CRC
+    """PNG decode normalized to 8-bit RGB: chunk walk with CRC
     verification (the WAV RIFF walker's shape — unknown ancillary chunks
     skipped, IDAT bodies CONCATENATED before one inflate, per the spec),
     per-scanline unfiltering of all five filter types at the color
     type's pixel width, then channel normalization — gray replicates,
     palette indices resolve through PLTE (out-of-range index raises),
     alpha channels drop (feature extraction reads color planes; the raw
-    alpha is recoverable from the source bytes).  All five 8-bit color
-    types; 16-bit depth and Adam7 interlace raise loudly."""
+    alpha is recoverable from the source bytes).  All five color types
+    at depth 8; depth 16 for the non-palette types (r15 — big-endian
+    samples, normalized by the spec's most-significant-byte reduction);
+    Adam7 interlace (r15 — seven passes, each unfiltered independently
+    and de-interlaced onto the canvas).  Palette sub-8-bit depths raise
+    loudly."""
     if len(buf) < len(PNG_MAGIC) + 12:
         raise ValueError("PNG truncated: shorter than signature + one chunk")
     pos, ihdr, idat, ended = 8, None, bytearray(), False
@@ -315,12 +407,19 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if (depth, comp, filt, interlace) != (8, 0, 0, 0) or color not in _PNG_BPP:
+    if (
+        (comp, filt) != (0, 0)
+        or color not in _PNG_BPP
+        or interlace not in (0, 1)
+        or depth not in (8, 16)
+        or (color == 3 and depth != 8)
+    ):
         raise ValueError(
             f"unsupported PNG variant: depth={depth} color={color} "
             f"compression={comp} filter={filt} interlace={interlace} "
-            "(only 8-bit gray/RGB/palette/gray-alpha/RGBA, deflate, "
-            "adaptive filters, no interlace)"
+            "(gray/RGB/palette/gray-alpha/RGBA at depth 8, non-palette "
+            "types at depth 16, deflate, adaptive filters, "
+            "none/Adam7 interlace; palette sub-8-bit depths unsupported)"
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 without a PLTE chunk")
@@ -330,46 +429,52 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    bpp = _PNG_BPP[color]
-    stride = bpp * width
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG scanline data length mismatch")
+    channels = _PNG_BPP[color]
+    sb = depth // 8
+    bpp = channels * sb
     out = bytearray(3 * width * height)
-    prior = bytes(stride)
-    for r in range(height):
-        ftype = raw[r * (stride + 1)]
-        if ftype > 4:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        row = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-        recon = bytearray(stride)
-        for i in range(stride):
-            left = recon[i - bpp] if i >= bpp else 0
-            ul = prior[i - bpp] if i >= bpp else 0
-            recon[i] = (row[i] + _png_predict(ftype, left, prior[i], ul)) & 0xFF
-        o = 3 * width * r
-        if color == 2:
-            out[o : o + stride] = recon
-        elif color == 0:
-            for x in range(width):
-                out[o + 3 * x] = out[o + 3 * x + 1] = out[o + 3 * x + 2] = recon[x]
-        elif color == 4:
-            for x in range(width):
-                v = recon[2 * x]
-                out[o + 3 * x] = out[o + 3 * x + 1] = out[o + 3 * x + 2] = v
-        elif color == 6:
-            for x in range(width):
-                out[o + 3 * x : o + 3 * x + 3] = recon[4 * x : 4 * x + 3]
-        else:  # color == 3: palette lookup
-            ncolors = len(plte) // 3
-            for x in range(width):
-                idx = recon[x]
+
+    def place(recon: bytes, j: int, xs: range) -> None:
+        """Normalize one reconstructed scanline's pixels onto the RGB
+        canvas at row ``j``, canvas columns ``xs`` (16-bit samples reduce
+        to their most significant byte, the spec's depth-rescale)."""
+        for i, x in enumerate(xs):
+            o = 3 * (width * j + x)
+            base = i * bpp
+            if color == 2 or color == 6:
+                out[o] = recon[base]
+                out[o + 1] = recon[base + sb]
+                out[o + 2] = recon[base + 2 * sb]
+            elif color == 0 or color == 4:
+                out[o] = out[o + 1] = out[o + 2] = recon[base]
+            else:  # color == 3: palette lookup (depth 8 only)
+                idx = recon[base]
+                ncolors = len(plte) // 3
                 if idx >= ncolors:
                     raise ValueError(
                         f"PNG palette index {idx} out of range (PLTE has "
                         f"{ncolors} entries)"
                     )
-                out[o + 3 * x : o + 3 * x + 3] = plte[3 * idx : 3 * idx + 3]
-        prior = bytes(recon)
+                out[o : o + 3] = plte[3 * idx : 3 * idx + 3]
+
+    if interlace == 0:
+        stride = bpp * width
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline data length mismatch")
+        for j, recon in enumerate(_png_unfilter(raw, width, height, bpp)):
+            place(recon, j, range(width))
+    else:  # Adam7: seven independently-filtered sub-images, de-interlaced
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_dims(width, height):
+            need = (bpp * pw + 1) * ph
+            if pos + need > len(raw):
+                raise ValueError("PNG scanline data length mismatch")
+            rows = _png_unfilter(raw[pos : pos + need], pw, ph, bpp)
+            pos += need
+            for j, recon in enumerate(rows):
+                place(recon, y0 + j * dy, range(x0, x0 + pw * dx, dx))
+        if pos != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
     return width, height, bytes(out)
 
 
@@ -731,10 +836,11 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     """Pure-Python image decode for the four zero-dependency formats —
     ``(width, height, rgb_bytes)`` with pixels RGB, row-major, top-down:
 
-    * **PNG** (8-byte signature): all five 8-bit color types (gray /
-      RGB / palette / gray-alpha / RGBA, normalized to RGB), stdlib-zlib
+    * **PNG** (8-byte signature): all five color types (gray / RGB /
+      palette / gray-alpha / RGBA, normalized to RGB), stdlib-zlib
       inflate, CRC checks, all five scanline filters (r14 — the DEFLATE
-      format).  16-bit depth and Adam7 interlace raise.
+      format); r15 adds 16-bit depth (MSB reduction) and Adam7
+      interlace.  Palette sub-8-bit depths raise.
     * **JPEG** (``FF D8 FF``): baseline sequential DCT — Huffman decode
       from the file's DHT, integer Loeffler IDCT, restart markers,
       4:4:4/4:2:2/4:2:0 and grayscale (r14 — the LOSSY format;

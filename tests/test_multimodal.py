@@ -372,19 +372,31 @@ def test_png_corruption_fails_loudly():
         decode_image(good[:-8])  # IEND chunk cut to a dangling length field
     with pytest.raises(ValueError, match="truncated"):
         decode_image(good[:42])  # cut mid-IDAT body: shorter than declared
-    with pytest.raises(ValueError, match="unsupported PNG variant"):
-        # 16-bit depth: rebuild the IHDR with its CRC (RGBA graduated
-        # to a supported color type later in r14 — depth 16 did not)
-        import zlib as _z
+    import zlib as _z
 
-        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
-        buf = (
+    def _reheader(depth, color, interlace=0):
+        ihdr = (
+            (2).to_bytes(4, "big")
+            + (2).to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, interlace])
+        )
+        return (
             b"\x89PNG\r\n\x1a\n"
             + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
             + (_z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
             + good[33:]
         )
-        decode_image(buf)
+
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        # sub-8-bit depth stays unsupported (depth 16 graduated in r15)
+        decode_image(_reheader(4, 0))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        # 16-bit PALETTE is not a legal spec combination either
+        decode_image(_reheader(16, 3))
+    with pytest.raises(ValueError, match="scanline data length mismatch"):
+        # a 16-bit header over 8-bit scanline data is now CORRUPT, not
+        # unsupported: the declared stride no longer matches the stream
+        decode_image(_reheader(16, 2))
     with pytest.raises(ValueError, match="inflate failed"):
         # valid CRC, garbage deflate stream
         import zlib as _z
@@ -864,3 +876,107 @@ def test_resized_px_sum_matches_box_average_of_source_bytes():
         px = p[:need].ljust(need, b"\x00")
         _, _, small = box_downscale(px, RESIZE_SRC_W, RESIZE_SRC_H, RESIZE_FACTOR)
         assert _resized_px_sum(p) == sum(small) % CHECKSUM_MOD
+
+
+# ── PNG depth-16 + Adam7 interlace (r15) ─────────────────────────────────
+
+
+def test_png_adam7_and_depth16_roundtrip_every_edge_size():
+    """Adam7 de-interlace and 16-bit sample reduction across sizes that
+    exercise empty passes (w or h < 8), single-pixel images, and the
+    full 7-pass grid; 16-bit low bytes are noise the MSB reduction must
+    ignore."""
+    import random
+
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        encode_png,
+    )
+
+    rng = random.Random(5)
+    for w, h in [(1, 1), (3, 2), (5, 5), (8, 8), (9, 10), (16, 13), (7, 1), (1, 9)]:
+        px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        assert decode_image(encode_png(px, w, h, interlace=1)) == (w, h, px)
+        px16 = b"".join(
+            bytes([px[i], rng.randrange(256)]) for i in range(3 * w * h)
+        )
+        assert decode_image(encode_png(px16, w, h, depth=16)) == (w, h, px)
+        assert decode_image(
+            encode_png(px16, w, h, depth=16, interlace=1)
+        ) == (w, h, px)
+
+
+def test_png_adam7_golden_pass_structure():
+    """The interlaced stream is seven independently-filtered sub-images:
+    decode an 8x8 where each pixel encodes its own (x, y), so any pass
+    misplacement scrambles a known coordinate."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        encode_png,
+    )
+
+    px = bytes(
+        v
+        for y in range(8)
+        for x in range(8)
+        for v in (x * 16 + y, x, y)
+    )
+    got = decode_image(encode_png(px, 8, 8, interlace=1))
+    assert got == (8, 8, px)
+    # the interlaced file is genuinely different bytes on the wire
+    assert encode_png(px, 8, 8, interlace=1) != encode_png(px, 8, 8)
+
+
+def test_png_adam7_truncated_pass_fails_loudly():
+    import zlib as _z
+
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        encode_png,
+    )
+
+    px = bytes(range(64 * 3))[: 3 * 8 * 8]
+    good = encode_png(px, 8, 8, interlace=1)
+    # rebuild IDAT with the last pass's bytes cut off (re-deflated so the
+    # inflate itself succeeds — the LENGTH walk must catch it)
+    sig_ihdr = good[:33]
+    idat_len = int.from_bytes(good[33:37], "big")
+    raw = _z.decompress(good[41 : 41 + idat_len])
+    body = _z.compress(raw[:-10])
+    idat = (
+        len(body).to_bytes(4, "big") + b"IDAT" + body
+        + (_z.crc32(b"IDAT" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    iend = b"\x00\x00\x00\x00IEND" + (_z.crc32(b"IEND") & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="scanline data length mismatch"):
+        decode_image(sig_ihdr + idat + iend)
+
+
+def test_png_depth16_gray_hand_assembled_golden():
+    """Hand-assembled 16-bit GRAYSCALE PNG (color 0, depth 16, filter 0
+    rows): the decoder must reduce each big-endian sample to its MSB and
+    replicate to RGB — built without the encoder, so the 16-bit
+    non-RGB path is pinned independently."""
+    import zlib as _z
+
+    w, h = 3, 2
+    samples = [0x0102, 0x8081, 0xFFFE, 0x0000, 0x7FFF, 0xABCD]
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter None
+        for c in range(w):
+            raw += samples[r * w + c].to_bytes(2, "big")
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    )
+    def chunk(t, b):
+        return (
+            len(b).to_bytes(4, "big") + t + b
+            + (_z.crc32(t + b) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_image(buf)
+    expect = bytes(v for s in samples for v in ((s >> 8),) * 3)
+    assert got == (w, h, expect)
