@@ -1,9 +1,13 @@
-"""Pure-Python baseline JPEG codec ([EXT] — the THIRD compressed format,
-after PNG/deflate and GIF/LZW, and the first LOSSY one).
+"""Pure-Python JPEG codec ([EXT] — the THIRD compressed format, after
+PNG/deflate and GIF/LZW, and the first LOSSY one): baseline sequential
+DCT plus, since r15, PROGRESSIVE DCT (SOF2 — spectral selection,
+successive approximation with the G.1.2.3 correction-bit algorithm,
+EOB runs, multi-scan coefficient accumulation) on both the encode and
+decode side.
 
 Everything here is public knowledge: the container format, markers,
 zigzag order, quantization and Huffman coding follow ITU-T T.81
-(baseline sequential DCT, Annex B/F); the default quantization and
+(Annex B/F/G); the default quantization and
 Huffman tables are T.81 Annex K; the 8x8 DCT pair is the classic
 Loeffler-Ligtenberg-Moshovitz fixed-point decomposition (CONST_BITS=13
 scaled-integer arithmetic, the jfdctint/jidctint shape every baseline
@@ -531,6 +535,12 @@ def _extend(v: int, size: int) -> int:
 # ── encoder ──────────────────────────────────────────────────────────────
 
 
+def _zz_block(samples: list[int], qtab: list[int]) -> list[int]:
+    """FDCT + quantize + zigzag one 8x8 block of level-shifted samples."""
+    coefs = fdct8x8(samples)
+    return [_quantize(coefs[ZIGZAG[i]], qtab[ZIGZAG[i]] << 3) for i in range(64)]
+
+
 def _encode_block(
     samples: list[int],
     qtab: list[int],
@@ -541,10 +551,7 @@ def _encode_block(
 ) -> int:
     """FDCT + quantize + zigzag + Huffman-encode one 8x8 block of
     level-shifted samples; returns the new DC predictor."""
-    coefs = fdct8x8(samples)
-    zz = [0] * 64
-    for i in range(64):
-        zz[i] = _quantize(coefs[ZIGZAG[i]], qtab[ZIGZAG[i]] << 3)
+    zz = _zz_block(samples, qtab)
     diff = zz[0] - pred
     size = _magnitude_category(diff)
     code, length = dc_codes[size]
@@ -571,6 +578,127 @@ def _encode_block(
     return zz[0]
 
 
+# ── progressive emission (T.81 Annex G, the jcphuff shape) ───────────────
+
+#: complete-coverage AC Huffman table for progressive scans: the Annex K
+#: AC tables define only EOB0 and ZRL among the size-0 symbols, so EOB
+#: runs (EOBn, n>=1) and arbitrary refinement runs are NOT encodable
+#: with them — progressive files carry their own DHT.  254 symbols at
+#: 8 bits + 2 at 9 keeps every code off the all-ones pattern.  Terrible
+#: compression, exact correctness — the encoder exists to exercise the
+#: decoder, not to win size benchmarks.
+AC_FLAT_SPEC = (
+    (0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(256)),
+)
+
+
+def _emit_value_bits(bw: _BitWriter, v: int, size: int) -> None:
+    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def _emit_eobrun(state: dict, ac_codes, bw: _BitWriter) -> None:
+    """Flush a pending EOB run: the EOBn symbol (n = floor(log2 run)),
+    its n low extension bits, then every buffered correction bit (the
+    BE bits of jcphuff — refinement bits for blocks wholly inside the
+    run)."""
+    r = state["eobrun"]
+    if r:
+        e = r.bit_length() - 1
+        c, ln = ac_codes[e << 4]
+        bw.put(c, ln)
+        if e:
+            bw.put(r - (1 << e), e)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        bw.put(b, 1)
+    state["pending"] = []
+
+
+def _emit_ac_first_scan(blocks, ss, se, al, ac_codes, bw: _BitWriter) -> None:
+    """Spectral-selection first pass (Ah=0): run/size coding of the
+    point-transformed band with EOB-run accumulation across blocks."""
+    state = {"eobrun": 0, "pending": []}
+    for zz in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            t = abs(zz[k]) >> al
+            vals.append(t if zz[k] >= 0 else -t)
+        if not any(vals):
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(state, ac_codes, bw)
+            continue
+        _emit_eobrun(state, ac_codes, bw)
+        r = 0
+        for t in vals:
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_codes[0xF0]
+                bw.put(c, ln)
+                r -= 16
+            size = abs(t).bit_length()
+            c, ln = ac_codes[(r << 4) | size]
+            bw.put(c, ln)
+            _emit_value_bits(bw, t, size)
+            r = 0
+        if r:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(state, ac_codes, bw)
+    _emit_eobrun(state, ac_codes, bw)
+
+
+def _emit_ac_refine_scan(blocks, ss, se, al, ac_codes, bw: _BitWriter) -> None:
+    """Successive-approximation refinement pass (Ah=Al+1): newly-nonzero
+    coefficients as run|1 symbols with a sign bit, one buffered
+    correction bit per already-nonzero coefficient the run passes —
+    buffered bits flush after each emitted symbol, and the ZRL check
+    runs at EVERY nonzero position so a buffered bit can never cross a
+    16-zero window boundary (the jcphuff invariant that keeps encoder
+    and decoder bit-synchronized)."""
+    state = {"eobrun": 0, "pending": []}
+    for zz in blocks:
+        t = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, ti in enumerate(t):
+            if ti == 1:
+                eob = i
+        r = 0
+        bits_this: list[int] = []
+        for i, ti in enumerate(t):
+            if ti == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                _emit_eobrun(state, ac_codes, bw)
+                c, ln = ac_codes[0xF0]
+                bw.put(c, ln)
+                r -= 16
+                for b in bits_this:
+                    bw.put(b, 1)
+                bits_this = []
+            if ti > 1:
+                bits_this.append(ti & 1)
+                continue
+            _emit_eobrun(state, ac_codes, bw)
+            c, ln = ac_codes[(r << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in bits_this:
+                bw.put(b, 1)
+            bits_this = []
+            r = 0
+        if r > 0 or bits_this:
+            state["eobrun"] += 1
+            state["pending"].extend(bits_this)
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(state, ac_codes, bw)
+    _emit_eobrun(state, ac_codes, bw)
+
+
 def _marker(tag: int, body: bytes = b"") -> bytes:
     if body:
         return bytes([0xFF, tag]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -589,19 +717,36 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "420",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline sequential JPEG encoder (T.81): JFIF APP0, quality-scaled
-    Annex K quant tables, standard Huffman tables, 4:2:0 (2x2-average
-    chroma subsampling, integer ``(a+b+c+d+2) >> 2``) or 4:4:4, optional
-    restart markers.  ``pixels`` is RGB row-major top-down.  The image
-    is edge-replicated to the MCU grid, so a solid-color input stays
-    solid through padding — the closed-form hash-gate precondition."""
+    """JPEG encoder (T.81): JFIF APP0, quality-scaled Annex K quant
+    tables, 4:2:0 (2x2-average chroma subsampling, integer
+    ``(a+b+c+d+2) >> 2``) or 4:4:4.  ``pixels`` is RGB row-major
+    top-down.  The image is edge-replicated to the MCU grid, so a
+    solid-color input stays solid through padding — the closed-form
+    hash-gate precondition.
+
+    ``progressive=False`` (default): baseline sequential, standard
+    Annex K Huffman tables, optional restart markers.
+    ``progressive=True`` (r15): SOF2 with the classic 10-scan script
+    (interleaved DC first pass at Al=1 + refinement; per-component AC
+    spectral bands with successive approximation down to Al=0) —
+    exactly the same quantized coefficients as baseline, so
+    ``decode_jpeg`` of both forms is bit-identical; AC scans carry a
+    complete-coverage DHT because the Annex K tables cannot express
+    EOB runs.  Restart markers are baseline-only here (the decoder
+    handles progressive restarts; this encoder does not emit them)."""
     if len(pixels) != 3 * width * height:
         raise ValueError(
             f"encode_jpeg: need {3 * width * height} RGB bytes, got {len(pixels)}"
         )
     if subsampling not in ("420", "444"):
         raise ValueError(f"encode_jpeg: subsampling must be 420 or 444, got {subsampling}")
+    if progressive and restart_interval:
+        raise ValueError(
+            "encode_jpeg: restart markers are not supported with "
+            "progressive=True (decode-side progressive restarts are)"
+        )
     h2 = subsampling == "420"
     lq = quant_table(LUM_QUANT_BASE, quality)
     cq = quant_table(CHR_QUANT_BASE, quality)
@@ -666,6 +811,112 @@ def encode_jpeg(
 
     def block(plane: list[list[int]], bx: int, by: int) -> list[int]:
         return [plane[by + j][bx + i] for j in range(8) for i in range(8)]
+
+    if progressive:
+        # quantized-coefficient grids over the padded MCU grid — the SAME
+        # values the sequential path would emit, so decode of either form
+        # is bit-identical (the round-trip cross-check in tests)
+        cw, ch = (pw // 2, ph // 2) if h2 else (pw, ph)
+        grids = [
+            [
+                [_zz_block(block(yp, 8 * bx, 8 * by), lq) for bx in range(pw // 8)]
+                for by in range(ph // 8)
+            ],
+            [
+                [_zz_block(block(cbs, 8 * bx, 8 * by), cq) for bx in range(cw // 8)]
+                for by in range(ch // 8)
+            ],
+            [
+                [_zz_block(block(crs, 8 * bx, 8 * by), cq) for bx in range(cw // 8)]
+                for by in range(ch // 8)
+            ],
+        ]
+        s2 = 2 if h2 else 1
+        comps_meta = [
+            {"id": 1, "h": s2, "v": s2, "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ]
+        frame = (width, height, comps_meta)
+        ac_flat = _huff_codes(AC_FLAT_SPEC)
+        dc_tabs = [dc_l, dc_c, dc_c]
+
+        def raster_blocks(ci: int) -> list[list[int]]:
+            # non-interleaved scans cover the component's TRUE block grid
+            tbw, tbh = _comp_true_blocks(frame, comps_meta[ci])
+            return [
+                grids[ci][by][bx] for by in range(tbh) for bx in range(tbw)
+            ]
+
+        # the classic 10-scan progressive script (the jcparam default):
+        # (components, Ss, Se, Ah, Al)
+        script = [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((1,), 1, 63, 0, 1),
+            ((2,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((1,), 1, 63, 1, 0),
+            ((2,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+        zz_lq = bytes(lq[ZIGZAG[i]] for i in range(64))
+        zz_cq = bytes(cq[ZIGZAG[i]] for i in range(64))
+        samp = 0x22 if h2 else 0x11
+        out = bytearray()
+        out += _marker(0xD8)
+        out += _marker(
+            0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+        )
+        out += _marker(0xDB, b"\x00" + zz_lq)
+        out += _marker(0xDB, b"\x01" + zz_cq)
+        out += _marker(
+            0xC2,
+            bytes([8])
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + bytes([3, 1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        out += _marker(0xC4, _dht_body(0, 0, DC_LUM_SPEC))
+        out += _marker(0xC4, _dht_body(0, 1, DC_CHR_SPEC))
+        out += _marker(0xC4, _dht_body(1, 0, AC_FLAT_SPEC))
+        for comp_idxs, ss, se, ah, al_ in script:
+            sosb = bytearray([len(comp_idxs)])
+            for ci in comp_idxs:
+                sosb += bytes([comps_meta[ci]["id"], ((0 if ci == 0 else 1) << 4) | 0])
+            sosb += bytes([ss, se, (ah << 4) | al_])
+            out += _marker(0xDA, bytes(sosb))
+            sbw = _BitWriter()
+            if ss == 0:
+                scan_comps = [(comps_meta[ci], None, None) for ci in comp_idxs]
+                preds = [0] * len(comp_idxs)
+                for si, by, bx in _scan_blocks_interleaved(frame, scan_comps):
+                    zz = grids[comp_idxs[si]][by][bx]
+                    if ah == 0:
+                        v = zz[0] >> al_  # arithmetic shift (G.1.2.1)
+                        diff = v - preds[si]
+                        preds[si] = v
+                        size = _magnitude_category(diff)
+                        c, ln = dc_tabs[comp_idxs[si]][size]
+                        sbw.put(c, ln)
+                        if size:
+                            _emit_value_bits(sbw, diff, size)
+                    else:
+                        sbw.put((zz[0] >> al_) & 1, 1)
+            elif ah == 0:
+                _emit_ac_first_scan(
+                    raster_blocks(comp_idxs[0]), ss, se, al_, ac_flat, sbw
+                )
+            else:
+                _emit_ac_refine_scan(
+                    raster_blocks(comp_idxs[0]), ss, se, al_, ac_flat, sbw
+                )
+            sbw.pad_to_byte()
+            out += sbw.buf
+        out += _marker(0xD9)
+        return bytes(out)
 
     bw = _BitWriter()
     preds = [0, 0, 0]
@@ -736,17 +987,225 @@ def encode_jpeg(
 
 
 # ── decoder ──────────────────────────────────────────────────────────────
+#
+# r15: coefficient-buffer architecture — every scan (baseline's single
+# interleaved one, or a progressive file's many) decodes into per-block
+# zigzag coefficient arrays; the IDCT/upsample/color tail runs once at
+# EOI.  This is what lets SOF2 progressive decode reuse the whole
+# baseline machinery: a baseline scan is just Ss=0..63, Ah=Al=0.
+
+
+def _scan_blocks_interleaved(frame, scan_comps):
+    """MCU-ordered (comp_index, by, bx) walk over the PADDED block grid
+    (interleaved scans cover whole MCUs, per A.2.3)."""
+    width, height, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for si, (comp, _, _) in enumerate(scan_comps):
+                for bj in range(comp["v"]):
+                    for bi in range(comp["h"]):
+                        yield si, my * comp["v"] + bj, mx * comp["h"] + bi
+
+
+def _comp_true_blocks(frame, comp) -> tuple[int, int]:
+    """A component's TRUE block grid (non-interleaved scans cover only
+    this, per A.2.2 — the padded MCU grid can be larger)."""
+    width, height, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    cw = (width * comp["h"] + hmax - 1) // hmax
+    ch = (height * comp["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_scan(
+    buf: bytes,
+    pos: int,
+    frame,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    coefs,
+    preds,
+    progressive: bool,
+) -> int:
+    """Decode one scan's entropy-coded data into the coefficient buffers;
+    returns the stream position after the scan.  ``scan_comps`` is a
+    list of (comp, dc_decoder_or_None, ac_decoder_or_None)."""
+    br = _BitReader(buf, pos)
+    eobrun = 0
+
+    def dc_first(zz, comp, ddec):
+        nonlocal br
+        size = ddec.decode(br)
+        if size > 11:
+            raise ValueError("jpeg: DC category > 11")
+        diff = _extend(br.get(size), size) if size else 0
+        preds[comp["id"]] += diff
+        zz[0] = preds[comp["id"]] << al
+
+    def sequential_block(zz, comp, ddec, adec):
+        dc_first(zz, comp, ddec)
+        k = 1
+        while k < 64:
+            rs = adec.decode(br)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("jpeg: AC run past block end")
+            zz[k] = _extend(br.get(s), s)
+            k += 1
+
+    def ac_first(zz, adec):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = adec.decode(br)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC run past band end")
+            zz[k] = _extend(br.get(s), s) << al
+            k += 1
+
+    def ac_refine(zz, adec):
+        # T.81 G.1.2.3 / the jdphuff shape: newly-nonzero coefficients
+        # arrive as run|1 symbols; already-nonzero ones consume one
+        # correction bit each as the run advances past them
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = adec.decode(br)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # NOTE the convention difference from the first
+                        # pass: a refinement EOB run INCLUDES the current
+                        # block (its remaining coefficients still consume
+                        # correction bits below), so no -1 here — the
+                        # apply branch decrements after processing
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.get(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "jpeg: refinement scan with magnitude > 1"
+                        )
+                    val = p1 if br.get(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.get(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0 and br.get(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def dc_refine(zz):
+        if br.get(1):
+            zz[0] |= 1 << al
+
+    def decode_unit(si: int, by: int, bx: int) -> None:
+        comp, ddec, adec = scan_comps[si]
+        zz = coefs[comp["id"]][by][bx]
+        if not progressive:
+            sequential_block(zz, comp, ddec, adec)
+        elif ss == 0:
+            dc_refine(zz) if ah else dc_first(zz, comp, ddec)
+        else:
+            ac_refine(zz, adec) if ah else ac_first(zz, adec)
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = list(_scan_blocks_interleaved(frame, scan_comps))
+    else:
+        comp = scan_comps[0][0]
+        tbw, tbh = _comp_true_blocks(frame, comp)
+        units = [(0, by, bx) for by in range(tbh) for bx in range(tbw)]
+    n_unit = 0
+    rst_idx = 0
+    # units per restart interval: MCUs when interleaved, blocks otherwise
+    if interleaved:
+        per_mcu = sum(c["h"] * c["v"] for c, _, _ in scan_comps)
+    else:
+        per_mcu = 1
+    for si, by, bx in units:
+        if (
+            restart_interval
+            and n_unit
+            and n_unit % (restart_interval * per_mcu) == 0
+        ):
+            br.align_and_expect_rst(rst_idx)
+            rst_idx += 1
+            for c, _, _ in scan_comps:
+                preds[c["id"]] = 0
+            eobrun = 0
+        decode_unit(si, by, bx)
+        n_unit += 1
+    # resync: the scan's entropy data may end with up to one pad byte
+    # (possibly 0xFF + stuffed 0x00) before the next marker
+    pos = br.pos
+    skipped = 0
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
+            return pos
+        pos += 1
+        skipped += 1
+        if skipped > 4:
+            break
+    raise ValueError("jpeg: expected a marker after scan data")
 
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
-    """Baseline sequential JPEG decoder: marker walk (APPn/COM skipped),
-    8-bit DQT, SOF0, DHT, DRI, single interleaved SOS; Huffman decode
-    with DC prediction and restart handling; integer IDCT; replication
-    chroma upsampling; fixed-point YCbCr→RGB.  Supports 1-component
-    grayscale and 3-component 4:4:4 / 4:2:2 / 4:2:0.  Corrupt or
-    truncated input raises ``ValueError``; capabilities outside
-    baseline (progressive, 12-bit, arithmetic coding) raise too —
-    loudly, never a wrong image."""
+    """JPEG decoder — baseline sequential (SOF0/1) and PROGRESSIVE
+    (SOF2, r15): marker walk (APPn/COM skipped), 8-/16-bit DQT, DHT,
+    DRI, any number of scans decoding into per-block coefficient
+    buffers — spectral selection, successive approximation (DC and the
+    AC correction-bit algorithm of G.1.2.3), EOB runs, restart markers
+    in any scan — then one IDCT/upsample/color pass at EOI.  Supports
+    1-component grayscale and 3-component 4:4:4 / 4:2:2 / 4:2:0.
+    Corrupt or truncated input raises ``ValueError``; capabilities
+    outside that (12-bit, arithmetic coding, lossless, hierarchical)
+    raise too — loudly, never a wrong image."""
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -755,14 +1214,22 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     huff_ac: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    coefs: dict[int, list[list[list[int]]]] | None = None
+    preds: dict[int, int] = {}
+    saw_scan = False
     while True:
-        if pos + 4 > len(buf):
+        if pos + 2 > len(buf):
             raise ValueError("jpeg: truncated before SOS")
         if buf[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}, got {buf[pos]:#x}")
         tag = buf[pos + 1]
-        if tag == 0xD9:
-            raise ValueError("jpeg: EOI before any scan")
+        if tag == 0xD9:  # EOI
+            if not saw_scan:
+                raise ValueError("jpeg: EOI before any scan")
+            break
+        if pos + 4 > len(buf):
+            raise ValueError("jpeg: truncated before SOS")
         seglen = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         if seglen < 2 or pos + 2 + seglen > len(buf):
             raise ValueError(f"jpeg: bad segment length for marker {tag:#x}")
@@ -802,7 +1269,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 bp += 17 + nv
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
-        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (both baseline-Huffman)
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("jpeg: multiple SOF markers")
+            progressive = tag == 0xC2
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"jpeg: only 8-bit precision, got {prec}")
@@ -818,95 +1288,119 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                     {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
                 )
             frame = (width, height, comps)
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            for c in comps:
+                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                    raise ValueError(
+                        f"jpeg: sampling factors {c['h']}x{c['v']} unsupported"
+                    )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            coefs = {
+                c["id"]: [
+                    [[0] * 64 for _ in range(mcus_x * c["h"])]
+                    for _ in range(mcus_y * c["v"])
+                ]
+                for c in comps
+            }
+            preds = {c["id"]: 0 for c in comps}
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"jpeg: non-baseline SOF marker {tag:#x} (progressive/"
-                "arithmetic/lossless) unsupported"
+                f"jpeg: non-baseline SOF marker {tag:#x} (arithmetic/"
+                "lossless/hierarchical) unsupported"
             )
         elif tag == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif tag == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            width, height, comps = frame
+            by_id = {c["id"]: c for c in comps}
             ns = body[0]
-            scan = []
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("jpeg: truncated SOS header")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "jpeg: sequential scan with progressive parameters"
+                    )
+                if ns != len(comps):
+                    raise ValueError(
+                        "jpeg: scan component count != frame "
+                        "(one interleaved scan only)"
+                    )
+            else:
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "jpeg: progressive scan with Ss=0 must have Se=0"
+                    )
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError(
+                        "jpeg: progressive AC scan must be one component "
+                        "with a valid Ss..Se band"
+                    )
+            scan_comps = []
             for i in range(ns):
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cs, tabs >> 4, tabs & 15))
-            break
+                td, ta = tabs >> 4, tabs & 15
+                if cs not in by_id:
+                    raise ValueError(
+                        f"jpeg: scan references unknown component {cs}"
+                    )
+                need_dc = (not progressive) or (ss == 0 and ah == 0)
+                need_ac = (not progressive) or ss > 0
+                if need_dc and td not in huff_dc:
+                    raise ValueError(
+                        "jpeg: scan references missing Huffman table"
+                    )
+                if need_ac and ta not in huff_ac:
+                    raise ValueError(
+                        "jpeg: scan references missing Huffman table"
+                    )
+                scan_comps.append(
+                    (by_id[cs], huff_dc.get(td), huff_ac.get(ta))
+                )
+            pos = _decode_scan(
+                buf,
+                pos,
+                frame,
+                scan_comps,
+                ss,
+                se,
+                ah,
+                al,
+                restart_interval,
+                coefs,
+                preds,
+                progressive,
+            )
+            saw_scan = True
         # APPn / COM / anything else with a length: skipped
+
     width, height, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("jpeg: scan component count != frame (one interleaved scan only)")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
     for c in comps:
-        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
-            raise ValueError(f"jpeg: sampling factors {c['h']}x{c['v']} unsupported")
         if c["tq"] not in qtabs:
             raise ValueError(f"jpeg: missing quant table {c['tq']}")
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan:
-        if cs not in by_id:
-            raise ValueError(f"jpeg: scan references unknown component {cs}")
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("jpeg: scan references missing Huffman table")
-        order.append((by_id[cs], huff_dc[td], huff_ac[ta]))
-
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (width + mcu_w - 1) // mcu_w
-    mcus_y = (height + mcu_h - 1) // mcu_h
-    planes = {
-        c["id"]: [
-            [0] * (mcus_x * 8 * c["h"]) for _ in range(mcus_y * 8 * c["v"])
-        ]
-        for c in comps
-    }
-    br = _BitReader(buf, pos)
-    preds = {c["id"]: 0 for c in comps}
-    n_mcu = 0
-    rst_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                br.align_and_expect_rst(rst_idx)
-                rst_idx += 1
-                preds = {c["id"]: 0 for c in comps}
-            for comp, ddec, adec in order:
-                for bj in range(comp["v"]):
-                    for bi in range(comp["h"]):
-                        zz = [0] * 64
-                        size = ddec.decode(br)
-                        if size > 11:
-                            raise ValueError("jpeg: DC category > 11")
-                        diff = _extend(br.get(size), size) if size else 0
-                        preds[comp["id"]] += diff
-                        zz[0] = preds[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = adec.decode(br)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC run past block end")
-                            zz[k] = _extend(br.get(s), s)
-                            k += 1
-                        nat = [0] * 64
-                        for i in range(64):
-                            nat[ZIGZAG[i]] = zz[i]
-                        out = idct8x8(nat, qtabs[comp["tq"]])
-                        plane = planes[comp["id"]]
-                        py = (my * comp["v"] + bj) * 8
-                        px = (mx * comp["h"] + bi) * 8
-                        for j in range(8):
-                            plane[py + j][px : px + 8] = out[8 * j : 8 * j + 8]
-            n_mcu += 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        grid = coefs[c["id"]]
+        plane = [[0] * (len(grid[0]) * 8) for _ in range(len(grid) * 8)]
+        for by, row in enumerate(grid):
+            for bx, zz in enumerate(row):
+                nat = [0] * 64
+                for i in range(64):
+                    nat[ZIGZAG[i]] = zz[i]
+                out = idct8x8(nat, qtabs[c["tq"]])
+                for j in range(8):
+                    plane[8 * by + j][8 * bx : 8 * bx + 8] = out[
+                        8 * j : 8 * j + 8
+                    ]
+        planes[c["id"]] = plane
 
     rgb = bytearray(3 * width * height)
     if len(comps) == 1:

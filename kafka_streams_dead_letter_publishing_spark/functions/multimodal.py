@@ -844,7 +844,9 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     * **JPEG** (``FF D8 FF``): baseline sequential DCT — Huffman decode
       from the file's DHT, integer Loeffler IDCT, restart markers,
       4:4:4/4:2:2/4:2:0 and grayscale (r14 — the LOSSY format;
-      ``functions/jpeg.py``).  Progressive/arithmetic/12-bit raise.
+      ``functions/jpeg.py``); r15 adds PROGRESSIVE (SOF2: spectral
+      selection, successive approximation, EOB runs).  Arithmetic/
+      12-bit/lossless raise.
     * **GIF** (``GIF87a``/``GIF89a``): palette + variable-width LZW,
       extension skipping; a multi-frame animation decodes to its FIRST
       frame here (``decode_gif`` returns them all — the video path).

@@ -244,10 +244,16 @@ def test_corrupt_inputs_raise():
         decode_jpeg(good[:40])  # inside the marker segments
     with pytest.raises(ValueError, match="truncated|marker"):
         decode_jpeg(good[:-12])  # inside the entropy-coded data
-    # progressive SOF2 refused
+    # SOF2 decodes since r15 — a baseline-parameter scan under a
+    # progressive header is now diagnosed as a CORRUPT progressive file
+    # (a DC scan must have Se=0), not as unsupported
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Ss=0 must have Se=0"):
         decode_jpeg(prog)
+    # genuinely unsupported SOF flavors still refuse loudly
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(arith)
     with pytest.raises(ValueError):
         encode_jpeg(b"\x00" * 10, 8, 8)  # wrong buffer size
     with pytest.raises(ValueError, match="subsampling"):
@@ -323,3 +329,234 @@ def test_corrupt_restart_boundary_raises_value_error():
         decode_jpeg(buf[: i + 1])  # cut right after the FF
     with pytest.raises(ValueError, match="restart|truncated|marker"):
         decode_jpeg(buf[:i] + b"\x12\x34" + buf[i + 2 :])  # no FF at all
+
+
+# ── progressive JPEG (r15): spectral selection + successive approximation ─
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """The strongest cross-check: both forms carry the SAME quantized
+    coefficients, so decode must be bit-identical — any drift in scan
+    scripts, EOB runs, point transforms or refinement bits breaks it."""
+    import random
+
+    rng = random.Random(42)
+    for w, h, sub, q in [
+        (8, 8, "444", 90), (16, 16, "420", 90), (24, 16, "420", 75),
+        (17, 9, "420", 85), (20, 12, "444", 50), (1, 1, "444", 90),
+    ]:
+        for kind in ("rand", "grad", "solid"):
+            if kind == "rand":
+                px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+            elif kind == "grad":
+                px = bytes(
+                    (x * 7 + y * 3 + c * 11) % 256
+                    for y in range(h) for x in range(w) for c in range(3)
+                )
+            else:
+                px = bytes((200, 10, 99)) * (w * h)
+            base = decode_jpeg(encode_jpeg(px, w, h, q, sub))
+            prog = decode_jpeg(encode_jpeg(px, w, h, q, sub, progressive=True))
+            assert base == prog, (w, h, sub, q, kind)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=3 * 8 * 8, max_size=3 * 8 * 8), st.sampled_from([35, 75, 90]))
+def test_progressive_equals_baseline_fuzz(px, q):
+    base = decode_jpeg(encode_jpeg(px, 8, 8, q, "444"))
+    prog = decode_jpeg(encode_jpeg(px, 8, 8, q, "444", progressive=True))
+    assert base == prog
+
+
+def test_progressive_file_structure():
+    buf = encode_jpeg(bytes(192), 8, 8, 90, "444", progressive=True)
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    assert buf.count(b"\xff\xda") == 10  # the classic 10-scan script
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(bytes(192), 8, 8, 90, "444", restart_interval=2, progressive=True)
+
+
+def test_ac_flat_table_covers_all_symbols_without_all_ones():
+    from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+        AC_FLAT_SPEC,
+        _huff_codes,
+    )
+
+    codes = _huff_codes(AC_FLAT_SPEC)
+    assert set(codes) == set(range(256))
+    for code, size in codes.values():
+        assert code != (1 << size) - 1  # no all-ones code at any length
+
+
+def _prog_seg(tag, body):
+    return bytes([0xFF, tag]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_progressive_hand_assembled_golden():
+    """Four hand-built scans over a 16x8 grayscale (2 blocks): DC first
+    at Al=1, AC first at Al=1 (with an EOB-2 run), DC refinement, AC
+    refinement (buffered correction bits crossing an EOB run + a
+    newly-nonzero coefficient).  Every bit below is written by hand —
+    nothing depends on the module's progressive ENCODER — and the
+    expected pixels come from the already-golden-pinned IDCT over the
+    target coefficients."""
+    from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+        ZIGZAG,
+        idct8x8,
+    )
+
+    q = 16
+    # target quantized coefficients (zigzag order)
+    blk0 = {0: 6, 1: 3, 5: -2}
+    blk1 = {0: -5, 2: 1}
+    # custom tables: DC cats 0..7 as 3-bit codes; AC symbols at 3 bits
+    ac_vals = [0x00, 0x01, 0x31, 0x10, 0x11]
+    ac_code = {v: (i, 3) for i, v in enumerate(ac_vals)}
+    out = bytearray(b"\xff\xd8")
+    out += _prog_seg(0xDB, b"\x00" + bytes([q] * 64))
+    out += _prog_seg(0xC4, b"\x00" + _DC_BITS + _DC_VALS)
+    out += _prog_seg(
+        0xC4, b"\x10" + bytes([0, 0, len(ac_vals)] + [0] * 13) + bytes(ac_vals)
+    )
+    out += _prog_seg(
+        0xC2, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+
+    def scan(ss, se, ah, al, bits: "_TestBits"):
+        return (
+            _prog_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            + bits.tobytes()
+        )
+
+    # scan 1: DC first, Al=1 — v0 = 6>>1 = 3 (diff 3), v1 = -5>>1 = -3
+    # (diff -6); categories 2 and 3
+    b = _TestBits()
+    b.put(2, 3); b.put(3, 2)            # diff +3
+    b.put(3, 3); b.put(-6 + 7, 3)       # diff -6 (two's trick: 1)
+    out += scan(0, 0, 0, 1, b)
+    # scan 2: AC first 1..63, Al=1 — blk0: +1 at zz1 (0x01, sign 1),
+    # -1 at zz5 after run 3 (0x31, sign-bit 0), trailing zeros → EOB;
+    # blk1 band empty → EOB run grows to 2 → flush 0x10 + 1 ext bit (0)
+    b = _TestBits()
+    b.put(ac_code[0x01][0], 3); b.put(1, 1)
+    b.put(ac_code[0x31][0], 3); b.put(0, 1)
+    b.put(ac_code[0x10][0], 3); b.put(0, 1)
+    out += scan(1, 63, 0, 1, b)
+    # scan 3: DC refinement Ah=1, Al=0 — bit0 of 6 is 0, of -5 is 1
+    b = _TestBits()
+    b.put(0, 1); b.put(1, 1)
+    out += scan(0, 0, 1, 0, b)
+    # scan 4: AC refinement 1..63, Ah=1, Al=0 — blk0 has only OLD
+    # nonzeros (|3|,|−2| > 1): correction bits 1 and 0 buffer into the
+    # EOB run; blk1's zz2 is NEWLY nonzero: flush EOB0 + the two
+    # buffered bits, then (run 1 << 4)|1 with sign bit 1
+    b = _TestBits()
+    b.put(ac_code[0x00][0], 3)          # EOB0 (covers blk0's remainder)
+    b.put(1, 1); b.put(0, 1)            # buffered correction bits
+    b.put(ac_code[0x11][0], 3); b.put(1, 1)  # new +1 at zz2 after run 1
+    b.put(ac_code[0x00][0], 3)          # EOB0 for blk1's trailing zeros
+    out += scan(1, 63, 1, 0, b)
+    out += b"\xff\xd9"
+
+    w, h, px = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 8)
+    qt = [q] * 64
+    expect = []
+    for blk in (blk0, blk1):
+        nat = [0] * 64
+        for zz_i, v in blk.items():
+            nat[ZIGZAG[zz_i]] = v
+        expect.append(idct8x8(nat, qt))
+    for yy in range(8):
+        for xx in range(16):
+            v = expect[xx // 8][8 * yy + (xx % 8)]
+            o = 3 * (16 * yy + xx)
+            assert px[o] == px[o + 1] == px[o + 2] == v, (xx, yy)
+
+
+def test_progressive_restart_markers_hand_assembled():
+    """DC-only progressive scan over three grayscale blocks with DRI=1:
+    restart markers between every block, predictors reset each time
+    (each block codes its ABSOLUTE DC)."""
+    q = 16
+    dcs = [5, -3, 2]
+    out = bytearray(b"\xff\xd8")
+    out += _prog_seg(0xDB, b"\x00" + bytes([q] * 64))
+    out += _prog_seg(0xC4, b"\x00" + _DC_BITS + _DC_VALS)
+    out += _prog_seg(
+        0xC2, bytes([8]) + (8).to_bytes(2, "big") + (24).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    out += _prog_seg(0xDD, (1).to_bytes(2, "big"))
+    out += _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    for i, dc in enumerate(dcs):
+        b = _TestBits()
+        size = abs(dc).bit_length()
+        b.put(size, 3)
+        b.put(dc if dc >= 0 else dc + (1 << size) - 1, size)
+        out += b.tobytes()
+        if i < len(dcs) - 1:
+            out += bytes([0xFF, 0xD0 + i])
+    out += b"\xff\xd9"
+    w, h, px = decode_jpeg(bytes(out))
+    assert (w, h) == (24, 8)
+    for i, dc in enumerate(dcs):
+        v = _dc_pixel(dc, q)
+        assert px[3 * (8 * i + 4)] == v, i  # sample mid-block, row 0
+    # a wrong restart index fails loudly
+    bad = bytes(out).replace(bytes([0xFF, 0xD1]), bytes([0xFF, 0xD4]))
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bad)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(1, 63), st.integers(-200, 200).filter(bool)),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(1, 3),
+)
+def test_progressive_band_scans_reconstruct_any_coefficients(blocks_spec, top_al):
+    """Band-level fuzz of the progressive AC machinery: arbitrary
+    coefficient patterns (old-nonzero bits scattered among long zero
+    runs — the exact class where a buffered correction bit crossing a
+    16-zero ZRL window would desync encoder and decoder) pushed through
+    first pass at Al=top_al then refinements down to 0 must reconstruct
+    the coefficients exactly."""
+    from kafka_streams_dead_letter_publishing_spark.functions import jpeg as J
+
+    blocks = []
+    for spec in blocks_spec:
+        zz = [0] * 64
+        for k, v in spec:
+            zz[k] = v
+        blocks.append(zz)
+    comp = {"id": 1, "h": 1, "v": 1, "tq": 0}
+    frame = (8 * len(blocks), 8, [comp])
+    ac_codes = J._huff_codes(J.AC_FLAT_SPEC)
+    adec = J._HuffDecoder(*J.AC_FLAT_SPEC)
+    coefs = {1: [[[0] * 64 for _ in blocks]]}
+    scans = [("first", 0, top_al)] + [
+        ("refine", al + 1, al) for al in range(top_al - 1, -1, -1)
+    ]
+    for kind, ah, al in scans:
+        bw = J._BitWriter()
+        if kind == "first":
+            J._emit_ac_first_scan(blocks, 1, 63, al, ac_codes, bw)
+        else:
+            J._emit_ac_refine_scan(blocks, 1, 63, al, ac_codes, bw)
+        bw.pad_to_byte()
+        data = bytes(bw.buf) + b"\xff\xd9"
+        J._decode_scan(
+            data, 0, frame, [(comp, None, adec)],
+            1, 63, ah, al, 0, coefs, {1: 0}, True,
+        )
+    for i, zz in enumerate(blocks):
+        assert coefs[1][0][i][1:] == zz[1:], i
