@@ -36,7 +36,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, checksum bigint, n_frames bigint, "
     "decoded_px_sum bigint, png_px_sum bigint, gif_px_sum bigint, "
-    "jpeg_px_sum bigint, resized_px_sum bigint"
+    "jpeg_px_sum bigint, jpeg_prog_px_sum bigint, resized_px_sum bigint"
 )
 
 CHECKSUM_PREFIX = 64
@@ -950,7 +950,7 @@ def _jpeg_px_sum(payload: bytes) -> int:
 
 
 @_functools.lru_cache(maxsize=4096)
-def _jpeg_px_sum_rgb(r: int, g: int, b: int) -> int:
+def _jpeg_px_sum_rgb(r: int, g: int, b: int, progressive: bool = False) -> int:
     w, h, decoded = decode_jpeg(
         encode_jpeg(
             bytes((r, g, b)) * (JPEG_W * JPEG_H),
@@ -958,6 +958,7 @@ def _jpeg_px_sum_rgb(r: int, g: int, b: int) -> int:
             JPEG_H,
             quality=JPEG_QUALITY,
             subsampling="420",
+            progressive=progressive,
         )
     )
     expect = solid_roundtrip_rgb(r, g, b, JPEG_QUALITY)
@@ -966,10 +967,23 @@ def _jpeg_px_sum_rgb(r: int, g: int, b: int) -> int:
         for i in range(0, len(decoded), 3)
     ):
         raise ValueError(
-            f"JPEG solid round-trip mismatch for rgb({r},{g},{b}): "
-            f"expected {expect} everywhere"
+            f"JPEG solid round-trip mismatch for rgb({r},{g},{b}) "
+            f"(progressive={progressive}): expected {expect} everywhere"
         )
     return sum(decoded) % CHECKSUM_MOD
+
+
+def _jpeg_prog_px_sum(payload: bytes) -> int:
+    """The jpeg_px_sum gate run through the PROGRESSIVE codec (r15):
+    the same solid 16x16 color through encode_jpeg(progressive=True) —
+    the 10-scan SOF2 script with DC/AC successive approximation — and
+    decode_jpeg's multi-scan coefficient accumulation.  Progressive
+    transmits the SAME quantized coefficients as baseline, so the value
+    must equal jpeg_px_sum (the oracle replays one closed form for
+    both); any drift in scan scripts, EOB runs, point transforms or
+    refinement bits breaks the hash."""
+    p = bytes(payload[:3]).ljust(3, b"\x00")
+    return _jpeg_px_sum_rgb(p[0], p[1], p[2], progressive=True)
 
 
 def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -987,6 +1001,7 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "png_px_sum": payloads.map(_png_px_sum),
                 "gif_px_sum": payloads.map(_gif_px_sum),
                 "jpeg_px_sum": payloads.map(_jpeg_px_sum),
+                "jpeg_prog_px_sum": payloads.map(_jpeg_prog_px_sum),
                 "resized_px_sum": payloads.map(_resized_px_sum),
             }
         )

@@ -198,6 +198,10 @@ def _dc_chain_sql(v: str, q00: int) -> str:
                                                        {3 * GIF_W * GIF_H}))]), 0)
                 % {CHECKSUM_MOD} AS BIGINT) AS gif_px_sum,
            jp.jpeg_px_sum,
+           -- the PROGRESSIVE codec carries the same quantized
+           -- coefficients, so its decoded solid equals baseline's —
+           -- one closed form gates both (r15)
+           jp.jpeg_px_sum AS jpeg_prog_px_sum,
            rs.resized_px_sum
     FROM bsrc JOIN jp USING (doc_id) JOIN rs USING (doc_id)
     """,
@@ -228,7 +232,13 @@ def _dc_chain_sql(v: str, q00: int) -> str:
     "(fixed-point color transforms, round-away DC quantize, the IDCT "
     "DC-shortcut descale) in generated SQL that shares the codec's "
     "quality-scaled constants — any drift in quant scaling, DC coding "
-    "or the fixed-point arithmetic breaks the hash.  r15: resized_px_sum "
+    "or the fixed-point arithmetic breaks the hash.  r15: "
+    "jpeg_prog_px_sum runs the SAME solid through the PROGRESSIVE codec "
+    "(10-scan SOF2 script, DC/AC successive approximation, EOB runs, "
+    "multi-scan coefficient accumulation) — progressive transmits the "
+    "same quantized coefficients, so one closed form gates both and any "
+    "drift in the progressive scan machinery breaks the hash.  r15: "
+    "resized_px_sum "
     "gates the REAL RESIZE chain (the r14 verdict's last admitted "
     "multimodal stand-in, now retired): leading 10x6 bytes → real PNG "
     "encode→decode → 2x2 integer box-average downscale to 5x3 → BMP "
