@@ -307,10 +307,16 @@ def test_payload_features_agree_on_non_ascii_text(spark, non_ascii_docs_dir):
     bytes (octet_length + hex-pair checksum), not characters — chars ≠
     bytes on every doc in this fixture."""
     rows = assert_query_matches_oracle(spark, non_ascii_docs_dir, "docs_payload_features")
-    # cols sorted: checksum, decoded_px_sum, doc_id, gif_px_sum,
-    # jpeg_px_sum, n_bytes, n_frames, png_px_sum
-    by_id = {r[2]: r for r in rows}
-    assert by_id[4][5] == 2  # "ü" is one char but two UTF-8 bytes
+    # derive the sorted-column positions from the schema constant so new
+    # feature columns can't silently shift these indices again (r15: two
+    # added columns turned a hardcoded [5] into n_frames)
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        FEATURE_SCHEMA,
+    )
+
+    cols = sorted(f.split()[0] for f in FEATURE_SCHEMA.split(", "))
+    by_id = {r[cols.index("doc_id")]: r for r in rows}
+    assert by_id[4][cols.index("n_bytes")] == 2  # "ü": 1 char, 2 UTF-8 bytes
 
 
 def test_text_family_agrees_on_non_ascii_docs(spark, non_ascii_docs_dir):
