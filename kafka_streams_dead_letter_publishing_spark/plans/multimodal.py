@@ -47,7 +47,7 @@ from kafka_streams_dead_letter_publishing_spark.plans.registry import (
     _capture_drive_stats,
     query,
 )
-from kafka_streams_dead_letter_publishing_spark.sources.tables import load_table
+from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
 
 # ── the JPEG solid-color closed form in SQL (functions/jpeg.py) ──────────
 # SQL-fragment builders so the oracle's integer arithmetic is GENERATED
@@ -439,7 +439,10 @@ def docs_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_dhash,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the interpreted higher-order-function chain on the
+    # single-file scan's one partition measured 18 s single-core vs
+    # 1.2 s fanned at sf0.1 (r15; the docs_cdc_chunks lesson)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     # materialize the hash table before the self-referencing group/join:
     # re-optimizing the staged lambda chain on BOTH branches inlines the
     # transform/aggregate expressions multiply (measured: the join stage
@@ -531,7 +534,9 @@ def docs_media_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).coalesce(1)
 
         _slice(0).write.mode("append").parquet(src)
-        ing = MediaIngest(f"{base}/ingest")
+        # fan_out_partitions: each 1-file micro-batch otherwise runs the
+        # whole dHash chain on one core (r15 — drive measured 20.6 s)
+        ing = MediaIngest(f"{base}/ingest", fan_out_partitions=8)
         # per-QUERY state-layout knob, not a semantics change (the
         # streamed-drive convention documented on events_asof_streamed)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -588,9 +593,13 @@ def _imagelike_oracle() -> str:
         IMAGELIKE_BYTE_DUCK,
         IMAGELIKE_COPY_EVERY,
         IMAGELIKE_COPY_OFFSET,
+        IMAGELIKE_MD5S_DUCK,
     )
 
-    byte = IMAGELIKE_BYTE_DUCK.format(base="base")
+    byte = IMAGELIKE_BYTE_DUCK
+    md5s = IMAGELIKE_MD5S_DUCK.format(
+        base="base", last_chunk=(_IMG_NB + 15) // 16 - 1
+    )
     ham = (
         "bit_count(xor(a.dhash_hi, b.dhash_hi)) "
         "+ bit_count(xor(a.dhash_lo, b.dhash_lo))"
@@ -603,6 +612,11 @@ def _imagelike_oracle() -> str:
         SELECT base_id + {IMAGELIKE_COPY_OFFSET}, base_id, TRUE FROM ids
         WHERE base_id % {IMAGELIKE_COPY_EVERY} = 0
     ),
+    chunks AS (
+        -- one md5 list per row (54 hashes -> 864 bytes; the Spark side
+        -- stages the same list as _md5s)
+        SELECT id, base, pert, {md5s} AS m FROM rows_all
+    ),
     by AS (
         SELECT id,
                [ CASE WHEN pert AND p >= 3*(base % {_IMG_NPX})
@@ -610,7 +624,7 @@ def _imagelike_oracle() -> str:
                       THEN (({byte}) + 64) % 256
                       ELSE ({byte}) END
                  FOR p IN generate_series(0, {_IMG_NB - 1}) ] AS b
-        FROM rows_all
+        FROM chunks
     ),
     gray AS (
         SELECT id, [ (b[3*p+1] + b[3*p+2] + b[3*p+3]) // 3
@@ -678,6 +692,9 @@ def docs_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_docs_imagelike,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the single-file scan is ONE partition, and the whole
+    # narrow generate->hash chain inherits it — measured 18.4 s on one
+    # core vs 5.9 s fanned at sf0.1 (the docs_cdc_chunks lesson)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     payloads = synth_docs_imagelike(docs, _IMG_NB, _IMG_NPX)
     return dhash_near_pairs(with_dhash(payloads), max_hamming=3)

@@ -282,26 +282,27 @@ def synth_events_zipf(
 
 IMAGELIKE_COPY_EVERY = 7
 IMAGELIKE_COPY_OFFSET = 1_000_000_000
-#: one byte of the synthetic image: the leading 8 bits of
-#: md5("<base_id>:<p>") — md5 agrees bit-for-bit across Spark and DuckDB
-#: (the KMV/Bloom precedent) and is genuinely uniform, so the 16-bit hash
-#: bands distribute.  A polynomial mod 256 does NOT work here: any
-#: integer polynomial is periodic in the id with period 256, so ids 256
-#: apart produced byte-identical images (measured at sf0.01: 572 docs →
-#: only 274 distinct hashes) — a planted-collision artifact, not a
-#: near-dup signal.
-IMAGELIKE_BYTE_SPARK = (
-    "CAST(conv(substring(md5(concat(CAST({base} AS STRING), ':', "
-    "CAST(p AS STRING))), 1, 2), 16, 10) AS INT)"
-)
+#: one byte of the synthetic image: hex pair (p mod 16) of
+#: md5("<base_id>:<p DIV 16>") — md5 agrees bit-for-bit across Spark and
+#: DuckDB (the KMV/Bloom precedent) and is genuinely uniform, so the
+#: 16-bit hash bands distribute; CHUNKED (one md5 yields 16 bytes) so a
+#: payload costs 54 hashes, not 864 — the per-byte variant benched 22.7 s
+#: at sf0.1, ~16x the hash work for identical statistics.  A polynomial
+#: mod 256 does NOT work here at all: any integer polynomial is periodic
+#: in the id with period 256, so ids 256 apart produced byte-identical
+#: images (measured at sf0.01: 572 docs → only 274 distinct hashes) — a
+#: planted-collision artifact, not a near-dup signal.  The Spark form
+#: reads a STAGED _md5s array column (one md5 list per row — inlining the
+#: md5 into the 864-element transform would recompute it per element).
 IMAGELIKE_BYTE_DUCK = (
-    "CAST(('0x' || substring(md5({base} || ':' || p), 1, 2)) AS INTEGER)"
+    "CAST(('0x' || substring(m[p//16 + 1], 2*(p%16) + 1, 2)) AS INTEGER)"
 )
-#: the planted copy shifts one pixel triple by +64 (mod 256): pixel index
-#: = base % n_pixels, bytes 3k..3k+2
-IMAGELIKE_PERT_BYTE = (
-    "(CASE WHEN p >= 3*({base} % {npx}) AND p < 3*({base} % {npx}) + 3 "
-    "THEN ({byte} + 64) % 256 ELSE {byte} END)"
+IMAGELIKE_MD5S_SPARK = (
+    "transform(sequence(0, {last_chunk}), c -> "
+    "md5(concat(CAST({base} AS STRING), ':', CAST(c AS STRING))))"
+)
+IMAGELIKE_MD5S_DUCK = (
+    "[md5({base} || ':' || c) FOR c IN generate_series(0, {last_chunk})]"
 )
 
 
@@ -313,19 +314,40 @@ def synth_docs_imagelike(docs: DataFrame, n_bytes: int, n_pixels: int) -> DataFr
     additionally plants a near-copy at id + IMAGELIKE_COPY_OFFSET whose
     payload differs in exactly one pixel triple.  Pure Catalyst
     expressions (sequence → transform → unhex), narrow, no Python."""
-    byte = IMAGELIKE_BYTE_SPARK.format(base="base_id")
-    pert = IMAGELIKE_PERT_BYTE.format(base="base_id", npx=n_pixels, byte=byte)
+    last_chunk = (n_bytes + 15) // 16 - 1
+    # the md5 hex strings concatenated ARE the payload hex — no per-byte
+    # lambda walk at all (a per-byte transform referencing a staged md5
+    # array measured 132 s at sf0.1: CollapseProject inlined the 54-md5
+    # array into all 864 lambda bodies — 46k hashes per row)
+    md5s = IMAGELIKE_MD5S_SPARK.format(base="base_id", last_chunk=last_chunk)
+    hexpr = f"substring(concat_ws('', {md5s}), 1, {2 * n_bytes})"
+    kx = f"(base_id % {n_pixels})"
 
-    def gen(byte_expr: str) -> Column:
-        return F.expr(
-            "unhex(concat_ws('', transform(sequence(0, "
-            f"{n_bytes - 1}), p -> lpad(hex({byte_expr}), 2, '0'))))"
+    def pb(j: int) -> str:
+        # perturbed byte j of the planted pixel, re-encoded as a hex pair
+        return (
+            f"lpad(hex((CAST(conv(substring(_hex, 6*{kx} + {2 * j + 1}, 2), "
+            "16, 10) AS INT) + 64) % 256), 2, '0')"
         )
 
+    pert_hex = (
+        f"concat(substring(_hex, 1, 6*{kx}), {pb(0)}, {pb(1)}, {pb(2)}, "
+        f"substring(_hex, 6*{kx} + 7, {2 * n_bytes}))"
+    )
     ids = docs.select(F.col("doc_id").alias("base_id"))
-    base = ids.select(F.col("base_id").alias("doc_id"), gen(byte).alias("payload"))
-    copies = ids.filter(F.col("base_id") % IMAGELIKE_COPY_EVERY == 0).select(
-        (F.col("base_id") + IMAGELIKE_COPY_OFFSET).alias("doc_id"),
-        gen(pert).alias("payload"),
+    base = (
+        ids.withColumn("_hex", F.expr(hexpr))
+        .select(
+            F.col("base_id").alias("doc_id"),
+            F.expr("unhex(_hex)").alias("payload"),
+        )
+    )
+    copies = (
+        ids.filter(F.col("base_id") % IMAGELIKE_COPY_EVERY == 0)
+        .withColumn("_hex", F.expr(hexpr))
+        .select(
+            (F.col("base_id") + IMAGELIKE_COPY_OFFSET).alias("doc_id"),
+            F.expr(f"unhex({pert_hex})").alias("payload"),
+        )
     )
     return base.unionByName(copies)

@@ -1087,12 +1087,19 @@ class MediaIngest:
         base_dir: str,
         id_col: str = "doc_id",
         payload_col: str = "payload",
+        fan_out_partitions: int | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.sink_path = f"{base_dir}/media"
         self.dhash_path = f"{base_dir}/dhash"
         self.id_col = id_col
         self.payload_col = payload_col
+        #: file-source micro-batches arrive with the SOURCE FILE's
+        #: partitioning (often 1) and the narrow hash chain inherits it;
+        #: set this to spread the per-batch dHash work (r15 — measured
+        #: ~6 s/batch single-core at 5k docs).  Kafka sources inherit
+        #: topic partitions and normally don't need it.
+        self.fan_out_partitions = fan_out_partitions
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
@@ -1100,6 +1107,8 @@ class MediaIngest:
         )
 
         spark = batch_df.sparkSession
+        if self.fan_out_partitions:
+            batch_df = batch_df.repartition(self.fan_out_partitions)
         # NULL payloads are refused up front: they hash to NULL, and a
         # NULL join key never matches the store's anti-join (NULL !=
         # NULL), so every later NULL payload would be accepted forever —

@@ -303,7 +303,9 @@ def test_imagelike_synth_bytes_copies_and_pigeonhole(spark):
     }
 
     def ref_byte(base: int, p: int) -> int:
-        return int(hashlib.md5(f"{base}:{p}".encode()).hexdigest()[:2], 16)
+        # chunked generation: hex pair (p % 16) of md5("<base>:<p DIV 16>")
+        h = hashlib.md5(f"{base}:{p // 16}".encode()).hexdigest()
+        return int(h[2 * (p % 16) : 2 * (p % 16) + 2], 16)
 
     # exact Python replay of a base payload
     assert got[3] == bytes(ref_byte(3, p) for p in range(n_bytes))
