@@ -8,9 +8,15 @@ Two corpora through the SAME ``with_dhash`` → band-join pipeline:
   toward all-pairs — the hot-LSH-bucket failure mode.
 * ``image`` — synthetic full-byte-range payloads (planted noisy copies):
   bands distribute and candidates stay near the planted-pair count.
+* ``synth`` (r15) — the REGISTRY fixture itself
+  (``sources.synth.synth_docs_imagelike`` scaled by the documents
+  table): reproduces the SCALE.md r15 banding table — candidate count
+  vs the uniform expectation 4·C(N,2)/2^16 vs all-pairs, verified
+  pairs at Hamming ≤ 3 with the planted/natural split, and the
+  pigeonhole recall-1 check (banded ≡ brute force in this regime).
 
 Prints one JSON line per (corpus, n) with candidate counts vs the
-all-pairs ceiling; the SCALE.md dHash row cites these numbers.
+all-pairs ceiling; the SCALE.md dHash rows cite these numbers.
 
 Usage: python tools/probe_dhash.py [sf_dir]
 """
@@ -129,6 +135,61 @@ def main() -> None:
                 ),
                 "planted_recall_at_h6": recall,
                 "pairs_reported": len(found),
+            }
+        ),
+        flush=True,
+    )
+    # ── synth corpus: the registry fixture (SCALE.md r15 table) ──────────
+    from kafka_streams_dead_letter_publishing_spark.sources.synth import (
+        IMAGELIKE_COPY_OFFSET,
+        synth_docs_imagelike,
+    )
+    from kafka_streams_dead_letter_publishing_spark.sources.tables import (
+        fan_out,
+    )
+
+    base_docs = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
+    pay = synth_docs_imagelike(base_docs, DHASH_BYTES, DHASH_BYTES // 3)
+    h = with_dhash(pay).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    ).localCheckpoint(eager=True)
+    n = h.count()
+    cand = candidates(h)
+    pairs = dhash_near_pairs(h, max_hamming=3).collect()
+    planted = sum(1 for r in pairs if r.doc_b >= IMAGELIKE_COPY_OFFSET)
+    # brute-force Hamming <= 3 over all pairs — must equal the banded
+    # result exactly (pigeonhole: <= 3 bits can't touch all four bands)
+    hh = h.select(
+        F.col("doc_id").alias("id"), "dhash_hi", "dhash_lo"
+    )
+    brute = (
+        hh.alias("a")
+        .join(hh.alias("b"), F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "ham",
+            F.expr(
+                "bit_count(a.dhash_hi ^ b.dhash_hi) "
+                "+ bit_count(a.dhash_lo ^ b.dhash_lo)"
+            ),
+        )
+        .filter(F.col("ham") <= 3)
+        .count()
+    )
+    print(
+        json.dumps(
+            {
+                "corpus": "synth",
+                "n": n,
+                "candidates": cand,
+                "uniform_expectation": round(4 * n * (n - 1) / 2 / 65536),
+                "all_pairs": n * (n - 1) // 2,
+                "frac_of_all_pairs": round(cand / (n * (n - 1) // 2), 5),
+                "pairs_at_h3": len(pairs),
+                "planted": planted,
+                "natural": len(pairs) - planted,
+                "banded_equals_brute_force": len(pairs) == brute,
             }
         ),
         flush=True,
