@@ -676,13 +676,29 @@ def _gif_subblocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(frames: list[bytes], width: int, height: int, delay_cs: int = 4) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """The GIF89a four-pass interlace row order: rows 0,8,16.. then
+    4,12,.. then 2,6,10,.. then every odd row."""
+    rows: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def encode_gif(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    delay_cs: int = 4,
+    interlace: bool = False,
+) -> bytes:
     """Minimal GIF89a writer — pure Python, zero deps.  Each frame is RGB,
     row-major, top-down, exactly ``3*width*height`` bytes.  Multi-frame
     input becomes a real animation: NETSCAPE loop extension, a graphic-
     control extension per frame, and LOCAL color tables when the union of
     frame colors overflows a global one — i.e. the structures a real
-    video-ish container makes a decoder handle."""
+    video-ish container makes a decoder handle.  ``interlace=True``
+    (r15) stores every frame's rows in the spec's four-pass order."""
     if not frames:
         raise ValueError("encode_gif: need at least one frame")
     for j, f in enumerate(frames):
@@ -712,14 +728,22 @@ def encode_gif(frames: list[bytes], width: int, height: int, delay_cs: int = 4) 
         out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
         fpal = pal if use_global else pal[j]
         lut = {c: i for i, c in enumerate(fpal)}
-        indices = bytes(lut[f[3 * i : 3 * i + 3]] for i in range(width * height))
+        row_order = (
+            _gif_interlace_rows(height) if interlace else range(height)
+        )
+        indices = bytes(
+            lut[f[3 * (width * r + x) : 3 * (width * r + x) + 3]]
+            for r in row_order
+            for x in range(width)
+        )
         bits = _gif_table_bits(len(fpal))
         out += b"\x2c" + b"\x00\x00\x00\x00"  # left, top
         out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        flags = 0x40 if interlace else 0x00
         if use_global:
-            out.append(0x00)  # no local table, no interlace
+            out.append(flags)  # no local table
         else:
-            out.append(0x80 | (bits - 1))  # local color table
+            out.append(0x80 | flags | (bits - 1))  # local color table
             out += b"".join(fpal) + b"\x00" * (3 * ((1 << bits) - len(fpal)))
         mcs = max(2, bits)
         out.append(mcs)
@@ -790,8 +814,7 @@ def decode_gif(buf: bytes) -> tuple[int, int, list[bytes]]:
                 f"unsupported GIF: partial-canvas frame at ({left},{top}) "
                 f"{fw}x{fh} in a {width}x{height} image needs a compositor"
             )
-        if fpacked & 0x40:
-            raise ValueError("unsupported GIF: interlaced frame")
+        interlaced = bool(fpacked & 0x40)
         pal = gct
         if fpacked & 0x80:
             size = 1 << ((fpacked & 0x07) + 1)
@@ -826,6 +849,14 @@ def decode_gif(buf: bytes) -> tuple[int, int, list[bytes]]:
         for i in indices:
             if i >= len(pal):
                 raise ValueError(f"GIF pixel index {i} beyond color table")
+        if interlaced:
+            # rows arrive in the four-pass order; de-interlace (r15)
+            deint = bytearray(width * height)
+            for stored, r in enumerate(_gif_interlace_rows(height)):
+                deint[width * r : width * (r + 1)] = indices[
+                    width * stored : width * (stored + 1)
+                ]
+            indices = bytes(deint)
         frames.append(b"".join(pal[i] for i in indices))
     if not frames:
         raise ValueError("GIF contains no image frames")
@@ -1325,6 +1356,86 @@ def decode_avi(buf: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError("AVI missing hdrl header")
     if not frames:
         raise ValueError("AVI contains no video frames")
+    return width, height, frames
+
+
+def sample_avi_frames(
+    buf: bytes, every: int = 1
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """INDEX-driven sparse decode (r15): read the idx1 index, seek
+    directly to every ``every``-th video chunk and decode ONLY those —
+    ``(width, height, [(frame_idx, rgb)])``.  This is the point of an
+    AVI carrying an index: keyframe sampling costs O(selected frames),
+    not O(all frames) — the real video-pipeline shape ``sample_frames``
+    stands on.  Each index entry is validated against the chunk it
+    points at (fourcc + declared size), so a lying index raises instead
+    of decoding garbage.  Files without idx1 raise — use ``decode_avi``
+    (the sequential movi walk) for those."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only RIFF/AVI (MJPEG) video decodes in this codec-less "
+            "container; other video containers need a library not present "
+            "here"
+        )
+    if every < 1:
+        raise ValueError(f"sample_avi_frames: every must be >= 1, got {every}")
+    width = height = None
+    movi_at = None  # position of the 'movi' fourcc (idx1 offsets' origin)
+    idx = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("AVI truncated: chunk body shorter than declared")
+        if cid == b"LIST":
+            ltype = body[:4]
+            if ltype == b"hdrl":
+                sp = 4
+                while sp + 8 <= len(body):
+                    scid = body[sp : sp + 4]
+                    sclen = int.from_bytes(body[sp + 4 : sp + 8], "little")
+                    if scid == b"avih":
+                        hdr = body[sp + 8 : sp + 8 + sclen]
+                        width = int.from_bytes(hdr[32:36], "little")
+                        height = int.from_bytes(hdr[36:40], "little")
+                        break
+                    sp += 8 + sclen + (sclen & 1)
+            elif ltype == b"movi":
+                movi_at = pos + 8
+        elif cid == b"idx1":
+            idx = body
+        pos += 8 + clen + (clen & 1)
+    if width is None:
+        raise ValueError("AVI missing hdrl header")
+    if movi_at is None:
+        raise ValueError("AVI missing movi list")
+    if idx is None or len(idx) % 16:
+        raise ValueError("AVI has no well-formed idx1 index")
+    frames: list[tuple[int, bytes]] = []
+    n = len(idx) // 16
+    for i in range(0, n, every):
+        e = idx[16 * i : 16 * i + 16]
+        fourcc = e[:4]
+        off = int.from_bytes(e[8:12], "little")
+        size = int.from_bytes(e[12:16], "little")
+        if fourcc[2:4] not in (b"dc", b"db"):
+            continue  # non-video stream entries are skipped, not decoded
+        at = movi_at + off
+        if buf[at : at + 4] != fourcc or int.from_bytes(
+            buf[at + 4 : at + 8], "little"
+        ) != size:
+            raise ValueError(
+                f"AVI idx1 entry {i} does not point at its chunk"
+            )
+        w, h, px = _decode_jpeg_memo(buf[at + 8 : at + 8 + size])
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"AVI frame is {w}x{h}, header declares {width}x{height}"
+            )
+        frames.append((i, px))
     return width, height, frames
 
 

@@ -111,6 +111,31 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Bare Hadoop-FS existence probe (file OR dir, markers included) —
+    generation allocation must see PARTIAL dirs too, which the data-file
+    probe above deliberately ignores."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _data_file_count(spark: SparkSession, path: str) -> int:
+    """Number of data files under ``path`` — a driver-side metadata
+    listing (no Spark job), the gauge for file-count compaction
+    cadences."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            n += 1
+    return n
 
 
 class EmbeddingIngest:
@@ -1077,6 +1102,15 @@ class MediaIngest:
     and a replay after a COMPLETE commit self-matches to a no-op
     (every batch hash is in the store, the anti-join rejects all).
 
+    r15 ``auto_compact_files=K``: the gate store otherwise grows one
+    small file set per batch and the anti-join re-reads ALL of them —
+    the cadence folds the distinct hashes into ``dhash-gen{g}``
+    generation dirs (swap-by-repoint; the media sink is never
+    rewritten) and survives driver restarts: resume repoints at the
+    newest generation with a ``_SUCCESS`` marker, a crashed fold's
+    partial dir is skipped for reads and skipped past for allocation
+    (the EventIngest ``auto_compact_epochs`` contract).
+
     Scale shape per batch: the hash chain is narrow JVM expressions;
     the store gate is one equi-join on (dhash_hi, dhash_lo) — uniform
     64-bit keys, no skew; the hash table is localCheckpoint-materialized
@@ -1088,12 +1122,28 @@ class MediaIngest:
         id_col: str = "doc_id",
         payload_col: str = "payload",
         fan_out_partitions: int | None = None,
+        auto_compact_files: int | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.sink_path = f"{base_dir}/media"
         self.dhash_path = f"{base_dir}/dhash"
         self.id_col = id_col
         self.payload_col = payload_col
+        #: automated store-compaction cadence (r15 — the EventIngest
+        #: auto_compact_epochs pattern applied to the dhash GATE store):
+        #: every batch appends small files and the anti-join re-reads ALL
+        #: of them, so a long-lived stream makes the gate read O(batches).
+        #: When the store's data-file count exceeds this, process_batch
+        #: folds the DISTINCT hashes into a new generation dir
+        #: (dhash-gen{g}) and repoints — swap-by-repoint, the media sink
+        #: is never rewritten.  The gauge is a driver-side Hadoop listing
+        #: (metadata-only, no Spark job); restart resume repoints at the
+        #: newest generation whose _SUCCESS marker exists, so a crash
+        #: mid-fold leaves a partial dir that is skipped for reads and
+        #: skipped past for the next allocation.
+        self.auto_compact_files = auto_compact_files
+        self._gen = 0
+        self._resumed = False
         #: file-source micro-batches arrive with the SOURCE FILE's
         #: partitioning (often 1) and the narrow hash chain inherits it;
         #: set this to spread the per-batch dHash work (r15 — measured
@@ -1107,6 +1157,7 @@ class MediaIngest:
         )
 
         spark = batch_df.sparkSession
+        self._resume_generations(spark)
         if self.fan_out_partitions:
             batch_df = batch_df.repartition(self.fan_out_partitions)
         # NULL payloads are refused up front: they hash to NULL, and a
@@ -1139,6 +1190,39 @@ class MediaIngest:
         kept.select("dhash_hi", "dhash_lo").distinct().write.mode(
             "append"
         ).parquet(self.dhash_path)
+        self._maybe_auto_compact(spark)
+
+    def _resume_generations(self, spark: SparkSession) -> None:
+        """Repoint at the newest COMPLETE dhash generation after a driver
+        restart (the EventIngest._resume_generations contract): a
+        generation is complete when Spark's _SUCCESS marker exists; the
+        next allocation skips past any partial dir a crashed fold left."""
+        if self._resumed:
+            return
+        self._resumed = True
+        gen = 0
+        while _dir_exists(spark, f"{self.base_dir}/dhash-gen{gen + 1}"):
+            gen += 1
+        self._gen = gen
+        for g in range(gen, 0, -1):
+            cand = f"{self.base_dir}/dhash-gen{g}"
+            if _dir_exists(spark, f"{cand}/_SUCCESS"):
+                self.dhash_path = cand
+                break
+
+    def _maybe_auto_compact(self, spark: SparkSession) -> None:
+        if self.auto_compact_files is None:
+            return
+        if _data_file_count(spark, self.dhash_path) <= self.auto_compact_files:
+            return
+        self._gen += 1
+        while _dir_exists(spark, f"{self.base_dir}/dhash-gen{self._gen}"):
+            self._gen += 1  # skip a crashed fold's partial dir
+        new_path = f"{self.base_dir}/dhash-gen{self._gen}"
+        spark.read.parquet(self.dhash_path).distinct().repartition(
+            "dhash_hi"
+        ).write.mode("errorifexists").parquet(new_path)
+        self.dhash_path = new_path
 
     def compact(self, new_base_dir: str) -> "MediaIngest":
         """Collapse per-batch small files into a fresh base dir (swap by
@@ -1152,5 +1236,9 @@ class MediaIngest:
             "dhash_hi"
         ).write.mode("errorifexists").parquet(f"{new_base_dir}/dhash")
         return MediaIngest(
-            new_base_dir, id_col=self.id_col, payload_col=self.payload_col
+            new_base_dir,
+            id_col=self.id_col,
+            payload_col=self.payload_col,
+            fan_out_partitions=self.fan_out_partitions,
+            auto_compact_files=self.auto_compact_files,
         )

@@ -139,3 +139,64 @@ def test_null_payloads_are_refused_up_front(spark, tmp_path):
     assert spark.read.parquet(ing.dhash_path).filter(
         F.col("dhash_hi").isNull()
     ).count() == 0
+
+
+def test_auto_compaction_bounds_store_files_and_preserves_gate(spark, tmp_path):
+    """auto_compact_files=K: a long drive keeps the dhash store's data-file
+    count bounded (folds into dhash-gen{g} dirs), the gate still rejects
+    every replayed hash, and the readout equals an uncompacted twin's."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        _data_file_count,
+    )
+
+    imgs = _images(30, seed=21)
+    ing = MediaIngest(str(tmp_path / "auto"), auto_compact_files=4)
+    twin = MediaIngest(str(tmp_path / "plain"))
+    for b in range(10):
+        batch = [(100 * b + i, imgs[3 * b + i]) for i in range(3)]
+        # plant a cross-batch dup of batch 0's first image in every batch
+        if b:
+            batch.append((100 * b + 9, imgs[0]))
+        ing.process_batch(_rows(spark, batch), b)
+        twin.process_batch(_rows(spark, batch), b)
+        assert _data_file_count(spark, ing.dhash_path) <= 4 + 8, b
+    assert ing.dhash_path != str(tmp_path / "auto" / "dhash")  # folded
+    kept_a = sorted(r.doc_id for r in spark.read.parquet(ing.sink_path).collect())
+    kept_p = sorted(r.doc_id for r in spark.read.parquet(twin.sink_path).collect())
+    assert kept_a == kept_p  # compaction never changes the gate's decisions
+    store = {
+        (r.dhash_hi, r.dhash_lo)
+        for r in spark.read.parquet(ing.dhash_path).collect()
+    }
+    assert store == {dhash_reference(imgs[i]) for i in range(30)}
+
+
+def test_auto_compaction_resumes_after_driver_restart(spark, tmp_path):
+    """A fresh MediaIngest over the same base_dir (a driver restart) must
+    repoint at the newest COMPLETE generation — not silently read the
+    stale pre-fold store — and keep rejecting previously accepted
+    hashes; a partial (no _SUCCESS) generation dir is skipped for reads
+    and skipped past for the next allocation."""
+    imgs = _images(8, seed=33)
+    base = str(tmp_path / "re")
+    ing = MediaIngest(base, auto_compact_files=1)
+    for b in range(3):
+        ing.process_batch(_rows(spark, [(10 * b + i, imgs[2 * b + i]) for i in range(2)]), b)
+    assert "dhash-gen" in ing.dhash_path
+    gen_before = ing.dhash_path
+    # fake a crashed fold: a partial generation dir without _SUCCESS
+    import pathlib
+
+    partial = pathlib.Path(base) / f"dhash-gen{int(gen_before.rsplit('gen', 1)[1]) + 1}"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"not a real file")
+    ing2 = MediaIngest(base, auto_compact_files=1)
+    # replay an already-accepted image + one new: gate holds across restart
+    ing2.process_batch(_rows(spark, [(900, imgs[0]), (901, imgs[6])]), 99)
+    assert ing2.dhash_path != str(partial)  # partial dir never read
+    kept = sorted(r.doc_id for r in spark.read.parquet(ing2.sink_path).collect())
+    assert 900 not in kept and 901 in kept
+    # the fold after the replay allocated PAST the partial dir
+    assert int(ing2.dhash_path.rsplit("gen", 1)[1]) > int(
+        str(partial).rsplit("gen", 1)[1]
+    )

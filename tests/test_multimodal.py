@@ -584,11 +584,25 @@ def test_gif_corruption_fails_loudly():
         i = bad.index(0x2C, 13)  # image descriptor introducer
         bad[i + 1] = 1  # left offset 1
         decode_gif(bytes(bad))
-    with pytest.raises(ValueError, match="interlaced"):
-        bad = bytearray(good)
-        i = bad.index(0x2C, 13)
-        bad[i + 9] |= 0x40
-        decode_gif(bytes(bad))
+    # flipping the interlace flag on sequentially-stored rows no longer
+    # raises (r15 decodes interlaced GIFs) — it yields exactly the
+    # de-interlace row permutation applied to the stored data
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _gif_interlace_rows,
+    )
+
+    flipped = bytearray(good)
+    i = flipped.index(0x2C, 13)
+    flipped[i + 9] |= 0x40
+    w0, h0, frames0 = decode_gif(good)
+    _, _, frames1 = decode_gif(bytes(flipped))
+    stride = 3 * w0
+    for f0, f1 in zip(frames0, frames1):
+        for stored, r in enumerate(_gif_interlace_rows(h0)):
+            assert (
+                f1[stride * r : stride * (r + 1)]
+                == f0[stride * stored : stride * (stored + 1)]
+            )
     # a sub-block that declares more bytes than the file holds
     with pytest.raises(ValueError, match="truncated"):
         bad = bytearray(good)
@@ -980,3 +994,71 @@ def test_png_depth16_gray_hand_assembled_golden():
     got = decode_image(buf)
     expect = bytes(v for s in samples for v in ((s >> 8),) * 3)
     assert got == (w, h, expect)
+
+
+def test_gif_interlace_roundtrip_and_golden_permutation():
+    """GIF four-pass interlace (r15): encode(interlace=True) round-trips
+    across heights that exercise every pass-boundary shape, the wire
+    bytes genuinely differ, and the row order matches the spec's
+    four-pass schedule computed independently here."""
+    import random
+
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _gif_interlace_rows,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = random.Random(8)
+    for w, h in [(6, 5), (3, 1), (1, 1), (8, 8), (5, 11), (4, 2)]:
+        frames = [bytes(rng.randrange(256) for _ in range(3 * w * h)) for _ in range(2)]
+        buf_i = encode_gif(frames, w, h, interlace=True)
+        buf_p = encode_gif(frames, w, h)
+        assert decode_gif(buf_i) == (w, h, frames)
+        if h > 1:
+            assert buf_i != buf_p  # the interlaced file differs on the wire
+    # independent schedule transcription (spec appendix E)
+    def ref_rows(height):
+        out = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            out.extend(range(start, height, step))
+        return out
+
+    for h in (1, 2, 3, 5, 8, 9, 16, 17):
+        got = _gif_interlace_rows(h)
+        assert got == ref_rows(h)
+        assert sorted(got) == list(range(h))  # a permutation, no row lost
+
+
+def test_sample_avi_frames_uses_the_index_and_decodes_sparsely():
+    """idx1-driven sparse decode: selected frames equal the sequential
+    walk's, non-selected frames are NEVER decoded (measured via the
+    decode memo's miss count), and a lying index raises."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _decode_jpeg_memo,
+        _solid_jpeg,
+        decode_avi,
+        sample_avi_frames,
+    )
+
+    colors = [(i * 23 % 256, i * 57 % 256, i * 91 % 256) for i in range(9)]
+    avi = encode_avi([_solid_jpeg(*c) for c in colors], 16, 16)
+    w, h, full = decode_avi(avi)
+    _decode_jpeg_memo.cache_clear()
+    _solid_jpeg.cache_clear()
+    sw, sh, sparse = sample_avi_frames(avi, every=3)
+    assert (sw, sh) == (w, h)
+    assert [i for i, _ in sparse] == [0, 3, 6]
+    for i, px in sparse:
+        assert px == full[i]
+    # only the selected frames hit the decoder
+    assert _decode_jpeg_memo.cache_info().misses == 3
+    # a lying index (offset shifted by 2) is rejected, not decoded
+    bad = bytearray(avi)
+    idx_at = bad.index(b"idx1") + 8
+    off = int.from_bytes(bad[idx_at + 8 : idx_at + 12], "little")
+    bad[idx_at + 8 : idx_at + 12] = (off + 2).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="does not point at its chunk"):
+        sample_avi_frames(bytes(bad), every=1)
+    with pytest.raises(ValueError, match="every"):
+        sample_avi_frames(avi, every=0)
