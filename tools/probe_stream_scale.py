@@ -1,0 +1,167 @@
+"""Measure the streamed-drive scale levers the BENCH notes assert.
+
+The `*_drive` bench entries run ~12 triggers of `maxFilesPerTrigger=1`
+single-file batches at 8 state partitions — a fixture-scale layout whose
+wall is claimed (BENCH_r15 notes, SCALE.md) to be trigger scheduling and
+state-store overhead, with "source partitions and trigger batch size"
+as the scale levers.  This probe MEASURES that claim on the as-of drive
+shape (`streaming.joins.stream_asof_join`, how='left', the
+events_asof_streamed fixture): same total rows, varying
+
+* ``files``    — how many files each source batch is written as (the
+  Kafka-partition stand-in: files per trigger = intra-trigger read
+  parallelism),
+* ``batches``  — how many trigger rounds the stream arrives over
+  (inverse of trigger batch size),
+* ``parts``    — ``spark.sql.shuffle.partitions`` at first run = the
+  frozen state-store layout.
+
+Prints one JSON line per config: drive wall, per-trigger input rows and
+execution time from StreamingQueryProgress, and rows/sec.  SCALE.md
+cites the resulting table.
+
+Usage: python tools/probe_stream_scale.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.joins import (
+        stream_asof_join,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("stream-scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    n_rows = purchases.count() + clicks.count()
+
+    def drive(files: int, batches: int, parts: int) -> dict:
+        base = tempfile.mkdtemp(prefix="stream-scale-")
+        psrc, csrc = f"{base}/p", f"{base}/c"
+
+        def _slice(df, col, b):
+            return df.filter(
+                F.pmod(F.coalesce(F.col(col), F.lit(0)), F.lit(batches)) == b
+            ).repartition(files)
+
+        _slice(purchases, "purchase_id", 0).write.mode("append").parquet(psrc)
+        _slice(clicks, "click_id", 0).write.mode("append").parquet(csrc)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        lt = (
+            spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", str(files))
+            .parquet(psrc)
+            .withWatermark("ts", "45 days")
+        )
+        rt = (
+            spark.readStream.schema("user_id long, click_id long, click_ts timestamp")
+            .option("maxFilesPerTrigger", str(files))
+            .parquet(csrc)
+            .withWatermark("click_ts", "45 days")
+        )
+        joined = stream_asof_join(
+            lt,
+            rt,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="click_ts",
+            right_payload=["click_id", "click_ts"],
+            tolerance="INTERVAL 2 HOURS",
+            how="left",
+        )
+        t0 = time.time()
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in range(1, batches):
+                _slice(purchases, "purchase_id", b).write.mode("append").parquet(psrc)
+                _slice(clicks, "click_id", b).write.mode("append").parquet(csrc)
+                q.processAllAvailable()
+            far = "2025-07-01 00:00:00"
+            spark.sql(
+                f"SELECT CAST(-1 AS LONG) purchase_id, CAST(-1 AS LONG) user_id,"
+                f" TIMESTAMP '{far}' ts"
+            ).coalesce(1).write.mode("append").parquet(psrc)
+            spark.sql(
+                f"SELECT CAST(-2 AS LONG) user_id, CAST(-1 AS LONG) click_id,"
+                f" TIMESTAMP '{far}' click_ts"
+            ).coalesce(1).write.mode("append").parquet(csrc)
+            q.processAllAvailable()
+            q.processAllAvailable()
+            wall = round(time.time() - t0, 2)
+            trig = [
+                {
+                    "rows": int(p.numInputRows or 0),
+                    "ms": int(dict(p.durationMs or {}).get("triggerExecution") or 0),
+                }
+                for p in q.recentProgress
+            ]
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            shutil.rmtree(base, ignore_errors=True)
+        rows = sum(t["rows"] for t in trig)
+        ms = sum(t["ms"] for t in trig)
+        return {
+            "files_per_trigger": files,
+            "batches": batches,
+            "state_partitions": parts,
+            "wall_sec": wall,
+            "n_triggers": len(trig),
+            "input_rows": rows,
+            "trigger_ms": ms,
+            "rows_per_sec": round(rows / (ms / 1000.0), 1) if ms else None,
+        }
+
+    # warm the JVM/streaming machinery once (untimed config)
+    drive(1, 2, 8)
+    for files, batches, parts in (
+        (1, 3, 8),    # the bench drive's layout
+        (1, 12, 8),   # 4x the triggers, same rows: trigger-overhead axis
+        (4, 3, 8),    # intra-trigger read parallelism axis
+        (8, 3, 8),
+        (8, 3, 32),   # + state-partition axis
+    ):
+        print(json.dumps(drive(files, batches, parts)), flush=True)
+    print(json.dumps({"total_rows": n_rows, "sf_dir": sf_dir}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
