@@ -108,12 +108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every query that is SQL-expressible
-    (same rotation order as ``queries()``): all but one — even the
-    mapInPandas multimodal family has a byte-level SQL oracle, and the
-    learned-IVF row's oracle replays its whole quantized k-means fit; the
-    single exception is events_approx_distinct_users (HLL sketches are
-    engine-specific — rows-only by design)."""
+    """DuckDB-runnable oracle SQL for EVERY registered query (same
+    rotation order as ``queries()``) — since r14 there are zero rows-only
+    entries: even the mapInPandas multimodal family has a byte-level SQL
+    oracle, the learned-IVF row's oracle replays its whole quantized
+    k-means fit, and the streamed-ingest rows' oracles replay the batch
+    dedup with the arrival-order keeper rule.  (The one historical
+    rows-only row, events_approx_distinct_users, was retired in r14; its
+    oracle pair stays edge-tested via plans/registry.retired_query.)"""
     return {
         name: QUERIES[name].oracle
         for name in _rotated_names()

@@ -81,6 +81,36 @@ _SMOKE_QUERIES = [
 ]
 
 
+#: mkdtemp prefixes the streamed-drive rows create their work trees under;
+#: _pop_drive_cache refuses to delete anything whose tempdir-level ancestor
+#: is not one of these (defense against a cache holding a non-temp path)
+_DRIVE_TMP_PREFIXES = (
+    "asof-stream-",
+    "interval-stream-",
+    "session-stream-",
+    "media-ingest-",
+)
+
+
+def _pop_drive_cache(cache: dict, sf_dir: str) -> None:
+    """Pop a streamed row's per-process sink cache AND remove the orphaned
+    mkdtemp tree it points into (r15 advice: each *_drive pass popped the
+    cache and left one full src+checkpoint+sink tree per pass in /tmp).
+    Only the currently cached sink survives; the fresh drive recreates it.
+    """
+    path = cache.pop(sf_dir, None)
+    if not path:
+        return
+    tmp = os.path.realpath(tempfile.gettempdir())
+    base = os.path.realpath(path)
+    while os.path.dirname(base) not in (tmp, base):
+        base = os.path.dirname(base)
+    if os.path.dirname(base) == tmp and os.path.basename(base).startswith(
+        _DRIVE_TMP_PREFIXES
+    ):
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _build_ingest_entries(spark, sf_dir):
     """Prebuild the ingest-filter fixtures (untimed): persisted indexes over
     the full corpus, plus the incoming 10%-slice micro-batches.  Returns
@@ -353,7 +383,7 @@ def main() -> None:
                 thunk()
                 samples[name].append(round(time.time() - t0, 3))
             for name, (row, cache) in drive_entries.items():
-                cache.pop(sf_dir, None)  # force a FULL fresh drive
+                _pop_drive_cache(cache, sf_dir)  # force a FULL fresh drive
                 t0 = time.time()
                 QUERIES[row].spark(spark, sf_dir).write.mode(
                     "overwrite"

@@ -1181,17 +1181,16 @@ def _decode_scan(
             eobrun = 0
         decode_unit(si, by, bx)
         n_unit += 1
-    # resync: the scan's entropy data may end with up to one pad byte
-    # (possibly 0xFF + stuffed 0x00) before the next marker
+    # resync: the scan's entropy data may end with at most one unread pad
+    # byte before the next marker — an all-ones 0xFF pad is emitted with
+    # its stuffed 0x00, so the ONLY legal skip is a single FF 00 pair
+    # (r15 advice: the old loop skipped up to 4 ARBITRARY bytes, which
+    # silently tolerated garbage and weakened the corrupt-input contract)
     pos = br.pos
-    skipped = 0
-    while pos + 1 < len(buf):
-        if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
-            return pos
-        pos += 1
-        skipped += 1
-        if skipped > 4:
-            break
+    if pos + 1 < len(buf) and buf[pos] == 0xFF and buf[pos + 1] == 0x00:
+        pos += 2  # stuffed all-ones pad byte
+    if pos + 1 < len(buf) and buf[pos] == 0xFF and buf[pos + 1] != 0x00:
+        return pos
     raise ValueError("jpeg: expected a marker after scan data")
 
 

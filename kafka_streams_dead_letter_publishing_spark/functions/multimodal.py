@@ -1309,7 +1309,12 @@ def decode_avi(buf: bytes) -> tuple[int, int, list[bytes]]:
             data = body[pos + 8 : pos + 8 + clen]
             if len(data) < clen:
                 raise ValueError("AVI truncated: movi chunk body")
-            if cid[2:4] in (b"dc", b"db"):
+            if cid == b"LIST" and data[:4] == b"rec ":
+                # AVI 1.0 interleaving wraps co-timed chunks in 'rec '
+                # record LISTs — recurse so wrapped frames still decode
+                # (r15 advice: they were silently skipped as unknowns)
+                walk_movi(data[4:])
+            elif cid[2:4] in (b"dc", b"db"):
                 w, h, px = _decode_jpeg_memo(data)
                 if (w, h) != (width, height):
                     raise ValueError(
@@ -1415,27 +1420,33 @@ def sample_avi_frames(
     if idx is None or len(idx) % 16:
         raise ValueError("AVI has no well-formed idx1 index")
     frames: list[tuple[int, bytes]] = []
-    n = len(idx) // 16
-    for i in range(0, n, every):
-        e = idx[16 * i : 16 * i + 16]
+    # filter to VIDEO entries first, then stride (r15 advice): on a
+    # multi-stream file (audio '..wb' interleaved) striding the raw
+    # index would make cadence and frame numbers interleaving-dependent;
+    # frame_idx must mean "k-th video frame of the file", always
+    entries = [
+        idx[16 * i : 16 * i + 16]
+        for i in range(len(idx) // 16)
+        if idx[16 * i + 2 : 16 * i + 4] in (b"dc", b"db")
+    ]
+    for fi in range(0, len(entries), every):
+        e = entries[fi]
         fourcc = e[:4]
         off = int.from_bytes(e[8:12], "little")
         size = int.from_bytes(e[12:16], "little")
-        if fourcc[2:4] not in (b"dc", b"db"):
-            continue  # non-video stream entries are skipped, not decoded
         at = movi_at + off
         if buf[at : at + 4] != fourcc or int.from_bytes(
             buf[at + 4 : at + 8], "little"
         ) != size:
             raise ValueError(
-                f"AVI idx1 entry {i} does not point at its chunk"
+                f"AVI idx1 video entry {fi} does not point at its chunk"
             )
         w, h, px = _decode_jpeg_memo(buf[at + 8 : at + 8 + size])
         if (w, h) != (width, height):
             raise ValueError(
                 f"AVI frame is {w}x{h}, header declares {width}x{height}"
             )
-        frames.append((i, px))
+        frames.append((fi, px))
     return width, height, frames
 
 

@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 # Jaccard verify keeps precision identical either way.
 from kafka_streams_dead_letter_publishing_spark.operators.occupancy import drop_hot_keys
 from kafka_streams_dead_letter_publishing_spark.functions.text import (
+    band_keys_from_minhash,
     band_keys_from_minhash_fast,
+    minhash_array,
     minhash_array_fast,
     norm_text as _norm,
     shingles,
@@ -48,13 +50,32 @@ from kafka_streams_dead_letter_publishing_spark.functions.text import (
 class NeardupIndex(NamedTuple):
     """Prebuilt reference-corpus index.
 
-    ``bands``   — (bk long, ref_id)              : the skinny candidate side
+    ``bands``   — (bk, ref_id)                   : the skinny candidate side
+                                                   (long keys in the fast
+                                                   family, strings in md5)
     ``shingles``— (ref_id, ref_sh array<string>) : verify payload, joined
                                                    back for candidates only
+    ``hash_family`` — the minhash family the bands were built with; the
+    filter derives batch keys from the SAME family (a mismatch would
+    silently miss every collision), so it rides the index object — the
+    AnnIndex config convention.
     """
 
     bands: DataFrame
     shingles: DataFrame
+    hash_family: str = "fast"
+
+
+#: hash_family → (minhash fold, band-key builder).  "fast" (xxhash64
+#: longs) is the production default; "md5" is the registry family the
+#: DuckDB oracles replay byte-for-byte (plans/text._NEARDUP_BASE_CTES) —
+#: the streamed-ingest registry row drives the pipeline with it so the
+#: sink is value-hash comparable.  Same banding structure and S-curve
+#: either way; the exact-Jaccard verify keeps precision identical.
+_HASH_FAMILIES = {
+    "fast": (minhash_array_fast, band_keys_from_minhash_fast),
+    "md5": (minhash_array, band_keys_from_minhash),
+}
 
 
 def build_neardup_index(
@@ -62,6 +83,7 @@ def build_neardup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_occupancy: int | None = None,
+    hash_family: str = "fast",
 ) -> NeardupIndex:
     """Index a reference corpus for :func:`neardup_filter`.
 
@@ -81,18 +103,19 @@ def build_neardup_index(
     through the non-hot ones (test-pinned).  The hot-key set is tiny by
     construction (≤ n_keys/cap entries), broadcast into an anti-join at
     build time; serving cost is unchanged."""
+    mh_fn, bk_fn = _HASH_FAMILIES[hash_family]
     sh_tbl = (
         corpus.select(F.col(id_col).alias("ref_id"), tokens(_norm(F.col(text_col))).alias("toks"))
         .select("ref_id", shingles(F.col("toks")).alias("ref_sh"))
     )
     banded = sh_tbl.select(
-        "ref_id", F.size("ref_sh").alias("n_sh"), minhash_array_fast(F.col("ref_sh")).alias("mh")
+        "ref_id", F.size("ref_sh").alias("n_sh"), mh_fn(F.col("ref_sh")).alias("mh")
     ).select(
         "ref_id",
-        F.explode(band_keys_from_minhash_fast(F.col("mh"), F.col("n_sh"))).alias("bk"),
+        F.explode(bk_fn(F.col("mh"), F.col("n_sh"))).alias("bk"),
     )
     bands = drop_hot_keys(banded.select("bk", "ref_id"), max_band_occupancy)
-    return NeardupIndex(bands=bands, shingles=sh_tbl)
+    return NeardupIndex(bands=bands, shingles=sh_tbl, hash_family=hash_family)
 
 
 def neardup_filter(
@@ -116,14 +139,15 @@ def neardup_filter(
     Integer cross-multiplied threshold (``common * 100 >= union * pct``):
     exact on every engine, no float epsilon.
     """
+    mh_fn, bk_fn = _HASH_FAMILIES[index.hash_family]
     staged = batch.select(
         F.col(id_col).alias("doc_id"), tokens(_norm(F.col(text_col))).alias("toks")
     ).select("doc_id", shingles(F.col("toks")).alias("sh"))
     banded = staged.select(
-        "doc_id", F.size("sh").alias("n_sh"), minhash_array_fast(F.col("sh")).alias("mh")
+        "doc_id", F.size("sh").alias("n_sh"), mh_fn(F.col("sh")).alias("mh")
     ).select(
         "doc_id",
-        F.explode(band_keys_from_minhash_fast(F.col("mh"), F.col("n_sh"))).alias("bk"),
+        F.explode(bk_fn(F.col("mh"), F.col("n_sh"))).alias("bk"),
     )
     # skinny candidate pairs: batch doc × corpus doc sharing any band
     cands = (

@@ -529,6 +529,8 @@ class DocumentIngest:
         bm25_store: bool = False,
         id_col: str = "doc_id",
         text_col: str = "text",
+        hash_family: str = "fast",
+        fan_out_partitions: int | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.bands_path = f"{base_dir}/bands"
@@ -548,6 +550,17 @@ class DocumentIngest:
         self.lang_keep = lang_keep
         self.id_col = id_col
         self.text_col = text_col
+        #: minhash family for every banding this pipeline does (intra-batch
+        #: AND store filter — one family end-to-end or the store join would
+        #: silently miss every collision): "fast" = xxhash64 longs (the
+        #: production default), "md5" = the DuckDB-replayable registry
+        #: family the docs_doc_ingest_streamed oracle drives
+        self.hash_family = hash_family
+        #: repartition each micro-batch before the tokenize/minhash chain:
+        #: a 1-file micro-batch scan is ONE partition and the interpreted
+        #: higher-order-function chain inherits it (the MediaIngest r15
+        #: fan-out lesson); None = leave the source partitioning alone
+        self.fan_out_partitions = fan_out_partitions
 
     def _line_fps(self, docs: DataFrame) -> DataFrame:
         """md5 fingerprints of the distinct non-blank lines of ``docs``."""
@@ -622,7 +635,12 @@ class DocumentIngest:
         )
 
     def _build(self, df: DataFrame) -> NeardupIndex:
-        return build_neardup_index(df, id_col=self.id_col, text_col=self.text_col)
+        return build_neardup_index(
+            df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            hash_family=self.hash_family,
+        )
 
     def _collapse_exact_dups(self, batch: DataFrame) -> DataFrame:
         """Flood guard: collapse rows with identical NORMALIZED text to
@@ -680,6 +698,8 @@ class DocumentIngest:
         )
 
         spark = batch.sparkSession
+        if self.fan_out_partitions:
+            batch = batch.repartition(self.fan_out_partitions)
         if self.pii_redact:
             from kafka_streams_dead_letter_publishing_spark.functions.text import (
                 redact_pii,
@@ -771,6 +791,7 @@ class DocumentIngest:
                         spark.read.parquet(self.bands_path), self.max_occupancy
                     ),
                     shingles=spark.read.parquet(self.shingles_path),
+                    hash_family=self.hash_family,
                 )
                 kept = neardup_filter(
                     deduped,
@@ -853,6 +874,10 @@ class DocumentIngest:
             bm25_store=self.bm25_store,
             id_col=self.id_col,
             text_col=self.text_col,
+            # the stores being compacted were banded with this family —
+            # the successor must keep reading and appending the same one
+            hash_family=self.hash_family,
+            fan_out_partitions=self.fan_out_partitions,
         )
 
 

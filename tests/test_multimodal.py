@@ -1062,3 +1062,54 @@ def test_sample_avi_frames_uses_the_index_and_decodes_sparsely():
         sample_avi_frames(bytes(bad), every=1)
     with pytest.raises(ValueError, match="every"):
         sample_avi_frames(avi, every=0)
+
+
+def test_avi_rec_lists_and_multistream_index():
+    """AVI 1.0 interleaving (r15 advice): video chunks wrapped in 'rec '
+    record LISTs with co-timed audio chunks must still decode in order,
+    and idx1-driven sampling must stride over VIDEO entries only —
+    frame_idx means "k-th video frame", never a raw interleaving-dependent
+    index ordinal."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _riff_chunk,
+        _solid_jpeg,
+        decode_avi,
+        encode_avi,
+        sample_avi_frames,
+    )
+
+    colors = [(i * 31 % 256, i * 67 % 256, i * 5 % 256) for i in range(6)]
+    frames = [_solid_jpeg(*c) for c in colors]
+    flat = encode_avi(frames, 16, 16)
+    w, h, expect = decode_avi(flat)
+    assert (w, h, len(expect)) == (16, 16, 6)
+
+    # reassemble the container by hand: each frame rides inside a
+    # 'LIST rec ' with a co-timed '01wb' audio chunk, and idx1 carries
+    # entries for BOTH streams in interleaving order
+    le32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    hlen = int.from_bytes(flat[16:20], "little")
+    hdrl = bytearray(flat[12 : 12 + 8 + hlen + (hlen & 1)])
+    hdrl[8 + 4 + 8 + 24 : 8 + 4 + 8 + 28] = le32(2)  # avih dwStreams = 2
+    movi_body = bytearray()
+    idx = bytearray()
+    for f in frames:
+        vid = _riff_chunk(b"00dc", f)
+        aud = _riff_chunk(b"01wb", b"\x11\x22\x33")
+        at = 4 + len(movi_body) + 8 + 4  # movi-rel pos of the vid fourcc
+        idx += b"00dc" + le32(0x10) + le32(at) + le32(len(f))
+        idx += b"01wb" + le32(0) + le32(at + len(vid)) + le32(3)
+        movi_body += _riff_chunk(b"LIST", b"rec " + vid + aud)
+    movi = _riff_chunk(b"LIST", b"movi" + bytes(movi_body))
+    body = b"AVI " + bytes(hdrl) + movi + _riff_chunk(b"idx1", bytes(idx))
+    avi = b"RIFF" + le32(len(body)) + body
+
+    # sequential walk recurses into the rec lists, skips the audio chunks
+    assert decode_avi(avi) == (16, 16, expect)
+    # index-driven sampling strides over the 6 VIDEO entries (not the 12
+    # interleaved index rows): every=2 picks video frames 0, 2, 4
+    sw, sh, sparse = sample_avi_frames(avi, every=2)
+    assert (sw, sh) == (16, 16)
+    assert [(i, px) for i, px in sparse] == [(k, expect[k]) for k in (0, 2, 4)]
+    _, _, full = sample_avi_frames(avi, every=1)
+    assert [(i, px) for i, px in full] == list(enumerate(expect))
