@@ -46,6 +46,7 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
 from kafka_streams_dead_letter_publishing_spark.plans.registry import (
     _capture_drive_stats,
     query,
+    retired_query,
 )
 from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
 
@@ -399,7 +400,17 @@ _DHASH_SQL_CTES = """
 """
 
 
-@query(
+# NOTE (r16): docs_image_dhash was RETIRED from the driver registry at
+# the 100-row hygiene cap to fund the docs_doc_ingest_streamed gate (r15
+# verdict #1).  Nothing is lost: the ENTIRE dHash chain stays
+# driver-checked every rotation — docs_dhash_near_pairs replays the
+# identical hash construction (via the shared _DHASH_SQL_CTES above) on
+# the image-like corpus where the banded search is also exercised, and
+# docs_media_ingest_streamed gates the same chain inside the streamed
+# ingest.  This row's text-payload variant moves to the RETIRED registry,
+# so the edge-case batteries still run its oracle pair verbatim
+# (tests/test_oracle_edge_cases.py) without a rotation slot.
+@retired_query(
     "docs_image_dhash",
     f"""
     WITH {_DHASH_SQL_CTES},

@@ -883,6 +883,22 @@ def emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "empty input" not in str(e):
             raise
         return spark.createDataFrame([], "vec_id long, cluster int, kept boolean")
+    aug = _planted_vector_corpus(spark, sf_dir)
+    return semdedup_flags(
+        aug, cents, SEMDEDUP_TAU, id_col="vec_id", emb_col="fe"
+    )
+
+
+def _planted_vector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, fe array<double>) — indexable embeddings ∪ the planted
+    near-parallel twins (+SEMDEDUP_EPS on component 0 of every
+    SEMDEDUP_PLANT_EVERY-th vector, cos ≈ 0.9999).  ONE derivation shared
+    by emb_semdedup_keepers and the streamed EmbeddingIngest gate so the
+    two rows can never plant different ground truth."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        indexable,
+    )
+
     emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id").filter(
         indexable(F.col("embedding"), EMBEDDING_DIM)
     )
@@ -897,9 +913,211 @@ def emb_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(i == 0, eps).otherwise(F.lit(0.0)),
         ).alias("fe"),
     )
-    aug = base.unionByName(twins)
-    return semdedup_flags(
-        aug, cents, SEMDEDUP_TAU, id_col="vec_id", emb_col="fe"
+    return base.unionByName(twins)
+
+
+# ── EmbeddingIngest driver gate: the streamed vector-ingest pipeline ─────
+
+#: per-process streamed EmbeddingIngest sink cache (the _DOC_INGEST_CACHE
+#: convention — bench.py pops it to time the FULL drive)
+_EMB_INGEST_CACHE: dict[str, str] = {}
+
+_EMB_INGEST_BATCHES = 3
+_EMB_INGEST_MIN_COS = "0.9"  # the pipeline default, spelled for exact replay
+
+
+def _emb_ingest_oracle() -> str:
+    """Replay the FULL 3-batch EmbeddingIngest drive in SQL: per batch
+    (pmod(vec_id, 3) arrival order) — non-zero-norm admission, exact-array
+    collapse to the lowest id, intra-batch multi-table sign-LSH one-join
+    dedup at cos >= 0.9, then the store filter against everything accepted
+    by EARLIER batches.  Table keys and the strict left-to-right double
+    dot fold are the registry ANN family's own fragments
+    (lsh_table_keys_sql / dot_sql), so the streamed gate and
+    emb_ann_multitable_pairs share one set of candidate semantics."""
+    dim = EMBEDDING_DIM
+    indexable_where = (
+        "len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) < "
+        f"'infinity'::DOUBLE)) = {dim}"
+    )
+    tau = f"CAST('{_EMB_INGEST_MIN_COS}' AS DOUBLE)"
+
+    def cos_ge(a: str, b: str) -> str:
+        return (
+            f"{dot_sql(f'{a}.fe', f'{b}.fe')} / "
+            f"NULLIF(SQRT({dot_sql(f'{a}.fe', f'{a}.fe')}) * "
+            f"SQRT({dot_sql(f'{b}.fe', f'{b}.fe')}), 0) >= {tau}"
+        )
+
+    parts = [
+        f"""aug AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(embedding[i] AS DOUBLE)
+              FOR i IN generate_series(1, {dim})] AS fe
+      FROM embeddings WHERE {indexable_where}
+      UNION ALL
+      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET},
+             [CAST(embedding[i] AS DOUBLE)
+              + CASE WHEN i = 1 THEN CAST('{SEMDEDUP_EPS}' AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END
+              FOR i IN generate_series(1, {dim})]
+      FROM embeddings
+      WHERE vec_id % {SEMDEDUP_PLANT_EVERY} = 0 AND {indexable_where}
+    ),
+    adm AS MATERIALIZED (
+      SELECT vec_id, vec_id % {_EMB_INGEST_BATCHES} AS b, fe FROM aug
+      WHERE {dot_sql('fe', 'fe')} > 0
+    ),
+    bk AS MATERIALIZED (
+      SELECT vec_id, unnest({lsh_table_keys_sql('fe')}) AS k FROM adm
+    )""",
+    ]
+    accepted_union = []
+    for b in range(_EMB_INGEST_BATCHES):
+        parts.append(f""",
+    c{b} AS (
+        SELECT vec_id FROM adm WHERE b = {b}
+        QUALIFY row_number() OVER (PARTITION BY fe ORDER BY vec_id) = 1
+    ),
+    x{b} AS (
+        SELECT DISTINCT kb.vec_id AS dropped
+        FROM bk ka JOIN bk kb ON ka.k = kb.k AND ka.vec_id < kb.vec_id
+        JOIN c{b} ia ON ia.vec_id = ka.vec_id
+        JOIN c{b} ib ON ib.vec_id = kb.vec_id
+        JOIN adm xa ON xa.vec_id = ka.vec_id
+        JOIN adm xb ON xb.vec_id = kb.vec_id
+        WHERE {cos_ge("xa", "xb")}
+    ),
+    e{b} AS (
+        SELECT vec_id FROM c{b}
+        WHERE vec_id NOT IN (SELECT dropped FROM x{b})
+    )""")
+        if b == 0:
+            parts.append(",\n    a0 AS (SELECT vec_id FROM e0)")
+        else:
+            store = " UNION ALL ".join(
+                f"SELECT vec_id FROM a{p}" for p in range(b)
+            )
+            parts.append(f""",
+    s{b} AS (
+        SELECT DISTINCT kq.vec_id AS rejected
+        FROM bk kq JOIN bk kr ON kq.k = kr.k
+        JOIN e{b} q ON q.vec_id = kq.vec_id
+        JOIN ({store}) r ON r.vec_id = kr.vec_id
+        JOIN adm xa ON xa.vec_id = kq.vec_id
+        JOIN adm xb ON xb.vec_id = kr.vec_id
+        WHERE {cos_ge("xa", "xb")}
+    ),
+    a{b} AS (
+        SELECT vec_id FROM e{b}
+        WHERE vec_id NOT IN (SELECT rejected FROM s{b})
+    )""")
+        accepted_union.append(f"SELECT vec_id FROM a{b}")
+    body = "".join(parts)
+    return f"""
+    WITH {body}
+    SELECT f.vec_id, SQRT({dot_sql('f.fe', 'f.fe')}) AS nrm
+    FROM ({" UNION ALL ".join(accepted_union)}) acc
+    JOIN adm f ON f.vec_id = acc.vec_id
+    """
+
+
+@query(
+    "emb_ann_ingest_streamed",
+    _emb_ingest_oracle(),
+    doc="[EXT] EmbeddingIngest DRIVER-GATED (r16 — the r15 verdict's #2, "
+    "the MediaIngest/DocumentIngest template applied to the vector twin): "
+    "the planted semdedup corpus (indexable embeddings ∪ cos≈0.9999 "
+    "twins) lands as three pmod(vec_id) micro-batches through a real "
+    "readStream + foreachBatch running "
+    "streaming/ingest_pipeline.EmbeddingIngest — non-zero-norm "
+    "admission, exact-array collapse, intra-batch multi-table sign-LSH "
+    "one-join dedup, ann_filter against the growing accepted store, IVF/"
+    "vector/bucket stores appended payload-first/gate-LAST — and the "
+    "accepted vectors store must equal the batch replay with the "
+    "ARRIVAL-ORDER keeper rule: a vector is rejected iff its exact "
+    "cosine with a lower-id batchmate or ANY earlier-batch acceptee it "
+    "shares one of the 6x4-plane LSH buckets with reaches 0.9 "
+    "(TWIN_OFFSET % 3 = 1 makes both arrival directions occur).  The "
+    "oracle replays the banding via lsh_table_keys_sql (bijective with "
+    "the engine's integer keys) and the cosine via the strict "
+    "left-to-right dot_sql fold — identical IEEE decisions, so banding "
+    "AND verify are pinned, not approximated.  Scale shape per batch: "
+    "skinny (bk, id) equi-joins, 64-float payloads only on verified "
+    "candidates; the store grows by accepted vectors only.  BENCH NOTE: "
+    "the drive runs once per process; the median reports reading the "
+    "persisted sink (emb_ann_ingest_streamed_drive times the full "
+    "drive).",
+    tags=("similarity", "lsh", "dedup", "streaming", "ingest"),
+)
+def emb_ann_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.plans.registry import (
+        _capture_drive_stats,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EmbeddingIngest,
+        _store_exists,
+    )
+
+    sink = _EMB_INGEST_CACHE.get(sf_dir)
+    if sink is None:
+        try:
+            _, cents = learned_ivf_index(spark, sf_dir)
+        except ValueError as e:
+            if "empty input" not in str(e):
+                raise
+            return spark.createDataFrame([], "vec_id long, nrm double")
+        corpus = _planted_vector_corpus(spark, sf_dir).select(
+            "vec_id", F.col("fe").alias("embedding")
+        )
+        base = tempfile.mkdtemp(prefix="emb-ingest-")
+        src = f"{base}/src"
+
+        # batch 1 lands before the query starts; batches 2 and 3 are
+        # incremental appends between processAllAvailable barriers (the
+        # docs_doc_ingest_streamed placement)
+        def _slice(b: int):
+            return corpus.filter(
+                F.pmod(
+                    F.coalesce(F.col("vec_id"), F.lit(0)),
+                    F.lit(_EMB_INGEST_BATCHES),
+                )
+                == b
+            ).coalesce(1)
+
+        _slice(0).write.mode("append").parquet(src)
+        ing = EmbeddingIngest(
+            f"{base}/ingest", cents, min_cos=float(_EMB_INGEST_MIN_COS)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(ing.process_batch)
+            .option("checkpointLocation", f"{base}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in range(1, _EMB_INGEST_BATCHES):
+                _slice(b).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            _capture_drive_stats("emb_ann_ingest_streamed", sf_dir, q)
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not _store_exists(spark, ing.vectors_path):
+            return spark.createDataFrame([], "vec_id long, nrm double")
+        _EMB_INGEST_CACHE[sf_dir] = ing.vectors_path
+        sink = ing.vectors_path
+    return (
+        spark.read.schema("ref_id long, ref_emb array<double>, ref_nrm double")
+        .parquet(sink)
+        .select(F.col("ref_id").alias("vec_id"), F.col("ref_nrm").alias("nrm"))
     )
 
 

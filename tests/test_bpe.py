@@ -123,9 +123,12 @@ def test_merge_validation():
 
 
 def test_plan_is_udf_free_and_shuffle_free(spark):
-    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    # RETIRED r16 (slot funds the embedding-ingest gate): the pair keeps
+    # running here and in the edge batteries
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES, RETIRED
 
-    df = QUERIES["docs_bpe_token_counts"].spark(spark, "/root/testdata/sf0.001")
+    q = QUERIES.get("docs_bpe_token_counts") or RETIRED["docs_bpe_token_counts"]
+    df = q.spark(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert bad not in plan, (bad, plan)

@@ -686,9 +686,12 @@ def test_dhash_near_pairs_on_image_like_fixture(spark):
 
 
 def test_dhash_registry_row_groups_exact_dups(spark):
-    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES
+    # RETIRED r16 (slot funds the doc-ingest gate): the pair keeps running
+    # here and in the edge batteries
+    from kafka_streams_dead_letter_publishing_spark.plans import QUERIES, RETIRED
 
-    rows = QUERIES["docs_image_dhash"].spark(spark, "/root/testdata/sf0.001").collect()
+    q = QUERIES.get("docs_image_dhash") or RETIRED["docs_image_dhash"]
+    rows = q.spark(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.n_same_hash >= 1 for r in rows)
     by_hash: dict = {}
     for r in rows:

@@ -22,6 +22,15 @@ Run: ``python tools/probe_store_growth.py [N_BATCHES] [CADENCE]``
 growth CONTRACT in
 tests/test_ingest_pipeline.py::test_event_ingest_auto_compaction_bounds_store_growth;
 this probe records the measured CURVE.
+
+``python tools/probe_store_growth.py media [N_BATCHES] [FILES_CADENCE]``
+(defaults 60, 24) runs the MEDIA twin (r16, the r15 verdict's #8): two
+MediaIngest drives over the same deterministic payload stream — plain
+vs ``auto_compact_files=K`` — sampling the dhash GATE store's data-file
+count and the wall of the store read the next batch's anti-join pays,
+then asserting the two sinks kept IDENTICAL rows (compaction is a
+layout change, never a semantics change —
+tests/test_media_ingest.py pins the contract; this records the curve).
 """
 
 from __future__ import annotations
@@ -35,7 +44,82 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def media_main() -> None:
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    cadence = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    sample_every = max(1, n_batches // 10)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        MediaIngest,
+        _data_file_count,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("media-store-growth-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = tempfile.mkdtemp(prefix="media-growth-")
+    drives = {
+        "plain": MediaIngest(f"{base}/plain"),
+        f"cadence{cadence}": MediaIngest(
+            f"{base}/auto", auto_compact_files=cadence
+        ),
+    }
+    rows_per_batch = 200
+    pool = 2000  # distinct payloads — later batches are mostly dups
+    samples: dict[str, list[tuple[int, int, float]]] = {n: [] for n in drives}
+    for b in range(1, n_batches + 1):
+        ids = [(b - 1) * rows_per_batch + i for i in range(rows_per_batch)]
+        batch = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        ).select(
+            "doc_id",
+            # deterministic payload from a bounded pool: md5 hex of the
+            # pool slot, so duplicates recur across batches and the gate
+            # engages (the synth_docs_imagelike md5 lesson: never a
+            # periodic integer polynomial)
+            F.encode(F.md5((F.col("doc_id") % pool).cast("string")), "utf-8")
+            .alias("payload"),
+        )
+        for name, ing in drives.items():
+            ing.process_batch(batch, b)
+        if b % sample_every == 0 or b == n_batches:
+            for name, ing in drives.items():
+                files = _data_file_count(spark, ing.dhash_path)
+                t0 = time.time()
+                spark.read.parquet(ing.dhash_path).count()
+                samples[name].append((b, files, time.time() - t0))
+
+    print(f"\nMedia gate-store growth: {n_batches} micro-batches x "
+          f"{rows_per_batch} rows ({pool} distinct payloads), "
+          f"auto_compact_files={cadence} (gauge: dhash store)\n")
+    print(f"| batches | plain files | plain gate-read s | "
+          f"cadence{cadence} files | gate-read s |")
+    print("|---|---|---|---|---|")
+    for (b, f1, t1), (_, f2, t2) in zip(*samples.values()):
+        print(f"| {b} | {f1} | {t1:.2f} | {f2} | {t2:.2f} |")
+    auto = drives[f"cadence{cadence}"]
+    print(f"\ngenerations rolled by the cadence drive: {auto._gen}")
+    # compaction must be invisible to keeper identity
+    a = {r.doc_id for r in spark.read.parquet(drives["plain"].sink_path).collect()}
+    c = {r.doc_id for r in spark.read.parquet(auto.sink_path).collect()}
+    assert a == c, (len(a), len(c), sorted(a ^ c)[:5])
+    print(f"sinks identical: {len(a)} keepers both drives")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "media":
+        media_main()
+        return
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     cadence = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sample_every = max(1, n_batches // 10)

@@ -14,7 +14,15 @@ events_asof_streamed fixture): same total rows, varying
 * ``batches``  — how many trigger rounds the stream arrives over
   (inverse of trigger batch size),
 * ``parts``    — ``spark.sql.shuffle.partitions`` at first run = the
-  frozen state-store layout.
+  frozen state-store layout,
+* ``store``    — the state-store PROVIDER (r16, the r15 verdict's #3):
+  ``hdfs`` = the default JVM-heap HDFSBackedStateStoreProvider every
+  drive runs on, ``rocksdb`` = RocksDBStateStoreProvider, the provider
+  production uses when state outgrows executor heap (frozen per
+  checkpoint, like the partition layout),
+* ``scale``    — state-size multiplier: the sources are unioned with
+  ``scale - 1`` id-shifted copies (disjoint user_id spaces, so join
+  cardinality stays linear and state grows exactly ``scale``×).
 
 Prints one JSON line per config: drive wall, per-trigger input rows and
 execution time from StreamingQueryProgress, and rows/sec.  SCALE.md
@@ -64,19 +72,50 @@ def main() -> None:
     )
     n_rows = purchases.count() + clicks.count()
 
-    def drive(files: int, batches: int, parts: int) -> dict:
+    _STORES = {
+        "hdfs": "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    }
+    _STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+    def _scaled(df, id_col: str, scale: int):
+        """``scale``× the rows via id-shifted copies in DISJOINT user_id
+        spaces — every copy joins only within itself, so output and join
+        work scale linearly while the state stores hold scale× rows."""
+        out = df
+        for k in range(1, scale):
+            shift = F.lit(k * 10_000_000)
+            out = out.unionByName(
+                df.select(
+                    (F.col(id_col) + shift).alias(id_col),
+                    (F.col("user_id") + shift).alias("user_id"),
+                    *[c for c in df.columns if c not in (id_col, "user_id")],
+                )
+            )
+        return out
+
+    def drive(
+        files: int, batches: int, parts: int,
+        store: str = "hdfs", scale: int = 1,
+    ) -> dict:
         base = tempfile.mkdtemp(prefix="stream-scale-")
         psrc, csrc = f"{base}/p", f"{base}/c"
+        sp = _scaled(purchases, "purchase_id", scale)
+        sc = _scaled(clicks, "click_id", scale)
 
         def _slice(df, col, b):
             return df.filter(
                 F.pmod(F.coalesce(F.col(col), F.lit(0)), F.lit(batches)) == b
             ).repartition(files)
 
-        _slice(purchases, "purchase_id", 0).write.mode("append").parquet(psrc)
-        _slice(clicks, "click_id", 0).write.mode("append").parquet(csrc)
+        _slice(sp, "purchase_id", 0).write.mode("append").parquet(psrc)
+        _slice(sc, "click_id", 0).write.mode("append").parquet(csrc)
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_store = spark.conf.get(_STORE_CONF, None)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set(_STORE_CONF, _STORES[store])
         lt = (
             spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
             .option("maxFilesPerTrigger", str(files))
@@ -110,8 +149,8 @@ def main() -> None:
         try:
             q.processAllAvailable()
             for b in range(1, batches):
-                _slice(purchases, "purchase_id", b).write.mode("append").parquet(psrc)
-                _slice(clicks, "click_id", b).write.mode("append").parquet(csrc)
+                _slice(sp, "purchase_id", b).write.mode("append").parquet(psrc)
+                _slice(sc, "click_id", b).write.mode("append").parquet(csrc)
                 q.processAllAvailable()
             far = "2025-07-01 00:00:00"
             spark.sql(
@@ -135,6 +174,10 @@ def main() -> None:
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if prev_store is None:
+                spark.conf.unset(_STORE_CONF)
+            else:
+                spark.conf.set(_STORE_CONF, prev_store)
             shutil.rmtree(base, ignore_errors=True)
         rows = sum(t["rows"] for t in trig)
         ms = sum(t["ms"] for t in trig)
@@ -142,6 +185,8 @@ def main() -> None:
             "files_per_trigger": files,
             "batches": batches,
             "state_partitions": parts,
+            "store": store,
+            "state_scale": scale,
             "wall_sec": wall,
             "n_triggers": len(trig),
             "input_rows": rows,
@@ -149,16 +194,25 @@ def main() -> None:
             "rows_per_sec": round(rows / (ms / 1000.0), 1) if ms else None,
         }
 
-    # warm the JVM/streaming machinery once (untimed config)
+    # warm the JVM/streaming machinery once per provider (untimed config)
     drive(1, 2, 8)
-    for files, batches, parts in (
-        (1, 3, 8),    # the bench drive's layout
-        (1, 12, 8),   # 4x the triggers, same rows: trigger-overhead axis
-        (4, 3, 8),    # intra-trigger read parallelism axis
-        (8, 3, 8),
-        (8, 3, 32),   # + state-partition axis
+    drive(1, 2, 8, store="rocksdb")
+    for files, batches, parts, store, scale in (
+        (1, 3, 8, "hdfs", 1),     # the bench drive's layout
+        (1, 12, 8, "hdfs", 1),    # 4x the triggers: trigger-overhead axis
+        (4, 3, 8, "hdfs", 1),     # intra-trigger read parallelism axis
+        (8, 3, 8, "hdfs", 1),
+        (8, 3, 32, "hdfs", 1),    # + state-partition axis
+        # state-store provider axis (r16): same layouts, RocksDB stores,
+        # and both providers at 4x state so the per-row vs per-store-
+        # instance cost split is visible
+        (1, 3, 8, "rocksdb", 1),
+        (1, 12, 8, "rocksdb", 1),
+        (1, 3, 32, "rocksdb", 1),
+        (1, 3, 8, "hdfs", 4),
+        (1, 3, 8, "rocksdb", 4),
     ):
-        print(json.dumps(drive(files, batches, parts)), flush=True)
+        print(json.dumps(drive(files, batches, parts, store, scale)), flush=True)
     print(json.dumps({"total_rows": n_rows, "sf_dir": sf_dir}), flush=True)
     spark.stop()
 
