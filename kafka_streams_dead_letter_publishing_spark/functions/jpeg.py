@@ -24,14 +24,20 @@ shortcut → inverse color transform) that a DuckDB oracle replays
 exactly — see ``solid_roundtrip_rgb`` and the ``docs_payload_features``
 ``jpeg_px_sum`` column.  The general AC path (Huffman run-length, the
 full butterfly, subsampling of non-constant chroma, restart markers)
-is pytest-pinned with round-trip error bounds and a hand-assembled
-golden stream.
+is pytest-pinned with round-trip error bounds and hand-assembled golden
+streams that never touch this module's encoder: DC-only sequential
+layouts, a sequential AC stream (run-length coefficients, ZRL, mid-block
+EOB, a block ending exactly at zz63 — r16), a 4-scan progressive stream
+with AC-first EOB runs and refinement correction bits, and progressive
+restart markers (tests/test_jpeg.py).
 
-Interop caveat (documented, not a gap for round-trips): the decoder
-builds its Huffman tables from the file's own DHT segments, so
-encode→decode never depends on the Annex K tables being transcribed
-perfectly — but external-file interop does, and no external JPEG
-exists in this container to cross-check against.
+Interop caveat (documented, narrowed r16): the decoder builds its
+Huffman tables from the file's own DHT segments and the golden streams
+carry their OWN hand-built tables, so neither round-trips nor the
+decode paths depend on the Annex K transcription — the remaining
+uncrosschecked surface is ONLY the Annex K table constants an external
+encoder would reference, and no external JPEG exists in this container
+to check them against.
 """
 
 from __future__ import annotations
@@ -1060,6 +1066,11 @@ def _decode_scan(
             if s == 0:
                 if r == 15:
                     k += 16  # ZRL
+                    # k == 64 exactly (16 zeros through zz63) is decodable
+                    # even though an encoder would use EOB; PAST that is a
+                    # corrupt run, same contract as the coefficient path
+                    if k > 64:
+                        raise ValueError("jpeg: AC run past block end")
                     continue
                 break  # EOB
             k += r

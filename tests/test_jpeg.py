@@ -560,3 +560,81 @@ def test_progressive_band_scans_reconstruct_any_coefficients(blocks_spec, top_al
         )
     for i, zz in enumerate(blocks):
         assert coefs[1][0][i][1:] == zz[1:], i
+
+
+def test_golden_baseline_ac_runlengths():
+    """Hand-assembled SEQUENTIAL scan with nonzero ACs (r15 verdict #5 —
+    until now the baseline AC run-length/EOB path was pinned only through
+    the module's own encoder): two grayscale blocks exercising a run-0
+    coefficient, a ZRL (16-zero run), a run-after-ZRL coefficient, a
+    mid-block EOB, and a block whose last coefficient lands EXACTLY at
+    zz63 (spec: no EOB follows a full block).  Every bit is written by
+    hand with this file's private Huffman tables; expected pixels come
+    from the golden-pinned IDCT over the target coefficients."""
+    from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+        ZIGZAG,
+        idct8x8,
+    )
+
+    q = 16
+    blk0 = {0: 4, 1: 3, 19: -1}   # zigzag index -> quantized value
+    blk1 = {0: -2, 63: 1}
+    # AC table: EOB, (run 0, size 2), ZRL, (run 1, size 1), (run 14, size 1)
+    ac_vals = [0x00, 0x02, 0xF0, 0x11, 0xE1]
+    ac = {v: (i, 3) for i, v in enumerate(ac_vals)}
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes([q] * 64))
+    out += _seg(0xC4, b"\x00" + _DC_BITS + _DC_VALS)
+    out += _seg(
+        0xC4, b"\x10" + bytes([0, 0, len(ac_vals)] + [0] * 13) + bytes(ac_vals)
+    )
+    out += _seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    b = _TestBits()
+    # blk0: DC 4 (cat 3), +3 at zz1, ZRL (zz2..zz17), run-1 -1 at zz19, EOB
+    b.put(3, 3); b.put(4, 3)
+    b.put(ac[0x02][0], 3); b.put(3, 2)
+    b.put(ac[0xF0][0], 3)
+    b.put(ac[0x11][0], 3); b.put(0, 1)     # -1: extend(0, 1)
+    b.put(ac[0x00][0], 3)
+    # blk1: DC -2 (diff -6, cat 3), 62 zeros = ZRL x3 + run 14, then +1
+    # at zz63 — k passes 63, so NO EOB is coded for this block
+    b.put(3, 3); b.put(-6 + 7, 3)
+    for _ in range(3):
+        b.put(ac[0xF0][0], 3)
+    b.put(ac[0xE1][0], 3); b.put(1, 1)     # +1: extend(1, 1)
+    out += b.tobytes()
+    out += b"\xff\xd9"
+
+    w, h, px = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 8)
+    qt = [q] * 64
+    expect = []
+    for blk in (blk0, blk1):
+        nat = [0] * 64
+        for zz_i, v in blk.items():
+            nat[ZIGZAG[zz_i]] = v
+        expect.append(idct8x8(nat, qt))
+    for yy in range(8):
+        for xx in range(16):
+            v = expect[xx // 8][8 * yy + (xx % 8)]
+            o = 3 * (16 * yy + xx)
+            assert px[o] == px[o + 1] == px[o + 2] == v, (xx, yy)
+    # the run-past-end guard: blk1 rebuilt with a 4th ZRL pushes k to 65
+    # before the final coefficient — the decoder must raise, never write
+    # out of range or silently drop the tail
+    bad2 = _TestBits()
+    bad2.put(3, 3); bad2.put(4, 3); bad2.put(ac[0x00][0], 3)  # blk0: DC only
+    bad2.put(3, 3); bad2.put(-6 + 7, 3)
+    for _ in range(4):
+        bad2.put(ac[0xF0][0], 3)
+    bad2.put(ac[0xE1][0], 3); bad2.put(1, 1)
+    bad_buf = bytes(out[: out.index(b"\xff\xda")])
+    bad_buf += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bad_buf += bad2.tobytes() + b"\xff\xd9"
+    with pytest.raises(ValueError, match="run past block end"):
+        decode_jpeg(bad_buf)

@@ -82,12 +82,26 @@ def media_main() -> None:
             [(i,) for i in ids], "doc_id long"
         ).select(
             "doc_id",
-            # deterministic payload from a bounded pool: md5 hex of the
-            # pool slot, so duplicates recur across batches and the gate
+            # deterministic payload from a bounded pool: 28 chained md5
+            # hex strings (896 bytes — fills the 864-byte dHash thumbnail,
+            # so distinct slots get distinct hashes) keyed on the pool
+            # slot, so duplicates recur across batches and the gate
             # engages (the synth_docs_imagelike md5 lesson: never a
             # periodic integer polynomial)
-            F.encode(F.md5((F.col("doc_id") % pool).cast("string")), "utf-8")
-            .alias("payload"),
+            F.encode(
+                F.concat(
+                    *[
+                        F.md5(
+                            F.concat(
+                                (F.col("doc_id") % pool).cast("string"),
+                                F.lit(f":{j}"),
+                            )
+                        )
+                        for j in range(28)
+                    ]
+                ),
+                "utf-8",
+            ).alias("payload"),
         )
         for name, ing in drives.items():
             ing.process_batch(batch, b)
