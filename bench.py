@@ -113,6 +113,64 @@ def _pop_drive_cache(cache: dict, sf_dir: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _machine_busy_sec() -> float | None:
+    """Cumulative non-idle CPU seconds of the WHOLE box (/proc/stat):
+    user+nice+system+irq+softirq+steal — idle and iowait excluded.  The
+    end-minus-start delta is everything ANY process burned during the
+    run."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        busy = sum(vals) - vals[3] - vals[4]  # - idle - iowait
+        return busy / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_cpu_sec() -> float | None:
+    """Cumulative CPU seconds of THIS process tree: our rusage (self +
+    reaped children) plus every LIVE /proc descendant's utime+stime+
+    cutime+cstime (the Spark JVM is a live child at measurement time, so
+    rusage alone would miss it).  busy − ours = CPU burned by FOREIGN
+    processes — the measured attribution the end-load gate needs (r15
+    verdict: two rounds flagged load_avg_end excursions that dispersion
+    said were the run's own tail; this measures it instead of inferring)."""
+    try:
+        import resource
+
+        r_self = resource.getrusage(resource.RUSAGE_SELF)
+        r_kids = resource.getrusage(resource.RUSAGE_CHILDREN)
+        total = r_self.ru_utime + r_self.ru_stime + r_kids.ru_utime + r_kids.ru_stime
+        # ppid -> pids map from one /proc scan, then walk our subtree
+        children: dict[int, list[int]] = {}
+        stats: dict[int, float] = {}
+        tck = os.sysconf("SC_CLK_TCK")
+        for name in os.listdir("/proc"):
+            if not name.isdigit():
+                continue
+            try:
+                with open(f"/proc/{name}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue
+            # field 2 (comm) may contain spaces/parens — split after ')'
+            tail = raw.rsplit(")", 1)[1].split()
+            ppid = int(tail[1])
+            cpu = (int(tail[11]) + int(tail[12]) + int(tail[13]) + int(tail[14])) / tck
+            pid = int(name)
+            children.setdefault(ppid, []).append(pid)
+            stats[pid] = cpu
+        frontier = list(children.get(os.getpid(), []))
+        while frontier:
+            pid = frontier.pop()
+            total += stats.get(pid, 0.0)
+            frontier.extend(children.get(pid, []))
+        return total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _build_ingest_entries(spark, sf_dir):
     """Prebuild the ingest-filter fixtures (untimed): persisted indexes over
     the full corpus, plus the incoming 10%-slice micro-batches.  Returns
@@ -212,6 +270,9 @@ def main() -> None:
         time.sleep(15)
         load_waited += 15
     load_start = os.getloadavg()
+    cpu_busy_start = _machine_busy_sec()
+    cpu_ours_start = _tree_cpu_sec()
+    wall_start = time.time()
 
     from pyspark.sql import SparkSession
 
@@ -490,6 +551,18 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     load_end = os.getloadavg()
+    # CPU attribution over the run (r15 verdict nit #2: two rounds flagged
+    # end-load excursions that were demonstrably the run's own tail — a
+    # 1-min load average cannot separate self from foreign at the end of a
+    # local[32] run, so MEASURE it: machine busy CPU minus this process
+    # tree's CPU = foreign CPU)
+    busy_end, ours_end = _machine_busy_sec(), _tree_cpu_sec()
+    foreign_frac = None
+    if None not in (busy_end, ours_end, cpu_busy_start, cpu_ours_start):
+        busy_delta = max(0.0, busy_end - cpu_busy_start)
+        ours_delta = max(0.0, ours_end - cpu_ours_start)
+        foreign_sec = max(0.0, busy_delta - ours_delta)
+        foreign_frac = round(foreign_sec / busy_delta, 4) if busy_delta else 0.0
     env = {
         "cpus": cpus,
         "smoke": SMOKE,  # contract-mode artifacts are not comparable runs
@@ -497,7 +570,12 @@ def main() -> None:
         "load_avg_end": [round(x, 2) for x in load_end],
         "load_wait_sec": round(load_waited, 1),
         "pass_dispersion": dispersion,
+        "wall_sec": round(time.time() - wall_start, 1),
     }
+    if foreign_frac is not None:
+        env["cpu_busy_sec"] = round(busy_delta, 1)
+        env["cpu_ours_sec"] = round(ours_delta, 1)
+        env["cpu_foreign_frac"] = foreign_frac
     if discarded_dispersion is not None:
         env["discarded_set_dispersion"] = discarded_dispersion
     # Detail line FIRST (samples, per-batch streaming progress): this is the
@@ -588,6 +666,20 @@ def main() -> None:
         )
         if val > (load_threshold if which == "start" else 4 * load_threshold)
     ]
+    # An END-load breach is exonerated by the measured CPU attribution:
+    # when < 5% of the run's busy CPU came from foreign processes, the
+    # 1-min load at the end IS the run's own tail (the r14/r15 pattern —
+    # both excursions had clean dispersion), and flagging it trains
+    # readers to ignore the warning.  A start breach, or real foreign
+    # CPU, still flags.
+    if (
+        breaches
+        and all(b.startswith("load_avg_end") for b in breaches)
+        and foreign_frac is not None
+        and foreign_frac < 0.05
+    ):
+        env["end_load_self_attributed"] = True
+        breaches = []
     if breaches:
         headline["load_warning"] = (
             "; ".join(breaches)
@@ -595,6 +687,10 @@ def main() -> None:
             " — ~1.1 means the samples themselves stayed clean and the"
             " load was this run's own tail)"
         )
+        if foreign_frac is not None:
+            headline["load_warning"] += (
+                f"; measured foreign-CPU fraction {foreign_frac}"
+            )
     out = json.dumps(headline)
     # NEVER abort after a completed run (the crash-after-measurement class
     # the cpus fix exists for) and NEVER emit an over-budget last line (the
