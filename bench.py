@@ -667,16 +667,19 @@ def main() -> None:
         if val > (load_threshold if which == "start" else 4 * load_threshold)
     ]
     # An END-load breach is exonerated by the measured CPU attribution:
-    # when < 5% of the run's busy CPU came from foreign processes, the
+    # when the run's foreign-CPU share is at the quiet-box ambient, the
     # 1-min load at the end IS the run's own tail (the r14/r15 pattern —
     # both excursions had clean dispersion), and flagging it trains
-    # readers to ignore the warning.  A start breach, or real foreign
-    # CPU, still flags.
+    # readers to ignore the warning.  Threshold 0.15, not 0.05: the
+    # measured ambient on THIS box with nothing else running is ~0.09
+    # (the session harness — BENCH_FULL_r16 cpu_foreign_frac 0.0874 on a
+    # clean 1.078-dispersion run), so 5% would never exonerate anything.
+    # A start breach, or foreign CPU well above ambient, still flags.
     if (
         breaches
         and all(b.startswith("load_avg_end") for b in breaches)
         and foreign_frac is not None
-        and foreign_frac < 0.05
+        and foreign_frac < 0.15
     ):
         env["end_load_self_attributed"] = True
         breaches = []

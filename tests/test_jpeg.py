@@ -638,3 +638,49 @@ def test_golden_baseline_ac_runlengths():
     bad_buf += bad2.tobytes() + b"\xff\xd9"
     with pytest.raises(ValueError, match="run past block end"):
         decode_jpeg(bad_buf)
+
+
+def test_annex_k_specs_structural_invariants():
+    """The Annex K transcription cannot be cross-checked against an
+    external decoder in this container (functions/jpeg.py docstring), but
+    its STRUCTURE is derivable from the spec's semantics without
+    re-typing the listing: DC tables carry categories 0..11 exactly once;
+    AC tables carry exactly the 162 legal symbols — EOB, ZRL, and every
+    (run 0..15, size 1..10) pair — exactly once; every BITS array sums to
+    its HUFFVAL length and builds a canonical prefix code with no
+    all-ones codeword (the decoder's marker-byte guard).  A typo'd value
+    lands outside the legal set or duplicates; only a same-bucket
+    permutation could survive (that would need the external cross-check
+    the caveat documents)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.jpeg import (
+        AC_CHR_SPEC,
+        AC_LUM_SPEC,
+        DC_CHR_SPEC,
+        DC_LUM_SPEC,
+        _huff_codes,
+    )
+
+    legal_ac = {0x00, 0xF0} | {
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    }
+    assert len(legal_ac) == 162
+    for bits, vals in (DC_LUM_SPEC, DC_CHR_SPEC):
+        assert sum(bits) == len(vals) == 12
+        assert sorted(vals) == list(range(12))
+    for bits, vals in (AC_LUM_SPEC, AC_CHR_SPEC):
+        assert sum(bits) == len(vals) == 162
+        assert set(vals) == legal_ac and len(set(vals)) == len(vals)
+    for spec in (DC_LUM_SPEC, DC_CHR_SPEC, AC_LUM_SPEC, AC_CHR_SPEC):
+        codes = _huff_codes(spec)
+        # canonical completeness: Kraft sum < 1 (JPEG reserves all-ones)
+        kraft = sum(1 / (1 << size) for _, size in codes.values())
+        assert kraft < 1
+        for code, size in codes.values():
+            assert code != (1 << size) - 1
+        # prefix property: no code is a prefix of a longer one
+        as_bits = sorted(
+            (format(c, f"0{s}b") for c, s in codes.values()), key=len
+        )
+        for i, a in enumerate(as_bits):
+            for b in as_bits[i + 1 :]:
+                assert not b.startswith(a), (a, b)
