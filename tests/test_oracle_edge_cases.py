@@ -367,6 +367,12 @@ TEXT_FAMILY_QUERIES = (
     "docs_cdc_chunks",
     "docs_cdc_gear_chunks",
     "docs_payload_features",
+    # r16 streamed ingest gate: the degenerate shapes hit the admission
+    # filter (empty/whitespace/sub-shingle never enter the stores), the
+    # intra-batch fp collapse, AND a cross-batch exact dup (docs 7/8
+    # land in batches 1/2 — the later one must fall to the STORE filter
+    # at Jaccard 1, not to the intra-batch collapse)
+    "docs_doc_ingest_streamed",
 )
 
 
@@ -413,6 +419,11 @@ EMB_FAMILY_QUERIES = (
     "emb_ann_multitable_pairs",
     "emb_label_centroids_scale",
     "emb_ivf_batch_topk",
+    # r16 streamed ingest gate: the zero vector must die at the non-zero-
+    # norm admission on BOTH engines, and vecs 1/2 (bit-identical, in
+    # batches 1/2) pin the cross-batch exact-dup path — the later one
+    # falls to the store filter at cosine exactly 1
+    "emb_ann_ingest_streamed",
 )
 
 
