@@ -136,13 +136,53 @@ def ann_filter(
     pass.  The miss rate is the OR-amplified LSH bound above, not a
     semantic difference.
     """
-    staged = batch.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("emb"),
-        F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
-    cands = ann_candidates(batch, index, id_col, emb_col)
-    dup_ids = (
+    batch_index = build_ann_index(
+        batch,
+        id_col=id_col,
+        emb_col=emb_col,
+        n_tables=index.n_tables,
+        planes_per_table=index.planes_per_table,
+    )
+    dup_ids = ann_reject_ids(batch_index, index, min_cos)
+    return batch.join(
+        dup_ids.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
+    )
+
+
+def ann_reject_ids(
+    batch_index: AnnIndex,
+    index: AnnIndex,
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """(vec_id) rows of ``batch_index``'s vectors that ARE cosine-near-dups
+    of ``index``'s set — the reject set :func:`ann_filter` anti-joins away,
+    exposed on prebuilt indexes so a caller that already staged the batch's
+    (buckets, vectors) — EmbeddingIngest computes them once per micro-batch
+    for the intra-batch dedup — never re-runs the 6×4 plane-fold chain for
+    the store filter (r16: the chain was evaluated 3× per batch).  Both
+    indexes must share the LSH config or the bucket equi-join silently
+    misses every collision."""
+    if (batch_index.n_tables, batch_index.planes_per_table) != (
+        index.n_tables,
+        index.planes_per_table,
+    ):
+        raise ValueError(
+            f"LSH-config mismatch: batch {batch_index.n_tables}x"
+            f"{batch_index.planes_per_table} vs index {index.n_tables}x"
+            f"{index.planes_per_table} — the bucket join would match nothing"
+        )
+    cands = (
+        batch_index.buckets.withColumnRenamed("ref_id", "vec_id")
+        .join(index.buckets, "bk")
+        .select("vec_id", "ref_id")
+        .distinct()
+    )
+    staged = batch_index.vectors.select(
+        F.col("ref_id").alias("vec_id"),
+        F.col("ref_emb").alias("emb"),
+        F.col("ref_nrm").alias("nrm"),
+    )
+    return (
         cands.join(staged, "vec_id")
         .join(index.vectors, "ref_id")
         .select(
@@ -154,9 +194,6 @@ def ann_filter(
         .filter(F.col("cos") >= F.lit(min_cos))
         .select("vec_id")
         .distinct()
-    )
-    return batch.join(
-        dup_ids.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
     )
 
 

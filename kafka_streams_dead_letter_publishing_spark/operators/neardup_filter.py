@@ -139,24 +139,46 @@ def neardup_filter(
     Integer cross-multiplied threshold (``common * 100 >= union * pct``):
     exact on every engine, no float epsilon.
     """
-    mh_fn, bk_fn = _HASH_FAMILIES[index.hash_family]
-    staged = batch.select(
-        F.col(id_col).alias("doc_id"), tokens(_norm(F.col(text_col))).alias("toks")
-    ).select("doc_id", shingles(F.col("toks")).alias("sh"))
-    banded = staged.select(
-        "doc_id", F.size("sh").alias("n_sh"), mh_fn(F.col("sh")).alias("mh")
-    ).select(
-        "doc_id",
-        F.explode(bk_fn(F.col("mh"), F.col("n_sh"))).alias("bk"),
+    batch_index = build_neardup_index(
+        batch, id_col=id_col, text_col=text_col, hash_family=index.hash_family
     )
+    dup_ids = neardup_reject_ids(batch_index, index, threshold_pct)
+    return batch.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
+def neardup_reject_ids(
+    batch_index: NeardupIndex,
+    index: NeardupIndex,
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """(doc_id) rows of ``batch_index``'s documents that ARE near-dups of
+    ``index``'s corpus — the reject set :func:`neardup_filter` anti-joins
+    away, exposed on prebuilt indexes so a caller that already staged the
+    batch's (bands, shingles) — DocumentIngest computes them once per
+    micro-batch for the intra-batch dedup — never re-runs the
+    tokenize→shingle→minhash chain for the store filter (r16: the chain
+    was evaluated 3× per batch; it is the dominant per-batch cost).
+    Both indexes must share a hash family or the band equi-join silently
+    misses every collision."""
+    if batch_index.hash_family != index.hash_family:
+        raise ValueError(
+            f"hash-family mismatch: batch {batch_index.hash_family!r} vs "
+            f"index {index.hash_family!r} — the band join would match nothing"
+        )
     # skinny candidate pairs: batch doc × corpus doc sharing any band
     cands = (
-        banded.join(index.bands, "bk")
+        batch_index.bands.withColumnRenamed("ref_id", "doc_id")
+        .join(index.bands, "bk")
         .select("doc_id", "ref_id")
         .distinct()
     )
+    staged = batch_index.shingles.select(
+        F.col("ref_id").alias("doc_id"), F.col("ref_sh").alias("sh")
+    )
     n_common = F.size(F.array_intersect("sh", "ref_sh"))
-    dup_ids = (
+    return (
         cands.join(staged, "doc_id")
         .join(index.shingles, "ref_id")
         .select(
@@ -170,7 +192,4 @@ def neardup_filter(
         )
         .select("doc_id")
         .distinct()
-    )
-    return batch.join(
-        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )

@@ -89,7 +89,6 @@ from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
 from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
     NeardupIndex,
     build_neardup_index,
-    neardup_filter,
 )
 from kafka_streams_dead_letter_publishing_spark.operators.occupancy import drop_hot_keys
 
@@ -239,14 +238,15 @@ class EmbeddingIngest:
             .drop("_rn")
         )
 
-    def _intra_batch_dedup(self, batch: DataFrame) -> DataFrame:
+    def _intra_batch_dedup(self, batch: DataFrame, idx: AnnIndex) -> DataFrame:
         """Drop a row iff ANY lower-id batch row is cosine-similar (see
         the module's dedup-semantics note) — one candidate equi-join over
-        the builder's own staged frames + exact verify, no iteration.
+        the PREBUILT batch index + exact verify, no iteration (r16: the
+        6x4 plane-fold chain is staged once per micro-batch and shared
+        with the store filter and the store appends).
         The batch-side key frames get the same hot-key cap as the store
         read, so a correlated batch can't make its own self-join
         quadratic either."""
-        idx = self._build(batch)
         capped = drop_hot_keys(idx.buckets, self.max_occupancy)
         cands = (
             capped.alias("a")
@@ -325,13 +325,27 @@ class EmbeddingIngest:
                 min_cos=self.decontam_min_cos,
             )
         batch = batch.persist()
+        collapsed = self._collapse_exact_dups(batch)
+        bidx = self._build(collapsed)
+        # persist: the staged (buckets, vectors) feed the intra-batch
+        # dedup, the store filter AND the store appends — without this
+        # the plane-fold chain re-evaluates per stage (r16: it was the
+        # dominant per-batch cost).  Lineage reads only the batch source
+        # (never the stores), so eviction-recompute stays crash-safe.
+        bidx = bidx._replace(
+            buckets=bidx.buckets.persist(), vectors=bidx.vectors.persist()
+        )
         try:
             # intra-batch dedup runs FIRST, on the full admitted batch —
             # running it after the store filter would exempt rows whose
             # similar lower-id sibling was store-rejected, breaking the
             # "similar to ANY lower-id batch row" contract (r7 review)
-            deduped = self._intra_batch_dedup(self._collapse_exact_dups(batch))
+            deduped = self._intra_batch_dedup(collapsed, bidx)
             if _store_exists(spark, self.buckets_path):
+                from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
+                    ann_reject_ids,
+                )
+
                 index = AnnIndex(
                     buckets=drop_hot_keys(
                         spark.read.parquet(self.buckets_path), self.max_occupancy
@@ -340,8 +354,14 @@ class EmbeddingIngest:
                     n_tables=self.n_tables,
                     planes_per_table=self.planes_per_table,
                 )
-                kept = ann_filter(
-                    deduped, index, id_col=self.id_col, min_cos=self.min_cos
+                # rejects over the WHOLE staged batch index — a superset
+                # of deduped, so the anti-join yields exactly
+                # ann_filter(deduped, index) with no chain re-evaluation
+                rejects = ann_reject_ids(bidx, index, self.min_cos)
+                kept = deduped.join(
+                    rejects.withColumnRenamed("vec_id", self.id_col),
+                    self.id_col,
+                    "left_anti",
                 )
             else:
                 kept = deduped
@@ -353,7 +373,7 @@ class EmbeddingIngest:
             # vanish from the IVF index (observed).  Checkpointing
             # materializes kept and CUTS the lineage.
             kept = kept.localCheckpoint(eager=True)
-            idx = self._build(kept)
+            kept_refs = kept.select(F.col(self.id_col).alias("ref_id"))
             # Write order is the crash contract: payload stores first, the
             # KEY store (the existence gate + candidate side) LAST.  A
             # crash before the buckets append replays the batch with the
@@ -383,10 +403,19 @@ class EmbeddingIngest:
                     kept, self.pq_books, self.pq_coarse, self.pq_path,
                     id_col=self.id_col,
                 )
-            idx.vectors.write.mode("append").parquet(self.vectors_path)
-            idx.buckets.write.mode("append").parquet(self.buckets_path)
+            # store appends reuse the staged batch index (semi-join to the
+            # checkpointed keepers) — keys/norms are pure functions of the
+            # embedding, so the values equal a rebuild over kept exactly
+            bidx.vectors.join(kept_refs, "ref_id", "left_semi").write.mode(
+                "append"
+            ).parquet(self.vectors_path)
+            bidx.buckets.join(kept_refs, "ref_id", "left_semi").write.mode(
+                "append"
+            ).parquet(self.buckets_path)
         finally:
             batch.unpersist()
+            bidx.buckets.unpersist()
+            bidx.vectors.unpersist()
 
     def compact(self, new_base_dir: str) -> "EmbeddingIngest":
         """Rewrite the append-accumulated stores into ``new_base_dir``
@@ -660,8 +689,11 @@ class DocumentIngest:
             .drop("_rn")
         )
 
-    def _intra_batch_dedup(self, batch: DataFrame) -> DataFrame:
-        idx = self._build(batch)
+    def _intra_batch_dedup(self, batch: DataFrame, idx: NeardupIndex) -> DataFrame:
+        """One-join drop rule over the PREBUILT batch index (r16: the
+        tokenize→shingle→minhash chain is staged once per micro-batch
+        and shared with the store filter and the store appends — it was
+        the dominant per-batch cost when evaluated per stage)."""
         capped = drop_hot_keys(idx.bands, self.max_occupancy)
         cands = (
             capped.alias("a")
@@ -781,11 +813,25 @@ class DocumentIngest:
                 text_col=self.text_col,
                 k=self.decontam_k,
             )
+        collapsed = self._collapse_exact_dups(batch)
+        bidx = self._build(collapsed)
+        # persist: the staged (bands, shingles) feed the intra-batch
+        # dedup, the store filter AND the store appends — without this
+        # the minhash chain re-evaluates per stage (r16: measured as the
+        # dominant per-batch cost).  Lineage reads only the batch source
+        # (never the stores), so eviction-recompute stays crash-safe.
+        bidx = bidx._replace(
+            bands=bidx.bands.persist(), shingles=bidx.shingles.persist()
+        )
         try:
             # intra-batch dedup FIRST, store filter second — same
             # contract-ordering reason as EmbeddingIngest
-            deduped = self._intra_batch_dedup(self._collapse_exact_dups(batch))
+            deduped = self._intra_batch_dedup(collapsed, bidx)
             if _store_exists(spark, self.bands_path):
+                from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
+                    neardup_reject_ids,
+                )
+
                 index = NeardupIndex(
                     bands=drop_hot_keys(
                         spark.read.parquet(self.bands_path), self.max_occupancy
@@ -793,19 +839,22 @@ class DocumentIngest:
                     shingles=spark.read.parquet(self.shingles_path),
                     hash_family=self.hash_family,
                 )
-                kept = neardup_filter(
-                    deduped,
-                    index,
-                    id_col=self.id_col,
-                    text_col=self.text_col,
-                    threshold_pct=self.threshold_pct,
+                # rejects computed over the WHOLE staged batch index — a
+                # superset of deduped, so the anti-join below yields
+                # exactly neardup_filter(deduped, index) without
+                # re-running the chain on the deduped subset
+                rejects = neardup_reject_ids(bidx, index, self.threshold_pct)
+                kept = deduped.join(
+                    rejects.withColumnRenamed("doc_id", self.id_col),
+                    self.id_col,
+                    "left_anti",
                 )
             else:
                 kept = deduped
             # eager localCheckpoint + payload-first/gate-last write order:
             # same crash and lineage contracts as EmbeddingIngest
             kept = kept.localCheckpoint(eager=True)
-            idx = self._build(kept)
+            kept_refs = kept.select(F.col(self.id_col).alias("ref_id"))
             kept.write.mode("append").parquet(self.corpus_path)
             if self.bm25_store:
                 from kafka_streams_dead_letter_publishing_spark.operators.bm25 import (
@@ -821,8 +870,15 @@ class DocumentIngest:
                     kept, self.bm25_path,
                     text_col=self.text_col, id_col=self.id_col,
                 )
-            idx.shingles.write.mode("append").parquet(self.shingles_path)
-            idx.bands.write.mode("append").parquet(self.bands_path)
+            # store appends reuse the staged batch index (semi-join to the
+            # checkpointed keepers) — shingles/bands are pure functions of
+            # text, so the values equal a rebuild over kept exactly
+            bidx.shingles.join(kept_refs, "ref_id", "left_semi").write.mode(
+                "append"
+            ).parquet(self.shingles_path)
+            bidx.bands.join(kept_refs, "ref_id", "left_semi").write.mode(
+                "append"
+            ).parquet(self.bands_path)
             if self.line_dedup:
                 # fps of the ACCEPTED docs' lines only (the store mirrors
                 # the corpus's lines), appended after every other store:
@@ -831,6 +887,8 @@ class DocumentIngest:
                 self._line_fps(kept).write.mode("append").parquet(self.lines_path)
         finally:
             staged.unpersist()
+            bidx.bands.unpersist()
+            bidx.shingles.unpersist()
 
     def compact(self, new_base_dir: str) -> "DocumentIngest":
         """See :meth:`EmbeddingIngest.compact`."""
