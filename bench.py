@@ -113,17 +113,21 @@ def _pop_drive_cache(cache: dict, sf_dir: str) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def _machine_busy_sec() -> float | None:
-    """Cumulative non-idle CPU seconds of the WHOLE box (/proc/stat):
-    user+nice+system+irq+softirq+steal — idle and iowait excluded.  The
-    end-minus-start delta is everything ANY process burned during the
-    run."""
+def _machine_busy_sec() -> tuple[float, float] | None:
+    """(busy, steal) cumulative CPU seconds of the WHOLE box (/proc/stat).
+    busy = user+nice+system+irq+softirq — idle, iowait AND steal excluded,
+    so the end-minus-start delta is what processes INSIDE this VM burned;
+    steal is reported separately because hypervisor contention (r16:
+    measured stretching one bench run 731→1,760 s wall with no in-VM
+    process running) is a different diagnosis than a foreign process —
+    it inflates wall and dispersion but is nobody's CPU in here."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:11]]
-        busy = sum(vals) - vals[3] - vals[4]  # - idle - iowait
-        return busy / os.sysconf("SC_CLK_TCK")
+        tck = os.sysconf("SC_CLK_TCK")
+        busy = sum(vals) - vals[3] - vals[4] - vals[7]  # -idle -iowait -steal
+        return busy / tck, vals[7] / tck
     except (OSError, ValueError, IndexError):
         return None
 
@@ -557,12 +561,21 @@ def main() -> None:
     # local[32] run, so MEASURE it: machine busy CPU minus this process
     # tree's CPU = foreign CPU)
     busy_end, ours_end = _machine_busy_sec(), _tree_cpu_sec()
-    foreign_frac = None
+    foreign_frac = steal_frac = None
     if None not in (busy_end, ours_end, cpu_busy_start, cpu_ours_start):
-        busy_delta = max(0.0, busy_end - cpu_busy_start)
+        busy_delta = max(0.0, busy_end[0] - cpu_busy_start[0])
+        steal_delta = max(0.0, busy_end[1] - cpu_busy_start[1])
         ours_delta = max(0.0, ours_end - cpu_ours_start)
         foreign_sec = max(0.0, busy_delta - ours_delta)
         foreign_frac = round(foreign_sec / busy_delta, 4) if busy_delta else 0.0
+        # hypervisor steal as a fraction of the cycles this VM WANTED
+        # (busy + steal): > ~0.1 means the host stretched this run's
+        # walls — a measured alternative diagnosis to "foreign process"
+        steal_frac = (
+            round(steal_delta / (busy_delta + steal_delta), 4)
+            if busy_delta + steal_delta
+            else 0.0
+        )
     env = {
         "cpus": cpus,
         "smoke": SMOKE,  # contract-mode artifacts are not comparable runs
@@ -576,6 +589,7 @@ def main() -> None:
         env["cpu_busy_sec"] = round(busy_delta, 1)
         env["cpu_ours_sec"] = round(ours_delta, 1)
         env["cpu_foreign_frac"] = foreign_frac
+        env["cpu_steal_frac"] = steal_frac
     if discarded_dispersion is not None:
         env["discarded_set_dispersion"] = discarded_dispersion
     # Detail line FIRST (samples, per-batch streaming progress): this is the
@@ -613,44 +627,6 @@ def main() -> None:
         "rows_per_sec": rows_per_sec,
         "env": env,
     }
-    # Committed round artifact (r15 verdict #4): the driver's BENCH_r{N}
-    # keeps only a 2,000-char stdout tail, which truncates the per-query
-    # dict — write the COMPLETE result (headline incl. every median +
-    # the per-pass samples and drive rates) to BENCH_FULL_r{N}.json at
-    # the repo root so per-query history stays diffable from the repo
-    # alone (the STALE_SWEEP artifact pattern; freshness pinned by
-    # tests/test_bench_full.py).  Smoke runs are contract checks under
-    # deliberate load, not comparable measurements — never recorded.
-    if not SMOKE:
-        import re as _re
-
-        repo = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
-        ]
-        rnd = max(rounds, default=0) + 1
-        full_path = os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json")
-        tmp_path = full_path + ".tmp"
-        with open(tmp_path, "w") as fh:
-            json.dump(
-                {
-                    **headline,
-                    "samples": samples,
-                    "streamed_drives": drive_rates,
-                    "streaming_runs": stream_rates,
-                    "ingest_batch_rows": {
-                        n: r for n, (_, r) in ingest_entries.items()
-                    },
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
-            fh.write("\n")
-        os.replace(tmp_path, full_path)
-        print(f"full bench artifact: {full_path}", file=sys.stderr)
     # A run started OR FINISHED on a busy box is suspect (the r5/r6 weak
     # entries were start-load contamination; r10 started clean and got
     # contaminated mid-run) — flag whichever end breached.  The END
@@ -694,6 +670,57 @@ def main() -> None:
             headline["load_warning"] += (
                 f"; measured foreign-CPU fraction {foreign_frac}"
             )
+    if steal_frac is not None and steal_frac > 0.1:
+        # hypervisor contention is invisible to load averages and to the
+        # in-VM foreign check (r16: one run stretched 732→1,760 s wall
+        # with nothing else running in the VM) — flag it from the
+        # measured steal counter so a stretched artifact self-identifies
+        headline["steal_warning"] = (
+            f"hypervisor steal fraction {steal_frac} — the host stretched "
+            f"this run's walls (pass_dispersion {dispersion}); medians may "
+            "be inflated; prefer a re-run"
+        )
+    # Committed round artifact (r15 verdict #4): the driver's BENCH_r{N}
+    # keeps only a 2,000-char stdout tail, which truncates the per-query
+    # dict — write the COMPLETE result (headline incl. every median +
+    # the per-pass samples and drive rates) to BENCH_FULL_r{N}.json at
+    # the repo root so per-query history stays diffable from the repo
+    # alone (the STALE_SWEEP artifact pattern; freshness pinned by
+    # tests/test_bench_full.py).  Written AFTER the load gate so the
+    # artifact carries load_warning / end_load_self_attributed (r16: the
+    # first placement missed them).  Smoke runs are contract checks
+    # under deliberate load, not comparable measurements — never
+    # recorded.
+    if not SMOKE:
+        import re as _re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+        ]
+        rnd = max(rounds, default=0) + 1
+        full_path = os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json")
+        tmp_path = full_path + ".tmp"
+        with open(tmp_path, "w") as fh:
+            json.dump(
+                {
+                    **headline,
+                    "samples": samples,
+                    "streamed_drives": drive_rates,
+                    "streaming_runs": stream_rates,
+                    "ingest_batch_rows": {
+                        n: r for n, (_, r) in ingest_entries.items()
+                    },
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        os.replace(tmp_path, full_path)
+        print(f"full bench artifact: {full_path}", file=sys.stderr)
     out = json.dumps(headline)
     # NEVER abort after a completed run (the crash-after-measurement class
     # the cpus fix exists for) and NEVER emit an over-budget last line (the
