@@ -126,7 +126,10 @@ def _machine_busy_sec() -> tuple[float, float] | None:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:11]]
         tck = os.sysconf("SC_CLK_TCK")
-        busy = sum(vals) - vals[3] - vals[4] - vals[7]  # -idle -iowait -steal
+        # -idle -iowait -steal -guest -guest_nice: Linux folds guest time
+        # into user already, so counting fields 9/10 would double-count
+        # VM-guest cycles in foreign-CPU attribution
+        busy = sum(vals) - vals[3] - vals[4] - vals[7] - vals[8] - vals[9]
         return busy / tck, vals[7] / tck
     except (OSError, ValueError, IndexError):
         return None
@@ -695,12 +698,23 @@ def main() -> None:
         import re as _re
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
-        ]
-        rnd = max(rounds, default=0) + 1
+        # Round for the artifact name: explicit BENCH_ROUND wins — the
+        # inference below (max CORRECTNESS round + 1) mislabels a re-run
+        # that happens AFTER the round's CORRECTNESS artifact lands (it
+        # writes the NEXT round's filename, which test_bench_full then
+        # skips as belonging to a round that hasn't happened — the r16
+        # advice; the filesystem alone can't distinguish "round-N re-run
+        # post-CORRECTNESS" from "round-N+1 first run").
+        env_round = os.environ.get("BENCH_ROUND")
+        if env_round is not None:
+            rnd = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+            ]
+            rnd = max(rounds, default=0) + 1
         full_path = os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json")
         tmp_path = full_path + ".tmp"
         with open(tmp_path, "w") as fh:

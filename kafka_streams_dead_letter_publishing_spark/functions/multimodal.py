@@ -1301,7 +1301,7 @@ def decode_avi(buf: bytes) -> tuple[int, int, list[bytes]]:
     width = height = None
     frames: list[bytes] = []
 
-    def walk_movi(body: bytes) -> None:
+    def walk_movi(body: bytes, in_rec: bool = False) -> None:
         pos = 0
         while pos + 8 <= len(body):
             cid = body[pos : pos + 4]
@@ -1312,8 +1312,16 @@ def decode_avi(buf: bytes) -> tuple[int, int, list[bytes]]:
             if cid == b"LIST" and data[:4] == b"rec ":
                 # AVI 1.0 interleaving wraps co-timed chunks in 'rec '
                 # record LISTs — recurse so wrapped frames still decode
-                # (r15 advice: they were silently skipped as unknowns)
-                walk_movi(data[4:])
+                # (r15 advice: they were silently skipped as unknowns).
+                # rec lists legally never nest, so one level is the bound:
+                # a crafted deep nest must hit the ValueError contract,
+                # not blow the Python stack (r16 advice)
+                if in_rec:
+                    raise ValueError(
+                        "AVI malformed: 'rec ' record LIST nested inside "
+                        "another 'rec ' list"
+                    )
+                walk_movi(data[4:], in_rec=True)
             elif cid[2:4] in (b"dc", b"db"):
                 w, h, px = _decode_jpeg_memo(data)
                 if (w, h) != (width, height):

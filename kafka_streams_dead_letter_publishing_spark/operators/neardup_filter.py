@@ -77,6 +77,45 @@ _HASH_FAMILIES = {
     "md5": (minhash_array, band_keys_from_minhash),
 }
 
+#: hash_family → Spark SQL dtype of the band key it emits.  The on-disk
+#: bands store carries no other family marker, so the bk dtype IS the
+#: durable record of which family wrote it.
+_FAMILY_BK_DTYPES = {"fast": "bigint", "md5": "string"}
+
+
+def validate_bands_store_family(bands: DataFrame, hash_family: str) -> None:
+    """Fail fast when a loaded on-disk bands store was written with a
+    different minhash family than ``hash_family``.
+
+    The in-memory guard in :func:`neardup_reject_ids` only compares two
+    ``NeardupIndex`` objects' stamps — a store REloaded from disk gets
+    stamped with whatever the restarting pipeline was configured with, so
+    without this check an md5-built store read through the default
+    ``fast`` family (or vice versa) silently misses every store
+    collision: long and string band keys never equi-match, and duplicate
+    documents flow into the corpus with no error.  The bk dtype is a
+    faithful family marker ("fast" banding emits xxhash64 longs, "md5"
+    emits hex strings), so a dtype mismatch is always a configuration
+    error and never a recoverable state."""
+    expected = _FAMILY_BK_DTYPES[hash_family]
+    actual = dict(bands.dtypes).get("bk")
+    if actual != expected:
+        wrote = next(
+            (fam for fam, dt in _FAMILY_BK_DTYPES.items() if dt == actual), None
+        )
+        wrote_msg = (
+            f"written by the {wrote!r} family"
+            if wrote is not None
+            else f"of unrecognized bk dtype {actual!r}"
+        )
+        raise ValueError(
+            f"bands store family mismatch: pipeline configured with "
+            f"hash_family={hash_family!r} (bk dtype {expected!r}) but the "
+            f"on-disk bands store is {wrote_msg} — the store join would "
+            f"silently match nothing; restart with the family the store "
+            f"was built with, or compact into a fresh base_dir"
+        )
+
 
 def build_neardup_index(
     corpus: DataFrame,

@@ -830,12 +830,17 @@ class DocumentIngest:
             if _store_exists(spark, self.bands_path):
                 from kafka_streams_dead_letter_publishing_spark.operators.neardup_filter import (
                     neardup_reject_ids,
+                    validate_bands_store_family,
                 )
 
+                bands_store = spark.read.parquet(self.bands_path)
+                # the store's bk dtype is its durable family marker — a
+                # restart configured with the other family would stamp the
+                # index below with the wrong family and the band join
+                # would silently match nothing (duplicates admitted)
+                validate_bands_store_family(bands_store, self.hash_family)
                 index = NeardupIndex(
-                    bands=drop_hot_keys(
-                        spark.read.parquet(self.bands_path), self.max_occupancy
-                    ),
+                    bands=drop_hot_keys(bands_store, self.max_occupancy),
                     shingles=spark.read.parquet(self.shingles_path),
                     hash_family=self.hash_family,
                 )

@@ -1179,3 +1179,32 @@ def test_event_ingest_auto_compaction_survives_driver_restart(spark, tmp_path):
     got = {(r.group, r.nh, r.est) for r in run2.estimates().collect()}
     want = {(r.group, r.nh, r.est) for r in plain.estimates().collect()}
     assert got == want and got
+
+
+def test_document_ingest_fails_fast_on_store_family_mismatch(spark, tmp_path):
+    """The on-disk bands store's bk dtype is its durable hash-family
+    marker (fast = xxhash64 longs, md5 = hex strings).  Restarting an
+    existing ingest with a different ``hash_family`` must fail fast —
+    before this guard the reloaded store was stamped with the restart's
+    family and the store join silently matched nothing, admitting every
+    duplicate (r16 advice, medium)."""
+    import pytest
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    docs = synth_documents(spark, 30, planted_every=5).persist()
+    base = str(tmp_path / "fam")
+    DocumentIngest(base, hash_family="md5").process_batch(docs, 0)
+
+    # wrong-family restart: loud, before any store write
+    with pytest.raises(ValueError, match="family mismatch"):
+        DocumentIngest(base, hash_family="fast").process_batch(docs, 1)
+
+    # same-family restart keeps working, and the exact re-send dedups
+    # against the store (zero growth)
+    before = spark.read.parquet(f"{base}/corpus").count()
+    DocumentIngest(base, hash_family="md5").process_batch(docs, 1)
+    assert spark.read.parquet(f"{base}/corpus").count() == before
+    docs.unpersist()

@@ -1116,3 +1116,39 @@ def test_avi_rec_lists_and_multistream_index():
     assert [(i, px) for i, px in sparse] == [(k, expect[k]) for k in (0, 2, 4)]
     _, _, full = sample_avi_frames(avi, every=1)
     assert [(i, px) for i, px in full] == list(enumerate(expect))
+
+
+def test_avi_nested_rec_lists_raise_value_error_not_recursion_error():
+    """'rec ' record LISTs legally never nest (AVI 1.0 interleaving is one
+    level deep), so a crafted deep nest must hit the corrupt-input
+    ValueError contract instead of blowing the Python stack (r16 advice:
+    ~1000 nested rec lists in ~12 KB turned the contract into an uncaught
+    RecursionError)."""
+    from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
+        _riff_chunk,
+        _solid_jpeg,
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [_solid_jpeg(10, 20, 30)]
+    flat = encode_avi(frames, 16, 16)
+    le32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    hlen = int.from_bytes(flat[16:20], "little")
+    hdrl = flat[12 : 12 + 8 + hlen + (hlen & 1)]
+    wrapped = _riff_chunk(b"00dc", frames[0])
+    for _ in range(1000):
+        wrapped = _riff_chunk(b"LIST", b"rec " + wrapped)
+    movi = _riff_chunk(b"LIST", b"movi" + wrapped)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + le32(len(body)) + body
+    with pytest.raises(ValueError, match="rec"):
+        decode_avi(avi)
+    # ONE level of rec wrapping (the legal AVI 1.0 shape) still decodes
+    legal_movi = _riff_chunk(
+        b"LIST", b"movi" + _riff_chunk(b"LIST", b"rec " + _riff_chunk(b"00dc", frames[0]))
+    )
+    legal_body = b"AVI " + hdrl + legal_movi
+    legal = b"RIFF" + le32(len(legal_body)) + legal_body
+    w, h, px = decode_avi(legal)
+    assert (w, h, len(px)) == (16, 16, 1)
