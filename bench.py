@@ -374,6 +374,10 @@ def main() -> None:
                 "docs_doc_ingest_streamed",
                 _plans_text._DOC_INGEST_CACHE,
             ),
+            "docs_budget_ingest_streamed_drive": (
+                "docs_budget_ingest_streamed",
+                _plans_text._BUDGET_INGEST_CACHE,
+            ),
             "emb_ann_ingest_streamed_drive": (
                 "emb_ann_ingest_streamed",
                 _plans_sim._EMB_INGEST_CACHE,

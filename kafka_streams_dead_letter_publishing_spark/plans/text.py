@@ -908,7 +908,15 @@ def _marker_count_sql(toks_sql: str, markers: tuple[str, ...]) -> str:
     return f"len(list_filter({toks_sql}, t -> t IN ({lst})))"
 
 
-@query(
+# NOTE (r17): docs_lang_distribution RETIRED from the driver rotation at
+# the 100-row hygiene cap to make room for docs_budget_ingest_streamed
+# (the last streaming pipeline without a driver gate).  Nothing is lost:
+# lang_guess stays driver-checked every rotation through
+# docs_clean_corpus_pipeline (the lang gate inside the composed funnel)
+# and docs_quality_funnel, and this row's exact cross-tab oracle keeps
+# running verbatim in the edge-case batteries
+# (tests/test_oracle_edge_cases.py falls back to plans.RETIRED).
+@retired_query(
     "docs_lang_distribution",
     f"""
     SELECT lang, lang_guessed, COUNT(*) AS n_docs
@@ -929,7 +937,9 @@ def _marker_count_sql(toks_sql: str, markers: tuple[str, ...]) -> str:
     GROUP BY lang, lang_guessed
     """,
     doc="[EXT] Language ID (marker-vocabulary n-gram heuristic, strict "
-    "majority) cross-tabulated against the labeled lang column.",
+    "majority) cross-tabulated against the labeled lang column.  RETIRED "
+    "r17 (slot for docs_budget_ingest_streamed); lang_guess stays "
+    "driver-checked via docs_clean_corpus_pipeline / docs_quality_funnel.",
     tags=("text", "langid"),
 )
 def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,6 +1440,196 @@ def docs_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = ((int(tot["t"] or 0) // 4) // ns) if ns else 0
     return token_budget_sample(
         scored, "n_tokens", per_source, group_col="source"
+    )
+
+
+# ── BudgetIngest driver gate: the budget-capped streaming ingest ─────────
+
+#: per-process streamed BudgetCappedIngest sink cache (the
+#: _DOC_INGEST_CACHE convention — bench.py pops it to time the FULL drive)
+_BUDGET_INGEST_CACHE: dict[str, str] = {}
+
+_BUDGET_INGEST_BATCHES = 3
+
+
+def _budget_ingest_oracle() -> str:
+    """Replay the FULL 3-batch BudgetCappedIngest drive in SQL: budgets
+    are half of each source's corpus-wide token total; per batch
+    (pmod(doc_id, 3) arrival order) the greedy md5(doc_id)-order walk
+    WITHIN each source admits rows whose running total fits the source's
+    REMAINING budget — total minus what EARLIER batches' acceptees spent
+    (the cross-batch high-watermark).  Unrolled per-batch CTEs, the
+    docs_doc_ingest_streamed template; the running-sum window and token
+    expression are the docs_token_budget_sample oracle's own fragments,
+    so the streamed gate and the batch sampler share one set of
+    semantics."""
+    parts = [
+        f"""
+    scored AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               doc_id % {_BUDGET_INGEST_BATCHES} AS b
+        FROM documents
+    ),
+    bud AS MATERIALIZED (
+        SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS bt
+        FROM scored GROUP BY source
+    )"""
+    ]
+    unions = []
+    for b in range(_BUDGET_INGEST_BATCHES):
+        if b == 0:
+            rem = "bud.bt"
+            spent_join = ""
+        else:
+            spent_union = " UNION ALL ".join(
+                f"SELECT source, n_tokens FROM a{p}" for p in range(b)
+            )
+            parts.append(f""",
+    sp{b} AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s
+        FROM ({spent_union}) GROUP BY source
+    )""")
+            rem = f"bud.bt - COALESCE(sp{b}.s, 0)"
+            spent_join = f"LEFT JOIN sp{b} USING (source)\n        "
+        parts.append(f""",
+    a{b} AS (
+        SELECT c.doc_id, c.source, c.n_tokens
+        FROM (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rt
+            FROM scored WHERE b = {b}
+        ) c
+        JOIN bud USING (source)
+        {spent_join}WHERE c.rt <= {rem}
+    )""")
+        unions.append(f"SELECT doc_id, source, n_tokens FROM a{b}")
+    body = "".join(parts)
+    return f"""
+    WITH {body}
+    {" UNION ALL ".join(unions)}
+    """
+
+
+@query(
+    "docs_budget_ingest_streamed",
+    _budget_ingest_oracle(),
+    doc="[EXT] BudgetCappedIngest DRIVER-GATED (r17 — the r16 verdict's "
+    "#1, the 4x-proven streamed-gate template applied to the last "
+    "pipeline with real admission semantics and no registry row): the "
+    "documents table lands as three pmod(doc_id) micro-batches through a "
+    "real readStream + foreachBatch running "
+    "streaming/budget_ingest.BudgetCappedIngest with per-source budgets "
+    "of HALF each source's corpus-wide token total — per batch the "
+    "greedy md5-order walk within each source admits rows up to the "
+    "source's REMAINING budget (total minus earlier batches' spend, the "
+    "cross-batch high-watermark), survivors append to the corpus, and "
+    "the totals store gains one delta row per accepted source plus the "
+    "batch-marker row.  The drive then RE-DELIVERS batch 0 through a "
+    "FRESH instance over the same base_dir: its id is <= the durable "
+    "batch-id high-watermark, so the exactly-once marker skip must make "
+    "the replay a no-op — a broken skip duplicates corpus rows and "
+    "hash-mismatches the oracle, so the exactly-once accounting is "
+    "itself driver-gated.  Scale shape per batch: one narrow token "
+    "scoring pass + the distributed two-phase prefix-sum "
+    "(operators/prefix.py — never a single-partition window); the "
+    "remaining-budget lookup is O(#sources) driver metadata maintained "
+    "incrementally (the totals store is read once per driver lifetime). "
+    " BENCH NOTE: the drive runs once per process; "
+    "docs_budget_ingest_streamed_drive times the full drive.",
+    tags=("text", "tokens", "sampling", "streaming", "ingest"),
+)
+def docs_budget_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_streams_dead_letter_publishing_spark.plans.registry import (
+        _capture_drive_stats,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.budget_ingest import (
+        BudgetCappedIngest,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        _store_exists,
+    )
+
+    sink = _BUDGET_INGEST_CACHE.get(sf_dir)
+    if sink is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # budgets: half of each source's total tokens — #sources scalar
+        # rows to the driver (config-sized metadata, the same aggregate
+        # shape as docs_token_budget_sample's single budget scalar)
+        per_src = (
+            docs.select(
+                "source",
+                F.size(tokens(_norm(F.col("text")))).cast("long").alias("_nt"),
+            )
+            .groupBy("source")
+            .agg(F.sum("_nt").alias("t"))
+            .collect()
+        )
+        budgets = {r["source"]: int(r["t"] or 0) // 2 for r in per_src}
+        base = tempfile.mkdtemp(prefix="budget-ingest-")
+        src = f"{base}/src"
+
+        # batch 1 lands before the query starts; batches 2 and 3 are
+        # incremental appends between processAllAvailable barriers (the
+        # docs_doc_ingest_streamed placement) — pmod + coalesce puts
+        # every row in exactly one batch
+        def _slice(b: int):
+            return docs.filter(
+                F.pmod(
+                    F.coalesce(F.col("doc_id"), F.lit(0)),
+                    F.lit(_BUDGET_INGEST_BATCHES),
+                )
+                == b
+            ).coalesce(1)
+
+        _slice(0).write.mode("append").parquet(src)
+        ing = BudgetCappedIngest(f"{base}/ingest", budgets)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(ing.process_batch)
+            .option("checkpointLocation", f"{base}/ck")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in range(1, _BUDGET_INGEST_BATCHES):
+                _slice(b).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            _capture_drive_stats("docs_budget_ingest_streamed", sf_dir, q)
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # RE-DELIVERED batch, DRIVER-GATED: a FRESH instance over the same
+        # base_dir (so the skip decision comes from the DURABLE totals
+        # store, not the in-memory mirror) replays batch 0 — its id is
+        # <= the recorded high-watermark, so exactly-once accounting must
+        # make it a no-op; if the skip broke, the duplicate corpus rows
+        # would hash-mismatch the oracle below
+        BudgetCappedIngest(f"{base}/ingest", budgets).process_batch(
+            _slice(0), 0
+        )
+        if not _store_exists(spark, ing.corpus_path):
+            return spark.createDataFrame(
+                [], "doc_id long, source string, n_tokens long"
+            )
+        _BUDGET_INGEST_CACHE[sf_dir] = ing.corpus_path
+        sink = ing.corpus_path
+    accepted = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(sink)
+    return accepted.select(
+        "doc_id",
+        "source",
+        F.size(tokens(_norm(F.col("text")))).cast("long").alias("n_tokens"),
     )
 
 

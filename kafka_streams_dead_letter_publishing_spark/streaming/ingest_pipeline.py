@@ -163,12 +163,27 @@ class EmbeddingIngest:
         decontam_min_cos: float = 0.85,
         decontam_min_recall: float = 0.95,
         id_col: str = "vec_id",
+        auto_compact_files: int | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.buckets_path = f"{base_dir}/buckets"
         self.vectors_path = f"{base_dir}/vectors"
         self.ivf_path = f"{base_dir}/ivf"
         self.pq_path = f"{base_dir}/pqcodes"
+        #: automated GATE-store compaction cadence (r17 — the MediaIngest
+        #: auto_compact_files pattern applied to the ANN stores): every
+        #: accepted batch appends a small file-set to buckets/vectors and
+        #: the store filter re-reads ALL of them each micro-batch.  When
+        #: the buckets store's data-file count exceeds this, process_batch
+        #: folds buckets+vectors into a new ``ann-gen{g}`` generation dir
+        #: and repoints (swap-by-repoint; the IVF/PQ/moments payload
+        #: stores are never rewritten).  Restart resume repoints each
+        #: store at its newest _SUCCESS-complete generation; a crashed
+        #: fold's partial dir is skipped for reads and skipped past for
+        #: allocation (the MediaIngest contract).
+        self.auto_compact_files = auto_compact_files
+        self._gen = 0
+        self._resumed = False
         #: optional PCA-moments lockstep (operators.pca.moments_append):
         #: keeps the exact covariance — and the variance-explained gate
         #: built on it — current as the corpus grows, zero re-scans
@@ -281,8 +296,54 @@ class EmbeddingIngest:
         )
         return batch.join(drop, self.id_col, "left_anti")
 
+    def _resume_generations(self, spark: SparkSession) -> None:
+        """Repoint buckets/vectors at their newest COMPLETE generation
+        after a driver restart — see :meth:`DocumentIngest.
+        _resume_generations` (same per-store _SUCCESS contract)."""
+        if self._resumed:
+            return
+        self._resumed = True
+        gen = 0
+        while _dir_exists(spark, f"{self.base_dir}/ann-gen{gen + 1}"):
+            gen += 1
+        self._gen = gen
+        for name, attr in (("buckets", "buckets_path"), ("vectors", "vectors_path")):
+            for g in range(gen, 0, -1):
+                cand = f"{self.base_dir}/ann-gen{g}/{name}"
+                if _dir_exists(spark, f"{cand}/_SUCCESS"):
+                    setattr(self, attr, cand)
+                    break
+
+    def _maybe_auto_compact(self, spark: SparkSession) -> None:
+        """Fold buckets+vectors into a fresh generation once the buckets
+        store's data-file count passes the cadence.  DISTINCT folds (the
+        appends are at-least-once under crash-replay; keys/norms are pure
+        functions of the embedding, so collapsing duplicate rows never
+        changes a decision).  Vectors first, buckets LAST — buckets is
+        the candidate side + existence gate, so it flips generations
+        last."""
+        if self.auto_compact_files is None:
+            return
+        if not _store_exists(spark, self.buckets_path):
+            return
+        if _data_file_count(spark, self.buckets_path) <= self.auto_compact_files:
+            return
+        self._gen += 1
+        while _dir_exists(spark, f"{self.base_dir}/ann-gen{self._gen}"):
+            self._gen += 1  # skip a crashed fold's partial dir
+        gen_dir = f"{self.base_dir}/ann-gen{self._gen}"
+        spark.read.parquet(self.vectors_path).distinct().repartition(
+            "ref_id"
+        ).write.mode("errorifexists").parquet(f"{gen_dir}/vectors")
+        self.vectors_path = f"{gen_dir}/vectors"
+        spark.read.parquet(self.buckets_path).distinct().repartition(
+            "bk"
+        ).write.mode("errorifexists").parquet(f"{gen_dir}/buckets")
+        self.buckets_path = f"{gen_dir}/buckets"
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        self._resume_generations(spark)
         dim = len(self.centroids_fixed[0])
         # admission: finite full-dimension AND non-zero-norm — a zero
         # vector has undefined cosine, can never be deduped, and would
@@ -416,6 +477,7 @@ class EmbeddingIngest:
             batch.unpersist()
             bidx.buckets.unpersist()
             bidx.vectors.unpersist()
+        self._maybe_auto_compact(spark)
 
     def compact(self, new_base_dir: str) -> "EmbeddingIngest":
         """Rewrite the append-accumulated stores into ``new_base_dir``
@@ -425,6 +487,9 @@ class EmbeddingIngest:
         concurrent reader of the old base_dir keeps a complete view."""
         spark = SparkSession.getActiveSession()
         assert spark is not None, "compact() needs an active SparkSession"
+        # a restarted instance must fold from the newest complete
+        # generation, not the stale base paths
+        self._resume_generations(spark)
         spark.read.parquet(self.ivf_path).repartition("cluster").write.mode(
             "errorifexists"
         ).partitionBy("cluster").parquet(f"{new_base_dir}/ivf")
@@ -483,6 +548,7 @@ class EmbeddingIngest:
             decontam_min_cos=self.decontam_min_cos,
             decontam_min_recall=self.decontam_min_recall,
             id_col=self.id_col,
+            auto_compact_files=self.auto_compact_files,
         )
 
 
@@ -560,6 +626,7 @@ class DocumentIngest:
         text_col: str = "text",
         hash_family: str = "fast",
         fan_out_partitions: int | None = None,
+        auto_compact_files: int | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.bands_path = f"{base_dir}/bands"
@@ -567,6 +634,25 @@ class DocumentIngest:
         self.corpus_path = f"{base_dir}/corpus"
         self.lines_path = f"{base_dir}/lines"
         self.bm25_path = f"{base_dir}/bm25"
+        #: automated GATE-store compaction cadence (r17 — the MediaIngest
+        #: auto_compact_files pattern applied to the near-dup stores):
+        #: every accepted batch appends a small file-set to bands/shingles
+        #: (and lines when line_dedup), and the store filter re-reads ALL
+        #: of them each micro-batch — without a cadence a long-lived
+        #: stream makes the gate read O(batches), the exact listing-cost
+        #: curve probe_store_growth measured before MediaIngest got its
+        #: knob.  When the bands store's data-file count exceeds this,
+        #: process_batch folds bands/shingles/lines into a new
+        #: ``nd-gen{g}`` generation dir and repoints (swap-by-repoint —
+        #: the corpus sink and bm25 store are never rewritten; a
+        #: concurrent reader of the old generation keeps a complete
+        #: view).  Gauge is a driver-side Hadoop listing; restart resume
+        #: repoints each store at its newest generation with a _SUCCESS
+        #: marker, and a crashed fold's partial dir is skipped for reads
+        #: and skipped past for allocation (the MediaIngest contract).
+        self.auto_compact_files = auto_compact_files
+        self._gen = 0
+        self._resumed = False
         self.bm25_store = bm25_store
         self.threshold_pct = threshold_pct
         self.max_occupancy = max_occupancy
@@ -722,6 +808,64 @@ class DocumentIngest:
         )
         return batch.join(drop, self.id_col, "left_anti")
 
+    def _resume_generations(self, spark: SparkSession) -> None:
+        """Repoint each gate store at its newest COMPLETE generation after
+        a driver restart (the MediaIngest/EventIngest contract): a store's
+        fold is complete when its _SUCCESS marker exists; per-store
+        fallback so a crash mid-fold (some stores folded, some not)
+        resumes safely — content is identical across generations, so
+        mixed repoints never change decisions.  The next allocation skips
+        past any partial dir."""
+        if self._resumed:
+            return
+        self._resumed = True
+        gen = 0
+        while _dir_exists(spark, f"{self.base_dir}/nd-gen{gen + 1}"):
+            gen += 1
+        self._gen = gen
+        stores = [("bands", "bands_path"), ("shingles", "shingles_path")]
+        if self.line_dedup:
+            stores.append(("lines", "lines_path"))
+        for name, attr in stores:
+            for g in range(gen, 0, -1):
+                cand = f"{self.base_dir}/nd-gen{g}/{name}"
+                if _dir_exists(spark, f"{cand}/_SUCCESS"):
+                    setattr(self, attr, cand)
+                    break
+
+    def _maybe_auto_compact(self, spark: SparkSession) -> None:
+        """Fold the gate stores into a fresh generation dir once the bands
+        store's data-file count passes the cadence.  DISTINCT folds: the
+        appends are at-least-once under crash-replay, and every store's
+        rows are pure functions of accepted text, so collapsing exact
+        duplicate rows never changes a decision.  Write order: shingles
+        and lines first, bands LAST — each store repoints only after its
+        own _SUCCESS lands, and bands (the candidate side + existence
+        gate) flipping over is what retires the old generation."""
+        if self.auto_compact_files is None:
+            return
+        if not _store_exists(spark, self.bands_path):
+            return
+        if _data_file_count(spark, self.bands_path) <= self.auto_compact_files:
+            return
+        self._gen += 1
+        while _dir_exists(spark, f"{self.base_dir}/nd-gen{self._gen}"):
+            self._gen += 1  # skip a crashed fold's partial dir
+        gen_dir = f"{self.base_dir}/nd-gen{self._gen}"
+        spark.read.parquet(self.shingles_path).distinct().repartition(
+            "ref_id"
+        ).write.mode("errorifexists").parquet(f"{gen_dir}/shingles")
+        self.shingles_path = f"{gen_dir}/shingles"
+        if self.line_dedup and _store_exists(spark, self.lines_path):
+            spark.read.parquet(self.lines_path).distinct().repartition(
+                "line_fp"
+            ).write.mode("errorifexists").parquet(f"{gen_dir}/lines")
+            self.lines_path = f"{gen_dir}/lines"
+        spark.read.parquet(self.bands_path).distinct().repartition(
+            "bk"
+        ).write.mode("errorifexists").parquet(f"{gen_dir}/bands")
+        self.bands_path = f"{gen_dir}/bands"
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from kafka_streams_dead_letter_publishing_spark.functions.text import (
             norm_text,
@@ -730,6 +874,7 @@ class DocumentIngest:
         )
 
         spark = batch.sparkSession
+        self._resume_generations(spark)
         if self.fan_out_partitions:
             batch = batch.repartition(self.fan_out_partitions)
         if self.pii_redact:
@@ -894,11 +1039,15 @@ class DocumentIngest:
             staged.unpersist()
             bidx.bands.unpersist()
             bidx.shingles.unpersist()
+        self._maybe_auto_compact(spark)
 
     def compact(self, new_base_dir: str) -> "DocumentIngest":
         """See :meth:`EmbeddingIngest.compact`."""
         spark = SparkSession.getActiveSession()
         assert spark is not None, "compact() needs an active SparkSession"
+        # a restarted instance must fold from the newest complete
+        # generation, not the stale base paths
+        self._resume_generations(spark)
         spark.read.parquet(self.corpus_path).repartition(self.id_col).write.mode(
             "errorifexists"
         ).parquet(f"{new_base_dir}/corpus")
@@ -941,6 +1090,7 @@ class DocumentIngest:
             # the successor must keep reading and appending the same one
             hash_family=self.hash_family,
             fan_out_partitions=self.fan_out_partitions,
+            auto_compact_files=self.auto_compact_files,
         )
 
 

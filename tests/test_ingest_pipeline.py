@@ -1208,3 +1208,115 @@ def test_document_ingest_fails_fast_on_store_family_mismatch(spark, tmp_path):
     DocumentIngest(base, hash_family="md5").process_batch(docs, 1)
     assert spark.read.parquet(f"{base}/corpus").count() == before
     docs.unpersist()
+
+
+def test_document_ingest_auto_compaction_bounds_gate_files(spark, tmp_path):
+    """auto_compact_files=K (r17 — the MediaIngest pattern on the near-dup
+    gate stores): a long drive keeps the bands store's data-file count
+    bounded (folds into nd-gen{g} dirs), decisions equal an uncompacted
+    twin's, and the folded store content equals the twin's distinct rows."""
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+        _data_file_count,
+    )
+
+    docs = synth_documents(spark, 120, planted_every=5).persist()
+    ing = DocumentIngest(str(tmp_path / "auto"), auto_compact_files=4)
+    twin = DocumentIngest(str(tmp_path / "plain"))
+    for b in range(6):
+        batch = docs.filter(F.col("doc_id") % 6 == b)
+        ing.process_batch(batch, b)
+        twin.process_batch(batch, b)
+        # right after a fold: <= shuffle partitions (8); without: <= 4 + 8
+        assert _data_file_count(spark, ing.bands_path) <= 12, b
+    assert "nd-gen" in ing.bands_path  # at least one fold happened
+    kept_a = sorted(r.doc_id for r in spark.read.parquet(ing.corpus_path).collect())
+    kept_p = sorted(r.doc_id for r in spark.read.parquet(twin.corpus_path).collect())
+    assert kept_a == kept_p  # compaction never changes the gate's decisions
+    bands_a = {
+        (r.bk, r.ref_id) for r in spark.read.parquet(ing.bands_path).collect()
+    }
+    bands_p = {
+        (r.bk, r.ref_id) for r in spark.read.parquet(twin.bands_path).collect()
+    }
+    assert bands_a == bands_p
+    docs.unpersist()
+
+
+def test_document_ingest_auto_compaction_resumes_after_restart(spark, tmp_path):
+    """A fresh DocumentIngest over the same base_dir must repoint at the
+    newest COMPLETE generation (per-store _SUCCESS) and keep rejecting
+    previously accepted near-dups; a partial generation dir is skipped
+    for reads and skipped past for allocation."""
+    import pathlib
+
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        DocumentIngest,
+    )
+
+    docs = synth_documents(spark, 60, planted_every=7).persist()
+    base = str(tmp_path / "re")
+    ing = DocumentIngest(base, auto_compact_files=1)
+    for b in range(3):
+        ing.process_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+    assert "nd-gen" in ing.bands_path
+    gen_before = int(ing.bands_path.split("nd-gen")[1].split("/")[0])
+    # fake a crashed fold: a partial generation dir without _SUCCESS
+    partial = pathlib.Path(base) / f"nd-gen{gen_before + 1}" / "bands"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"not a real file")
+    accepted_text = spark.read.parquet(ing.corpus_path).first().text
+    replay = spark.createDataFrame(
+        [(900, accepted_text), (901, "a completely fresh never seen "
+                                     "document about auto compaction "
+                                     "generation resume semantics")],
+        "doc_id long, text string",
+    )
+    ing2 = DocumentIngest(base, auto_compact_files=1)
+    ing2.process_batch(replay, 99)
+    kept = {r.doc_id for r in spark.read.parquet(ing2.corpus_path).collect()}
+    assert 900 not in kept and 901 in kept  # gate holds across restart
+    # the fold after the replay allocated PAST the partial dir
+    assert int(ing2.bands_path.split("nd-gen")[1].split("/")[0]) > gen_before + 1
+    docs.unpersist()
+
+
+def test_embedding_ingest_auto_compaction_bounds_gate_files(spark, tmp_path):
+    """auto_compact_files on the ANN gate stores: bounded buckets store,
+    decisions equal an uncompacted twin, restart repoints and the gate
+    still rejects a replayed (cos=1) vector."""
+    from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
+        kmeans_fit_quantized,
+    )
+    from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
+        EmbeddingIngest,
+        _data_file_count,
+    )
+
+    emb = synth_embeddings(spark, 120, planted_every=10).persist()
+    cents = kmeans_fit_quantized(emb, k=3, iters=1)
+    ing = EmbeddingIngest(str(tmp_path / "auto"), cents, min_cos=0.9,
+                          auto_compact_files=4)
+    twin = EmbeddingIngest(str(tmp_path / "plain"), cents, min_cos=0.9)
+    for b in range(4):
+        batch = emb.filter(F.col("vec_id") % 4 == b)
+        ing.process_batch(batch, b)
+        twin.process_batch(batch, b)
+        assert _data_file_count(spark, ing.buckets_path) <= 12, b
+    assert "ann-gen" in ing.buckets_path
+    kept_a = sorted(r.ref_id for r in spark.read.parquet(ing.vectors_path).collect())
+    kept_p = sorted(r.ref_id for r in spark.read.parquet(twin.vectors_path).collect())
+    assert kept_a == kept_p
+    # restart over the same base_dir: replayed embedding rejected, fresh kept
+    seed = emb.filter(F.col("vec_id") == 44).first().embedding
+    accepted0 = spark.read.parquet(ing.vectors_path).first().ref_emb
+    replay = spark.createDataFrame(
+        [(900, [float(x) for x in accepted0]), (901, [float(x) for x in seed])],
+        "vec_id long, embedding array<float>",
+    )
+    ing2 = EmbeddingIngest(str(tmp_path / "auto"), cents, min_cos=0.9,
+                           auto_compact_files=4)
+    ing2.process_batch(replay, 99)
+    kept2 = {r.ref_id for r in spark.read.parquet(ing2.vectors_path).collect()}
+    assert 900 not in kept2
+    emb.unpersist()
