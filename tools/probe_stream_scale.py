@@ -28,7 +28,26 @@ Prints one JSON line per config: drive wall, per-trigger input rows and
 execution time from StreamingQueryProgress, and rows/sec.  SCALE.md
 cites the resulting table.
 
-Usage: python tools/probe_stream_scale.py [sf_dir]
+Usage: python tools/probe_stream_scale.py [sf_dir] [mode]
+
+``mode`` (default ``asof``) selects the sweep:
+
+* ``asof``    — the original as-of-drive lever matrix above.
+* ``rocksdb`` — r17 (the r16 verdict's #5): the RocksDB MITIGATION
+  knobs on the 12-trigger as-of drive, where the measured ~57 ms
+  per-store-per-commit premium is at its most visible.  Rows: heap
+  baseline, RocksDB default, RocksDB + changelog checkpointing
+  (``rocksdb.changelogCheckpointing.enabled`` — commits upload a small
+  changelog instead of snapshotting the store), RocksDB + eager
+  snapshots (``minDeltasForSnapshot=2``) as the contrast direction.
+* ``dlt``     — r17 (the r16 verdict's #4): the reference DLT runner's
+  batch-size lever.  Same derived-records stream
+  (``plans.dead_letter.derived_records``), constant total rows, split
+  into {16, 4, 1} single-file triggers through the 4-sink
+  ``DeadLetterStream.process_batch`` — the ``maxOffsetsPerTrigger``
+  backpressure-equivalent for the parquet stand-in source.  Isolates
+  per-trigger overhead from per-row throughput for the runner's
+  backpressure-knob documentation.
 """
 
 from __future__ import annotations
@@ -96,9 +115,15 @@ def main() -> None:
             )
         return out
 
+    _ROCKS_CHANGELOG = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    _MIN_DELTAS = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
+
     def drive(
         files: int, batches: int, parts: int,
         store: str = "hdfs", scale: int = 1,
+        rocks_changelog: bool = False, min_deltas: int | None = None,
     ) -> dict:
         base = tempfile.mkdtemp(prefix="stream-scale-")
         psrc, csrc = f"{base}/p", f"{base}/c"
@@ -116,6 +141,9 @@ def main() -> None:
         prev_store = spark.conf.get(_STORE_CONF, None)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         spark.conf.set(_STORE_CONF, _STORES[store])
+        spark.conf.set(_ROCKS_CHANGELOG, "true" if rocks_changelog else "false")
+        if min_deltas is not None:
+            spark.conf.set(_MIN_DELTAS, str(min_deltas))
         lt = (
             spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
             .option("maxFilesPerTrigger", str(files))
@@ -178,6 +206,9 @@ def main() -> None:
                 spark.conf.unset(_STORE_CONF)
             else:
                 spark.conf.set(_STORE_CONF, prev_store)
+            spark.conf.unset(_ROCKS_CHANGELOG)
+            if min_deltas is not None:
+                spark.conf.unset(_MIN_DELTAS)
             shutil.rmtree(base, ignore_errors=True)
         rows = sum(t["rows"] for t in trig)
         ms = sum(t["ms"] for t in trig)
@@ -187,6 +218,8 @@ def main() -> None:
             "state_partitions": parts,
             "store": store,
             "state_scale": scale,
+            "rocks_changelog": rocks_changelog,
+            "min_deltas_for_snapshot": min_deltas,
             "wall_sec": wall,
             "n_triggers": len(trig),
             "input_rows": rows,
@@ -194,25 +227,106 @@ def main() -> None:
             "rows_per_sec": round(rows / (ms / 1000.0), 1) if ms else None,
         }
 
-    # warm the JVM/streaming machinery once per provider (untimed config)
-    drive(1, 2, 8)
-    drive(1, 2, 8, store="rocksdb")
-    for files, batches, parts, store, scale in (
-        (1, 3, 8, "hdfs", 1),     # the bench drive's layout
-        (1, 12, 8, "hdfs", 1),    # 4x the triggers: trigger-overhead axis
-        (4, 3, 8, "hdfs", 1),     # intra-trigger read parallelism axis
-        (8, 3, 8, "hdfs", 1),
-        (8, 3, 32, "hdfs", 1),    # + state-partition axis
-        # state-store provider axis (r16): same layouts, RocksDB stores,
-        # and both providers at 4x state so the per-row vs per-store-
-        # instance cost split is visible
-        (1, 3, 8, "rocksdb", 1),
-        (1, 12, 8, "rocksdb", 1),
-        (1, 3, 32, "rocksdb", 1),
-        (1, 3, 8, "hdfs", 4),
-        (1, 3, 8, "rocksdb", 4),
-    ):
-        print(json.dumps(drive(files, batches, parts, store, scale)), flush=True)
+    def dlt_drive(batches: int) -> dict:
+        """One full 4-sink DLT drive: the derived-records stream written
+        as ``batches`` single-row-group files, consumed one file per
+        trigger (the parquet stand-in for ``maxOffsetsPerTrigger``).
+        Constant total rows across configs, so rows/s differences are
+        pure per-trigger overhead."""
+        from kafka_streams_dead_letter_publishing_spark.config import EngineConfig
+        from kafka_streams_dead_letter_publishing_spark.plans.dead_letter import (
+            derived_records,
+        )
+        from kafka_streams_dead_letter_publishing_spark.streaming.runner import (
+            DeadLetterStream,
+            parquet_sink_writer,
+        )
+
+        base = tempfile.mkdtemp(prefix="dlt-batch-lever-")
+        derived = derived_records(spark, sf_dir)
+        derived.repartition(batches).write.mode("overwrite").parquet(f"{base}/src")
+        stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(f"{base}/sinks"))
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(derived.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/src")
+            .writeStream.option("checkpointLocation", f"{base}/ck")
+            .foreachBatch(stream.process_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            wall = round(time.time() - t0, 2)
+            trig = [
+                {
+                    "rows": int(p.numInputRows or 0),
+                    "ms": int(dict(p.durationMs or {}).get("triggerExecution") or 0),
+                }
+                for p in q.recentProgress
+                if int(p.numInputRows or 0) or
+                int(dict(p.durationMs or {}).get("triggerExecution") or 0)
+            ]
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+        rows = sum(t["rows"] for t in trig)
+        ms = sum(t["ms"] for t in trig)
+        return {
+            "dlt_batches": batches,
+            "wall_sec": wall,
+            "n_triggers": len(trig),
+            "input_rows": rows,
+            "trigger_ms": ms,
+            "rows_per_batch": rows // max(1, batches),
+            "rows_per_sec": round(rows / (ms / 1000.0), 1) if ms else None,
+        }
+
+    mode = sys.argv[2] if len(sys.argv) > 2 else "asof"
+    if mode == "dlt":
+        dlt_drive(2)  # warm the JVM/streaming machinery (untimed config)
+        for batches in (16, 4, 1):
+            print(json.dumps(dlt_drive(batches)), flush=True)
+        print(json.dumps({"mode": "dlt", "sf_dir": sf_dir}), flush=True)
+    elif mode == "rocksdb":
+        drive(1, 2, 8)  # warm-ups, one per provider (untimed config)
+        drive(1, 2, 8, store="rocksdb")
+        for store, changelog, min_deltas in (
+            ("hdfs", False, None),      # heap baseline
+            ("rocksdb", False, None),   # RocksDB default (snapshot commits)
+            ("rocksdb", True, None),    # + changelog checkpointing
+            ("rocksdb", False, 2),      # eager snapshots: the contrast
+        ):
+            print(
+                json.dumps(
+                    drive(
+                        1, 12, 8, store, 1,
+                        rocks_changelog=changelog, min_deltas=min_deltas,
+                    )
+                ),
+                flush=True,
+            )
+        print(json.dumps({"mode": "rocksdb", "sf_dir": sf_dir}), flush=True)
+    else:
+        # warm the JVM/streaming machinery once per provider (untimed config)
+        drive(1, 2, 8)
+        drive(1, 2, 8, store="rocksdb")
+        for files, batches, parts, store, scale in (
+            (1, 3, 8, "hdfs", 1),     # the bench drive's layout
+            (1, 12, 8, "hdfs", 1),    # 4x the triggers: trigger-overhead axis
+            (4, 3, 8, "hdfs", 1),     # intra-trigger read parallelism axis
+            (8, 3, 8, "hdfs", 1),
+            (8, 3, 32, "hdfs", 1),    # + state-partition axis
+            # state-store provider axis (r16): same layouts, RocksDB stores,
+            # and both providers at 4x state so the per-row vs per-store-
+            # instance cost split is visible
+            (1, 3, 8, "rocksdb", 1),
+            (1, 12, 8, "rocksdb", 1),
+            (1, 3, 32, "rocksdb", 1),
+            (1, 3, 8, "hdfs", 4),
+            (1, 3, 8, "rocksdb", 4),
+        ):
+            print(json.dumps(drive(files, batches, parts, store, scale)), flush=True)
     print(json.dumps({"total_rows": n_rows, "sf_dir": sf_dir}), flush=True)
     spark.stop()
 
