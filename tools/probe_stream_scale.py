@@ -53,6 +53,7 @@ Usage: python tools/probe_stream_scale.py [sf_dir] [mode]
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import shutil
 import sys
@@ -120,6 +121,15 @@ def main() -> None:
     )
     _MIN_DELTAS = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
 
+    def _steal_ticks() -> int:
+        """Cumulative hypervisor-steal ticks (/proc/stat field 9) — this
+        VM suffers steal bursts on tens-of-minutes timescales (measured
+        r16/r17: identical configs swinging 2×), so every timed drive
+        records its own steal delta and a contaminated row
+        self-identifies instead of silently poisoning the table."""
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+
     def drive(
         files: int, batches: int, parts: int,
         store: str = "hdfs", scale: int = 1,
@@ -166,6 +176,7 @@ def main() -> None:
             tolerance="INTERVAL 2 HOURS",
             how="left",
         )
+        st0 = _steal_ticks()
         t0 = time.time()
         q = (
             joined.writeStream.format("parquet")
@@ -192,6 +203,7 @@ def main() -> None:
             q.processAllAvailable()
             q.processAllAvailable()
             wall = round(time.time() - t0, 2)
+            steal_sec = round((_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK"), 1)
             trig = [
                 {
                     "rows": int(p.numInputRows or 0),
@@ -220,6 +232,7 @@ def main() -> None:
             "state_scale": scale,
             "rocks_changelog": rocks_changelog,
             "min_deltas_for_snapshot": min_deltas,
+            "steal_sec": steal_sec,
             "wall_sec": wall,
             "n_triggers": len(trig),
             "input_rows": rows,
@@ -246,6 +259,7 @@ def main() -> None:
         derived = derived_records(spark, sf_dir)
         derived.repartition(batches).write.mode("overwrite").parquet(f"{base}/src")
         stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(f"{base}/sinks"))
+        st0 = _steal_ticks()
         t0 = time.time()
         q = (
             spark.readStream.schema(derived.schema)
@@ -259,6 +273,7 @@ def main() -> None:
         try:
             q.awaitTermination()
             wall = round(time.time() - t0, 2)
+            steal_sec = round((_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK"), 1)
             trig = [
                 {
                     "rows": int(p.numInputRows or 0),
@@ -275,6 +290,7 @@ def main() -> None:
         return {
             "dlt_batches": batches,
             "wall_sec": wall,
+            "steal_sec": steal_sec,
             "n_triggers": len(trig),
             "input_rows": rows,
             "trigger_ms": ms,
