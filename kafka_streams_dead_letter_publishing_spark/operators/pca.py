@@ -47,6 +47,125 @@ from kafka_streams_dead_letter_publishing_spark.operators.kmeans import (
 _DEC = "decimal(38,0)"
 
 
+#: isqrt(2^63 - 1): a quantized component beyond this overflows q*q in a
+#: Java long, which ANSI Spark (the 4.x default) raises on — the Arrow
+#: path raises the same class of error instead of silently wrapping
+_Q_OVERFLOW = 3_037_000_499
+
+
+def _second_moment_partials(batches):
+    """mapInArrow body: per-TASK exact-integer gram/sum partials.
+
+    For each distinct vector length L seen in the task, accumulates the
+    full L x L integer gram matrix with numpy int64 matmuls (chunked so a
+    chunk's int64 partial sum provably cannot overflow; the running
+    accumulator is a Python-int object array, exact at any row count) and
+    the per-dimension element sums.  Emits one row per upper-triangle cell
+    (i, j, gram-partial, n-rows-of-this-L) plus per-dimension sum rows
+    marked ``j = -1`` — the caller's single groupBy((i, j)) reduces both.
+
+    Parity contract with the explode formulation this replaces (pinned by
+    tests/test_pca.py::test_second_moments_arrow_parity): NULL list rows
+    and empty vectors contribute nothing (posexplode emitted no rows for
+    them); NULL elements contribute 0 to gram and s but still count in n
+    (posexplode emitted the position with a NULL product, SUM skipped it,
+    COUNT did not); ragged lengths accumulate per-length so cell (i, j)'s
+    n is the number of rows with length > j, exactly as before."""
+    import numpy as np
+    import pyarrow as pa
+
+    accs: dict[int, list] = {}  # L -> [n_rows, S (object, L), G (object, L x L)]
+
+    def acc(length: int) -> list:
+        a = accs.get(length)
+        if a is None:
+            a = [
+                0,
+                np.zeros(length, dtype=object),
+                np.zeros((length, length), dtype=object),
+            ]
+            accs[length] = a
+        return a
+
+    def add_matrix(X: "np.ndarray") -> None:
+        rows, length = X.shape
+        a = acc(length)
+        maxabs = int(np.abs(X).max(initial=0))
+        if maxabs > _Q_OVERFLOW:
+            raise ArithmeticError(
+                "second_moments: quantized component magnitude "
+                f"{maxabs} overflows long multiplication (ANSI parity)"
+            )
+        # chunk so an int64 chunk-sum cannot overflow: step * maxabs^2
+        # <= 2^62 (and step * maxabs <= 2^62 / maxabs for the S sums)
+        step = 100_000 if maxabs <= 2_000_000 else max(
+            1, (1 << 62) // (maxabs * maxabs)
+        )
+        for s0 in range(0, rows, step):
+            c = X[s0 : s0 + step]
+            a[2] += c.T @ c
+            a[1] += c.sum(axis=0, dtype=np.int64)
+        a[0] += rows
+
+    for rb in batches:
+        arr = rb.column(0)
+        n_rows = len(arr)
+        if n_rows == 0:
+            continue
+        offs = arr.offsets.to_numpy()
+        lens = np.diff(offs)
+        uniform = (
+            arr.null_count == 0
+            and arr.values.null_count == 0
+            and n_rows > 0
+            and lens.min(initial=0) == lens.max(initial=0)
+            and lens[0] > 0
+            and offs[-1] - offs[0] == n_rows * lens[0]
+        )
+        if uniform:
+            vals = arr.values.to_numpy(zero_copy_only=False)
+            X = np.asarray(
+                vals[offs[0] : offs[-1]], dtype=np.int64
+            ).reshape(n_rows, int(lens[0]))
+            add_matrix(X)
+        else:
+            # rare shape (null rows/elements, ragged lengths): exact
+            # per-row fallback with posexplode-parity null handling
+            for row in arr.to_pylist():
+                if row is None or len(row) == 0:
+                    continue
+                x = np.array(
+                    [0 if v is None else v for v in row], dtype=np.int64
+                )
+                add_matrix(x.reshape(1, len(x)))
+
+    ii, jj, gg, ss, nn = [], [], [], [], []
+    for length, (n_rows, S, G) in sorted(accs.items()):
+        for i in range(length):
+            ii.append(i)
+            jj.append(-1)
+            gg.append(0)
+            ss.append(int(S[i]))
+            nn.append(0)
+            for j in range(i, length):
+                ii.append(i)
+                jj.append(j)
+                gg.append(int(G[i][j]))
+                ss.append(0)
+                nn.append(n_rows)
+    if ii:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii, type=pa.int32()),
+                pa.array(jj, type=pa.int32()),
+                pa.array(gg, type=pa.decimal128(38, 0)),
+                pa.array(ss, type=pa.int64()),
+                pa.array(nn, type=pa.int64()),
+            ],
+            names=["i", "j", "gram", "s", "n"],
+        )
+
+
 def second_moments(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -54,31 +173,40 @@ def second_moments(
     value an exact integer aggregate of the microunit-quantized vectors.
 
     ``gram`` = sum of qx_i * qx_j (DECIMAL(38,0) — the per-row products
-    are ~1e12, so a BIGINT sum wraps around 1e7 rows); ``s_i``/``s_j``
-    the per-dimension BIGINT sums (|x| <= 1 keeps them < n * 1e6, safe
-    to ~9e12 rows); ``n`` the row count.  The scaled covariance
+    are ~1e12, so a BIGINT total overflows around 1e7 rows); ``s_i``/
+    ``s_j`` the per-dimension BIGINT sums (|x| <= 1 keeps them < n * 1e6,
+    safe to ~9e12 rows); ``n`` the row count.  The scaled covariance
     ``n*gram - s_i*s_j`` is left to the caller so this one frame serves
-    both the covariance build and mean extraction."""
+    both the covariance build and mean extraction.
+
+    r17 optimization (guide §4.2 / §8): the d(d+1)/2-per-row posexplode
+    (N x 2,080 generated rows at d=64, each paying a DECIMAL cast before
+    the partial aggregate — and generated TWICE, once under the gram
+    aggregate and once under the per-dimension sums, because the two
+    aggregates share no exchange) is replaced by one ``mapInArrow`` pass
+    that computes each task's full integer gram with numpy int64 matmuls
+    and emits <= d(d+3)/2 partial rows per task.  The shuffle carries the
+    same <= d^2 pre-summed cells per partition; the values are exact
+    integers, bit-identical to the explode formulation (parity pinned by
+    tests/test_pca.py).  Gram partials and dimension sums ride ONE
+    aggregation (sum rows marked j = -1), so the scan and the Arrow pass
+    run once and the two consumers split the 2,080-row aggregate."""
     q = emb.select(quantize_embedding(F.col(vec_col)).alias("qx"))
-    rows_i = q.select(
-        "qx", F.posexplode("qx").alias("i", "xi")
+    parts = q.mapInArrow(
+        _second_moment_partials,
+        "i int, j int, gram decimal(38,0), s long, n long",
     )
-    prods = rows_i.select(
-        "i",
-        "xi",
-        F.posexplode(
-            F.transform("qx", lambda xj: xj * F.col("xi"))
-        ).alias("j", "p"),
-    ).filter(F.col("j") >= F.col("i"))
-    # gram accumulates in DECIMAL(38,0): per-row products reach ~1e12
-    # (microunit^2), so a BIGINT sum wraps silently (non-ANSI Spark)
-    # around 1e7 rows — inside this module's advertised scale — while
-    # DuckDB's HUGEINT sum would not, silently diverging the engines.
-    gram = prods.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast(_DEC)).cast(_DEC).alias("gram"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    sums = rows_i.groupBy("i").agg(F.sum("xi").cast("long").alias("s"))
+    # persist the <= d(d+3)/2-row aggregate: the gram rows and BOTH
+    # dimension-sum joins read it, and the j-filters otherwise push below
+    # the aggregate and defeat exchange reuse — without the barrier the
+    # scan + Arrow gram pass executed three times (observed in the plan)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("gram").cast(_DEC).alias("gram"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("n").cast("long").alias("n"),
+    ).persist()
+    gram = agg.filter(F.col("j") >= 0).select("i", "j", "gram", "n")
+    sums = agg.filter(F.col("j") == -1).select("i", "s")
     return (
         gram.join(F.broadcast(sums.withColumnRenamed("s", "s_i")), "i")
         .join(

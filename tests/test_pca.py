@@ -429,3 +429,46 @@ def test_power_directions_compose_from_streamed_moments(spark, tmp_path):
         scaled_covariance(second_moments(full)).collect(), 3
     )
     assert from_store == one_shot and len(from_store) == 3
+
+
+def test_second_moments_arrow_parity_odd_shapes(spark):
+    """r17: second_moments runs as a mapInArrow integer-gram pass — pin
+    its parity with the posexplode formulation it replaced on the shapes
+    the fast path cannot take: NULL rows and empty vectors contribute
+    nothing; NULL elements contribute 0 to gram/s but still count in n;
+    ragged lengths give cell (i, j) an n of rows-with-length > j."""
+    rows = [
+        (1, [1.0, None, 3.0]),
+        (2, None),
+        (3, []),
+        (4, [2.0, 2.0]),
+        (5, [0.5, -1.5, 2.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {(r.i, r.j): r for r in second_moments(emb).collect()}
+    q = {
+        1: [1_000_000, None, 3_000_000],
+        4: [2_000_000, 2_000_000],
+        5: [500_000, -1_500_000, 2_500_000],
+    }
+
+    def cell(i, j):
+        gram = s_i = s_j = n = 0
+        for vec in q.values():
+            if len(vec) > j:
+                n += 1
+                a = vec[i] if vec[i] is not None else 0
+                b = vec[j] if vec[j] is not None else 0
+                gram += a * b
+        for vec in q.values():
+            if len(vec) > i and vec[i] is not None:
+                s_i += vec[i]
+            if len(vec) > j and vec[j] is not None:
+                s_j += vec[j]
+        return gram, s_i, s_j, n
+
+    assert set(got) == {(i, j) for i in range(3) for j in range(i, 3)}
+    for (i, j), r in got.items():
+        gram, s_i, s_j, n = cell(i, j)
+        assert int(r.gram) == gram, (i, j)
+        assert r.s_i == s_i and r.s_j == s_j and r.n == n, (i, j)

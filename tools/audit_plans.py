@@ -31,6 +31,7 @@ PATTERNS = (
     "BatchEvalPython",
     "ArrowEvalPython",
     "MapInPandas",
+    "MapInArrow",
     "SortMergeJoin",
     "Window",
 )
@@ -58,6 +59,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "ArrowEvalPython",
     ): "the operator IS the Python error-capture surface (Arrow-batched "
     "pandas_udf wrapper — reference op #3's general form)",
+    (
+        "emb_pca_covariance",
+        "MapInArrow",
+    ): "r17 optimization (guide §4.2/§8): the exact-integer gram build "
+    "runs as one numpy int64 matmul pass per task instead of the "
+    "N x d(d+1)/2 posexplode — same <= d^2 partial cells cross the "
+    "shuffle, bit-identical values (parity pinned in tests/test_pca.py); "
+    "the Arrow hop moves only the quantized vectors",
     (
         "docs_bpe_token_counts_full",
         "ArrowEvalPython",
