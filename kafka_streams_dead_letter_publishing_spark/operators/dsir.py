@@ -140,18 +140,30 @@ def dsir_scores_subset(
     feats = doc_feature_buckets(
         staged, [id_col, "_tgt"], text_col, n_hex
     )
-    counts = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
+    # r17 optimization (guide §2.3 "aggregate before you shuffle" + §1.2):
+    # both consumers (bucket totals, per-doc scores) need only the
+    # per-(doc, bucket) multiplicity k, so partial-aggregate the exploded
+    # feature stream ONCE and persist the compact result (<= 2^n_hex
+    # distinct buckets per doc) — before, the tokenize + explode chain ran
+    # twice and the score join shipped one row per feature OCCURRENCE.
+    # score = sum_bucket k*w == the old sum-per-occurrence of w, exactly.
+    per_doc = (
+        feats.groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    counts = per_doc.groupBy("bucket").agg(
+        F.sum("k").alias("rc"),
+        F.sum(F.when(F.col("_tgt"), F.col("k")).otherwise(0)).alias("tc"),
     )
     w = counts.select(
         "bucket",
         F.expr(f"({scale} * (1 + coalesce(tc, 0))) DIV (1 + rc)").alias("w"),
     )
     return (
-        feats.join(F.broadcast(w), "bucket")
+        per_doc.join(F.broadcast(w), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("w").cast("long").alias("score"))
+        .agg(F.sum(F.col("w") * F.col("k")).cast("long").alias("score"))
     )
 
 

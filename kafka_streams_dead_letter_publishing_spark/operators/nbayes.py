@@ -57,37 +57,56 @@ def nb_train(
     label_col: str,
     text_col: str = "text",
     vocab: int = DEFAULT_VOCAB,
+    toks_col: str | None = None,
 ) -> NbModel:
     """Count-based fit.  Driver traffic: V terms + V x C count rows +
-    C scalars — metadata-bounded by the ``vocab`` knob."""
+    C scalars — metadata-bounded by the ``vocab`` knob.  ``toks_col``
+    (r17): an already-tokenized array column (must equal
+    ``tokens(norm_text(text_col))``) so a caller that staged the tokens
+    shares the pass — the nb_classify convention."""
+    # r17 optimization (guide §1.2): the three token-stream aggregates
+    # below are separate ACTIONS — without the persist barrier each one
+    # re-scanned and re-tokenized the whole training split (the explode
+    # chain ran 3x per fit, the dominant training cost in the quality
+    # funnel).  The persisted frame is the exploded (cls, term) stream;
+    # eviction-recompute is safe (pure function of the input).
     toks = docs.select(
         F.col(label_col).alias("cls"),
-        F.explode(tokens(norm_text(F.col(text_col)))).alias("term"),
-    )
-    # top-V corpus terms, deterministic tie-break (the retained model)
-    top = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("term"))
-        .limit(vocab)
-        .collect()
-    )
-    kept = [r.term for r in top]
-    if not kept:
-        raise ValueError("nb_train: empty training corpus")
-    spark = docs.sparkSession
-    kept_df = F.broadcast(spark.createDataFrame([(t,) for t in kept], "term string"))
-    counts = (
-        toks.join(kept_df, "term")
-        .groupBy("cls", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .collect()
-    )
-    totals = (
-        toks.groupBy("cls")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .collect()
-    )
+        F.explode(
+            F.col(toks_col)
+            if toks_col is not None
+            else tokens(norm_text(F.col(text_col)))
+        ).alias("term"),
+    ).persist()
+    try:
+        # top-V corpus terms, deterministic tie-break (the retained model)
+        top = (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("term"))
+            .limit(vocab)
+            .collect()
+        )
+        kept = [r.term for r in top]
+        if not kept:
+            raise ValueError("nb_train: empty training corpus")
+        spark = docs.sparkSession
+        kept_df = F.broadcast(
+            spark.createDataFrame([(t,) for t in kept], "term string")
+        )
+        counts = (
+            toks.join(kept_df, "term")
+            .groupBy("cls", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        )
+        totals = (
+            toks.groupBy("cls")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .collect()
+        )
+    finally:
+        toks.unpersist()
     ndocs = (
         docs.groupBy(F.col(label_col).alias("cls"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -122,12 +141,19 @@ def nb_classify(
     model: NbModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id, pred, score_mb): the argmin-surprise class per document.
 
     Every class scores every document (a doc with zero in-model terms
     still gets prior + tf*oov per class).  The min is taken with a
-    partial-agg min over a (score_mb, cls) struct — no window."""
+    partial-agg min over a (score_mb, cls) struct — no window.
+
+    ``toks_col`` (r17): an already-tokenized array column to score from
+    instead of re-running the tokenize chain — callers that stage the
+    tokens once behind a persist barrier (the quality funnel) pass it so
+    classification shares the pass with their other token consumers; the
+    column must equal ``tokens(norm_text(text_col))``."""
     spark = docs.sparkSession
     cls_df = F.broadcast(
         spark.createDataFrame(
@@ -140,10 +166,15 @@ def nb_classify(
             model.term_rows, "term string, cls string, s_mb bigint"
         )
     )
+    toks = (
+        F.col(toks_col)
+        if toks_col is not None
+        else tokens(norm_text(F.col(text_col)))
+    )
     tf = (
         docs.select(
             F.col(id_col).alias("_id"),
-            F.explode(tokens(norm_text(F.col(text_col)))).alias("term"),
+            F.explode(toks).alias("term"),
         )
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))

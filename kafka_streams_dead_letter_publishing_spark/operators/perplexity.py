@@ -80,6 +80,7 @@ def bigram_lm(
     text_col: str = "text",
     max_vocab: int = DEFAULT_MAX_VOCAB,
     max_bigrams: int = DEFAULT_MAX_BIGRAMS,
+    toks_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train the reference LM: ``(uni, bi, V)``.
 
@@ -93,22 +94,48 @@ def bigram_lm(
     degenerates to BroadcastNestedLoopJoin — observed, and exactly what
     the repo plan lint exists to keep out of query plans).
     """
-    toks = ref_docs.select(tokens(norm_text(F.col(text_col))).alias("t"))
-    uni = (
-        toks.select(F.explode("t").alias("a"))
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).alias("ca"))
-        .orderBy(F.desc("ca"), F.asc("a"))
-        .limit(max_vocab)
+    # r17 optimization (guide §1.2 "don't compute things twice"): the
+    # returned uni/bi used to be LAZY frames — the reference corpus was
+    # re-tokenized once for uni, once for bi, once more for ``uni.count()``
+    # and then AGAIN under every downstream broadcast join that consumed
+    # them (the quality funnel paid the chain 5x).  The tables are
+    # driver-bounded BY CONTRACT (top-V / top-max_bigrams), so collect
+    # them once — the tokenize pass runs once behind a persist barrier —
+    # and hand back local-relation frames the joins broadcast directly.
+    toks = ref_docs.select(
+        (
+            F.col(toks_col)
+            if toks_col is not None
+            else tokens(norm_text(F.col(text_col)))
+        ).alias("t")
+    ).persist()
+    try:
+        uni_rows = (
+            toks.select(F.explode("t").alias("a"))
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .orderBy(F.desc("ca"), F.asc("a"))
+            .limit(max_vocab)
+            .collect()
+        )
+        bi_rows = (
+            toks.select(F.explode(ngrams(F.col("t"), 2)).alias("bg"))
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("cab"))
+            .orderBy(F.desc("cab"), F.asc("bg"))
+            .limit(max_bigrams)
+            .collect()
+        )
+    finally:
+        toks.unpersist()
+    spark = ref_docs.sparkSession
+    uni = spark.createDataFrame(
+        [(r.a, r.ca) for r in uni_rows], "a string, ca bigint"
     )
-    bi = (
-        toks.select(F.explode(ngrams(F.col("t"), 2)).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("cab"))
-        .orderBy(F.desc("cab"), F.asc("bg"))
-        .limit(max_bigrams)
+    bi = spark.createDataFrame(
+        [(r.bg, r.cab) for r in bi_rows], "bg string, cab bigint"
     )
-    return uni, bi, uni.count()
+    return uni, bi, len(uni_rows)
 
 
 def surprise_scores(
@@ -119,6 +146,7 @@ def surprise_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Per-doc ``(id_col, *keep_cols, n_positions, score)``: summed
     integer bigram surprise over the doc's size(tokens)-1 positions.
@@ -126,11 +154,20 @@ def surprise_scores(
     Single-token docs have zero positions and score 0 (no evidence of
     surprise — they land in the head bucket; real pipelines drop them
     earlier via the Gopher length rules).
+
+    ``toks_col`` (r17): an already-tokenized array column to score from
+    (must equal ``tokens(norm_text(text_col))``) — callers that stage
+    tokens once behind a persist barrier pass it so the scoring shares
+    the tokenize pass (the nb_classify convention).
     """
     staged = docs.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        tokens(norm_text(F.col(text_col))).alias("t"),
+        (
+            F.col(toks_col)
+            if toks_col is not None
+            else tokens(norm_text(F.col(text_col)))
+        ).alias("t"),
     )
     stream = staged.select(
         id_col,

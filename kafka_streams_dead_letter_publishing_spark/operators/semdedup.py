@@ -139,6 +139,13 @@ def semdedup_flags(
         else:
             raise ValueError(f"unknown routing {routing!r}")
         assigned = emb_df.select(id_col, emb_col, route.alias("cluster"))
+    # r17 optimization (guide §1.2): the assigned frame feeds BOTH sides
+    # of the pair search, the hot-cell gauge and the final kept join —
+    # without a persist barrier each branch re-ran the O(N*k) argmin
+    # routing fold (and whatever lineage produced emb_df).  Eviction-
+    # recompute is safe; the ContextCleaner unpins it when the query's
+    # references drop.
+    assigned = assigned.persist()
     searched = assigned
     if max_cell_occupancy is not None:
         # hot-cluster table is <= k rows (quantizer metadata) — broadcast;
