@@ -167,7 +167,17 @@ def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
 
     # ── op #2: typed decode; failure ⇒ NULL ⇒ deser channel (op #9) ──────
     n = F.col("__n")
-    decoded = df.withColumn("__n", int32be_decode(value))
+    # PERSIST the decoded staging (r17, measured from the channel-query
+    # plans): the four channel filters otherwise push BELOW the staged
+    # __uniq/__n projections — and below any upstream repartition — where
+    # Catalyst re-inlines the full decode chain into each filter
+    # condition (the routing predicate ran pre-exchange on the source
+    # scan's single partition, then the projection re-evaluated the same
+    # chain post-exchange).  Filters cannot push below an
+    # InMemoryRelation, so every channel reads the staged columns; the
+    # decode runs once, at session parallelism.  Per-batch caches are
+    # unpinned by the ContextCleaner once the Routed frames drop.
+    decoded = df.withColumn("__n", int32be_decode(value)).persist()
     is_deser_failure = n.isNull() & value.isNotNull()
 
     deser_dlt = _sink_shape(

@@ -1879,9 +1879,13 @@ def q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # r17: persist the narrow (order, supplier, max-shipdate) aggregate —
+    # it feeds both the blame join's left side and the per-order rollup,
+    # and without the barrier each branch re-ran the lineitem scan +
+    # partial aggregate (observed: two full scan subtrees in the plan)
     pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
-    )
+    ).persist()
     ordagg = pairs.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n_supp"), F.max("s_max").alias("_o_max")
     )
