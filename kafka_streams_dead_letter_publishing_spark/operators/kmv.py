@@ -234,7 +234,13 @@ def kmv_set_ops(
     ).unionByName(
         df_b.select(F.lit("b").alias("group"), F.col(key_col).alias("key"))
     )
-    mins = kmv_sketch(tagged, "group", "key", k)
+    # r17 (guide §1.2): the side-sketch frame feeds the membership table
+    # (itself consumed by the union cut AND the union stats) plus the
+    # side stats — without a barrier each branch re-ran the full
+    # scan + distinct + two-phase k-smallest cut (observed: the events
+    # scan appeared 16x in the set-ops plan).  The persisted frame is
+    # <= 2k metadata rows.
+    mins = kmv_sketch(tagged, "group", "key", k).persist()
     # membership flags per retained hash: <= 2k metadata rows
     memb = mins.groupBy("h").agg(
         F.max(F.when(F.col("group") == "a", 1).otherwise(0)).alias("in_a"),

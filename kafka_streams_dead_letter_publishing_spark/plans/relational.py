@@ -764,7 +764,12 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # overhead at fixture scale (the knob is per-QUERY state layout,
         # not a semantics change; production sizes it to the cluster)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # r17: 8 -> 2 state partitions, measured (probe_stream_scale
+        # `parts` mode, steal-clean rows: 8 parts 14.7 s, 2 parts
+        # 11.8-13.0 s on the asof shape) — per-store maintenance is the
+        # fixture-scale floor, so fewer stores win until state outgrows
+        # them; production sizes state partitions to DATA volume
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         lt = (
             spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
@@ -947,7 +952,12 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run, and empty state stores are pure per-trigger overhead at
         # fixture scale)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # r17: 8 -> 2 state partitions, measured (probe_stream_scale
+        # `parts` mode, steal-clean rows: 8 parts 14.7 s, 2 parts
+        # 11.8-13.0 s on the asof shape) — per-store maintenance is the
+        # fixture-scale floor, so fewer stores win until state outgrows
+        # them; production sizes state partitions to DATA volume
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         lt = (
             spark.readStream.schema(
                 "first_id long, user_id long, a_ts timestamp, first_type string"
@@ -1293,7 +1303,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deliver_slice(stage, "s0", src)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # r17: 8 -> 2 state partitions, measured (probe_stream_scale
+        # `parts` mode, steal-clean rows: 8 parts 14.7 s, 2 parts
+        # 11.8-13.0 s on the asof shape) — per-store maintenance is the
+        # fixture-scale floor, so fewer stores win until state outgrows
+        # them; production sizes state partitions to DATA volume
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         stream = (
             spark.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")

@@ -323,6 +323,18 @@ def main() -> None:
                 flush=True,
             )
         print(json.dumps({"mode": "rocksdb", "sf_dir": sf_dir}), flush=True)
+    elif mode == "parts":
+        # r17 optimization round: the r15 table measured 8 vs 32 state
+        # partitions (8 won decisively) but never the DOWNWARD direction —
+        # if per-store maintenance dominates at fixture scale, 4 or 2
+        # stores per stateful operator should shave the floor further,
+        # bounded by losing intra-trigger parallelism.  Each config runs
+        # twice (steal bursts hit single rows; see steal_sec).
+        drive(1, 2, 8)  # warm (untimed)
+        for parts in (8, 4, 2):
+            for _ in range(2):
+                print(json.dumps(drive(1, 3, parts)), flush=True)
+        print(json.dumps({"mode": "parts", "sf_dir": sf_dir}), flush=True)
     else:
         # warm the JVM/streaming machinery once per provider (untimed config)
         drive(1, 2, 8)
