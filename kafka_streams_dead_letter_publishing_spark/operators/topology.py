@@ -79,6 +79,12 @@ class Routed(NamedTuple):
     process_dlt: DataFrame
     deser_dlt: DataFrame
     prod_dlt: DataFrame
+    #: the persisted decoded staging frame all four channels read (r18,
+    #: the r17 advice: route() persists it, so the OWNER of the Routed —
+    #: streaming.runner.process_batch, or any long-lived batch caller —
+    #: must unpersist it once the channel writes complete; None when a
+    #: custom topology built the channels without a shared staging)
+    staged: DataFrame | None = None
 
     def union_all(self) -> DataFrame:
         """All channels as one DataFrame (inspection/testing)."""
@@ -87,6 +93,13 @@ class Routed(NamedTuple):
             .unionByName(self.deser_dlt)
             .unionByName(self.prod_dlt)
         )
+
+    def unpersist_staged(self) -> None:
+        """Release the staged decode cache (no-op without one).  Safe
+        after the channel writes: the cache is a pure function of the
+        source batch, so a late consumer just recomputes."""
+        if self.staged is not None:
+            self.staged.unpersist()
 
 
 def _sink_shape(df: DataFrame, key: Column, value: Column, headers: Column, topic: str) -> DataFrame:
@@ -237,4 +250,10 @@ def route(df: DataFrame, cfg: EngineConfig | None = None) -> Routed:
         cfg.output_topic,
     )
 
-    return Routed(output=output, process_dlt=process_dlt, deser_dlt=deser_dlt, prod_dlt=prod_dlt)
+    return Routed(
+        output=output,
+        process_dlt=process_dlt,
+        deser_dlt=deser_dlt,
+        prod_dlt=prod_dlt,
+        staged=decoded,
+    )

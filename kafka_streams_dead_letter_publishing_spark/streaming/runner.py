@@ -174,6 +174,7 @@ class DeadLetterStream:
         DataFrame (unit tier).  Persists the micro-batch so the four sink
         writes share one source read (SURVEY §4.2 "single read, multi-sink")."""
         batch.persist()
+        routed = None
         try:
             routed = self.topology(batch, self.cfg)
             channels = [
@@ -221,6 +222,15 @@ class DeadLetterStream:
                     },
                 )
         finally:
+            # release BOTH per-batch caches (r17 advice: route()'s internal
+            # decode persist had no owner — one abandoned InMemoryRelation
+            # per micro-batch, released only when GC + py4j + the
+            # ContextCleaner caught up; on a long-running stream that is
+            # unbounded cache-registry growth).  getattr: a custom topology
+            # may return a plain 4-field tuple without the staged slot.
+            staged = getattr(routed, "staged", None)
+            if staged is not None:
+                staged.unpersist()
             batch.unpersist()
 
     @staticmethod

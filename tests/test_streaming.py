@@ -85,6 +85,40 @@ def test_stream_resumes_from_checkpoint_exactly_once_per_record(spark, tmp_path)
     assert spark.read.parquet(f"{sink_dir}/{cfg.output_topic}").count() == 1
 
 
+def test_multi_batch_drive_leaves_no_cached_frames(spark, tmp_path):
+    """route() persists a per-batch decode staging; process_batch must
+    unpersist it (plus the batch itself) in its finally — the r17 advice:
+    an unowned cache per micro-batch is unbounded storage growth on a
+    long-running stream.  Drive 4 real micro-batches and assert the JVM
+    cache registry ends exactly where it started."""
+    cfg = EngineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sinks")
+    def n_cached() -> int:
+        # other session-scoped tests may legitimately hold caches — the
+        # contract is "the drive adds none", not "the registry is empty"
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    records_df(spark, [(b"k0", int32be(4))]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    base_cached = n_cached()
+    source = spark.readStream.schema(KAFKA_SOURCE_SCHEMA).parquet(src_dir)
+    stream = DeadLetterStream(cfg, parquet_sink_writer(sink_dir))
+    query = stream.start(source)
+    try:
+        query.processAllAvailable()
+        for i in (1, 2, 3):
+            records_df(spark, [(f"k{i}".encode(), int32be(4 + i))]).coalesce(
+                1
+            ).write.mode("append").parquet(src_dir)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+    assert n_cached() == base_cached
+    assert spark.read.parquet(f"{sink_dir}/{cfg.output_topic}").count() == 4
+
+
 def test_empty_batch_is_harmless(spark, tmp_path):
     """Idle triggers deliver EMPTY micro-batches; the router must handle
     them without errors and without emitting rows."""

@@ -207,8 +207,12 @@ def test_route_topic_label_agrees_with_route(spark):
 
 def test_plan_is_udf_free_and_codegen(spark, routed_happy):
     """The reference-parity path must stay whole-stage-codegen (SURVEY §4.2):
-    no BatchEvalPython / python UDF nodes in any channel's plan."""
-    for df in routed_happy:
+    no BatchEvalPython / python UDF nodes in any channel's plan — including
+    the persisted decode staging Routed now carries.  (r18 measured an
+    Arrow/numpy generator for the output channel at PARITY with the SQL
+    chain — 0.29 s SQL vs 0.34 s Arrow on the isolated generation stage at
+    sf0.1/32c — so the zero-Python plan stays; see OPTIMIZATION_r18.md.)"""
+    for df in (*routed_happy[:4], routed_happy.staged):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
