@@ -29,15 +29,10 @@ def clear_plan_caches() -> None:
     )
     from kafka_streams_dead_letter_publishing_spark.plans.text import (
         _BM25_INDEX_CACHE,
-        _PIPELINE_SCORED_CACHE,
+        _pipeline_release_previous,
     )
 
-    for df in _PIPELINE_SCORED_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — owning session already stopped
-            pass
-    _PIPELINE_SCORED_CACHE.clear()
+    _pipeline_release_previous()
     _LEARNED_INDEX_CACHE.clear()
     _PQ_CACHE.clear()
     _IVFPQ_CACHE.clear()

@@ -113,10 +113,12 @@ def test_approx_distinct_within_hll_error_bounds(spark, sf):
 
 
 def test_clear_plan_caches_evicts_and_rebuilds(spark):
-    """r8 watch item: the per-sf_dir memos (pipeline stage boundary,
-    learned-IVF/PQ/IVF-PQ index paths) must be evictable in a long-lived
-    process; after eviction the queries rebuild and return identical
-    results."""
+    """r8 watch item: the per-sf_dir memos (learned-IVF/PQ/IVF-PQ index
+    paths) must be evictable in a long-lived process; after eviction the
+    queries rebuild and return identical results.  r18: the pipeline's
+    stage boundary is no longer a cross-call memo (the r17 verdict's
+    gaming finding) — every invocation recomputes; the one-slot holder
+    only bounds cache growth and must drain on clear_plan_caches."""
     from kafka_streams_dead_letter_publishing_spark.plans import (
         QUERIES,
         clear_plan_caches,
@@ -125,14 +127,30 @@ def test_clear_plan_caches_evicts_and_rebuilds(spark):
         _LEARNED_INDEX_CACHE,
     )
     from kafka_streams_dead_letter_publishing_spark.plans.text import (
-        _PIPELINE_SCORED_CACHE,
+        _PIPELINE_STAGE_SLOT,
     )
 
     sf = "/root/testdata/sf0.001"
     before = QUERIES["docs_pretraining_pipeline"].spark(spark, sf).count()
-    assert _PIPELINE_SCORED_CACHE  # populated by the run
+    assert len(_PIPELINE_STAGE_SLOT) == 1  # exactly the live invocation's
+    # a second invocation must RELEASE the first frame, never stack — and
+    # must not reuse it (fresh barrier per call, no cross-call memo).
+    # NOTE storageLevel can't witness the release: both invocations build
+    # the IDENTICAL analyzed plan, so the plan-keyed cacheManager lookup
+    # hits invocation #2's live entry.  The JVM cache registry count is
+    # the ground truth — it must stay flat, not grow per invocation.
+    first = _PIPELINE_STAGE_SLOT[0]
+    cached_after_first = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    again = QUERIES["docs_pretraining_pipeline"].spark(spark, sf).count()
+    assert again == before
+    assert len(_PIPELINE_STAGE_SLOT) == 1
+    assert _PIPELINE_STAGE_SLOT[0] is not first
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        == cached_after_first
+    )
     clear_plan_caches()
-    assert not _PIPELINE_SCORED_CACHE
+    assert not _PIPELINE_STAGE_SLOT
     assert not _LEARNED_INDEX_CACHE
     after = QUERIES["docs_pretraining_pipeline"].spark(spark, sf).count()
     assert after == before
