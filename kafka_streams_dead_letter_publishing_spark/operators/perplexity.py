@@ -98,10 +98,14 @@ def bigram_lm(
     # returned uni/bi used to be LAZY frames — the reference corpus was
     # re-tokenized once for uni, once for bi, once more for ``uni.count()``
     # and then AGAIN under every downstream broadcast join that consumed
-    # them (the quality funnel paid the chain 5x).  The tables are
-    # driver-bounded BY CONTRACT (top-V / top-max_bigrams), so collect
-    # them once — the tokenize pass runs once behind a persist barrier —
-    # and hand back local-relation frames the joins broadcast directly.
+    # them (the quality funnel paid the chain 5x).  r18 (the r17 advice):
+    # break the recomputation with ``localCheckpoint`` instead of a
+    # driver ``collect()`` — at the default max_bigrams = 1<<22 the old
+    # Python round-trip (4M pickled Rows + a pickle-path createDataFrame)
+    # was a multi-hundred-MB driver episode on the operator's own
+    # advertised envelope.  The checkpointed frames materialize ONCE on
+    # the executors; downstream F.broadcast() builds from those blocks
+    # JVM-side, and the driver reads back exactly one scalar (V).
     toks = ref_docs.select(
         (
             F.col(toks_col)
@@ -110,32 +114,26 @@ def bigram_lm(
         ).alias("t")
     ).persist()
     try:
-        uni_rows = (
+        uni = (
             toks.select(F.explode("t").alias("a"))
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("ca"))
             .orderBy(F.desc("ca"), F.asc("a"))
             .limit(max_vocab)
-            .collect()
+            .localCheckpoint(eager=True)
         )
-        bi_rows = (
+        bi = (
             toks.select(F.explode(ngrams(F.col("t"), 2)).alias("bg"))
             .groupBy("bg")
             .agg(F.count(F.lit(1)).alias("cab"))
             .orderBy(F.desc("cab"), F.asc("bg"))
             .limit(max_bigrams)
-            .collect()
+            .localCheckpoint(eager=True)
         )
+        vocab_n = uni.count()
     finally:
         toks.unpersist()
-    spark = ref_docs.sparkSession
-    uni = spark.createDataFrame(
-        [(r.a, r.ca) for r in uni_rows], "a string, ca bigint"
-    )
-    bi = spark.createDataFrame(
-        [(r.bg, r.cab) for r in bi_rows], "bg string, cab bigint"
-    )
-    return uni, bi, len(uni_rows)
+    return uni, bi, vocab_n
 
 
 def surprise_scores(
