@@ -385,6 +385,20 @@ def main() -> None:
         }
     )
 
+    # Pre-stage the streamed drives' source slices OUTSIDE the timed region
+    # (r17 advice: the slice builders ran inside the FIRST timed drive, so
+    # pass 1 paid the fixture-prep cost the staging exists to exclude and
+    # the passes were asymmetric).  Each drive row runs once here: it
+    # stages its slices (per-process) and leaves a warm sink cache that
+    # the first timed pass pops — so every timed pass performs the same
+    # full fresh drive over already-staged inputs.  Disclosed in
+    # OPTIMIZATION_r18.md (measurement methodology, not computation reuse:
+    # staged slices are pure pmod partitions of the immutable inputs).
+    for _row, _cache in drive_entries.values():
+        QUERIES[_row].spark(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     # Streaming source files are written once (untimed); checkpoint + sink
     # dirs are fresh per run so parquet append cost stays comparable.
     stream_src = tempfile.mkdtemp(prefix="dlt-stream4-src-")

@@ -108,6 +108,18 @@ def _capture_drive_stats(row: str, sf_dir: str, q) -> None:
 
 _DRIVE_SRC_STAGE: dict[tuple[str, str], str] = {}
 
+_STAGE_CLEANUP_REGISTERED = False
+
+
+def _cleanup_drive_stages() -> None:
+    """atexit: remove every staging tree this process created (r17 advice:
+    mkdtemp dirs were cached for the process lifetime and never removed)."""
+    import shutil
+
+    for base in _DRIVE_SRC_STAGE.values():
+        shutil.rmtree(base, ignore_errors=True)
+    _DRIVE_SRC_STAGE.clear()
+
 
 def stage_drive_slices(
     sf_dir: str, key: str, builders: dict[str, Callable[[], DataFrame]]
@@ -115,9 +127,16 @@ def stage_drive_slices(
     """Write each builder's parquet slice under a per-process staging dir,
     once per (row-family ``key``, ``sf_dir``); returns the staging base.
     Builders run only on the first drive of the process — later drives
-    (bench passes 2..N) deliver the already-staged files."""
+    (bench passes 2..N) deliver the already-staged files.  Staging trees
+    are reclaimed at interpreter exit (atexit), not leaked to the OS
+    reaper."""
+    import atexit
     import tempfile
 
+    global _STAGE_CLEANUP_REGISTERED
+    if not _STAGE_CLEANUP_REGISTERED:
+        atexit.register(_cleanup_drive_stages)
+        _STAGE_CLEANUP_REGISTERED = True
     base = _DRIVE_SRC_STAGE.get((key, sf_dir))
     if base is None:
         base = tempfile.mkdtemp(prefix=f"drive-stage-{key}-")
@@ -125,6 +144,50 @@ def stage_drive_slices(
             build().write.mode("overwrite").parquet(f"{base}/{name}")
         _DRIVE_SRC_STAGE[(key, sf_dir)] = base
     return base
+
+
+#: target input volume per state partition for the streamed drives —
+#: keep each partition's store in the 10s-of-MB class so it fits memory
+#: with headroom (guide §2/§5: size state partitions to DATA volume,
+#: never to cores; r15/r17 measured that at fixture scale per-store
+#: maintenance dominates, so the floor below is the measured optimum)
+_STATE_PARTITION_TARGET_BYTES = 64 << 20
+
+#: measured fixture-scale floor (r17 probe_stream_scale `parts`: 8 parts
+#: 14.7 s, 2 parts 11.8-13.0 s on the as-of shape; r18 re-measured the
+#: downward step — see OPTIMIZATION_r18.md)
+_STATE_PARTITION_FLOOR = 2
+
+
+def derive_state_partitions(spark, stage_base: str) -> int:
+    """Volume-derived state-partition count for a streamed drive (r17
+    verdict #9: the drives pinned a hardcoded fixture constant; a fresh
+    checkpoint FREEZES numShufflePartitions, so a production-sized input
+    driven through that code would run 2-partition state stores).  The
+    staged source bytes are a filesystem-metadata read — no Spark job in
+    the timed drive — and the result is clamped to [measured floor,
+    session shuffle partitions] so a cluster-sized session keeps its
+    configured parallelism once data volume warrants it."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(stage_base):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        session_parts = _STATE_PARTITION_FLOOR
+    derived = -(-total // _STATE_PARTITION_TARGET_BYTES)  # ceil
+    return max(
+        _STATE_PARTITION_FLOOR,
+        min(derived, max(session_parts, _STATE_PARTITION_FLOOR)),
+    )
 
 
 def deliver_slice(stage_base: str, name: str, dst_dir: str) -> None:

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from kafka_streams_dead_letter_publishing_spark.plans.registry import (
     _capture_drive_stats,
     deliver_slice,
+    derive_state_partitions,
     query,
     stage_drive_slices,
 )
@@ -764,12 +765,17 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # overhead at fixture scale (the knob is per-QUERY state layout,
         # not a semantics change; production sizes it to the cluster)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        # r17: 8 -> 2 state partitions, measured (probe_stream_scale
-        # `parts` mode, steal-clean rows: 8 parts 14.7 s, 2 parts
-        # 11.8-13.0 s on the asof shape) — per-store maintenance is the
-        # fixture-scale floor, so fewer stores win until state outgrows
-        # them; production sizes state partitions to DATA volume
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        # r18 (the r17 verdict's #9): derived from the STAGED INPUT VOLUME
+        # with the measured fixture floor (r17 probe_stream_scale `parts`:
+        # 8 parts 14.7 s, 2 parts 11.8-13.0 s on the asof shape — per-store
+        # maintenance dominates until state outgrows the stores), capped at
+        # the session's own shuffle parallelism.  A fresh checkpoint
+        # freezes this layout, so it must scale with data, never be a
+        # fixture constant.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(derive_state_partitions(spark, stage)),
+        )
         lt = (
             spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
@@ -952,12 +958,17 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run, and empty state stores are pure per-trigger overhead at
         # fixture scale)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        # r17: 8 -> 2 state partitions, measured (probe_stream_scale
-        # `parts` mode, steal-clean rows: 8 parts 14.7 s, 2 parts
-        # 11.8-13.0 s on the asof shape) — per-store maintenance is the
-        # fixture-scale floor, so fewer stores win until state outgrows
-        # them; production sizes state partitions to DATA volume
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        # r18 (the r17 verdict's #9): derived from the STAGED INPUT VOLUME
+        # with the measured fixture floor (r17 probe_stream_scale `parts`:
+        # 8 parts 14.7 s, 2 parts 11.8-13.0 s on the asof shape — per-store
+        # maintenance dominates until state outgrows the stores), capped at
+        # the session's own shuffle parallelism.  A fresh checkpoint
+        # freezes this layout, so it must scale with data, never be a
+        # fixture constant.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(derive_state_partitions(spark, stage)),
+        )
         lt = (
             spark.readStream.schema(
                 "first_id long, user_id long, a_ts timestamp, first_type string"
@@ -1303,12 +1314,17 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deliver_slice(stage, "s0", src)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        # r17: 8 -> 2 state partitions, measured (probe_stream_scale
-        # `parts` mode, steal-clean rows: 8 parts 14.7 s, 2 parts
-        # 11.8-13.0 s on the asof shape) — per-store maintenance is the
-        # fixture-scale floor, so fewer stores win until state outgrows
-        # them; production sizes state partitions to DATA volume
-        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        # r18 (the r17 verdict's #9): derived from the STAGED INPUT VOLUME
+        # with the measured fixture floor (r17 probe_stream_scale `parts`:
+        # 8 parts 14.7 s, 2 parts 11.8-13.0 s on the asof shape — per-store
+        # maintenance dominates until state outgrows the stores), capped at
+        # the session's own shuffle parallelism.  A fresh checkpoint
+        # freezes this layout, so it must scale with data, never be a
+        # fixture constant.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(derive_state_partitions(spark, stage)),
+        )
         stream = (
             spark.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
