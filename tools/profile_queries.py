@@ -85,7 +85,11 @@ def main() -> None:
             samples[name].append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
 
-    out_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / "r17"
+    out_dir = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLAN_DUMP_DIR", "r18")
+    )
     if args.explain_suffix:
         out_dir.mkdir(parents=True, exist_ok=True)
         import contextlib
