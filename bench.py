@@ -409,7 +409,13 @@ def main() -> None:
     def run_streaming_roundtrip(pass_idx: int) -> float:
         sink_dir = tempfile.mkdtemp(prefix="dlt-stream-bench-")
         try:
-            stream = DeadLetterStream(EngineConfig(), parquet_sink_writer(sink_dir))
+            stream = DeadLetterStream(
+                # batch_fan_out (r18, guide §2/§8): generation at session
+                # parallelism even when a batch arrives under-partitioned;
+                # derived from the session, not a local constant
+                EngineConfig(batch_fan_out=spark.sparkContext.defaultParallelism),
+                parquet_sink_writer(sink_dir),
+            )
             batch = derived_records(spark, sf_dir)
             t0 = time.time()
             stream.process_batch(batch, batch_id=pass_idx)
@@ -421,7 +427,9 @@ def main() -> None:
         work = tempfile.mkdtemp(prefix="dlt-stream4-")
         try:
             stream = DeadLetterStream(
-                EngineConfig(), parquet_sink_writer(f"{work}/sinks")
+                # batch_fan_out: see run_streaming_roundtrip
+                EngineConfig(batch_fan_out=spark.sparkContext.defaultParallelism),
+                parquet_sink_writer(f"{work}/sinks"),
             )
             reader = (
                 spark.readStream.schema(derived_schema)

@@ -61,6 +61,22 @@ class EngineConfig:
     max_offsets_per_trigger: int | None = None
     min_partitions: int | None = None
 
+    # foreachBatch fan-out (r18, guide §2/§8): repartition each micro-batch
+    # to this many partitions BEFORE routing, so the expensive
+    # value-producing stage (random-string generation, ~30 µs/row) runs at
+    # cluster parallelism even when the source batch arrives
+    # under-partitioned (a file source delivers one partition per file; a
+    # real Kafka source uses ``min_partitions`` instead, which splits at
+    # the source and keeps per-partition order).  The shuffle moves only
+    # the RAW records (binary key + 4-byte value), never generated output
+    # — measured at sf0.1: a 25k-row single-partition trigger's output
+    # write drops 1.24 s -> 0.65 s.  Trade-offs: per-partition input order
+    # is no longer preserved into the sinks (the default ``None`` keeps
+    # the order-preserving single-pass behavior), and each sink writes up
+    # to this many files per trigger — size it to batch volume, not cores,
+    # where file counts matter.
+    batch_fan_out: int | None = None
+
     extra_kafka_options: dict[str, str] = field(default_factory=dict)
 
     @property

@@ -17,7 +17,9 @@ Reference runtime being reproduced (SURVEY §3):
 Delivery semantics: at-least-once, same as the reference (its DLT handler
 producers sit outside Kafka Streams transactions; our checkpointed offsets
 re-attempt a failed batch on restart).  Per-partition input order is
-preserved on the happy path because ``route`` never repartitions.
+preserved on the happy path because ``route`` never repartitions — unless
+``EngineConfig.batch_fan_out`` is set, which trades that order for
+cluster-parallel generation on under-partitioned batches.
 
 Scale posture (SURVEY §4.3): ``maxOffsetsPerTrigger`` bounds a micro-batch
 (backpressure), ``minPartitions`` lets a 1000-executor cluster split hot
@@ -173,6 +175,13 @@ class DeadLetterStream:
         """The foreachBatch body — also callable directly on a batch
         DataFrame (unit tier).  Persists the micro-batch so the four sink
         writes share one source read (SURVEY §4.2 "single read, multi-sink")."""
+        if self.cfg.batch_fan_out:
+            # spread the RAW records before decode/generation (guide §2/§8:
+            # move light rows, then compute heavy bytes in place) — an
+            # under-partitioned batch otherwise runs the whole generation
+            # stage on one core.  Opt-in: costs per-partition input order
+            # (see EngineConfig.batch_fan_out).
+            batch = batch.repartition(self.cfg.batch_fan_out)
         batch.persist()
         routed = None
         try:

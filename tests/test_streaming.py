@@ -64,6 +64,33 @@ def test_stream_routes_all_channels(spark, tmp_path):
     assert prod.collect()[0].value == b""
 
 
+def test_batch_fan_out_yields_identical_rows(spark, tmp_path):
+    """EngineConfig.batch_fan_out repartitions the micro-batch before
+    routing (r18 optimization: generation at cluster parallelism on
+    under-partitioned batches).  Generation is deterministic in the ROW
+    (uniq = xxhash64 of key + source metadata), never in its partition, so
+    the routed output must be row-identical either way — only file layout
+    and intra-file order may differ."""
+    rows = [(f"k{i}".encode(), int32be(i % 97)) for i in range(500)]
+    rows += [(b"bad", b"xx"), (b"neg", int32be(-5)), (b"big", int32be(3_000_000))]
+    sinks = {}
+    for tag, fan in (("plain", None), ("fanout", 7)):
+        cfg = EngineConfig(
+            checkpoint_dir=str(tmp_path / f"ckpt-{tag}"), batch_fan_out=fan
+        )
+        sink_dir = str(tmp_path / f"sinks-{tag}")
+        stream = DeadLetterStream(cfg, parquet_sink_writer(sink_dir))
+        stream.process_batch(records_df(spark, rows).coalesce(1), batch_id=0)
+        sinks[tag] = {
+            t: sorted(
+                (r.key, r.value, tuple((h.key, bytes(h.value)) for h in (r.headers or [])))
+                for r in spark.read.parquet(f"{sink_dir}/{t}").collect()
+            )
+            for t in cfg.all_topics[1:]
+        }
+    assert sinks["plain"] == sinks["fanout"]
+
+
 def test_stream_resumes_from_checkpoint_exactly_once_per_record(spark, tmp_path):
     """Restarting against the same checkpoint must not re-route processed
     records (offset tracking replaces consumer-group commits)."""
