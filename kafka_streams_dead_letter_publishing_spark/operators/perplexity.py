@@ -106,33 +106,61 @@ def bigram_lm(
     # advertised envelope.  The checkpointed frames materialize ONCE on
     # the executors; downstream F.broadcast() builds from those blocks
     # JVM-side, and the driver reads back exactly one scalar (V).
-    toks = ref_docs.select(
+    # r18 (guide §2.3, the nb_train restructure applied here): ONE tagged
+    # explode+aggregate pass builds the full (gram-kind, gram) count
+    # table — the corpus is scanned/tokenized once and shuffled once —
+    # and both top-K reads are tiny TakeOrdered jobs over the persisted
+    # aggregate (<= distinct terms + distinct bigrams count rows, far
+    # smaller than the r17 per-occurrence token cache).  Counts are the
+    # same exact occurrence counts; values identical.
+    # stage the token array as an attribute: both transform() args below
+    # reference it at ROW level (never inside a lambda body, where
+    # re-evaluation would be per element), so codegen subexpression
+    # elimination computes the tokenize chain once per row
+    src = ref_docs.select(
         (
             F.col(toks_col)
             if toks_col is not None
             else tokens(norm_text(F.col(text_col)))
         ).alias("t")
-    ).persist()
+    )
+    t = F.col("t")
+    agg = (
+        src.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        t, lambda x: F.struct(F.lit(1).alias("k"), x.alias("g"))
+                    ),
+                    F.transform(
+                        ngrams(t, 2),
+                        lambda g: F.struct(F.lit(2).alias("k"), g.alias("g")),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.k").alias("k"), F.col("e.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     try:
         uni = (
-            toks.select(F.explode("t").alias("a"))
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("ca"))
+            agg.filter(F.col("k") == 1)
+            .select(F.col("g").alias("a"), F.col("c").alias("ca"))
             .orderBy(F.desc("ca"), F.asc("a"))
             .limit(max_vocab)
             .localCheckpoint(eager=True)
         )
         bi = (
-            toks.select(F.explode(ngrams(F.col("t"), 2)).alias("bg"))
-            .groupBy("bg")
-            .agg(F.count(F.lit(1)).alias("cab"))
+            agg.filter(F.col("k") == 2)
+            .select(F.col("g").alias("bg"), F.col("c").alias("cab"))
             .orderBy(F.desc("cab"), F.asc("bg"))
             .limit(max_bigrams)
             .localCheckpoint(eager=True)
         )
         vocab_n = uni.count()
     finally:
-        toks.unpersist()
+        agg.unpersist()
     return uni, bi, vocab_n
 
 
