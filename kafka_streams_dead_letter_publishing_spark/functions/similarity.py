@@ -16,6 +16,8 @@ buckets, the standard trick above ~10⁶ vectors (SURVEY §4.3).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -311,7 +313,9 @@ def lsh_table_keys(
 
 
 def lsh_table_keys_int(
-    emb: Column, n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE
+    emb: Column | str,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> Column:
     """Bijective integer form of :func:`lsh_table_keys`: per table,
     ``(table << planes) | sign_bits`` with bits packed MSB-first in plane
@@ -320,12 +324,21 @@ def lsh_table_keys_int(
     the string form (and therefore the oracle SQL) produces — but longs
     shuffle and compare cheaper than ~6-char strings (measured −14% on the
     sf0.1 candidate self-join).  Use this on the engine side wherever the
-    key value itself never surfaces in output."""
+    key value itself never surfaces in output.
+
+    Pass a column NAME (str) on hot build paths: the whole key array is
+    then one memoized SQL string handed to a single ``F.expr`` — one py4j
+    round trip and one parse, versus ~16 lambda-construction round trips
+    per table for the Column form (r18: EmbeddingIngest rebuilt this
+    expression every micro-batch; plan construction was ~0.5 s of driver
+    time per batch).  Both forms analyze to the same expressions."""
     if n_tables * planes_per_table > MAX_HYPERPLANES:
         raise ValueError(
             f"{n_tables}×{planes_per_table} planes exceed the deterministic "
             f"pool of {MAX_HYPERPLANES}"
         )
+    if isinstance(emb, str):
+        return F.expr(_lsh_table_keys_int_sql(emb, n_tables, planes_per_table))
     emb = _dim_guarded(emb)
     return F.array(
         *[
@@ -338,6 +351,47 @@ def lsh_table_keys_int(
             for t in range(n_tables)
         ]
     )
+
+
+@_functools.lru_cache(maxsize=64)
+def _lsh_table_keys_int_sql(
+    emb_sql: str, n_tables: int, planes_per_table: int
+) -> str:
+    """One SQL string for the full :func:`lsh_table_keys_int` array over a
+    named column — term-for-term the Column construction (same dim guard,
+    same ``CAST('{repr}' AS DOUBLE)`` plane literals, same fold order and
+    integer widths), so the analyzed expressions — and every sign bit —
+    are identical."""
+    guard = (
+        f"CASE WHEN size({emb_sql}) = {EMBEDDING_DIM} THEN {emb_sql} "
+        "ELSE raise_error(concat("
+        f"'LSH embedding must be exactly {EMBEDDING_DIM}-wide "
+        "(the hyperplane pool width); got size ', "
+        f"CAST(size({emb_sql}) AS STRING))) END"
+    )
+
+    def table_sql(t: int) -> str:
+        planes = HYPERPLANES[t * planes_per_table : (t + 1) * planes_per_table]
+        planes_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in p) + ")"
+                for p in planes
+            )
+            + ")"
+        )
+        plane_dot = (
+            f"aggregate(zip_with(p, {guard}, (w, x) -> w * CAST(x AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        return (
+            f"(CAST({t * (1 << planes_per_table)} AS BIGINT) + "
+            f"aggregate({planes_lit}, CAST(0 AS BIGINT), (acc, p) -> "
+            f"acc * 2 + CAST(CASE WHEN {plane_dot} >= 0 THEN 1 ELSE 0 END "
+            "AS BIGINT)))"
+        )
+
+    return "array(" + ", ".join(table_sql(t) for t in range(n_tables)) + ")"
 
 
 def _sign_bits_int(emb: Column, planes: list[list[float]]) -> Column:

@@ -85,7 +85,9 @@ def build_ann_index(
     buckets = base.select(
         "ref_id",
         F.explode(
-            lsh_table_keys_int(F.col("ref_emb"), n_tables, planes_per_table)
+            # column NAME, not Column: the keys build as one memoized SQL
+            # string (r18 — this runs per micro-batch on ingest hot paths)
+            lsh_table_keys_int("ref_emb", n_tables, planes_per_table)
         ).alias("bk"),
     ).select("bk", "ref_id")
     buckets = drop_hot_keys(buckets, max_bucket_occupancy)
@@ -115,7 +117,7 @@ def ann_candidates(
     banded = staged.select(
         "vec_id",
         F.explode(
-            lsh_table_keys_int(F.col("emb"), index.n_tables, index.planes_per_table)
+            lsh_table_keys_int("emb", index.n_tables, index.planes_per_table)
         ).alias("bk"),
     )
     return banded.join(index.buckets, "bk").select("vec_id", "ref_id").distinct()
