@@ -1419,13 +1419,18 @@ class MediaIngest:
         first = h.groupBy("dhash_hi", "dhash_lo").agg(
             F.min(self.id_col).alias(self.id_col)
         )
-        kept = h.join(first, ["dhash_hi", "dhash_lo", self.id_col]).localCheckpoint(
-            eager=True
-        )
+        # the keeper DECISION is stabilized as keys only (r18): h is
+        # computed post-gate, so `first` IS the keeper set — checkpointing
+        # it pins both writes below to one consistent batch outcome while
+        # the payload bytes stay in the staged-batch checkpoint and move
+        # exactly once, into the sink write (previously the payload rows
+        # were re-materialized by a second full localCheckpoint)
+        kept_keys = first.localCheckpoint(eager=True)
+        kept = h.join(kept_keys, ["dhash_hi", "dhash_lo", self.id_col])
         kept.write.mode("append").parquet(self.sink_path)
         # hash store LAST (the gate): a crash before this point replays
         # to at-least-once sink duplicates, never to lost media
-        kept.select("dhash_hi", "dhash_lo").distinct().write.mode(
+        kept_keys.select("dhash_hi", "dhash_lo").distinct().write.mode(
             "append"
         ).parquet(self.dhash_path)
         self._maybe_auto_compact(spark)
