@@ -755,6 +755,14 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"SELECT CAST(-2 AS LONG) user_id, CAST(-1 AS LONG)"
                     f" click_id, TIMESTAMP '{far}' click_ts"
                 ).coalesce(1),
+                # r18: a SECOND, farther sentinel (same dropped identity)
+                # forces the final data batch that makes the first
+                # sentinels' watermark effective — see the
+                # noDataMicroBatches note at the drive loop
+                "psent2": lambda: spark.sql(
+                    "SELECT CAST(-1 AS LONG) purchase_id, CAST(-1 AS LONG)"
+                    " user_id, TIMESTAMP '2025-08-15 00:00:00' ts"
+                ).coalesce(1),
             },
         )
         deliver_slice(stage, "p0", psrc)
@@ -776,6 +784,19 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(derive_state_partitions(spark, stage)),
         )
+        # r18: HALF the drive's triggers were rows=0 no-data micro-batches
+        # (measured: each data batch spawned one, ~0.7 s of full
+        # state-store/commit machinery apiece, only to apply the advanced
+        # watermark).  Disable them for the drive and make the LAST
+        # watermark effective through a second far-future sentinel data
+        # batch instead — append-mode emission is exactly-once on group
+        # finalization, so the sink OUTPUT SET is unchanged, only the
+        # batch a row emits in.  Drive-local knob, restored in finally
+        # (production streams keep no-data batches for emission latency).
+        prev_ndb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         lt = (
             spark.readStream.schema("purchase_id long, user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
@@ -822,11 +843,19 @@ def events_asof_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             deliver_slice(stage, "psent", psrc)
             deliver_slice(stage, "csent", csrc)
             q.processAllAvailable()
+            # with no-data batches off, the sentinel watermark takes
+            # effect in the NEXT DATA batch — the second sentinel (same
+            # dropped identity) IS that batch; every real group
+            # finalizes there
+            deliver_slice(stage, "psent2", psrc)
             q.processAllAvailable()
             _capture_drive_stats("events_asof_streamed", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
         _ASOF_STREAM_CACHE[sf_dir] = out_dir
     # explicit schema: an all-dropped stream (empty corpus) leaves the
     # sink with zero part files, which schema inference would reject
@@ -949,6 +978,14 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" user_id, TIMESTAMP '{far}' b_ts,"
                     f" CAST('x' AS STRING) next_type"
                 ).coalesce(1),
+                # r18: second, farther sentinel — the final data batch
+                # that makes the first sentinels' watermark effective
+                # (the events_asof_streamed noDataMicroBatches note)
+                "asent2": lambda: spark.sql(
+                    "SELECT CAST(-1 AS LONG) first_id, CAST(-1 AS LONG)"
+                    " user_id, TIMESTAMP '2025-08-15 00:00:00' a_ts,"
+                    " CAST('x' AS STRING) first_type"
+                ).coalesce(1),
             },
         )
         deliver_slice(stage, "a0", asrc)
@@ -969,6 +1006,14 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(derive_state_partitions(spark, stage)),
         )
+        # r18: no-data micro-batches off for the drive; the second
+        # sentinel's data batch applies the final watermark instead (the
+        # events_asof_streamed note — output SET unchanged, half the
+        # triggers gone).  Restored in finally.
+        prev_ndb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         lt = (
             spark.readStream.schema(
                 "first_id long, user_id long, a_ts timestamp, first_type string"
@@ -1019,11 +1064,17 @@ def events_interval_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             deliver_slice(stage, "asent", asrc)
             deliver_slice(stage, "bsent", bsrc)
             q.processAllAvailable()
+            # final data batch: makes the sentinel watermark effective
+            # (no-data batches are off), finalizing every real left row
+            deliver_slice(stage, "asent2", asrc)
             q.processAllAvailable()
             _capture_drive_stats("events_interval_streamed", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
         _INTERVAL_STREAM_CACHE[sf_dir] = out_dir
     # explicit schema: an all-dropped stream (empty corpus) leaves the
     # sink with zero part files, which schema inference would reject
@@ -1310,6 +1361,15 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "SELECT CAST(-1 AS LONG) user_id,"
                     " TIMESTAMP '2025-07-01 00:00:00' ts"
                 ).coalesce(1),
+                # r18: second, farther sentinel — the final data batch
+                # that makes the first sentinel's watermark effective
+                # (the events_asof_streamed noDataMicroBatches note);
+                # its session start >= 2025-07-01 so the read filter
+                # drops it like the first
+                "sent2": lambda: spark.sql(
+                    "SELECT CAST(-1 AS LONG) user_id,"
+                    " TIMESTAMP '2025-08-15 00:00:00' ts"
+                ).coalesce(1),
             },
         )
         deliver_slice(stage, "s0", src)
@@ -1325,6 +1385,13 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(derive_state_partitions(spark, stage)),
         )
+        # r18: no-data micro-batches off for the drive; the second
+        # sentinel's data batch applies the final watermark instead (the
+        # events_asof_streamed note).  Restored in finally.
+        prev_ndb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         stream = (
             spark.readStream.schema("user_id long, ts timestamp")
             .option("maxFilesPerTrigger", "1")
@@ -1357,11 +1424,17 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             # is dropped by the sentinel-identity read filter
             deliver_slice(stage, "sent", src)
             q.processAllAvailable()
+            # final data batch: makes the sentinel watermark effective
+            # (no-data batches are off), finalizing every real session
+            deliver_slice(stage, "sent2", src)
             q.processAllAvailable()
             _capture_drive_stats("events_sessionization", sf_dir, q)
         finally:
             q.stop()
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
         _SESSION_STREAM_CACHE[sf_dir] = out_dir
     # explicit schema: an empty corpus leaves zero part files.  Drop
     # EXACTLY the sentinel's session (user -1 at the far-future ts) — a
