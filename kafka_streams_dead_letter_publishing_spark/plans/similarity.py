@@ -1202,8 +1202,11 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are narrow, and a broadcast of the index is impossible at scale);
     # fan_out first or the 6-table sign-fold runs on the single-file
     # scan's ONE partition on both join sides
+    # column NAME, not Column: the 6-table key array builds as one memoized
+    # SQL string — the Column-lambda form cost ~1.3-1.6 s of driver-side
+    # py4j construction per run (r18, measured via queryExecution splits)
     keys = fan_out(emb, "vec_id").select(
-        "vec_id", F.explode(lsh_table_keys_int(F.col("embedding"))).alias("bk")
+        "vec_id", F.explode(lsh_table_keys_int("embedding")).alias("bk")
     ).hint("shuffle_hash")
     a, b = keys.alias("a"), keys.alias("b")
     cands = (

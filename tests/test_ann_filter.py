@@ -262,6 +262,28 @@ def test_lsh_table_keys_refuse_mismatched_dim(spark, short_vec_df):
 
     _expect_dim_error(short_vec_df.select(lsh_table_keys(F.col("embedding"))))
     _expect_dim_error(short_vec_df.select(lsh_table_keys_int(F.col("embedding"))))
+    # the r18 string-name (single-SQL-expr) form guards identically
+    _expect_dim_error(short_vec_df.select(lsh_table_keys_int("embedding")))
+
+
+def test_lsh_table_keys_int_str_form_matches_column_form(spark, ref_and_batch):
+    """The memoized-SQL string form (r18) must produce the exact key
+    arrays of the Column-lambda form — same sign bits, same table
+    offsets — on the default AND a non-default (tables, planes) config."""
+    from kafka_streams_dead_letter_publishing_spark.functions.similarity import (
+        lsh_table_keys_int,
+    )
+
+    corpus, _ = ref_and_batch
+    for nt, ppt in ((6, 4), (8, 5)):
+        col_form = corpus.select(
+            "vec_id", lsh_table_keys_int(F.col("embedding"), nt, ppt).alias("k")
+        )
+        str_form = corpus.select(
+            "vec_id", lsh_table_keys_int("embedding", nt, ppt).alias("k")
+        )
+        assert col_form.exceptAll(str_form).count() == 0
+        assert str_form.exceptAll(col_form).count() == 0
 
 
 def test_ann_index_build_refuses_mismatched_dim(spark, short_vec_df):
