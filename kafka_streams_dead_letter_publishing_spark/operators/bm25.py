@@ -130,7 +130,20 @@ def _score_topk(
     """Shared scoring tail of the full-scan and served paths: document
     frequencies from the (query_id, term, doc_id, dl, tf) frame (exact —
     a term's postings are complete in ``tf`` on both paths), quantized
-    idf, integer contributions, and the repo's two-phase top-k."""
+    idf, integer contributions, and the repo's two-phase top-k.
+
+    ``tf`` is persisted (r18): the frame feeds BOTH the document-
+    frequency aggregate and the scoring join, and without a stage
+    boundary the planner recomputed the whole upstream subtree — on the
+    served path, a second bucket-pruned postings scan + epoch gate +
+    query join per serve (visible as two concurrent scan jobs in the
+    event log; at scale that is 2x the serving read).  persist, not
+    localCheckpoint, so the cached relation keeps the pruned scan in
+    the executed plan (the PartitionFilters serving contract stays
+    plan-visible).  No explicit unpersist: the cache is query-matched
+    postings only — bounded by the query batch, not the corpus — and
+    the ContextCleaner reclaims it with the frame."""
+    tf = tf.persist()
     dfreq = (
         tf.select("term", "doc_id")
         .distinct()
