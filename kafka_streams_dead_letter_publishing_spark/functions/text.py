@@ -13,6 +13,8 @@ banding (candidates only), not an all-pairs product.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -83,7 +85,7 @@ def fingerprint(text: Column) -> Column:
 _MINHASH_SENTINEL = "~"
 
 
-def minhash_array(shingle_col: Column) -> Column:
+def minhash_array(shingle_col: Column | str) -> Column:
     """All N_MINHASH minhashes in ONE pass over the shingle set.
 
     Per shingle: N_MINHASH md5 calls folded with element-wise ``least`` —
@@ -91,7 +93,14 @@ def minhash_array(shingle_col: Column) -> Column:
     Higher-order functions don't get codegen subexpression elimination, so
     the fold shape is what keeps this O(shingles × hashes) instead of
     O(shingles × hashes × re-evaluations).  Empty set ⇒ all sentinels.
+
+    Pass a column NAME (str) on hot build paths: the whole fold then
+    arrives as one memoized SQL string — one py4j round trip instead of
+    ~N_MINHASH×4 Column constructions (r18: DocumentIngest rebuilt this
+    per micro-batch; the lsh_table_keys_int convention).
     """
+    if isinstance(shingle_col, str):
+        return F.expr(_minhash_array_sql(shingle_col))
     init = F.array_repeat(F.lit(_MINHASH_SENTINEL), N_MINHASH)
     hashes = lambda s: F.array(  # noqa: E731
         *[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(N_MINHASH)]
@@ -101,14 +110,36 @@ def minhash_array(shingle_col: Column) -> Column:
     )
 
 
-def band_keys_from_minhash(mh: Column, n_shingles: Column) -> Column:
+@_functools.lru_cache(maxsize=32)
+def _minhash_array_sql(sh_sql: str) -> str:
+    """One SQL string for :func:`minhash_array` over a named column —
+    term-for-term the Column construction, so the analyzed expressions
+    (and every hash value) are identical."""
+    hashes = ", ".join(
+        f"md5(concat('{j}:', s))" for j in range(N_MINHASH)
+    )
+    return (
+        f"aggregate({sh_sql}, array_repeat('{_MINHASH_SENTINEL}', "
+        f"{N_MINHASH}), (acc, s) -> zip_with(acc, array({hashes}), "
+        "(a, b) -> least(a, b)))"
+    )
+
+
+def band_keys_from_minhash(
+    mh: Column | str, n_shingles: Column | str
+) -> Column:
     """LSH band keys from a precomputed minhash array (see ``band_keys``).
 
     IMPORTANT: pass ``mh`` as a *materialized column from a previous
     select* — this expression references it 2×N_BANDS times, and Spark's
     CollapseProject declines to inline non-cheap producer expressions, so
     staging keeps the minhash fold evaluated once per row.
+
+    Pass column NAMES (both str) on hot build paths — one memoized SQL
+    string, the :func:`minhash_array` convention.
     """
+    if isinstance(mh, str) and isinstance(n_shingles, str):
+        return F.expr(_band_keys_sql(mh, n_shingles))
     keys = F.array(
         *[
             F.concat(
@@ -121,6 +152,19 @@ def band_keys_from_minhash(mh: Column, n_shingles: Column) -> Column:
         ]
     )
     return F.when(n_shingles > 0, keys).otherwise(F.array().cast("array<string>"))
+
+
+@_functools.lru_cache(maxsize=32)
+def _band_keys_sql(mh_sql: str, n_sh_sql: str) -> str:
+    keys = ", ".join(
+        f"concat('{b}:', element_at({mh_sql}, {2 * b + 1}), '|', "
+        f"element_at({mh_sql}, {2 * b + 2}))"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"CASE WHEN {n_sh_sql} > 0 THEN array({keys}) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
 
 
 # NOTE (r6): the N-pass twins minhash_value/band_keys were deleted — every
@@ -253,9 +297,13 @@ def lang_guess(toks: Column) -> Column:
 _MINHASH_FAST_SENTINEL = (1 << 63) - 1
 
 
-def minhash_array_fast(shingle_col: Column) -> Column:
+def minhash_array_fast(shingle_col: Column | str) -> Column:
     """array<long>: all N_MINHASH minhashes in one fold, xxhash64 family.
-    Empty set ⇒ all sentinels (mirrors :func:`minhash_array`)."""
+    Empty set ⇒ all sentinels (mirrors :func:`minhash_array`).  A str
+    column NAME builds as one memoized SQL string (the
+    :func:`minhash_array` convention)."""
+    if isinstance(shingle_col, str):
+        return F.expr(_minhash_array_fast_sql(shingle_col))
     init = F.array_repeat(F.lit(_MINHASH_FAST_SENTINEL).cast("long"), N_MINHASH)
     hashes = lambda s: F.array(  # noqa: E731
         *[F.xxhash64(F.lit(j), s) for j in range(N_MINHASH)]
@@ -267,13 +315,28 @@ def minhash_array_fast(shingle_col: Column) -> Column:
     )
 
 
-def band_keys_from_minhash_fast(mh: Column, n_shingles: Column) -> Column:
+@_functools.lru_cache(maxsize=32)
+def _minhash_array_fast_sql(sh_sql: str) -> str:
+    hashes = ", ".join(f"xxhash64({j}, s)" for j in range(N_MINHASH))
+    return (
+        f"aggregate({sh_sql}, array_repeat(CAST({_MINHASH_FAST_SENTINEL} "
+        f"AS BIGINT), {N_MINHASH}), (acc, s) -> zip_with(acc, "
+        f"array({hashes}), (a, b) -> least(a, b)))"
+    )
+
+
+def band_keys_from_minhash_fast(
+    mh: Column | str, n_shingles: Column | str
+) -> Column:
     """array<long> LSH band keys from :func:`minhash_array_fast` output:
     band key = xxhash64(band, row1, row2) — one long per band (a 2^-64
     accidental key collision is dominated by the banding miss rate and is
     caught by the exact verify anyway).  Band index in the hash keeps
     different bands' keyspaces disjoint; empty shingle sets get NO keys
-    (same tiny-doc contract as :func:`band_keys_from_minhash`)."""
+    (same tiny-doc contract as :func:`band_keys_from_minhash`).  str
+    column NAMES build as one memoized SQL string."""
+    if isinstance(mh, str) and isinstance(n_shingles, str):
+        return F.expr(_band_keys_fast_sql(mh, n_shingles))
     keys = F.array(
         *[
             F.xxhash64(
@@ -283,6 +346,19 @@ def band_keys_from_minhash_fast(mh: Column, n_shingles: Column) -> Column:
         ]
     )
     return F.when(n_shingles > 0, keys).otherwise(F.array().cast("array<bigint>"))
+
+
+@_functools.lru_cache(maxsize=32)
+def _band_keys_fast_sql(mh_sql: str, n_sh_sql: str) -> str:
+    keys = ", ".join(
+        f"xxhash64({b}, element_at({mh_sql}, {2 * b + 1}), "
+        f"element_at({mh_sql}, {2 * b + 2}))"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"CASE WHEN {n_sh_sql} > 0 THEN array({keys}) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
 
 
 # ── PII redaction ────────────────────────────────────────────────────────

@@ -147,11 +147,14 @@ def build_neardup_index(
         corpus.select(F.col(id_col).alias("ref_id"), tokens(_norm(F.col(text_col))).alias("toks"))
         .select("ref_id", shingles(F.col("toks")).alias("ref_sh"))
     )
+    # column NAMES, not Columns: the minhash fold and band keys build as
+    # memoized SQL strings (r18 — this runs per micro-batch on the
+    # DocumentIngest hot path; the lsh_table_keys_int convention)
     banded = sh_tbl.select(
-        "ref_id", F.size("ref_sh").alias("n_sh"), mh_fn(F.col("ref_sh")).alias("mh")
+        "ref_id", F.size("ref_sh").alias("n_sh"), mh_fn("ref_sh").alias("mh")
     ).select(
         "ref_id",
-        F.explode(bk_fn(F.col("mh"), F.col("n_sh"))).alias("bk"),
+        F.explode(bk_fn("mh", "n_sh")).alias("bk"),
     )
     bands = drop_hot_keys(banded.select("bk", "ref_id"), max_band_occupancy)
     return NeardupIndex(bands=bands, shingles=sh_tbl, hash_family=hash_family)

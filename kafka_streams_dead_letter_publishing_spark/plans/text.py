@@ -256,11 +256,13 @@ def _neardup_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens(_norm(F.col("text"))).alias("toks"))
         .select("doc_id", shingles(F.col("toks")).alias("sh"))
     )
+    # column NAMES: fold + band keys build as memoized SQL strings (r18,
+    # the lsh_table_keys_int convention — same expressions, one parse)
     banded = sh_tbl.select(
-        "doc_id", F.size("sh").alias("n_sh"), minhash_array(F.col("sh")).alias("mh")
+        "doc_id", F.size("sh").alias("n_sh"), minhash_array("sh").alias("mh")
     ).select(
         "doc_id",
-        F.explode(band_keys_from_minhash(F.col("mh"), F.col("n_sh"))).alias("bk"),
+        F.explode(band_keys_from_minhash("mh", "n_sh")).alias("bk"),
     )
     banded = banded.hint("shuffle_hash")
     a, b = banded.alias("a"), banded.alias("b")

@@ -112,6 +112,53 @@ def test_fast_minhash_family_contract(spark):
     assert again[1] == rows[1].bk
 
 
+def test_minhash_str_form_matches_column_form(spark):
+    """The r18 memoized-SQL string forms of the minhash fold and band-key
+    builders (both hash families) must produce exactly the Column forms'
+    values — same hashes, same keys, same empty-set sentinels."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dead_letter_publishing_spark.functions.text import (
+        band_keys_from_minhash,
+        band_keys_from_minhash_fast,
+        minhash_array,
+        minhash_array_fast,
+        norm_text,
+        shingles,
+        tokens,
+    )
+
+    random.seed(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (i, " ".join(random.choices(words, k=random.randint(0, 9))))
+        for i in range(400)
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id", shingles(tokens(norm_text(F.col("text")))).alias("sh")
+        )
+        .select("doc_id", "sh", F.size("sh").alias("n_sh"))
+    )
+    for mh_fn, bk_fn in (
+        (minhash_array, band_keys_from_minhash),
+        (minhash_array_fast, band_keys_from_minhash_fast),
+    ):
+        col_mh = df.select("doc_id", "n_sh", mh_fn(F.col("sh")).alias("mh"))
+        str_mh = df.select("doc_id", "n_sh", mh_fn("sh").alias("mh"))
+        assert col_mh.exceptAll(str_mh).count() == 0
+        assert str_mh.exceptAll(col_mh).count() == 0
+        col_bk = col_mh.select(
+            "doc_id", bk_fn(F.col("mh"), F.col("n_sh")).alias("bk")
+        )
+        str_bk = col_mh.select("doc_id", bk_fn("mh", "n_sh").alias("bk"))
+        assert col_bk.exceptAll(str_bk).count() == 0
+        assert str_bk.exceptAll(col_bk).count() == 0
+
+
 def test_pii_redaction_and_counts(spark):
     from kafka_streams_dead_letter_publishing_spark.functions.text import (
         pii_counts,
