@@ -195,10 +195,24 @@ def n_hyperplanes_for(n_vectors: int, target_occupancy: int = 256) -> int:
     return min(MAX_HYPERPLANES, max(N_HYPERPLANES, needed))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ with per-element double casts, strict left-to-right fold."""
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ with per-element double casts, strict left-to-right fold.
+    Column NAMES (both str) build as one memoized SQL string — one py4j
+    round trip instead of ~6 lambda constructions (r18, the
+    :func:`lsh_table_keys_int` convention for per-micro-batch builders)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql_expr(a, b))
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+@_functools.lru_cache(maxsize=64)
+def _dot_sql_expr(a_sql: str, b_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

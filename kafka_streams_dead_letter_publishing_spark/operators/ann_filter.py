@@ -80,7 +80,7 @@ def build_ann_index(
     base = corpus.select(
         F.col(id_col).alias("ref_id"),
         F.col(emb_col).alias("ref_emb"),
-        F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("ref_nrm"),
+        F.sqrt(dot(emb_col, emb_col)).alias("ref_nrm"),
     ).filter(F.col("ref_nrm") > 0)
     buckets = base.select(
         "ref_id",
@@ -112,7 +112,7 @@ def ann_candidates(
     staged = batch.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("emb"),
-        F.sqrt(dot(F.col(emb_col), F.col(emb_col))).alias("nrm"),
+        F.sqrt(dot(emb_col, emb_col)).alias("nrm"),
     ).filter(F.col("nrm") > 0)
     banded = staged.select(
         "vec_id",
@@ -190,7 +190,7 @@ def ann_reject_ids(
         .select(
             "vec_id",
             F.try_divide(
-                dot(F.col("emb"), F.col("ref_emb")), F.col("nrm") * F.col("ref_nrm")
+                dot("emb", "ref_emb"), F.col("nrm") * F.col("ref_nrm")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(min_cos))

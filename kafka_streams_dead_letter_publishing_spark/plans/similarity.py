@@ -1194,7 +1194,7 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
     ).filter(F.col("nrm") > 0)
     # skinny index rows: the candidate self-join shuffles only
     # (vec_id, key) — shuffle_hash wins here for the same reason as the
@@ -1234,7 +1234,7 @@ def emb_ann_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # never kill the job), but the nrm > 0 prefilter above makes a
             # NULL cos impossible — no post-filter, no duplicated fold
             F.try_divide(
-                dot(F.col("e_a"), F.col("e_b")), F.col("n_a") * F.col("n_b")
+                dot("e_a", "e_b"), F.col("n_a") * F.col("n_b")
             ).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))

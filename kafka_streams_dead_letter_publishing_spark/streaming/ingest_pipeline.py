@@ -286,7 +286,7 @@ class EmbeddingIngest:
             .select(
                 "vb",
                 F.try_divide(
-                    dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+                    dot("ea", "eb"), F.col("na") * F.col("nb")
                 ).alias("cos"),
             )
             .filter(F.col("cos") >= F.lit(self.min_cos))
@@ -350,7 +350,7 @@ class EmbeddingIngest:
         # diverge the IVF index from the accepted store
         batch = batch.filter(
             indexable(F.col("embedding"), dim)
-            & (dot(F.col("embedding"), F.col("embedding")) > 0)
+            & (dot("embedding", "embedding") > 0)
         )
         if self.decontam_eval_path is not None:
             from kafka_streams_dead_letter_publishing_spark.operators.ann_filter import (
