@@ -440,8 +440,24 @@ class EmbeddingIngest:
             # crash before the buckets append replays the batch with the
             # filter disengaged for these rows → duplicate appends
             # (at-least-once, readers dedup on id); a replay after it
-            # self-matches and appends nothing.
-            ivf_append(kept, self.centroids_fixed, self.ivf_path, id_col=self.id_col)
+            # self-matches and appends nothing.  WITHIN the payload tier
+            # (ivf/moments/pq/vectors) the stores are mutually unordered —
+            # any partial subset on crash replays to the same
+            # at-least-once duplicates — so they run as CONCURRENT driver
+            # jobs (r18, guide §2.6: each write's task tail left the
+            # cores idle); only the gate append stays strictly after all
+            # of them.
+            payload_writes = [
+                lambda: ivf_append(
+                    kept, self.centroids_fixed, self.ivf_path, id_col=self.id_col
+                ),
+                # store appends reuse the staged batch index (semi-join to
+                # the checkpointed keepers) — keys/norms are pure functions
+                # of the embedding, so the values equal a rebuild over kept
+                lambda: bidx.vectors.join(kept_refs, "ref_id", "left_semi")
+                .write.mode("append")
+                .parquet(self.vectors_path),
+            ]
             if self.moments_store:
                 from kafka_streams_dead_letter_publishing_spark.operators.pca import (
                     moments_append,
@@ -451,7 +467,9 @@ class EmbeddingIngest:
                 # crash replays with double-counted moments (the corpus
                 # sink's at-least-once contract), never with accepted
                 # vectors missing from the covariance
-                moments_append(kept, self.moments_path)
+                payload_writes.append(
+                    lambda: moments_append(kept, self.moments_path)
+                )
             if self.pq_books is not None:
                 from kafka_streams_dead_letter_publishing_spark.operators.pq import (
                     pq_append,
@@ -460,16 +478,17 @@ class EmbeddingIngest:
                 # payload store like ivf: before the bucket gate, so a
                 # crash replays with duplicates (readers dedup on id),
                 # never with rows missing from the PQ tier
-                pq_append(
-                    kept, self.pq_books, self.pq_coarse, self.pq_path,
-                    id_col=self.id_col,
+                payload_writes.append(
+                    lambda: pq_append(
+                        kept, self.pq_books, self.pq_coarse, self.pq_path,
+                        id_col=self.id_col,
+                    )
                 )
-            # store appends reuse the staged batch index (semi-join to the
-            # checkpointed keepers) — keys/norms are pure functions of the
-            # embedding, so the values equal a rebuild over kept exactly
-            bidx.vectors.join(kept_refs, "ref_id", "left_semi").write.mode(
-                "append"
-            ).parquet(self.vectors_path)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for fut in [pool.submit(w) for w in payload_writes]:
+                    fut.result()  # surface the first failure; pool joins
             bidx.buckets.join(kept_refs, "ref_id", "left_semi").write.mode(
                 "append"
             ).parquet(self.buckets_path)
