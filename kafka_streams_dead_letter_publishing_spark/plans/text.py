@@ -3454,38 +3454,24 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     staged = docs.withColumn("toks", tokens(_norm(F.col("text")))).persist()
-    # r18 (guide §2.6 — overlap independent jobs): the NB fit and the
-    # bigram-LM fit are independent models over the SAME staged tokens;
-    # run them as concurrent driver jobs so the second fit's tasks
-    # back-fill the cores the first one's tail leaves idle (measured
-    # 2.9 -> 2.1 s for the fit phase at sf0.1/32c).  The cache is
-    # materialized first so a concurrent first-touch cannot compute the
-    # tokenize chain twice.  bigram_lm returns empty tables on an empty
-    # 'en' split (never raises), so the empty-corpus early-return below
-    # stays exception-clean: the pool join just discards its result.
-    from concurrent.futures import ThreadPoolExecutor
-
-    staged.count()
-    with ThreadPoolExecutor(max_workers=1) as _pool:
-        _lm_fut = _pool.submit(
-            bigram_lm, staged.filter(F.col("lang") == "en"), toks_col="toks"
+    try:
+        model = nb_train(
+            staged.filter(F.expr(_NB_TRAIN_WHERE)), "lang", toks_col="toks"
         )
-        try:
-            model = nb_train(
-                staged.filter(F.expr(_NB_TRAIN_WHERE)), "lang", toks_col="toks"
-            )
-        except ValueError as e:
-            if "empty" not in str(e):
-                raise
-            return spark.createDataFrame(
-                [],
-                "doc_id bigint, lang_ok boolean, rep_ok boolean, "
-                "ppl_ok boolean, keep boolean",
-            )
+    except ValueError as e:
+        if "empty" not in str(e):
+            raise
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, lang_ok boolean, rep_ok boolean, "
+            "ppl_ok boolean, keep boolean",
+        )
     preds = nb_classify(staged, model, toks_col="toks").select(
         "doc_id", (F.col("pred") == "en").alias("lang_ok")
     )
-    uni, bi, v = _lm_fut.result()
+    uni, bi, v = bigram_lm(
+        staged.filter(F.col("lang") == "en"), toks_col="toks"
+    )
     scores = surprise_scores(staged, uni, bi, v, toks_col="toks").select(
         "doc_id",
         (
