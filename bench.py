@@ -299,6 +299,18 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256kb")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # r18 environment sizing (guide §9 / §5), NOT a timing change: the
+        # PySpark default 1g driver heap is a misconfiguration for a
+        # local[32] JVM that is simultaneously driver AND all executors —
+        # a full run OOMed in a bigram aggregate at stage ~3400 (heap
+        # probe: ~8 MB/pass of REACHABLE retention survives System.gc —
+        # the SQL status store keeps up to 1000 executions' plan strings —
+        # on top of 32-way execution memory).  8g on a 128 GiB box; the
+        # retention cap bounds the status store the disabled UI feeds.
+        # Identical queries, identical methodology, identical timed
+        # regions — disclosed in OPTIMIZATION_r18.md.
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.ui.retainedExecutions", "50")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
